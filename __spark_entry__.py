@@ -1,38 +1,177 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: full retention cascade on sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent SQL over the same parquet views.
+
+The ``sequences`` input table (BASELINE.json:15) does not exist in
+/root/testdata; it is synthesized deterministically from ``documents``
+with derivations that are expressible identically in Spark and DuckDB
+(see pyreshaper_spark.fixtures) — so the oracle runs on the exact same
+logical input.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyreshaper_spark.fixtures import seq_cte, sequences_df  # noqa: E402
+from pyreshaper_spark.operators.gapfill import gapfill, gapfill_locf  # noqa: E402
+from pyreshaper_spark.operators.rollup import rollup_all_tiers  # noqa: E402
+
+TIER_WIDTHS = [60, 600, 3600, 86400]
+_TIER_NAMES = {60: "1m", 600: "10m", 3600: "1h", 86400: "1d"}
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _seq(spark: SparkSession, sf_dir: str, variant: str = "base") -> DataFrame:
+    _utc(spark)
+    return sequences_df(spark, sf_dir, variant=variant)
+
+
+def _norm_tier(df: DataFrame) -> DataFrame:
+    """Cast aggregate columns to long so Spark/DuckDB schemas agree."""
+    return df.select(
+        "source",
+        F.col("bucket_s").cast("long").alias("bucket_s"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("sum_n_tok").cast("long").alias("sum_n_tok"),
+        F.col("min_n_tok").cast("long").alias("min_n_tok"),
+        F.col("max_n_tok").cast("long").alias("max_n_tok"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: cascade all four retention tiers on sf0.001, return 1h."""
+    seq = _seq(spark, "/root/testdata/sf0.001")
+    tiers = rollup_all_tiers(seq, TIER_WIDTHS)
+    return _norm_tier(tiers[3600])
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def _q_tier(width: int) -> Callable[[SparkSession, str], DataFrame]:
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        seq = _seq(spark, sf_dir)
+        return _norm_tier(rollup_all_tiers(seq, TIER_WIDTHS)[width])
+
+    return q
+
+
+def _q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seq = _seq(spark, sf_dir, variant="gappy")
+    tier = rollup_all_tiers(seq, [60, 600])[600]
+    out = gapfill(tier, 600)
+    return out.select(
+        "source",
+        F.col("bucket_s").cast("long").alias("bucket_s"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("sum_n_tok").cast("long").alias("sum_n_tok"),
+        F.col("filled"),
+    )
+
+
+def _q_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seq = _seq(spark, sf_dir, variant="gappy")
+    tier = rollup_all_tiers(seq, [60, 600])[600]
+    out = gapfill_locf(tier, 600)
+    return out.select(
+        "source",
+        F.col("bucket_s").cast("long").alias("bucket_s"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("sum_n_tok_locf").cast("long").alias("sum_n_tok_locf"),
+    )
+
+
+def _q_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-completeness analog: per-source row + token totals."""
+    seq = _seq(spark, sf_dir)
+    return seq.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tok"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        f"tier_{_TIER_NAMES[w]}": _q_tier(w) for w in TIER_WIDTHS
+    }
+    q["gapfill_10m"] = _q_gapfill
+    q["locf_10m"] = _q_locf
+    q["source_counts"] = _q_source_counts
+    return q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracles (DuckDB SQL over the pre-registered `documents` view)
+# --------------------------------------------------------------------------
+
+_TIER_AGG = """
+SELECT source,
+       (event_s // {w}) * {w}          AS bucket_s,
+       count(*)                        AS cnt,
+       CAST(sum(n_tok) AS BIGINT)      AS sum_n_tok,
+       CAST(min(n_tok) AS BIGINT)      AS min_n_tok,
+       CAST(max(n_tok) AS BIGINT)      AS max_n_tok
+FROM sequences
+GROUP BY 1, 2
+"""
+
+_GAPFILL_CTES = f"""
+WITH {seq_cte('gappy')},
+tier AS (
+  SELECT source, (event_s // 600) * 600 AS bucket_s,
+         count(*) AS cnt, CAST(sum(n_tok) AS BIGINT) AS sum_n_tok
+  FROM sequences GROUP BY 1, 2
+),
+spine AS (
+  SELECT source, unnest(generate_series(min_b, max_b, 600)) AS bucket_s
+  FROM (SELECT source, min(bucket_s) AS min_b, max(bucket_s) AS max_b
+        FROM tier GROUP BY 1)
+),
+filled AS (
+  SELECT s.source, s.bucket_s,
+         coalesce(t.cnt, 0) AS cnt,
+         t.sum_n_tok        AS sum_n_tok,
+         t.cnt IS NULL      AS filled
+  FROM spine s LEFT JOIN tier t USING (source, bucket_s)
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+    for w in TIER_WIDTHS:
+        o[f"tier_{_TIER_NAMES[w]}"] = (
+            f"WITH {seq_cte('base')}\n{_TIER_AGG.format(w=w)}"
+        )
+    o["gapfill_10m"] = (
+        _GAPFILL_CTES
+        + "SELECT source, bucket_s, cnt, sum_n_tok, filled FROM filled"
+    )
+    o["locf_10m"] = _GAPFILL_CTES + """
+SELECT source, bucket_s, cnt,
+       last_value(sum_n_tok IGNORE NULLS) OVER (
+         PARTITION BY source ORDER BY bucket_s
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS sum_n_tok_locf
+FROM filled
+"""
+    o["source_counts"] = f"""
+WITH {seq_cte('base')}
+SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tok
+FROM sequences GROUP BY 1
+"""
+    return o

@@ -1,0 +1,93 @@
+"""Continuous aggregates: tier-0 rollup + exact cascading re-aggregation.
+
+Reference analog: the slice→series conversion writes one time-series
+output per variable [U: reshaper.py :: Slice2SeriesReshaper.convert];
+here each retention tier is a (source × bucket) continuous aggregate
+and tier *k+1* is computed FROM tier *k* (never from raw) so the
+cascade is one cheap re-aggregation per tier — the shuffle that matters
+happens exactly once, at tier 0.
+
+Exactness: ``n_tok`` is integral; sums are ``long``; count/sum/min/max
+compose associatively across tiers (``sum_n_tok = sum(sum_n_tok)``,
+``cnt = sum(cnt)``, ``min = min(min)``, ``max = max(max)``) — no float
+drift, verified bucket-for-bucket against the DuckDB oracle.
+
+Scale notes (100 TB design point):
+
+* Tier 0 projects ``(source, bucket_s, n_tok)`` BEFORE aggregating —
+  the wide ``tokens`` array must never enter this shuffle. Catalyst
+  column pruning pushes the 3-column ReadSchema into the parquet scan.
+* Spark performs partial (map-side) + final hash aggregation
+  automatically; with ~sources × minutes grouping keys the partial agg
+  collapses each input partition to a few thousand rows before the
+  exchange, so shuffle volume is O(groups), not O(rows).
+* Tier k+1 input is already tiny (tier-k output); AQE coalesces its
+  shuffle partitions at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Aggregate column names shared by every tier (and by the oracle SQL).
+AGG_COLS = ("cnt", "sum_n_tok", "min_n_tok", "max_n_tok")
+
+
+def bucket_col(width_s: int, src: str = "event_s") -> F.Column:
+    """Integer time bucket: floor(event_s / width) * width.
+
+    Integer epoch-second arithmetic (≡ ``date_trunc`` in UTC for the
+    standard tiers) keeps buckets exact and engine-portable.
+    """
+    return ((F.col(src) / width_s).cast("long") * width_s).alias("bucket_s")
+
+
+def rollup_tier0(seq: DataFrame, width_s: int) -> DataFrame:
+    """Tier-0 continuous aggregate from the raw sequences table.
+
+    Input must carry ``event_s`` (see operators.event_time). Output:
+    (source, bucket_s, cnt, sum_n_tok, min_n_tok, max_n_tok).
+    """
+    return (
+        seq.select("source", bucket_col(width_s), "n_tok")
+        .groupBy("source", "bucket_s")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("n_tok").alias("sum_n_tok"),
+            F.min("n_tok").alias("min_n_tok"),
+            F.max("n_tok").alias("max_n_tok"),
+        )
+    )
+
+
+def rollup_cascade(prev_tier: DataFrame, width_s: int) -> DataFrame:
+    """Tier k+1 from tier k — exact re-aggregation, no raw-data rescan."""
+    return (
+        prev_tier.select(
+            "source",
+            ((F.col("bucket_s") / width_s).cast("long") * width_s).alias("bucket_s"),
+            *AGG_COLS,
+        )
+        .groupBy("source", "bucket_s")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_n_tok").alias("sum_n_tok"),
+            F.min("min_n_tok").alias("min_n_tok"),
+            F.max("max_n_tok").alias("max_n_tok"),
+        )
+    )
+
+
+def rollup_all_tiers(seq: DataFrame, widths: list[int]) -> dict[int, DataFrame]:
+    """Full cascade: widths must be strictly increasing and divide evenly.
+
+    Returns {width_s: tier DataFrame}. Only the first tier touches the
+    raw table; each subsequent tier re-aggregates its predecessor.
+    """
+    tiers: dict[int, DataFrame] = {}
+    prev: DataFrame | None = None
+    for w in widths:
+        prev = rollup_tier0(seq, w) if prev is None else rollup_cascade(prev, w)
+        tiers[w] = prev
+    return tiers

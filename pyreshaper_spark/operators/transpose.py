@@ -1,0 +1,74 @@
+"""Slice→series transpose — THE core reference operator, Spark-first.
+
+Reference: for each time-series variable, gather its hyperslab from
+every slice file in time order and write one contiguous series file
+[U: reshaper.py :: Slice2SeriesReshaper.convert inner loops], with MPI
+ranks load-balanced over variables by byte size [U: partition.py ::
+WeightBalanced].
+
+Here the "variable" is ``source`` and the transpose is a single
+range-partitioned shuffle:
+
+    salt = pmod(xxhash64(doc_id), NSALT)          # skew splitter
+    repartitionByRange(P, source, salt, event_s)  # series co-location
+    sortWithinPartitions(source, salt, event_s, doc_id)  # time order
+
+After this, every (source, salt) series chunk is contiguous and
+time-ordered within one partition — the exact layout the per-series
+encoder (operators.encode) consumes without further movement, and the
+layout written to the series table so downstream per-series scans are
+partition-local.
+
+Why this scales:
+
+* ``repartitionByRange`` samples key ranges, so partition boundaries
+  adapt to the actual source/time distribution (the WeightBalanced
+  analog, but data-driven).
+* The salt splits a hot source across NSALT partitions —
+  ``applyInPandas`` groups are NOT covered by AQE skew handling, so
+  salting is mandatory, not optional [BASELINE.json:14].
+* Sorting happens within partitions only (no global sort barrier).
+* ``tokens`` rides through exactly one shuffle here (it must — the
+  series layout carries payloads); every aggregate path projects it
+  away before shuffling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(seq: DataFrame, nsalt: int) -> DataFrame:
+    """Deterministic per-doc salt in [0, nsalt)."""
+    return seq.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(nsalt)).cast("int")
+    )
+
+
+def transpose_to_series(
+    seq: DataFrame, nsalt: int = 8, num_partitions: int = 32
+) -> DataFrame:
+    """Reorganize row-per-doc slices into per-(source, salt) series layout.
+
+    Input must carry ``event_s``. Output columns: doc_id, tokens, n_tok,
+    source, event_s, salt — physically clustered by (source, salt) and
+    time-ordered within the cluster.
+    """
+    salted = with_salt(seq, nsalt)
+    return salted.repartitionByRange(
+        num_partitions, "source", "salt", "event_s"
+    ).sortWithinPartitions("source", "salt", "event_s", "doc_id")
+
+
+def series_table_writer(series: DataFrame, path: str, mode: str = "overwrite"):
+    """Persist the series layout partitioned by source.
+
+    Partition-by-source on disk = the reference's one-file-per-variable
+    output: a later per-source read is a partition-pruned scan.
+    """
+    (
+        series.write.mode(mode)
+        .partitionBy("source")
+        .parquet(path)
+    )

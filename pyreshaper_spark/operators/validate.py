@@ -1,0 +1,86 @@
+"""Input validation — the reference's hard-fail inspection phase.
+
+Reference behavior [U: reshaper.py :: input-inspection]:
+* every slice file must contain the identical variable set (schema
+  set-equality, not inference);
+* the unlimited ``time`` dimension must exist and be 1-D;
+* time values must strictly increase across sorted slices — overlap or
+  regression is a fatal error, not a warning.
+
+Recast as DataFrame assertions over the sequences table / tier outputs.
+Each check returns the offending-row count (0 == pass) or raises
+:class:`ValidationError`; tests call these directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+EXPECTED_COLUMNS = {"doc_id", "tokens", "n_tok", "source"}
+
+
+class ValidationError(ValueError):
+    """Fatal input-contract violation (reference: hard error + abort)."""
+
+
+def check_schema(seq: DataFrame) -> None:
+    """Variable-set equality: required columns present, no inference."""
+    missing = EXPECTED_COLUMNS - set(seq.columns)
+    if missing:
+        raise ValidationError(f"sequences table missing columns: {sorted(missing)}")
+
+
+def count_nulls(seq: DataFrame) -> int:
+    """doc_id/tokens/source must be non-null; n_tok must equal size(tokens)."""
+    return seq.filter(
+        F.col("doc_id").isNull()
+        | F.col("tokens").isNull()
+        | F.col("source").isNull()
+        | (F.col("n_tok") != F.size("tokens"))
+    ).count()
+
+
+def count_duplicate_doc_ids(seq: DataFrame) -> int:
+    """doc_id is the record identity — duplicates are the analog of
+    overlapping slice files (a fatal error in the reference)."""
+    return (
+        seq.groupBy("doc_id").count().filter(F.col("count") > 1).count()
+    )
+
+
+def count_monotonicity_violations(tier: DataFrame) -> int:
+    """Per-source bucket regression check (window lag) on a tier table."""
+    w = Window.partitionBy("source").orderBy("bucket_s")
+    return (
+        tier.withColumn("prev_b", F.lag("bucket_s").over(w))
+        .filter(F.col("prev_b").isNotNull() & (F.col("bucket_s") <= F.col("prev_b")))
+        .count()
+    )
+
+
+def check_source_completeness(seq: DataFrame, tier: DataFrame) -> None:
+    """Every input source appears in the tier output and vice versa —
+    the reference's 'every TSV got exactly one output file' assertion."""
+    in_only = seq.select("source").distinct().exceptAll(
+        tier.select("source").distinct()
+    )
+    out_only = tier.select("source").distinct().exceptAll(
+        seq.select("source").distinct()
+    )
+    n_in, n_out = in_only.count(), out_only.count()
+    if n_in or n_out:
+        raise ValidationError(
+            f"source sets differ: {n_in} missing from output, {n_out} extra"
+        )
+
+
+def validate_input(seq: DataFrame) -> None:
+    """Full input gate: schema, nulls, doc_id uniqueness."""
+    check_schema(seq)
+    bad = count_nulls(seq)
+    if bad:
+        raise ValidationError(f"{bad} rows violate null/n_tok contract")
+    dups = count_duplicate_doc_ids(seq)
+    if dups:
+        raise ValidationError(f"{dups} duplicated doc_ids (overlapping slices)")

@@ -1,0 +1,61 @@
+"""Gap-fill + LOCF semantics on the gappy fixture (FIXTURES.md F2)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyreshaper_spark.fixtures import sequences_df
+from pyreshaper_spark.operators.gapfill import gapfill, gapfill_locf, gapfill_spine
+from pyreshaper_spark.operators.rollup import rollup_tier0
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def gappy_tier(spark):
+    seq = sequences_df(spark, SF_SMOKE, variant="gappy")
+    return rollup_tier0(seq, 60).cache()
+
+
+def test_spine_is_dense(gappy_tier):
+    spine = gapfill_spine(gappy_tier, 60)
+    stats = (
+        spine.groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            ((F.max("bucket_s") - F.min("bucket_s")) / 60 + 1).alias("expect"),
+        )
+        .filter(F.col("n") != F.col("expect"))
+    )
+    assert stats.count() == 0
+
+
+def test_gapfill_reinstates_missing_buckets(gappy_tier):
+    filled = gapfill(gappy_tier, 60)
+    holes = filled.filter(F.col("filled"))
+    # src1 had minute-buckets ≡3 (mod 5) deleted → holes must exist there
+    assert holes.filter(F.col("source") == "src1").count() > 0
+    # every hole row: cnt=0, null aggregates
+    bad = holes.filter(
+        (F.col("cnt") != 0)
+        | F.col("sum_n_tok").isNotNull()
+        | F.col("min_n_tok").isNotNull()
+    )
+    assert bad.count() == 0
+    # non-hole rows are untouched original aggregates
+    assert (
+        filled.filter(~F.col("filled")).count() == gappy_tier.count()
+    )
+
+
+def test_locf_carries_forward_and_only_forward(gappy_tier):
+    out = gapfill_locf(gappy_tier, 60).orderBy("source", "bucket_s")
+    rows = out.filter(F.col("source") == "src1").collect()
+    last_seen = None
+    for r in rows:
+        if r["sum_n_tok"] is not None:
+            last_seen = r["sum_n_tok"]
+            assert r["sum_n_tok_locf"] == r["sum_n_tok"]
+        else:
+            # leading nulls stay null; later holes carry the last value
+            assert r["sum_n_tok_locf"] == last_seen

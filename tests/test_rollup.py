@@ -1,0 +1,66 @@
+"""Tier rollup correctness — cascade exactness + DuckDB oracle parity
+(FIXTURES.md F5; the reference's fidelity-golden recast)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyreshaper_spark.fixtures import seq_cte
+from pyreshaper_spark.operators.rollup import (
+    rollup_all_tiers,
+    rollup_tier0,
+)
+from tests.conftest import ddb_rows_set, rows_set
+
+WIDTHS = [60, 600, 3600, 86400]
+COLS = ["source", "bucket_s", "cnt", "sum_n_tok", "min_n_tok", "max_n_tok"]
+
+
+def _norm(df):
+    return df.select(*(F.col(c).cast("long").alias(c) if c != "source" else c for c in COLS))
+
+
+def test_tier0_matches_oracle(seq, ddb):
+    tier = _norm(rollup_tier0(seq, 60))
+    oracle = ddb_rows_set(
+        ddb,
+        f"""WITH {seq_cte('base')}
+        SELECT source, (event_s//60)*60 AS bucket_s, count(*) AS cnt,
+               CAST(sum(n_tok) AS BIGINT) AS sum_n_tok,
+               CAST(min(n_tok) AS BIGINT) AS min_n_tok,
+               CAST(max(n_tok) AS BIGINT) AS max_n_tok
+        FROM sequences GROUP BY 1,2""",
+        COLS,
+    )
+    assert rows_set(tier, COLS) == oracle
+
+
+def test_cascade_equals_direct_aggregation(seq):
+    """Tier k computed via the cascade == the same tier computed directly
+    from raw — the exactness invariant that lets retention drop raw data."""
+    tiers = rollup_all_tiers(seq, WIDTHS)
+    for w in WIDTHS[1:]:
+        direct = _norm(rollup_tier0(seq, w))
+        cascaded = _norm(tiers[w])
+        assert rows_set(cascaded, COLS) == rows_set(direct, COLS), f"width={w}"
+
+
+def test_row_conservation(seq):
+    """sum(cnt) over any tier == input row count (variable completeness)."""
+    n = seq.count()
+    tiers = rollup_all_tiers(seq, WIDTHS)
+    for w, t in tiers.items():
+        assert t.agg(F.sum("cnt")).collect()[0][0] == n, f"width={w}"
+
+
+def test_tokens_pruned_from_rollup_scan(spark, seq, tmp_path_factory):
+    """Against a STORED sequences table (the production shape), the
+    aggregate path's parquet scan must not read the wide `tokens`
+    column — Catalyst column pruning is load-bearing at 100 TB."""
+    path = str(tmp_path_factory.mktemp("seqtbl") / "sequences")
+    seq.write.mode("overwrite").parquet(path)
+    stored = spark.read.parquet(path)
+    plan = rollup_tier0(stored, 60)._jdf.queryExecution().executedPlan().toString()
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema, plan
+    assert all("tokens" not in ln for ln in read_schema), read_schema

@@ -1,0 +1,95 @@
+"""Self-check harness mimicking the driver's Spark-vs-DuckDB compare.
+
+Runs every ``__spark_entry__.queries()`` entry at the given sf and
+compares row count, column names, and order-insensitive values against
+``oracle_sql()`` via DuckDB. Usage::
+
+    python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6g}"
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, list):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = list(r)
+        out.append("|".join(norm_cell(vals[i]) for i in order))
+    return sorted(out)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as ent
+    from pyreshaper_spark.session import get_spark
+
+    spark = get_spark("oracle_check", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs, os_ = ent.queries(), ent.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        sdf = fn(spark, sf_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = sdf.columns
+        if name not in os_:
+            print(f"{name}: NO ORACLE (rows={len(srows)})")
+            continue
+        ores = con.sql(os_[name])
+        orows = ores.fetchall()
+        ocols = [d[0] for d in ores.description]
+        ok_cols = sorted(scols) == sorted(ocols)
+        ok_cnt = len(srows) == len(orows)
+        ok_vals = canon(srows, scols) == canon(orows, ocols) if ok_cols else False
+        status = "OK" if (ok_cols and ok_cnt and ok_vals) else "FAIL"
+        if status == "FAIL":
+            failures += 1
+            print(f"{name}: FAIL cols={ok_cols} cnt={ok_cnt}({len(srows)}/{len(orows)}) vals={ok_vals}")
+            if ok_cols and not ok_vals:
+                a, b = canon(srows, scols), canon(orows, ocols)
+                diff = [x for x in a if x not in set(b)][:3]
+                diff2 = [x for x in b if x not in set(a)][:3]
+                print("  spark-only:", diff)
+                print("  oracle-only:", diff2)
+        else:
+            print(f"{name}: OK ({len(srows)} rows)")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
