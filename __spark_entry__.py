@@ -23,8 +23,13 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyreshaper_spark.fixtures import seq_cte, sequences_df  # noqa: E402
+from pyreshaper_spark.operators.encode import (  # noqa: E402
+    decode_series_table,
+    encode_series_table,
+)
 from pyreshaper_spark.operators.gapfill import gapfill, gapfill_locf  # noqa: E402
 from pyreshaper_spark.operators.rollup import rollup_all_tiers  # noqa: E402
+from pyreshaper_spark.operators.transpose import transpose_to_series  # noqa: E402
 
 TIER_WIDTHS = [60, 600, 3600, 86400]
 _TIER_NAMES = {60: "1m", 600: "10m", 3600: "1h", 86400: "1d"}
@@ -104,6 +109,25 @@ def _q_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_series_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transpose → Gorilla encode → decode, then count per-source rows
+    whose token arrays/event times survive bit-exactly. The oracle is
+    simply the per-source input counts — equality proves the whole
+    reorganize+codec path is lossless (BASELINE.json:15)."""
+    seq = _seq(spark, sf_dir)
+    series = transpose_to_series(seq, nsalt=4, num_partitions=8)
+    decoded = decode_series_table(encode_series_table(series))
+    j = seq.alias("a").join(decoded.alias("b"), "doc_id")
+    ok = j.filter(
+        (F.col("a.tokens") == F.col("b.tokens"))
+        & (F.col("a.event_s") == F.col("b.event_s"))
+        & (F.col("a.n_tok") == F.col("b.n_tok"))
+    )
+    return ok.groupBy(F.col("a.source").alias("source")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         f"tier_{_TIER_NAMES[w]}": _q_tier(w) for w in TIER_WIDTHS
@@ -111,6 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["gapfill_10m"] = _q_gapfill
     q["locf_10m"] = _q_locf
     q["source_counts"] = _q_source_counts
+    q["series_fidelity"] = _q_series_fidelity
     return q
 
 
@@ -173,5 +198,9 @@ FROM filled
 WITH {seq_cte('base')}
 SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tok
 FROM sequences GROUP BY 1
+"""
+    o["series_fidelity"] = f"""
+WITH {seq_cte('base')}
+SELECT source, count(*) AS n_docs FROM sequences GROUP BY 1
 """
     return o

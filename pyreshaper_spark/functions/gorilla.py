@@ -1,0 +1,296 @@
+"""Gorilla-style time-series codec: delta-of-delta timestamps + XOR values.
+
+The graft's analog of the reference's ``netcdf4c`` deflate compression
+[U: specification.py :: compression_level]: per-series payload
+compression, applied inside ``applyInPandas`` (see operators.encode).
+
+Scheme (after Pelkonen et al., "Gorilla: A Fast, Scalable, In-Memory
+Time Series Database", VLDB 2015):
+
+* **Timestamps** (int64 seconds): store ``ts[0]`` raw; encode
+  ``dod[i] = (ts[i]-ts[i-1]) - (ts[i-1]-ts[i-2])`` (with the first
+  delta treated as a DoD against 0) in the paper's variable-width
+  buckets::
+
+      dod == 0            → '0'
+      [-63, 64]           → '10'   + 7 bits
+      [-255, 256]         → '110'  + 9 bits
+      [-2047, 2048]       → '1110' + 12 bits
+      else                → '1111' + 64 bits raw
+
+* **Values** (float64 bit patterns): store ``val[0]`` raw; per point,
+  ``xor = bits[i] ^ bits[i-1]``::
+
+      xor == 0            → '0'
+      else                → '1' + 5-bit leading-zero count (clamped 31)
+                              + 6-bit (sigbits-1) + sigbits payload
+
+  Deviation from the paper, stated plainly: the paper's
+  previous-window *reuse* branch ('10' vs '11' control bit) creates a
+  sequential scan dependency; we always emit the explicit-window form.
+  This costs a few % compression but makes ENCODING FULLY
+  VECTORIZABLE in numpy (bucket choice and bit layout are pure
+  per-point functions) — the right trade for a Spark UDF hot path.
+
+Encoding is 100% numpy (the variable-width bit packing uses a
+repeat/cumsum scatter — no Python loop over points). Decoding walks
+the bitstream point-by-point in Python over a pre-unpacked bit array;
+it sits on the verification path (roundtrip tests, ``mapInArrow``
+decode) rather than the ingest hot path.
+
+Pure module — importable and testable without Spark.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+_TS_BUCKETS = (  # (control-bits as (value, nbits), payload bits, lo, hi)
+    ((0b10, 2), 7, -63, 64),
+    ((0b110, 3), 9, -255, 256),
+    ((0b1110, 4), 12, -2047, 2048),
+)
+_TS_RAW_CTRL = (0b1111, 4)
+_TS_RAW_BITS = 64
+
+
+@dataclass(frozen=True)
+class EncodedSeries:
+    """One encoded series chunk (maps 1:1 to encoded-table columns)."""
+
+    n: int
+    first_ts: int
+    first_val_bits: int  # uint64 bit pattern of the first float64
+    ts_payload: bytes
+    val_payload: bytes
+
+
+# ---------------------------------------------------------------------------
+# vectorized bit packing
+# ---------------------------------------------------------------------------
+
+def _pack_fields(values: np.ndarray, nbits: np.ndarray) -> bytes:
+    """Pack variable-width big-endian bitfields into bytes, vectorized.
+
+    ``values[i]`` contributes its low ``nbits[i]`` bits, MSB-first.
+    """
+    values = values.astype(np.uint64, copy=False)
+    nbits = nbits.astype(np.int64, copy=False)
+    total = int(nbits.sum())
+    if total == 0:
+        return b""
+    ends = np.cumsum(nbits)
+    starts = ends - nbits
+    owner = np.repeat(np.arange(len(nbits)), nbits)
+    pos_in_field = np.arange(total) - starts[owner]
+    shift = (nbits[owner] - 1 - pos_in_field).astype(np.uint64)
+    bits = ((values[owner] >> shift) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits).tobytes()
+
+
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Count leading zeros of uint64, vectorized (x == 0 → 64)."""
+    out = np.full(x.shape, 64, dtype=np.int64)
+    nz = x != 0
+    if nz.any():
+        # float64 mantissa is 53 bits — split high/low 32 to stay exact
+        xs = x[nz]
+        hi = (xs >> np.uint64(32)).astype(np.uint32)
+        lo = (xs & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        hi_bits = np.zeros(xs.shape, dtype=np.int64)
+        hi_nz = hi != 0
+        hi_bits[hi_nz] = 32 - (
+            np.floor(np.log2(hi[hi_nz].astype(np.float64))).astype(np.int64) + 1
+        )
+        lo_bits = np.zeros(xs.shape, dtype=np.int64)
+        lo_nz = lo != 0
+        lo_bits[lo_nz] = 32 - (
+            np.floor(np.log2(lo[lo_nz].astype(np.float64))).astype(np.int64) + 1
+        )
+        out[nz] = np.where(hi_nz, hi_bits, 32 + lo_bits)
+    return out
+
+
+def _ctz64(x: np.ndarray) -> np.ndarray:
+    """Count trailing zeros of uint64, vectorized (x == 0 → 64)."""
+    out = np.full(x.shape, 64, dtype=np.int64)
+    nz = x != 0
+    if nz.any():
+        xs = x[nz]
+        lowbit = xs & (~xs + np.uint64(1))  # isolate lowest set bit
+        out[nz] = 63 - _clz64(lowbit)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# encode
+# ---------------------------------------------------------------------------
+
+def encode_timestamps(ts: np.ndarray) -> tuple[int, bytes]:
+    """Encode int64 timestamps; returns (first_ts, payload)."""
+    ts = np.asarray(ts, dtype=np.int64)
+    if ts.size == 0:
+        return 0, b""
+    if np.any(np.diff(ts) < 0):
+        raise ValueError("timestamps must be non-decreasing")
+    if ts.size == 1:
+        return int(ts[0]), b""
+    d = np.diff(ts)
+    dod = np.empty_like(d)
+    dod[0] = d[0]
+    dod[1:] = d[1:] - d[:-1]
+
+    # per-point bucket selection (pure vectorized classification)
+    fields_vals: list[np.ndarray] = []
+    fields_bits: list[np.ndarray] = []
+    n = dod.size
+    # each point emits (control, payload?) — build as 2 aligned fields,
+    # payload width 0 when control alone encodes the point (dod == 0)
+    ctrl_val = np.zeros(n, dtype=np.uint64)
+    ctrl_bits = np.ones(n, dtype=np.int64)  # '0' for dod == 0
+    pay_val = np.zeros(n, dtype=np.uint64)
+    pay_bits = np.zeros(n, dtype=np.int64)
+
+    remaining = dod != 0
+    for (cv, cb), pb, lo, hi in _TS_BUCKETS:
+        sel = remaining & (dod >= lo) & (dod <= hi)
+        ctrl_val[sel] = cv
+        ctrl_bits[sel] = cb
+        # zigzag-free offset encoding: dod - lo ∈ [0, hi-lo] fits pb bits
+        pay_val[sel] = (dod[sel] - lo).astype(np.uint64)
+        pay_bits[sel] = pb
+        remaining &= ~sel
+    ctrl_val[remaining] = _TS_RAW_CTRL[0]
+    ctrl_bits[remaining] = _TS_RAW_CTRL[1]
+    pay_val[remaining] = dod[remaining].astype(np.int64).view(np.uint64)
+    pay_bits[remaining] = _TS_RAW_BITS
+
+    # interleave ctrl/payload per point
+    fields_vals = [np.column_stack([ctrl_val, pay_val]).reshape(-1)]
+    fields_bits = [np.column_stack([ctrl_bits, pay_bits]).reshape(-1)]
+    return int(ts[0]), _pack_fields(fields_vals[0], fields_bits[0])
+
+
+def encode_values(vals: np.ndarray) -> tuple[int, bytes]:
+    """Encode float64 values; returns (first_val_bits, payload)."""
+    bits = np.asarray(vals, dtype=np.float64).view(np.uint64)
+    if bits.size == 0:
+        return 0, b""
+    if bits.size == 1:
+        return int(bits[0]), b""
+    xor = bits[1:] ^ bits[:-1]
+    n = xor.size
+
+    lz = np.minimum(_clz64(xor), 31)
+    tz = _ctz64(xor)
+    sig = np.maximum(64 - lz - tz, 1)  # meaningful bits (≥1 when xor != 0)
+
+    zero = xor == 0
+    # field layout per point: ctrl ('0' | '1'), then for nonzero:
+    # 5-bit lz, 6-bit sig-1, sig-bit payload (xor >> tz)
+    ctrl_val = (~zero).astype(np.uint64)
+    ctrl_bits = np.ones(n, dtype=np.int64)
+    lz_val = lz.astype(np.uint64)
+    lz_bits = np.where(zero, 0, 5)
+    sig_val = (sig - 1).astype(np.uint64)
+    sig_bits = np.where(zero, 0, 6)
+    tz_safe = np.where(zero, 0, tz).astype(np.uint64)
+    pay_val = np.where(zero, np.uint64(0), xor >> tz_safe)
+    pay_bits = np.where(zero, 0, sig)
+
+    vals_i = np.column_stack([ctrl_val, lz_val, sig_val, pay_val]).reshape(-1)
+    bits_i = np.column_stack([ctrl_bits, lz_bits, sig_bits, pay_bits]).reshape(-1)
+    return int(bits[0]), _pack_fields(vals_i, bits_i)
+
+
+def encode_series(ts: np.ndarray, vals: np.ndarray) -> EncodedSeries:
+    ts = np.asarray(ts, dtype=np.int64)
+    vals = np.asarray(vals, dtype=np.float64)
+    if ts.shape != vals.shape:
+        raise ValueError("ts and vals must have equal length")
+    first_ts, ts_payload = encode_timestamps(ts)
+    first_val_bits, val_payload = encode_values(vals)
+    return EncodedSeries(
+        n=int(ts.size),
+        first_ts=first_ts,
+        first_val_bits=first_val_bits,
+        ts_payload=ts_payload,
+        val_payload=val_payload,
+    )
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+class _BitReader:
+    __slots__ = ("bits", "pos")
+
+    def __init__(self, payload: bytes):
+        self.bits = np.unpackbits(np.frombuffer(payload, dtype=np.uint8))
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        b = self.bits[self.pos : self.pos + n]
+        self.pos += n
+        out = 0
+        for x in b.tolist():
+            out = (out << 1) | x
+        return out
+
+
+def decode_timestamps(n: int, first_ts: int, payload: bytes) -> np.ndarray:
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    out = np.empty(n, dtype=np.int64)
+    out[0] = first_ts
+    if n == 1:
+        return out
+    r = _BitReader(payload)
+    delta = 0
+    for i in range(1, n):
+        if r.read(1) == 0:  # '0'
+            dod = 0
+        elif r.read(1) == 0:  # '10'
+            dod = r.read(7) - 63
+        elif r.read(1) == 0:  # '110'
+            dod = r.read(9) - 255
+        elif r.read(1) == 0:  # '1110'
+            dod = r.read(12) - 2047
+        else:  # '1111' + raw 64-bit two's complement
+            raw = r.read(_TS_RAW_BITS)
+            dod = raw - (1 << 64) if raw >= (1 << 63) else raw
+        delta += dod
+        out[i] = out[i - 1] + delta
+    return out
+
+
+def decode_values(n: int, first_val_bits: int, payload: bytes) -> np.ndarray:
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    out = np.empty(n, dtype=np.uint64)
+    out[0] = np.uint64(first_val_bits)
+    if n == 1:
+        return out.view(np.float64)
+    r = _BitReader(payload)
+    prev = int(first_val_bits)
+    for i in range(1, n):
+        if r.read(1) == 0:
+            cur = prev
+        else:
+            lz = r.read(5)
+            sig = r.read(6) + 1
+            frag = r.read(sig)
+            tz = 64 - lz - sig
+            cur = prev ^ (frag << tz)
+        out[i] = np.uint64(cur)
+        prev = cur
+    return out.view(np.float64)
+
+
+def decode_series(enc: EncodedSeries) -> tuple[np.ndarray, np.ndarray]:
+    ts = decode_timestamps(enc.n, enc.first_ts, enc.ts_payload)
+    vals = decode_values(enc.n, enc.first_val_bits, enc.val_payload)
+    return ts, vals

@@ -1,0 +1,106 @@
+"""Gorilla codec round-trip — pure numpy, no Spark (FIXTURES.md F6).
+
+Edge cases mandated: single-point series, constant values (XOR=0
+path), irregular timestamps (DoD != 0), int extremes, negative/special
+floats. Exactness bar: bit-equal floats, exact timestamps.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyreshaper_spark.functions import gorilla as G
+
+
+def roundtrip(ts, vals):
+    enc = G.encode_series(np.asarray(ts), np.asarray(vals))
+    dts, dvals = G.decode_series(enc)
+    np.testing.assert_array_equal(dts, np.asarray(ts, dtype=np.int64))
+    assert (
+        dvals.view(np.uint64) == np.asarray(vals, np.float64).view(np.uint64)
+    ).all()
+    return enc
+
+
+def test_empty_series():
+    enc = G.encode_series(np.array([], dtype=np.int64), np.array([]))
+    dts, dvals = G.decode_series(enc)
+    assert dts.size == 0 and dvals.size == 0
+
+
+def test_single_point():
+    enc = roundtrip([1704067200], [42.0])
+    assert enc.ts_payload == b"" and enc.val_payload == b""
+
+
+def test_regular_cadence_constant_values_compresses_hard():
+    n = 5000
+    ts = 1704067200 + 60 * np.arange(n, dtype=np.int64)
+    vals = np.full(n, 7.0)
+    enc = roundtrip(ts, vals)
+    # after the first delta, every dod==0 ('0') and every xor==0 ('0'):
+    # ~2 bits/point → payloads ≈ n/8 bytes each
+    assert len(enc.ts_payload) < n // 3
+    assert len(enc.val_payload) <= n // 8 + 8
+
+
+def test_irregular_timestamps_and_values():
+    ts = np.cumsum(np.array([0, 1, 59, 61, 3600, 2, 2, 86400, 1, 12345]))
+    ts = (1704067200 + ts).astype(np.int64)
+    vals = np.array([1.5, -2.25, 0.0, 0.0, 1e300, -1e-300, 3.14, 3.14, 2.0, 512.0])
+    roundtrip(ts, vals)
+
+
+def test_duplicate_timestamps_allowed_monotonic_required():
+    roundtrip([10, 10, 10, 11], [1.0, 2.0, 3.0, 4.0])
+    with pytest.raises(ValueError, match="non-decreasing"):
+        G.encode_timestamps(np.array([10, 9], dtype=np.int64))
+
+
+def test_int_extremes_as_values():
+    vals = np.array([0, 1, 2**31 - 1, -(2**31), 2**53, 1], dtype=np.float64)
+    ts = np.arange(6, dtype=np.int64)
+    roundtrip(ts, vals)
+
+
+def test_special_floats():
+    vals = np.array([np.nan, np.inf, -np.inf, -0.0, 0.0, np.nan])
+    ts = np.arange(6, dtype=np.int64) * 60
+    roundtrip(ts, vals)  # bit-pattern equality handles NaN correctly
+
+
+def test_large_dod_uses_raw_branch():
+    ts = np.array([0, 1, 2, 10**12], dtype=np.int64)  # dod ≈ 1e12 > 2048
+    roundtrip(ts, [1.0, 2.0, 3.0, 4.0])
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    deltas=st.lists(st.integers(min_value=0, max_value=10**7), min_size=1, max_size=300),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_property_roundtrip(deltas, seed):
+    ts = np.cumsum(np.asarray(deltas, dtype=np.int64)) + 1_700_000_000
+    rng = np.random.RandomState(seed)
+    kind = seed % 3
+    if kind == 0:
+        vals = rng.randint(1, 1000, size=len(deltas)).astype(np.float64)
+    elif kind == 1:
+        vals = rng.randn(len(deltas)) * 10**(seed % 20)
+    else:
+        vals = np.repeat(rng.randn(1), len(deltas))
+    roundtrip(ts, vals)
+
+
+def test_compression_ratio_on_realistic_series():
+    """Minute-cadence counter series should beat raw 16 bytes/point."""
+    n = 10_000
+    ts = 1704067200 + 60 * np.arange(n, dtype=np.int64)
+    rng = np.random.RandomState(7)
+    vals = np.round(rng.gamma(4.0, 50.0, n))  # integral token counts
+    enc = G.encode_series(ts, vals)
+    encoded = len(enc.ts_payload) + len(enc.val_payload) + 24
+    assert encoded < 16 * n * 0.6, f"ratio {(16 * n) / encoded:.2f}x too low"

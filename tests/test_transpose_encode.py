@@ -1,0 +1,113 @@
+"""Slice→series transpose + encode/decode round-trip + port-fidelity
+invariant (FIXTURES.md F3/F6; the reference's core conversion tests)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyreshaper_spark.fixtures import sequences_df
+from pyreshaper_spark.operators.encode import (
+    compression_report,
+    decode_series_table,
+    encode_series_table,
+)
+from pyreshaper_spark.operators.transpose import transpose_to_series, with_salt
+from tests.conftest import SF_SMOKE
+
+NSALT = 4
+
+
+@pytest.fixture(scope="module")
+def series(spark, seq):
+    return transpose_to_series(seq, nsalt=NSALT, num_partitions=8).cache()
+
+
+@pytest.fixture(scope="module")
+def encoded(series):
+    return encode_series_table(series).cache()
+
+
+def test_transpose_preserves_rows_exactly(seq, series):
+    assert series.count() == seq.count()
+    assert series.select("doc_id").distinct().count() == seq.count()
+
+
+def test_transpose_token_fidelity_invariant(seq, series):
+    """Per-row token-array equality source vs reorganized (BASELINE.json:15)."""
+    j = seq.alias("a").join(series.alias("b"), "doc_id", "full_outer")
+    missing = j.filter(F.col("a.tokens").isNull() | F.col("b.tokens").isNull())
+    assert missing.count() == 0
+    mismatch = j.filter(F.col("a.tokens") != F.col("b.tokens"))
+    assert mismatch.count() == 0
+
+
+def test_salt_is_deterministic_and_bounded(seq):
+    s1 = with_salt(seq, NSALT).select("doc_id", "salt")
+    s2 = with_salt(seq, NSALT).select("doc_id", "salt")
+    assert s1.exceptAll(s2).count() == 0
+    rng = s1.agg(F.min("salt"), F.max("salt")).collect()[0]
+    assert rng[0] >= 0 and rng[1] < NSALT
+
+
+def test_one_encoded_chunk_per_source_salt(series, encoded):
+    expected = series.select("source", "salt").distinct().count()
+    assert encoded.count() == expected
+    # variable completeness: every source present
+    assert (
+        series.select("source").distinct().exceptAll(
+            encoded.select("source").distinct()
+        ).count()
+        == 0
+    )
+
+
+def test_decode_roundtrip_exact(seq, encoded):
+    """decode(encode(x)) == x: event times, n_tok, doc ids AND full
+    token arrays — the fidelity golden through the codec path."""
+    dec = decode_series_table(encoded)
+    assert dec.count() == seq.count()
+    j = seq.alias("a").join(dec.alias("b"), "doc_id", "full_outer")
+    bad = j.filter(
+        F.col("a.tokens").isNull()
+        | F.col("b.tokens").isNull()
+        | (F.col("a.tokens") != F.col("b.tokens"))
+        | (F.col("a.n_tok") != F.col("b.n_tok"))
+        | (F.col("a.event_s") != F.col("b.event_s"))
+        | (F.col("a.source") != F.col("b.source"))
+    )
+    assert bad.count() == 0
+
+
+def test_decoded_series_time_ordered(encoded):
+    """Within each encoded chunk, decoded event times are non-decreasing
+    (the reference's time-ordering output assertion)."""
+    from pyspark.sql import Window
+
+    dec = decode_series_table(encoded)
+    w = Window.partitionBy("source", "salt").orderBy("event_s")
+    viol = (
+        dec.withColumn("prev", F.lag("event_s").over(w))
+        .filter(F.col("prev").isNotNull() & (F.col("event_s") < F.col("prev")))
+    )
+    assert viol.count() == 0
+
+
+def test_lineage_columns_populated(encoded):
+    row = compression_report(encoded).collect()[0]
+    assert row["points"] > 0 and row["raw_bytes"] > row["enc_bytes"] > 0
+    bad = encoded.filter(
+        (F.col("partition_id") < 0) | (F.col("wall_ms") < 0) | (F.col("n") <= 0)
+    )
+    assert bad.count() == 0
+
+
+def test_skewed_source_splits_across_salts(spark):
+    """F3: hot source must spread over all NSALT chunks, none dominating."""
+    sk = sequences_df(spark, SF_SMOKE, variant="skew")
+    series = transpose_to_series(sk, nsalt=NSALT, num_partitions=8)
+    enc = encode_series_table(series)
+    hot = enc.filter(F.col("source") == "srcHOT").select("salt", "n").collect()
+    assert len(hot) == NSALT
+    sizes = sorted(r["n"] for r in hot)
+    assert sizes[-1] <= 2 * sizes[0]  # roughly balanced chunks
