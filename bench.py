@@ -1,0 +1,122 @@
+"""Bench harness — headline throughput for the tiered rollup engine.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
+``local[$SPARK_GRAFT_CPUS]`` (default 32) and prints ONE JSON line:
+
+    {"metric": "rolled_up_points_per_sec", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1, ...}
+
+Headline metric (BASELINE.json:2): rolled-up points/sec across all
+retention tiers, plus sequences/sec ingested. Each query is timed as a
+full action (plan → execute → count) on a warm session.
+
+Two-cluster-size scaling evidence (north_rule): run with
+``SPARK_GRAFT_CPUS=8`` and ``SPARK_GRAFT_CPUS=32`` on the same input;
+``tools/scaling_bench.py`` automates that and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"pyreshaper-spark-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def run_bench(sf_dir: str, cpus: int, repeat: int = 1) -> dict:
+    from pyspark.sql import functions as F
+
+    from pyreshaper_spark.fixtures import sequences_df
+    from pyreshaper_spark.operators.encode import encode_series_table
+    from pyreshaper_spark.operators.gapfill import gapfill_locf
+    from pyreshaper_spark.operators.rollup import rollup_all_tiers
+    from pyreshaper_spark.operators.transpose import transpose_to_series
+
+    spark = build_spark(cpus)
+    widths = [60, 600, 3600, 86400]
+    queries: dict[str, float] = {}
+
+    # Materialize the fixture once to parquet so every query times the
+    # engine, not the fixture tokenizer; this also mirrors the real
+    # deployment where `sequences` is a stored Iceberg table.
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/pyreshaper_bench")
+    seq_path = os.path.join(scratch, f"sequences_{os.path.basename(sf_dir)}_r{repeat}")
+    if not os.path.exists(os.path.join(seq_path, "_SUCCESS")):
+        sequences_df(spark, sf_dir, repeat=repeat).write.mode("overwrite").parquet(
+            seq_path
+        )
+    seq = spark.read.parquet(seq_path)
+    n_seq = seq.count()
+
+    # q1: full tier cascade (the flagship) — count every rolled-up point.
+    # Each tier is persisted before its successor executes (a real run
+    # writes each tier to a table), so the cascade re-aggregates tier k
+    # rather than recomputing from raw.
+    t0 = time.perf_counter()
+    tiers = rollup_all_tiers(seq, widths)
+    total_points = 0
+    for w in widths:
+        tiers[w].persist()
+        total_points += tiers[w].count()
+    t_cascade = time.perf_counter() - t0
+    queries["tier_cascade"] = round(t_cascade, 3)
+
+    # q2: gap-fill + LOCF on the 10m tier.
+    t0 = time.perf_counter()
+    gapfill_locf(tiers[600], 600).count()
+    queries["gapfill_locf_10m"] = round(time.perf_counter() - t0, 3)
+
+    # q3: salted transpose + Gorilla/DoD encode of every series.
+    t0 = time.perf_counter()
+    series = transpose_to_series(seq, nsalt=8, num_partitions=max(cpus, 8))
+    encode_series_table(series).agg(F.sum("n").alias("n")).collect()
+    queries["transpose_encode"] = round(time.perf_counter() - t0, 3)
+
+    total = sum(queries.values())
+    out = {
+        "metric": "rolled_up_points_per_sec",
+        "value": round(total_points / t_cascade, 1),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0),
+        "cpus": cpus,
+        "n_sequences": n_seq,
+        "rolled_up_points": total_points,
+        "sequences_per_sec": round(n_seq / t_cascade, 1),
+        "total_sec": round(total, 3),
+    }
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # documents.parquet is tiny (5k rows at sf0.1); row-multiply
+    # deterministically (FIXTURES.md F1) so throughput numbers measure
+    # the engine, not fixed overhead. Oracle-compared runs use repeat=1.
+    repeat = int(os.environ.get("SPARK_GRAFT_REPEAT", "100"))
+    print(json.dumps(run_bench(sf_dir, cpus, repeat)))
+
+
+if __name__ == "__main__":
+    main()
