@@ -42,7 +42,8 @@ ENCODED_SCHEMA = (
     "first_ts long, ts_payload binary, "
     "first_val_bits long, val_payload binary, "
     "tok_payload binary, doc_ids array<string>, doc_n_toks array<int>, "
-    "raw_bytes long, enc_bytes long, wall_ms double, partition_id int"
+    "raw_bytes long, enc_bytes long, wall_ms double, partition_id int, "
+    "input_files array<string>"
 )
 
 DECODED_SCHEMA = (
@@ -103,6 +104,11 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
             "enc_bytes": [enc_bytes],
             "wall_ms": [wall_ms],
             "partition_id": [pid],
+            "input_files": [
+                sorted(pdf["input_file"].unique().tolist())
+                if "input_file" in pdf.columns
+                else []
+            ],
         }
     )
 

@@ -1,0 +1,203 @@
+"""End-to-end resumable rollup pipeline.
+
+The graft analog of ``s2srun`` [U: scripts/s2srun → create_reshaper →
+convert → print_diagnostics]: scan → validate → tier cascade → gap-fill
+/ LOCF → salted transpose → Gorilla encode — every sink an IcebergLite
+table commit, every step checkpointed AFTER its data commit, so a
+re-run after any crash point either skips a committed step or redoes an
+idempotent one (overwrite / chunk-anti-join append). That is the
+reference's skip-existing write-mode generalized to snapshot semantics.
+
+Output tables under ``cfg.output_path`` (IcebergLite root):
+
+    tier_<name>          sparse continuous aggregate, partitioned by source
+    tier_<name>_filled   gap-filled + LOCF version (non-raw tiers)
+    meta_source          per-source metadata (the once-file analog)
+    series_enc           Gorilla-encoded series chunks, one row per
+                         (source, salt), partitioned by source
+    metrics              per-chunk lineage rows (partition id, input
+                         files, row counts, bytes, wall time)
+
+Scale notes: the tier cascade reads tier *k* back from its committed
+table (not the in-memory lineage), so a resumed run never recomputes
+upstream tiers; the encode step's pending-work set is an anti-join of
+(source, salt) chunks against the checkpoint — at 10^12 sequences the
+chunk list is |sources|×nsalt rows, always broadcastable.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyreshaper_spark.config import RunConfig
+from pyreshaper_spark.operators.encode import encode_series_table
+from pyreshaper_spark.operators.event_time import ensure_event_time
+from pyreshaper_spark.operators.gapfill import gapfill_locf
+from pyreshaper_spark.operators.rollup import rollup_cascade, rollup_tier0
+from pyreshaper_spark.operators.transpose import transpose_to_series, with_salt
+from pyreshaper_spark.operators.validate import validate_input
+from pyreshaper_spark.plans.checkpoint import Checkpoint
+from pyreshaper_spark.sources.iceberglite import IcebergLite
+
+LINEAGE_COLS = (
+    "source",
+    "salt",
+    "partition_id",
+    "n",
+    "raw_bytes",
+    "enc_bytes",
+    "wall_ms",
+    "input_files",
+)
+
+
+@dataclass
+class PipelineResult:
+    snapshot_ids: dict[str, int]
+    steps_run: list[str]
+    steps_skipped: list[str]
+
+
+def _load_input(spark: SparkSession, cfg: RunConfig) -> DataFrame:
+    seq = spark.read.parquet(cfg.input_path)
+    if "input_file" not in seq.columns:
+        # captured at scan time (pre-shuffle) — the reference's
+        # per-variable input-file accounting
+        seq = seq.withColumn("input_file", F.input_file_name())
+    return ensure_event_time(seq)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    cfg: RunConfig,
+    checkpoint_path: str,
+    stop_after: str | None = None,
+) -> PipelineResult:
+    """Run (or resume) the full pipeline.
+
+    ``stop_after`` stops cleanly after the named step's commit +
+    checkpoint save — the kill-and-resume test hook.
+    """
+    cfg.validate()
+    cat = IcebergLite(cfg.output_path)
+    ckpt = Checkpoint.load(checkpoint_path)
+    ckpt.attempt += 1
+    ckpt.save(checkpoint_path)
+
+    run, skipped = [], []
+    snapshot_ids: dict[str, int] = {}
+
+    def commit_step(step: str, fn) -> bool:
+        """Returns True if the caller should stop (stop_after hit)."""
+        if ckpt.step_done(step):
+            skipped.append(step)
+            return False
+        fn()
+        ckpt.mark_step(step)
+        ckpt.save(checkpoint_path)  # always after the data commit
+        run.append(step)
+        return stop_after == step
+
+    seq = _load_input(spark, cfg)
+    validate_input(seq)
+
+    # ---- once-file analog: per-source metadata, written once ----------
+    def _meta():
+        meta = seq.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tok"),
+            F.min("event_s").alias("first_event_s"),
+            F.max("event_s").alias("last_event_s"),
+        )
+        snapshot_ids["meta_source"] = cat.overwrite("meta_source", meta)
+
+    if commit_step("meta_source", _meta):
+        return PipelineResult(snapshot_ids, run, skipped)
+
+    # ---- tier cascade -------------------------------------------------
+    prev_table: str | None = None
+    for i, tier in enumerate(cfg.tiers):
+        tname = f"tier_{tier.name}"
+
+        def _tier(tier=tier, prev_table=prev_table, tname=tname):
+            if prev_table is None:
+                df = rollup_tier0(seq, tier.width_s)
+            else:
+                df = rollup_cascade(
+                    cat.read(spark, prev_table), tier.width_s
+                )
+            snapshot_ids[tname] = cat.overwrite(tname, df, ("source",))
+
+        if commit_step(tname, _tier):
+            return PipelineResult(snapshot_ids, run, skipped)
+        prev_table = tname
+
+        if i > 0:  # gap-fill + LOCF for the coarser tiers
+            fname = f"{tname}_filled"
+
+            def _filled(tier=tier, tname=tname, fname=fname):
+                filled = gapfill_locf(cat.read(spark, tname), tier.width_s)
+                snapshot_ids[fname] = cat.overwrite(fname, filled, ("source",))
+
+            if commit_step(fname, _filled):
+                return PipelineResult(snapshot_ids, run, skipped)
+
+    # ---- salted transpose + encode (chunk-resumable) ------------------
+    def _encode():
+        done = ckpt.chunk_set()
+        salted = with_salt(seq, cfg.nsalt)
+        if done:
+            done_df = spark.createDataFrame(
+                [(s, x) for s, x in sorted(done)], "source string, salt int"
+            )
+            salted = salted.join(
+                F.broadcast(done_df), ["source", "salt"], "left_anti"
+            )
+        series = transpose_to_series(
+            salted.drop("salt"), cfg.nsalt, cfg.num_series_partitions
+        )
+        encoded = encode_series_table(series)
+        sid = (
+            cat.append("series_enc", encoded, ("source",))
+            if cat.exists("series_enc")
+            else cat.overwrite("series_enc", encoded, ("source",))
+        )
+        snapshot_ids["series_enc"] = sid
+        lineage = (
+            cat.read(spark, "series_enc")
+            .select(*LINEAGE_COLS)
+            .withColumn("attempt", F.lit(ckpt.attempt))
+            .withColumn("step", F.lit("encode"))
+        )
+        # metrics reflects the live chunk set exactly once per chunk
+        snapshot_ids["metrics"] = cat.overwrite("metrics", lineage)
+        chunks = [
+            (r["source"], r["salt"])
+            for r in cat.read(spark, "series_enc")
+            .select("source", "salt")
+            .distinct()
+            .collect()
+        ]
+        ckpt.mark_chunks(chunks)
+
+    if commit_step("encode", _encode):
+        return PipelineResult(snapshot_ids, run, skipped)
+
+    return PipelineResult(snapshot_ids, run, skipped)
+
+
+def diagnostics(spark: SparkSession, cfg: RunConfig) -> DataFrame:
+    """Global reduction + report [U: reshaper.py :: print_diagnostics]."""
+    cat = IcebergLite(cfg.output_path)
+    m = cat.read(spark, "metrics")
+    return m.agg(
+        F.sum("n").alias("points"),
+        F.sum("raw_bytes").alias("raw_bytes"),
+        F.sum("enc_bytes").alias("enc_bytes"),
+        F.max("wall_ms").alias("max_chunk_wall_ms"),
+        F.count("*").alias("chunks"),
+    )

@@ -1,0 +1,212 @@
+"""IcebergLite — snapshot-versioned parquet tables with atomic commits.
+
+The north rule mandates Iceberg-table semantics (snapshot id, atomic
+commit, resume-from-snapshot) but no Iceberg runtime jar ships in this
+sandbox (SURVEY.md §7.4). This module supplies the minimal subset the
+engine needs, behind the same interface a real Iceberg catalog would
+serve, so swapping in `spark.read.format("iceberg")` later is a
+one-file change.
+
+Layout on disk (all JSON commits are write-tmp-then-``os.replace`` —
+atomic on POSIX, so a crash mid-commit leaves the previous snapshot
+intact; data files written but not yet referenced by a committed
+snapshot are invisible, exactly like Iceberg orphan files):
+
+    <root>/<table>/data/s<commit>/...            parquet (optionally hive
+                                                 key=val partition dirs)
+    <root>/<table>/metadata/snapshots.json       the snapshot log
+
+``snapshots.json``::
+
+    {"current": 3,
+     "snapshots": [{"id": 1, "parent": 0, "op": "append",
+                    "files": [{"path": "s1/source=src0/part-....parquet",
+                               "partition": {"source": "src0"}}, ...]}]}
+
+Manifest entries carry the partition tuple per file (parsed from the
+hive path), so `read(..., partition_filter=...)` prunes at planning
+time from the manifest alone — the IcebergLite analog of Iceberg's
+manifest-based partition pruning; at 100 TB this is what turns a
+per-source query into a scan of one source's files.
+
+Reference analog: the snapshot log is the `.s2s` Specifier + the
+write-mode existence checks [U: specification.py :: Specifier.write;
+reshaper.py :: output-existence checks] — the substrate that makes
+restart idempotent.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotNotFound(KeyError):
+    pass
+
+
+def _parse_partition(relpath: str) -> dict[str, str]:
+    """Extract hive-style ``key=val`` segments from a relative file path."""
+    out: dict[str, str] = {}
+    for seg in relpath.split(os.sep)[1:-1]:  # skip s<id>/ and the filename
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            out[k] = v
+    return out
+
+
+class IcebergLite:
+    """A tiny snapshot-versioned table catalog over a local/posix root."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths -----------------------------------------------------------
+    def _tdir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _data(self, name: str) -> str:
+        return os.path.join(self._tdir(name), "data")
+
+    def _log_path(self, name: str) -> str:
+        return os.path.join(self._tdir(name), "metadata", "snapshots.json")
+
+    # -- snapshot log ----------------------------------------------------
+    def _read_log(self, name: str) -> dict[str, Any]:
+        p = self._log_path(name)
+        if not os.path.exists(p):
+            return {"current": 0, "snapshots": []}
+        with open(p) as f:
+            return json.load(f)
+
+    def _commit(self, name: str, files: list[dict], op: str) -> int:
+        """Atomically append a snapshot referencing ``files`` (full live set)."""
+        log = self._read_log(name)
+        sid = log["current"] + 1
+        log["snapshots"].append(
+            {"id": sid, "parent": log["current"], "op": op, "files": files}
+        )
+        log["current"] = sid
+        p = self._log_path(name)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(log, f)
+        os.replace(tmp, p)  # the atomic commit point
+        return sid
+
+    def snapshots(self, name: str) -> list[dict]:
+        return self._read_log(name)["snapshots"]
+
+    def current_snapshot_id(self, name: str) -> int:
+        return self._read_log(name)["current"]
+
+    def _snapshot(self, name: str, snapshot_id: int | None) -> dict:
+        log = self._read_log(name)
+        sid = log["current"] if snapshot_id is None else snapshot_id
+        if sid == 0:
+            return {"id": 0, "files": []}
+        for s in log["snapshots"]:
+            if s["id"] == sid:
+                return s
+        raise SnapshotNotFound(f"{name}@{sid}")
+
+    # -- writes ----------------------------------------------------------
+    def _write_data(
+        self, name: str, df: DataFrame, partition_by: tuple[str, ...]
+    ) -> list[dict]:
+        sid = self.current_snapshot_id(name) + 1
+        ddir = os.path.join(self._data(name), f"s{sid}")
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(ddir)
+        files = []
+        for p in sorted(
+            glob.glob(os.path.join(ddir, "**", "*.parquet"), recursive=True)
+        ):
+            rel = os.path.relpath(p, self._data(name))
+            files.append({"path": rel, "partition": _parse_partition(rel)})
+        return files
+
+    def append(
+        self, name: str, df: DataFrame, partition_by: tuple[str, ...] = ()
+    ) -> int:
+        new = self._write_data(name, df, partition_by)
+        live = self._snapshot(name, None)["files"] + new
+        return self._commit(name, live, "append")
+
+    def overwrite(
+        self, name: str, df: DataFrame, partition_by: tuple[str, ...] = ()
+    ) -> int:
+        new = self._write_data(name, df, partition_by)
+        return self._commit(name, new, "overwrite")
+
+    def overwrite_partitions(
+        self, name: str, df: DataFrame, keys: tuple[str, ...]
+    ) -> int:
+        """Dynamic partition overwrite: replace exactly the partitions
+        present in ``df``, keep the rest — Iceberg's `overwritePartitions`."""
+        new = self._write_data(name, df, keys)
+        replaced = {tuple(sorted(f["partition"].items())) for f in new}
+        kept = [
+            f
+            for f in self._snapshot(name, None)["files"]
+            if tuple(sorted(f["partition"].items())) not in replaced
+        ]
+        return self._commit(name, kept + new, "overwrite_partitions")
+
+    # -- reads -----------------------------------------------------------
+    def read(
+        self,
+        spark: SparkSession,
+        name: str,
+        snapshot_id: int | None = None,
+        partition_filter: Callable[[dict[str, str]], bool] | None = None,
+    ) -> DataFrame:
+        """Read a snapshot (time travel via ``snapshot_id``).
+
+        ``partition_filter`` prunes files from the manifest BEFORE any
+        parquet is opened (planning-time partition pruning). Files are
+        grouped per commit dir and each group is read with its own
+        ``basePath`` so hive partition columns are recovered, then
+        unioned by name — commit count is small, file count is what
+        scales, so the union stays cheap.
+        """
+        snap = self._snapshot(name, snapshot_id)
+        files = snap["files"]
+        if partition_filter is not None:
+            files = [f for f in files if partition_filter(f["partition"])]
+        if not files:
+            raise SnapshotNotFound(
+                f"{name}@{snap.get('id')}: no files (empty snapshot or "
+                "filter pruned everything)"
+            )
+        data = self._data(name)
+        by_commit: dict[str, list[str]] = {}
+        for f in files:
+            sdir = f["path"].split(os.sep, 1)[0]
+            by_commit.setdefault(sdir, []).append(os.path.join(data, f["path"]))
+        parts = [
+            spark.read.option("basePath", os.path.join(data, sdir)).parquet(*paths)
+            for sdir, paths in sorted(by_commit.items())
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    def partitions(
+        self, name: str, snapshot_id: int | None = None
+    ) -> set[tuple[tuple[str, str], ...]]:
+        """Distinct partition tuples in a snapshot — from the manifest only."""
+        snap = self._snapshot(name, snapshot_id)
+        return {tuple(sorted(f["partition"].items())) for f in snap["files"]}
+
+    def exists(self, name: str) -> bool:
+        return self.current_snapshot_id(name) > 0
