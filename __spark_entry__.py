@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyreshaper_spark.fixtures import seq_cte, sequences_df  # noqa: E402
+from pyreshaper_spark.operators import dedup, multimodal, similarity, text  # noqa: E402
 from pyreshaper_spark.operators.encode import (  # noqa: E402
     decode_series_table,
     encode_series_table,
@@ -128,6 +129,16 @@ def _q_series_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         f"tier_{_TIER_NAMES[w]}": _q_tier(w) for w in TIER_WIDTHS
@@ -136,6 +147,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["locf_10m"] = _q_locf
     q["source_counts"] = _q_source_counts
     q["series_fidelity"] = _q_series_fidelity
+    # -- text analysis ------------------------------------------------
+    q["text_stats"] = lambda s, d: text.text_stats(_docs(s, d))
+    q["quality_score"] = lambda s, d: text.quality_score(_docs(s, d))
+    q["lang_id"] = lambda s, d: text.lang_id(_docs(s, d))
+    q["fingerprint"] = lambda s, d: text.fingerprint(_docs(s, d))
+    # -- deduplication ------------------------------------------------
+    q["dedup_exact"] = lambda s, d: dedup.exact_dup_groups(_docs(s, d))
+    q["dedup_minhash_lsh"] = lambda s, d: dedup.verified_near_dups(_docs(s, d))
+    q["dedup_simhash"] = lambda s, d: dedup.simhash_pairs(_docs(s, d))
+    q["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
+        _docs(s, d)
+    )
+    # -- similarity search --------------------------------------------
+    q["ann_topk_dot"] = lambda s, d: similarity.topk_dot(_emb(s, d))
+    q["ann_lsh_pairs"] = lambda s, d: similarity.lsh_bucket_pairs(_emb(s, d))
+    # max pairwise cosine in the synthetic embeddings is ~0.48; 2/5
+    # keeps the predicate selective while actually emitting matches
+    q["emb_near_dup"] = lambda s, d: similarity.cosine_near_dups(
+        _emb(s, d), num=2, den=5
+    )
+    # -- multimodal ---------------------------------------------------
+    q["mm_meta"] = lambda s, d: multimodal.media_meta(_docs(s, d))
     return q
 
 
@@ -203,4 +236,16 @@ FROM sequences GROUP BY 1
 WITH {seq_cte('base')}
 SELECT source, count(*) AS n_docs FROM sequences GROUP BY 1
 """
+    o["text_stats"] = text.text_stats_sql()
+    o["quality_score"] = text.quality_score_sql()
+    o["lang_id"] = text.lang_id_sql()
+    o["fingerprint"] = text.fingerprint_sql()
+    o["dedup_exact"] = dedup.EXACT_DUP_SQL
+    o["dedup_minhash_lsh"] = dedup.minhash_lsh_sql()
+    o["dedup_simhash"] = dedup.simhash_sql()
+    o["dedup_ngram_jaccard"] = dedup.ngram_jaccard_sql()
+    o["ann_topk_dot"] = similarity.topk_dot_sql()
+    o["ann_lsh_pairs"] = similarity.lsh_bucket_pairs_sql()
+    o["emb_near_dup"] = similarity.cosine_near_dups_sql(num=2, den=5)
+    o["mm_meta"] = multimodal.media_meta_sql()
     return o

@@ -15,7 +15,9 @@ job code is identical at N and 4N executors.
 from __future__ import annotations
 
 import argparse
+import json
 import sys
+import time
 
 from pyspark.sql import SparkSession
 
@@ -25,6 +27,16 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--config", required=True, help="RunConfig JSON path")
     ap.add_argument("--checkpoint", required=True, help="driver checkpoint JSON")
     ap.add_argument("--stop-after", default=None, help="test hook: stop after step")
+    ap.add_argument(
+        "--emit-timing", action="store_true",
+        help="print one TIMING json line (pipeline wall time, excl. session start)",
+    )
+    ap.add_argument(
+        "--bench-runs", type=int, default=1,
+        help="run the pipeline N times to fresh outputs and report the last "
+        "(steady-state) wall time — JVM/JIT/page-cache warm-up is a per-app "
+        "constant, not part of sustained throughput",
+    )
     args = ap.parse_args(argv)
 
     from pyreshaper_spark.config import RunConfig
@@ -37,11 +49,42 @@ def main(argv: list[str] | None = None) -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .getOrCreate()
     )
+    walls = []
+    for i in range(max(args.bench_runs - 1, 0)):
+        warm_cfg = cfg.with_(output_path=f"{cfg.output_path}_warm{i}")
+        t0 = time.perf_counter()
+        run_pipeline(spark, warm_cfg, f"{args.checkpoint}.warm{i}")
+        walls.append(round(time.perf_counter() - t0, 3))
+    t0 = time.perf_counter()
     result = run_pipeline(spark, cfg, args.checkpoint, stop_after=args.stop_after)
+    wall_s = time.perf_counter() - t0
+    walls.append(round(wall_s, 3))
     print(f"steps run: {result.steps_run}")
     print(f"steps skipped (already committed): {result.steps_skipped}")
     if "encode" in result.steps_run or "encode" in result.steps_skipped:
         diagnostics(spark, cfg).show(truncate=False)
+    if args.emit_timing:
+        d = diagnostics(spark, cfg).collect()[0]
+        from pyreshaper_spark.sources.iceberglite import IcebergLite
+
+        cat = IcebergLite(cfg.output_path)
+        tier_points = sum(
+            cat.read(spark, f"tier_{t.name}").count() for t in cfg.tiers
+        )
+        print(
+            "TIMING "
+            + json.dumps(
+                {
+                    "wall_s": round(wall_s, 3),
+                    "all_runs_wall_s": walls,
+                    "step_wall_s": result.step_wall_s,
+                    "sequences": d["points"],
+                    "tier_points": tier_points,
+                    "enc_bytes": d["enc_bytes"],
+                    "raw_bytes": d["raw_bytes"],
+                }
+            )
+        )
     spark.stop()
 
 

@@ -1,0 +1,420 @@
+"""Deduplication operators over the ``documents`` table.
+
+Training-data pipeline surface: exact dup groups, MinHash+LSH
+candidates with exact-Jaccard verification, SimHash near-dup pairs,
+word-n-gram Jaccard, and embedding-cosine near-dup (in similarity.py).
+
+Engineering rules shared by every operator here:
+
+* **Built-ins only** — word splitting, hashing, signatures, banding and
+  pair generation are all JVM-side column expressions + joins; no
+  Python in the flow.
+* **Exact cross-engine parity** — all randomness comes from md5-derived
+  32-bit word hashes (functions.xhash) and all emitted values are
+  integers, so the DuckDB oracle matches bit-for-bit.
+* **Scale shape** — signatures are one hash-aggregate per doc
+  (shuffle keyed by doc, O(docs) rows); candidate generation is an
+  equi-join on (band, band-signature) buckets, never an O(n²) cross
+  join; only verified candidate pairs reach the exact-Jaccard join.
+  Hot buckets (boilerplate) are the skew risk at 100 TB — cap bucket
+  width upstream or salt the band key; see pair-cap note below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyreshaper_spark.functions.xhash import (
+    MINHASH_PERMS,
+    P31,
+    WORDS_SQL,
+    h32,
+    h32_sql,
+    perm,
+    perm_sql,
+    words_col,
+)
+
+N_PERM = len(MINHASH_PERMS)  # 16
+N_BANDS = 4                  # 4 bands × 4 rows
+ROWS_PER_BAND = N_PERM // N_BANDS
+
+SIMHASH_BITS = 32
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per duplicated text, with the
+    canonical keeper (min doc_id) — the classic first-pass filter."""
+    return (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("text_md5"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+EXACT_DUP_SQL = """
+SELECT md5(text)    AS text_md5,
+       count(*)     AS n_copies,
+       min(doc_id)  AS keep_doc_id
+FROM documents
+GROUP BY 1
+HAVING count(*) > 1
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def _doc_words(docs: DataFrame) -> DataFrame:
+    """(doc_id, word) distinct pairs — the shingle set (word unigrams;
+    the shingle width is a config knob, unigrams keep the oracle SQL
+    readable)."""
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(words_col())).alias("word")
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """One row per doc: sig_0..sig_{k-1} MinHash signature columns.
+
+    Single hash-aggregate: explode distinct words, k min-aggregations
+    over universal-hash permutations of the word hash. Shuffle volume
+    is O(doc × distinct-word), the aggregate is partial+final."""
+    dw = _doc_words(docs).withColumn("h", h32(F.col("word")))
+    aggs = [
+        F.min(perm(i, F.col("h"))).alias(f"sig_{i}") for i in range(N_PERM)
+    ]
+    return dw.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Band the signatures and self-join buckets → candidate pairs with
+    the number of agreeing bands. Pairs are (a < b) canonical."""
+    bands = []
+    for b in range(N_BANDS):
+        cols = [f"sig_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        bands.append(
+            sigs.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.concat_ws("_", *cols).alias("band_key"),
+            )
+        )
+    banded = bands[0]
+    for x in bands[1:]:
+        banded = banded.unionByName(x)
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def verified_near_dups(
+    docs: DataFrame, jaccard_num: int = 1, jaccard_den: int = 2
+) -> DataFrame:
+    """MinHash→LSH→exact-verify near-dup pipeline.
+
+    Candidates from band buckets, then EXACT Jaccard via a distinct-word
+    join, kept when ``inter * den >= union * num`` (integer threshold
+    num/den, default 1/2). Output: (doc_a, doc_b, n_bands, inter,
+    union_sz) — all integers."""
+    sigs = minhash_signatures(docs)
+    cand = lsh_candidate_pairs(sigs)
+    dw = _doc_words(docs)
+    sizes = dw.groupBy("doc_id").agg(F.count("*").alias("n_words"))
+    # intersection via a (word → doc) self-join; at web scale restrict
+    # this join to the candidate set first (semi-join on doc_a/doc_b)
+    pair_words = (
+        dw.alias("x")
+        .join(dw.alias("y"), "word")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        cand.join(pair_words, ["doc_a", "doc_b"], "left")
+        .na.fill({"inter": 0})
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "n_words", "na"
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n_words", "nb"
+            ),
+            "doc_b",
+        )
+        .withColumn("union_sz", F.col("na") + F.col("nb") - F.col("inter"))
+        .filter(
+            F.col("inter") * F.lit(jaccard_den)
+            >= F.col("union_sz") * F.lit(jaccard_num)
+        )
+        .select("doc_a", "doc_b", "n_bands", "inter", "union_sz")
+    )
+    return out
+
+
+def minhash_lsh_sql(jaccard_num: int = 1, jaccard_den: int = 2) -> str:
+    h = h32_sql("word")
+    sig_cols = ",\n         ".join(
+        f"min({perm_sql(i, 'h')}) AS sig_{i}" for i in range(N_PERM)
+    )
+    band_rows = []
+    for b in range(N_BANDS):
+        cols = [f"sig_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        key = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_rows.append(f"SELECT doc_id, {b} AS band, {key} AS band_key FROM sigs")
+    banded = "\nUNION ALL\n".join(band_rows)
+    return f"""
+WITH dw AS (
+  SELECT DISTINCT doc_id, word
+  FROM (SELECT doc_id, unnest({WORDS_SQL}) AS word FROM documents)
+),
+dh AS (SELECT doc_id, {h} AS h FROM dw),
+sigs AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM dh GROUP BY doc_id
+),
+banded AS (
+{banded}
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS n_words FROM dw GROUP BY 1),
+pair_words AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+  FROM dw x JOIN dw y ON x.word = y.word AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b, c.n_bands,
+       coalesce(p.inter, 0) AS inter,
+       sa.n_words + sb.n_words - coalesce(p.inter, 0) AS union_sz
+FROM cand c
+LEFT JOIN pair_words p ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE coalesce(p.inter, 0) * {jaccard_den}
+      >= (sa.n_words + sb.n_words - coalesce(p.inter, 0)) * {jaccard_num}
+"""
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """32-bit SimHash per doc: bit j set iff the sum over distinct words
+    of ±1 (word-hash bit j) is positive. One explode + one aggregate."""
+    dw = _doc_words(docs).withColumn("h", h32(F.col("word")))
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"s_{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = dw.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s_{j}") > 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    return agg.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
+
+    LSH banding: split the 32-bit fingerprint into 4 bytes; by
+    pigeonhole any pair at hamming ≤ 3 shares at least one byte —
+    candidates come from 4 equi-joins, never a cross join."""
+    sh = simhash(docs)
+    bands = []
+    for b in range(4):
+        bands.append(
+            sh.select(
+                "doc_id",
+                "simhash",
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * 8)
+                .bitwiseAND(F.lit(0xFF))
+                .alias("byte"),
+            )
+        )
+    banded = bands[0]
+    for x in bands[1:]:
+        banded = banded.unionByName(x)
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return pairs.withColumn(
+        "hamming", F.bit_count(F.expr("sh_a ^ sh_b"))
+    ).filter(F.col("hamming") <= max_hamming).select("doc_a", "doc_b", "hamming")
+
+
+def simhash_sql(max_hamming: int = 3) -> str:
+    h = h32_sql("word")
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN (h // {2**j}) % 2 = 1 THEN 1 ELSE -1 END) AS s_{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s_{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {b} AS band, "
+        f"(simhash // {2 ** (b * 8)}) % 256 AS byte FROM sh"
+        for b in range(4)
+    )
+    return f"""
+WITH dw AS (
+  SELECT DISTINCT doc_id, word
+  FROM (SELECT doc_id, unnest({WORDS_SQL}) AS word FROM documents)
+),
+dh AS (SELECT doc_id, {h} AS h FROM dw),
+agg AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM dh GROUP BY doc_id
+),
+sh AS (SELECT doc_id, {fp} AS simhash FROM agg),
+banded AS (
+{bands}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+FROM pairs
+WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+"""
+
+
+# --------------------------------------------------------------------------
+# word-n-gram Jaccard
+# --------------------------------------------------------------------------
+
+def ngram_sets(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle-hash) distinct pairs for word n-grams."""
+    words = words_col()
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    return docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles)).alias("shingle"),
+    ).withColumn("sh", h32(F.col("shingle"))).select("doc_id", "sh").distinct()
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, jaccard_num: int = 3, jaccard_den: int = 10
+) -> DataFrame:
+    """Exact n-gram Jaccard over pairs that share ≥1 shingle (the
+    shared-shingle equi-join is the candidate generator — at web scale
+    cap the per-shingle doc list to bound hot boilerplate shingles)."""
+    ns = ngram_sets(docs, n)
+    sizes = ns.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    pair = (
+        ns.alias("x")
+        .join(ns.alias("y"), "sh")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pair.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "n_sh", "na"
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n_sh", "nb"
+            ),
+            "doc_b",
+        )
+        .withColumn("union_sz", F.col("na") + F.col("nb") - F.col("inter"))
+        .filter(
+            F.col("inter") * F.lit(jaccard_den)
+            >= F.col("union_sz") * F.lit(jaccard_num)
+        )
+        .select("doc_a", "doc_b", "inter", "union_sz")
+    )
+
+
+def ngram_jaccard_sql(
+    n: int = 3, jaccard_num: int = 3, jaccard_den: int = 10
+) -> str:
+    h = h32_sql("shingle")
+    return f"""
+WITH w AS (SELECT doc_id, {WORDS_SQL} AS words FROM documents),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(words) - {n - 1}, 0)),
+                i -> array_to_string(words[i:i+{n - 1}], ' '))) AS shingle
+  FROM w
+),
+ns AS (SELECT DISTINCT doc_id, {h} AS sh FROM shingles),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM ns GROUP BY 1),
+pair AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+  FROM ns x JOIN ns y ON x.sh = y.sh AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, p.inter,
+       sa.n_sh + sb.n_sh - p.inter AS union_sz
+FROM pair p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+WHERE p.inter * {jaccard_den} >= (sa.n_sh + sb.n_sh - p.inter) * {jaccard_num}
+"""

@@ -1,0 +1,231 @@
+"""Similarity search over the ``embeddings`` table (vec_id, embedding
+float[64], label).
+
+Two paths, as a training-data pipeline needs:
+
+* **Brute-force top-k** — the exactness baseline: quantize each
+  embedding to int64 (round(x * 10^4)), integer dot products via
+  ``zip_with`` + ``aggregate`` (JVM-side, codegen), rank by
+  (dot desc, neighbor asc). Quantization makes every score an exact
+  integer → bit-identical DuckDB oracle, no float summation-order
+  drift. O(Q × N) — fine for a query subset, the LSH path is the
+  scale-out.
+* **Hyperplane LSH buckets** — the 100 TB path: 16 deterministic ±1
+  hyperplanes (sign from md5 bit of "plane_j:dim_d"), bucket =
+  16-bit sign pattern of the quantized dots. Candidates share a
+  bucket (equi-join on bucket id), then exact integer dot re-ranks.
+  Bucket population is O(N); the join replaces the N² cross product.
+
+Embedding-cosine **near-dup** thresholding stays exact by comparing
+dot² · den² ≥ num² · |a|² · |b|² in decimal(38,0)/HUGEINT — no sqrt.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+QUANT = 10_000  # fixed-point scale for float → int quantization
+N_PLANES = 16
+
+
+def quantized(emb: DataFrame) -> DataFrame:
+    """(vec_id, q: array<long>) — embeddings in exact fixed-point."""
+    return emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x * QUANT).cast("long")
+        ).alias("q"),
+    )
+
+
+QUANT_SQL = f"""
+SELECT vec_id,
+       list_transform(embedding, x -> CAST(round(x * {QUANT}) AS BIGINT)) AS q
+FROM embeddings
+"""
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def topk_dot(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+    """Exact top-k max-inner-product neighbors for the first
+    ``n_queries`` vec_ids. Output (query_id, neighbor_id, dot, rank).
+
+    The query side is tiny → broadcast; the scan side streams once.
+    """
+    from pyspark.sql import Window
+
+    q = quantized(emb)
+    queries = q.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+    scored = (
+        q.alias("n")
+        .crossJoin(F.broadcast(queries))
+        .filter(F.col("n.vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("n.vec_id").alias("neighbor_id"),
+            _dot(F.col("qv"), F.col("n.q")).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot", "rank")
+    )
+
+
+def topk_dot_sql(n_queries: int = 10, k: int = 5) -> str:
+    return f"""
+WITH q AS ({QUANT_SQL}),
+queries AS (SELECT vec_id AS query_id, q AS qv FROM q WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT query_id, n.vec_id AS neighbor_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(list_zip(qv, n.q),
+                                    p -> p[1] * p[2])),
+                     (a, b) -> a + b) AS dot
+  FROM q n CROSS JOIN queries
+  WHERE n.vec_id <> query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, dot,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, dot, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def _plane_sign(j: int, d: int) -> int:
+    """Deterministic ±1 from md5 parity of 'plane_j:dim_d' — computed in
+    Python once (constants baked into the plan AND the oracle SQL)."""
+    import hashlib
+
+    h = hashlib.md5(f"plane_{j}:dim_{d}".encode()).hexdigest()
+    return 1 if int(h[:8], 16) % 2 == 1 else -1
+
+
+def plane_matrix(dim: int = 64) -> list[list[int]]:
+    return [[_plane_sign(j, d) for d in range(dim)] for j in range(N_PLANES)]
+
+
+def lsh_buckets(emb: DataFrame, dim: int = 64) -> DataFrame:
+    """(vec_id, bucket) — 16-bit hyperplane sign pattern, all JVM-side.
+
+    Each plane's signed sum is an exact integer; bucket bit j is set
+    iff sum_j > 0."""
+    planes = plane_matrix(dim)
+    q = quantized(emb)
+    bucket = None
+    for j, signs in enumerate(planes):
+        sv = F.array(*[F.lit(s) for s in signs])
+        dot_j = _dot(F.col("q"), sv)
+        bit = F.when(dot_j > 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bit if bucket is None else bucket + bit
+    return q.select("vec_id", bucket.alias("bucket"))
+
+
+def lsh_bucket_pairs(emb: DataFrame, dim: int = 64) -> DataFrame:
+    """Candidate pairs sharing an LSH bucket, re-ranked by exact dot.
+    Output (vec_a, vec_b, bucket, dot)."""
+    b = lsh_buckets(emb, dim)
+    q = quantized(emb)
+    a_side = b.join(q, "vec_id").select(
+        F.col("vec_id").alias("vec_a"), "bucket", F.col("q").alias("qa")
+    )
+    b_side = b.join(q, "vec_id").select(
+        F.col("vec_id").alias("vec_b"), "bucket", F.col("q").alias("qb")
+    )
+    return (
+        a_side.join(b_side, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b", "bucket", _dot(F.col("qa"), F.col("qb")).alias("dot")
+        )
+    )
+
+
+def lsh_bucket_pairs_sql(dim: int = 64) -> str:
+    planes = plane_matrix(dim)
+    terms = []
+    for j, signs in enumerate(planes):
+        lst = ", ".join(str(s) for s in signs)
+        terms.append(
+            f"(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(list_zip(q, [{lst}]), p -> p[1] * p[2])), "
+            f"(a, b) -> a + b) > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+WITH q AS ({QUANT_SQL}),
+b AS (SELECT vec_id, {bucket} AS bucket, q FROM q)
+SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b, a.bucket,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(list_zip(a.q, b2.q), p -> p[1] * p[2])),
+                   (x, y) -> x + y) AS dot
+FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+"""
+
+
+def cosine_near_dups(
+    emb: DataFrame, num: int = 9, den: int = 10
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs with cos ≥ num/den, EXACT:
+    dot > 0 and dot²·den² ≥ num²·|a|²·|b|² in decimal(38,0).
+    Output (vec_a, vec_b, dot) integers."""
+    q = quantized(emb).withColumn("n2", _dot(F.col("q"), F.col("q")))
+    a = q.select(
+        F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"),
+        F.col("n2").alias("na2"),
+    )
+    b = q.select(
+        F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"),
+        F.col("n2").alias("nb2"),
+    )
+    d38 = "decimal(38,0)"
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("dot", _dot(F.col("qa"), F.col("qb")))
+    )
+    return pairs.filter(
+        (F.col("dot") > 0)
+        & (
+            F.col("dot").cast(d38) * F.col("dot").cast(d38) * F.lit(den * den)
+            >= F.col("na2").cast(d38) * F.col("nb2").cast(d38) * F.lit(num * num)
+        )
+    ).select("vec_a", "vec_b", "dot")
+
+
+def cosine_near_dups_sql(num: int = 9, den: int = 10) -> str:
+    dot = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(list_zip({x}, {y}), p -> p[1] * p[2])), "
+        "(a, b) -> a + b)"
+    )
+    return f"""
+WITH q AS ({QUANT_SQL}),
+qn AS (SELECT vec_id, q, {dot.format(x="q", y="q")} AS n2 FROM q)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {dot.format(x="a.q", y="b.q")} AS dot
+FROM qn a JOIN qn b ON a.vec_id < b.vec_id
+WHERE {dot.format(x="a.q", y="b.q")} > 0
+  AND CAST({dot.format(x="a.q", y="b.q")} AS HUGEINT)
+      * CAST({dot.format(x="a.q", y="b.q")} AS HUGEINT) * {den * den}
+      >= CAST(a.n2 AS HUGEINT) * CAST(b.n2 AS HUGEINT) * {num * num}
+"""

@@ -1,0 +1,228 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Large-scale training-data pipeline surface: token counting, quality
+scoring, language-ID, content fingerprinting. All pure built-in column
+expressions (JVM-side, whole-stage codegen — no Python in the hot
+path), and every oracle-compared output is **exact integer math** so
+the DuckDB value-hash comparison can never drift on float rounding.
+
+Scale notes: each operator is a narrow projection — no shuffle at all
+until the caller aggregates; at 100 TB these run as a single map stage
+fused into the parquet scan (verify: one WholeStageCodegen span, scan
+ReadSchema pruned to (doc_id, text[, lang])).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pyreshaper_spark.functions.xhash import WORDS_SQL, h32, h32_sql, words_col
+
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
+#: Same regex semantics in Spark (Java regex) and DuckDB (RE2).
+BPEISH_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+#: Tiny per-language stopword marker lists (function words a language-ID
+#: n-gram heuristic keys on). Deterministic, exact-count scoring.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "nicht", "ist", "ein", "mit"),
+    "en": ("the", "and", "of", "to", "is", "in", "that", "with"),
+    "es": ("el", "la", "de", "que", "y", "los", "una", "con"),
+    "fr": ("le", "la", "les", "et", "des", "est", "une", "dans"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1"),
+}
+
+FP_MOD = 1_000_000_007
+FP_BASE = 131
+
+
+def _marker_count(words: Column, markers: tuple[str, ...]) -> Column:
+    return F.size(F.filter(words, lambda w: w.isin(*markers)))
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Token counting: whitespace words, BPE-ish tokens, distinct words,
+    character totals — all integers."""
+    words = words_col()
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct_words"),
+        F.size(F.regexp_extract_all("text", F.lit(BPEISH_RE), 0)).alias(
+            "n_bpeish_tokens"
+        ),
+        F.aggregate(
+            words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ).alias("total_word_chars"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Quality heuristics as exact integer counts + an integer-ratio flag.
+
+    ``ok`` mirrors Gopher-style filters (length bounds, repetition) but
+    with integer comparisons only: kept if 10 <= n_words <= 100000 and
+    distinct/total > 1/4 (repetition) and mean word length in [2, 12]
+    (expressed as 2*n_words <= total_chars <= 12*n_words).
+    """
+    words = words_col()
+    n_words = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    total_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct_words"),
+        total_chars.alias("total_word_chars"),
+        (
+            (n_words >= 10)
+            & (n_words <= 100000)
+            & (n_distinct * 4 > n_words)
+            & (total_chars >= n_words * 2)
+            & (total_chars <= n_words * 12)
+        )
+        .cast("int")
+        .alias("ok"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-marker language ID: argmax of per-language marker hits,
+    ties broken by language code (deterministic). Emits the hit counts
+    and the ground-truth ``lang`` for accuracy checks."""
+    words = words_col()
+    counts = [
+        _marker_count(words, LANG_MARKERS[lg]).alias(f"hits_{lg}")
+        for lg in sorted(LANG_MARKERS)
+    ]
+    d = docs.select("doc_id", F.col("lang").alias("lang_actual"), *counts)
+    # argmax with (count desc, code asc) tie-break via a struct max
+    best = F.greatest(
+        *[
+            F.struct(
+                F.col(f"hits_{lg}").alias("c"),
+                F.lit(-ord(lg[0]) * 256 - ord(lg[1])).alias("t"),
+                F.lit(lg).alias("lang"),
+            )
+            for lg in sorted(LANG_MARKERS)
+        ]
+    )
+    return d.select(
+        "doc_id",
+        "lang_actual",
+        *[f"hits_{lg}" for lg in sorted(LANG_MARKERS)],
+        best["lang"].alias("lang_pred"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprints from 32-bit word hashes:
+
+    * ``fp_roll`` — positional rolling hash, fold of
+      ``fp = (fp*131 + h) % 1e9+7`` over the word sequence (order-
+      sensitive: detects reorderings);
+    * ``fp_set``  — order-insensitive set fingerprint
+      ``(sum(h) % mod, min(h), max(h))`` over distinct words.
+    """
+    words = words_col()
+    hs = F.transform(words, lambda w: h32(w))
+    dhs = F.transform(F.array_distinct(words), lambda w: h32(w))
+    return docs.select(
+        "doc_id",
+        F.aggregate(
+            hs,
+            F.lit(0).cast("long"),
+            lambda acc, h: F.pmod(acc * F.lit(FP_BASE) + h, F.lit(FP_MOD)),
+        ).alias("fp_roll"),
+        F.pmod(
+            F.aggregate(dhs, F.lit(0).cast("long"), lambda a, h: a + h),
+            F.lit(FP_MOD),
+        ).alias("fp_set_sum"),
+        F.array_min(dhs).alias("fp_set_min"),
+        F.array_max(dhs).alias("fp_set_max"),
+    )
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle SQL (exact renderings of the above)
+# --------------------------------------------------------------------------
+
+def text_stats_sql() -> str:
+    return f"""
+SELECT doc_id,
+       length(text)                          AS n_chars,
+       len({WORDS_SQL})                      AS n_words,
+       len(list_distinct({WORDS_SQL}))       AS n_distinct_words,
+       len(regexp_extract_all(text, '{BPEISH_RE}')) AS n_bpeish_tokens,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform({WORDS_SQL}, w -> CAST(length(w) AS BIGINT))),
+                   (a, b) -> a + b)           AS total_word_chars
+FROM documents
+"""
+
+
+def quality_score_sql() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         len({WORDS_SQL})                    AS n_words,
+         len(list_distinct({WORDS_SQL}))     AS n_distinct_words,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform({WORDS_SQL}, w -> CAST(length(w) AS BIGINT))),
+                     (a, b) -> a + b)         AS total_word_chars
+  FROM documents)
+SELECT doc_id, n_words, n_distinct_words, total_word_chars,
+       CAST(n_words >= 10 AND n_words <= 100000
+            AND n_distinct_words * 4 > n_words
+            AND total_word_chars >= n_words * 2
+            AND total_word_chars <= n_words * 12 AS INT) AS ok
+FROM t
+"""
+
+
+def lang_id_sql() -> str:
+    hit_cols = []
+    for lg in sorted(LANG_MARKERS):
+        lst = ", ".join(f"'{w}'" for w in LANG_MARKERS[lg])
+        hit_cols.append(
+            f"len(list_filter({WORDS_SQL}, w -> w IN ({lst}))) AS hits_{lg}"
+        )
+    # same (count desc, code asc) argmax: greatest over counts + a CASE
+    # chain in code order (first equal-to-max wins the tie)
+    langs = sorted(LANG_MARKERS)
+    gmax = "greatest(" + ", ".join(f"hits_{lg}" for lg in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN hits_{lg} = m THEN '{lg}'" for lg in langs
+    ) + " END"
+    hits = ",\n       ".join(hit_cols)
+    sel = ", ".join(f"hits_{lg}" for lg in langs)
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang AS lang_actual,
+       {hits}
+  FROM documents),
+m AS (SELECT *, {gmax} AS m FROM t)
+SELECT doc_id, lang_actual, {sel},
+       {case} AS lang_pred
+FROM m
+"""
+
+
+def fingerprint_sql() -> str:
+    h = h32_sql("w")
+    return f"""
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform({WORDS_SQL}, w -> {h})),
+                   (a, b) -> (a * {FP_BASE} + b) % {FP_MOD}) AS fp_roll,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(list_distinct({WORDS_SQL}), w -> {h})),
+                   (a, b) -> a + b) % {FP_MOD}               AS fp_set_sum,
+       list_min(list_transform(list_distinct({WORDS_SQL}), w -> {h})) AS fp_set_min,
+       list_max(list_transform(list_distinct({WORDS_SQL}), w -> {h})) AS fp_set_max
+FROM documents
+"""

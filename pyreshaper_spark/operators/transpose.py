@@ -56,8 +56,13 @@ def transpose_to_series(
     time-ordered within the cluster.
     """
     salted = with_salt(seq, nsalt)
+    # Range-partition on the GROUP key only: rows with an identical
+    # (source, salt) always map to one partition (RangePartitioner
+    # assigns equal keys identically), so every series chunk is whole
+    # and contiguous after the within-partition sort — the encoder can
+    # then run as a single mapInArrow pass with NO second shuffle.
     return salted.repartitionByRange(
-        num_partitions, "source", "salt", "event_s"
+        num_partitions, "source", "salt"
     ).sortWithinPartitions("source", "salt", "event_s", "doc_id")
 
 

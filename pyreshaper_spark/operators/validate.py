@@ -76,11 +76,26 @@ def check_source_completeness(seq: DataFrame, tier: DataFrame) -> None:
 
 
 def validate_input(seq: DataFrame) -> None:
-    """Full input gate: schema, nulls, doc_id uniqueness."""
+    """Full input gate: schema, nulls, doc_id uniqueness.
+
+    One aggregate pass (partial+final, no groupBy shuffle for the null
+    checks; count_distinct handles uniqueness) — the validation cost at
+    10^12 rows is a single scan, not three."""
     check_schema(seq)
-    bad = count_nulls(seq)
-    if bad:
-        raise ValidationError(f"{bad} rows violate null/n_tok contract")
-    dups = count_duplicate_doc_ids(seq)
-    if dups:
-        raise ValidationError(f"{dups} duplicated doc_ids (overlapping slices)")
+    bad_cond = (
+        F.col("doc_id").isNull()
+        | F.col("tokens").isNull()
+        | F.col("source").isNull()
+        | (F.col("n_tok") != F.size("tokens"))
+    )
+    row = seq.agg(
+        F.count("*").alias("n"),
+        F.sum(bad_cond.cast("int")).alias("bad"),
+        F.count_distinct("doc_id").alias("n_ids"),
+    ).collect()[0]
+    if row["bad"]:
+        raise ValidationError(f"{row['bad']} rows violate null/n_tok contract")
+    if row["n_ids"] != row["n"]:
+        raise ValidationError(
+            f"{row['n'] - row['n_ids']} duplicated doc_ids (overlapping slices)"
+        )

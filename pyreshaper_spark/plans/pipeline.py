@@ -28,6 +28,7 @@ chunk list is |sources|×nsalt rows, always broadcastable.
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -60,6 +61,7 @@ class PipelineResult:
     snapshot_ids: dict[str, int]
     steps_run: list[str]
     steps_skipped: list[str]
+    step_wall_s: dict[str, float] = None  # per-step driver wall time
 
 
 def _load_input(spark: SparkSession, cfg: RunConfig) -> DataFrame:
@@ -90,20 +92,25 @@ def run_pipeline(
 
     run, skipped = [], []
     snapshot_ids: dict[str, int] = {}
+    step_wall: dict[str, float] = {}
 
     def commit_step(step: str, fn) -> bool:
         """Returns True if the caller should stop (stop_after hit)."""
         if ckpt.step_done(step):
             skipped.append(step)
             return False
+        t0 = time.perf_counter()
         fn()
+        step_wall[step] = round(time.perf_counter() - t0, 3)
         ckpt.mark_step(step)
         ckpt.save(checkpoint_path)  # always after the data commit
         run.append(step)
         return stop_after == step
 
+    t0 = time.perf_counter()
     seq = _load_input(spark, cfg)
     validate_input(seq)
+    step_wall["validate"] = round(time.perf_counter() - t0, 3)
 
     # ---- once-file analog: per-source metadata, written once ----------
     def _meta():
@@ -116,7 +123,7 @@ def run_pipeline(
         snapshot_ids["meta_source"] = cat.overwrite("meta_source", meta)
 
     if commit_step("meta_source", _meta):
-        return PipelineResult(snapshot_ids, run, skipped)
+        return PipelineResult(snapshot_ids, run, skipped, step_wall)
 
     # ---- tier cascade -------------------------------------------------
     prev_table: str | None = None
@@ -133,7 +140,7 @@ def run_pipeline(
             snapshot_ids[tname] = cat.overwrite(tname, df, ("source",))
 
         if commit_step(tname, _tier):
-            return PipelineResult(snapshot_ids, run, skipped)
+            return PipelineResult(snapshot_ids, run, skipped, step_wall)
         prev_table = tname
 
         if i > 0:  # gap-fill + LOCF for the coarser tiers
@@ -144,7 +151,7 @@ def run_pipeline(
                 snapshot_ids[fname] = cat.overwrite(fname, filled, ("source",))
 
             if commit_step(fname, _filled):
-                return PipelineResult(snapshot_ids, run, skipped)
+                return PipelineResult(snapshot_ids, run, skipped, step_wall)
 
     # ---- salted transpose + encode (chunk-resumable) ------------------
     def _encode():
@@ -185,9 +192,9 @@ def run_pipeline(
         ckpt.mark_chunks(chunks)
 
     if commit_step("encode", _encode):
-        return PipelineResult(snapshot_ids, run, skipped)
+        return PipelineResult(snapshot_ids, run, skipped, step_wall)
 
-    return PipelineResult(snapshot_ids, run, skipped)
+    return PipelineResult(snapshot_ids, run, skipped, step_wall)
 
 
 def diagnostics(spark: SparkSession, cfg: RunConfig) -> DataFrame:

@@ -1,0 +1,165 @@
+"""Training-data pipeline operators: dedup, similarity, text analysis,
+multimodal plumbing. Semantics tests here; exact oracle parity is
+covered by tools/oracle_check.py over __spark_entry__ entries."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pyreshaper_spark.operators import dedup, multimodal, similarity, text
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").cache()
+
+
+# ---- text ---------------------------------------------------------------
+
+def test_text_stats_consistency(docs):
+    r = text.text_stats(docs)
+    bad = r.filter(
+        (F.col("n_distinct_words") > F.col("n_words"))
+        | (F.col("n_words") <= 0)
+        | (F.col("total_word_chars") < F.col("n_words"))  # words ≥ 1 char
+    )
+    assert bad.count() == 0
+    assert r.count() == docs.count()
+
+
+def test_quality_flag_integer_ratio(docs):
+    r = text.quality_score(docs)
+    row = r.filter(F.col("ok") == 1).first()
+    assert row is not None
+    assert 10 <= row["n_words"] <= 100000
+
+
+def test_lang_id_deterministic_argmax(docs):
+    r = text.lang_id(docs)
+    assert r.count() == docs.count()
+    langs = {x["lang_pred"] for x in r.select("lang_pred").distinct().collect()}
+    assert langs <= set(text.LANG_MARKERS)
+
+
+def test_fingerprint_detects_reorder(spark):
+    d = spark.createDataFrame(
+        [(1, "aa bb cc"), (2, "cc bb aa"), (3, "aa bb cc")],
+        "doc_id long, text string",
+    )
+    r = {x["doc_id"]: x for x in text.fingerprint(d).collect()}
+    assert r[1]["fp_roll"] == r[3]["fp_roll"]
+    assert r[1]["fp_roll"] != r[2]["fp_roll"]  # order-sensitive
+    assert r[1]["fp_set_sum"] == r[2]["fp_set_sum"]  # order-insensitive
+
+
+# ---- dedup --------------------------------------------------------------
+
+def test_exact_dedup_finds_planted_dupes(spark, docs):
+    planted = docs.limit(5).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000)
+    )
+    r = dedup.exact_dup_groups(docs.unionByName(planted))
+    assert r.count() >= 5
+    assert r.filter(F.col("n_copies") < 2).count() == 0
+
+
+def test_minhash_lsh_catches_near_identical(spark):
+    base = "spark rollup tier bucket series token stream encode decode salt"
+    rows = [(1, base), (2, base + " extra"), (3, "totally different words here")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    r = dedup.verified_near_dups(d)
+    got = {(x["doc_a"], x["doc_b"]) for x in r.collect()}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+
+
+def test_simhash_near_dup_hamming(spark):
+    base = " ".join(f"tok{i}" for i in range(40))
+    rows = [(1, base), (2, base + " tail"), (3, " ".join(f"z{i}" for i in range(40)))]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(x["doc_a"], x["doc_b"]): x["hamming"]
+             for x in dedup.simhash_pairs(d, max_hamming=8).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+
+def test_ngram_jaccard_pairs(spark):
+    a = "one two three four five six seven eight nine ten"
+    rows = [(1, a), (2, a.replace("ten", "eleven")), (3, "x y z w v u t s r q")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    r = dedup.ngram_jaccard_pairs(d, n=3, jaccard_num=3, jaccard_den=10)
+    got = {(x["doc_a"], x["doc_b"]) for x in r.collect()}
+    assert (1, 2) in got and all(3 not in p for p in got)
+
+
+# ---- similarity ---------------------------------------------------------
+
+def test_topk_dot_matches_numpy(spark, emb):
+    r = similarity.topk_dot(emb, n_queries=3, k=4).collect()
+    rows = emb.select("vec_id", "embedding").collect()
+    q = {x["vec_id"]: np.round(np.array(x["embedding"]) * similarity.QUANT)
+         .astype(np.int64) for x in rows}
+    for qid in range(3):
+        scored = sorted(
+            ((int(q[qid] @ v), -nid) for nid, v in q.items() if nid != qid),
+            reverse=True,
+        )[:4]
+        expect = [(-nid, dot) for dot, nid in scored]
+        got = sorted(
+            [(x["neighbor_id"], x["dot"]) for x in r if x["query_id"] == qid],
+            key=lambda t: ([e[0] for e in expect].index(t[0])),
+        )
+        assert got == expect
+
+
+def test_lsh_buckets_contain_near_dups(spark, emb):
+    """A vector and a tiny perturbation of it must share a bucket."""
+    rows = emb.limit(1).collect()
+    v = np.array(rows[0]["embedding"], dtype=np.float32)
+    d = spark.createDataFrame(
+        [(100001, (v * 1.0).tolist()), (100002, (v * 1.001).tolist())],
+        "vec_id long, embedding array<float>",
+    )
+    b = similarity.lsh_buckets(d).collect()
+    assert b[0]["bucket"] == b[1]["bucket"]
+
+
+def test_cosine_near_dup_exact_threshold(spark):
+    d = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0, 0.0]),  # cos ≈ 0.99995
+            (3, [0.0, 1.0, 0.0, 0.0]),     # orthogonal
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {(x["vec_a"], x["vec_b"]) for x in
+           similarity.cosine_near_dups(d, num=9, den=10).collect()}
+    assert got == {(1, 2)}
+
+
+# ---- multimodal ---------------------------------------------------------
+
+def test_media_table_and_features(docs):
+    media = multimodal.media_table(docs)
+    feats = multimodal.extract_features(media)
+    n = docs.count()
+    assert media.count() == n and feats.count() == n
+    row = feats.first()
+    assert row["n_bytes"] > 0 and len(row["feat"]) == 8
+    # deterministic fake decode: byte_sum equals sum of utf-8 bytes
+    doc = docs.filter(F.col("doc_id") == row["doc_id"]).first()
+    assert row["byte_sum"] == sum(doc["text"].encode())
+
+
+def test_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"abc", "image", fake=False)
