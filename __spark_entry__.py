@@ -147,6 +147,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["locf_10m"] = _q_locf
     q["source_counts"] = _q_source_counts
     q["series_fidelity"] = _q_series_fidelity
+    # -- retention (keep newest 24 one-hour buckets) ------------------
+    def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.rollup import apply_retention
+
+        seq = _seq(spark, sf_dir)
+        tier = rollup_all_tiers(seq, TIER_WIDTHS)[3600]
+        return _norm_tier(apply_retention(tier, 3600, 24))
+
+    q["tier_1h_retention"] = _q_retention
     # -- text analysis ------------------------------------------------
     q["text_stats"] = lambda s, d: text.text_stats(_docs(s, d))
     q["quality_score"] = lambda s, d: text.quality_score(_docs(s, d))
@@ -236,6 +245,12 @@ FROM sequences GROUP BY 1
 WITH {seq_cte('base')}
 SELECT source, count(*) AS n_docs FROM sequences GROUP BY 1
 """
+    o["tier_1h_retention"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"tier AS ({_TIER_AGG.format(w=3600)})\n"
+        "SELECT * FROM tier "
+        "WHERE bucket_s > (SELECT max(bucket_s) FROM tier) - 24 * 3600"
+    )
     o["text_stats"] = text.text_stats_sql()
     o["quality_score"] = text.quality_score_sql()
     o["lang_id"] = text.lang_id_sql()

@@ -87,7 +87,7 @@ def run_bench(sf_dir: str, cpus: int, repeat: int = 1) -> dict:
 
     # q3: salted transpose + Gorilla/DoD encode of every series.
     t0 = time.perf_counter()
-    series = transpose_to_series(seq, nsalt=8, num_partitions=max(cpus, 8))
+    series = transpose_to_series(seq, nsalt=8, num_partitions=max(cpus, 8), pack=True)
     encode_series_table(series).agg(F.sum("n").alias("n")).collect()
     queries["transpose_encode"] = round(time.perf_counter() - t0, 3)
 

@@ -89,6 +89,47 @@ def unpack_tokens_u16(payload: bytes) -> np.ndarray:
     return np.frombuffer(payload, dtype="<u2").astype(np.int32)
 
 
+def _pack_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """Narrow pre-shuffle pass: tokens list<int32> → tok_bin (u16 LE).
+
+    Scales with input partitions (no shuffle); halves the bytes the
+    transpose exchange moves and replaces list serialization with flat
+    binary buffers on both sides of the JVM↔Python boundary.
+    """
+    for b in it:
+        tok = b.column("tokens")
+        flat = tok.flatten().to_numpy(zero_copy_only=False)
+        if flat.size and (flat.min() < 0 or flat.max() > 0xFFFF):
+            raise ValueError("token id out of uint16 range")
+        lens = pc.list_value_length(tok).to_numpy(zero_copy_only=False)
+        off = np.zeros(len(lens) + 1, dtype=np.int32)
+        np.cumsum(lens * 2, out=off[1:])
+        data = flat.astype("<u2").tobytes()
+        binarr = pa.BinaryArray.from_buffers(
+            pa.binary(), len(lens), [None, pa.py_buffer(off), pa.py_buffer(data)]
+        )
+        cols, names = [], []
+        for name in b.schema.names:
+            if name == "tokens":
+                cols.append(binarr)
+                names.append("tok_bin")
+            else:
+                cols.append(b.column(name))
+                names.append(name)
+        yield pa.RecordBatch.from_arrays(cols, names=names)
+
+
+def pack_series_payload(seq: DataFrame) -> DataFrame:
+    """tokens → tok_bin for the encode path (see _pack_batches)."""
+    fields = []
+    for f in seq.schema.fields:
+        if f.name == "tokens":
+            fields.append("tok_bin binary")
+        else:
+            fields.append(f"{f.name} {f.dataType.simpleString()}")
+    return seq.mapInArrow(_pack_batches, ", ".join(fields))
+
+
 class _GroupBuf:
     """Accumulates one (source, salt) run that may span record batches."""
 
@@ -106,11 +147,14 @@ class _GroupBuf:
         t0 = time.perf_counter()
         ts = np.concatenate(self.ts)
         vals = np.concatenate(self.vals).astype(np.float64)
-        tok_stream = np.concatenate(self.toks)
         enc = G.encode_series(ts, vals)
-        tok_payload = pack_tokens_u16(tok_stream)
+        # self.toks holds raw u16-LE byte segments (either pre-packed
+        # tok_bin slices or list<int> runs packed at append time)
+        tok_payload = (
+            np.concatenate(self.toks).tobytes() if self.toks else b""
+        )
         docs = pa.concat_arrays([a.cast(pa.string()) for a in self.docs])
-        raw_bytes = int(ts.nbytes + vals.nbytes + tok_stream.size * 4)
+        raw_bytes = int(ts.nbytes + vals.nbytes + len(tok_payload) * 2)
         enc_bytes = int(
             len(enc.ts_payload) + len(enc.val_payload) + len(tok_payload) + 24
         )
@@ -189,10 +233,23 @@ def _encode_partition(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         salt = b.column("salt").to_numpy(zero_copy_only=False)
         ev = b.column("event_s").to_numpy(zero_copy_only=False)
         ntok = b.column("n_tok").to_numpy(zero_copy_only=False)
-        tok_col = b.column("tokens")
-        flat = tok_col.flatten().to_numpy(zero_copy_only=False)
-        lens = pc.list_value_length(tok_col).to_numpy(zero_copy_only=False)
-        toff = np.concatenate([[0], np.cumsum(lens, dtype=np.int64)])
+        packed = b.schema.get_field_index("tok_bin") >= 0
+        if packed:
+            tb = b.column("tok_bin")
+            bufs = tb.buffers()
+            toff = np.frombuffer(bufs[1], np.int32)[
+                tb.offset : tb.offset + len(tb) + 1
+            ].astype(np.int64)
+            tdata = np.frombuffer(bufs[2], np.uint8)
+        else:
+            tok_col = b.column("tokens")
+            flat = tok_col.flatten().to_numpy(zero_copy_only=False)
+            if flat.size and (flat.min() < 0 or flat.max() > 0xFFFF):
+                raise ValueError("token id out of uint16 range")
+            tdata = flat.astype("<u2").view(np.uint8)
+            lens = pc.list_value_length(tok_col).to_numpy(zero_copy_only=False)
+            toff = np.zeros(len(lens) + 1, dtype=np.int64)
+            np.cumsum(lens * 2, out=toff[1:])
         doc_col = b.column("doc_id")
         has_files = b.schema.get_field_index("input_file") >= 0
         if has_files:
@@ -206,7 +263,7 @@ def _encode_partition(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
                 buf = _GroupBuf(*key)
             buf.ts.append(ev[s:e].astype(np.int64, copy=False))
             buf.vals.append(ntok[s:e])
-            buf.toks.append(flat[toff[s] : toff[e]])
+            buf.toks.append(tdata[toff[s] : toff[e]])
             buf.docs.append(doc_col.slice(s, e - s))
             if has_files:
                 buf.files |= fset
@@ -222,7 +279,8 @@ def encode_series_table(series: DataFrame) -> DataFrame:
     (source, salt) and time-sorted. Runs as a narrow mapInArrow pass
     (groups are already whole within partitions — no shuffle here).
     """
-    cols = ["source", "salt", "event_s", "n_tok", "doc_id", "tokens"]
+    tok_col = "tok_bin" if "tok_bin" in series.columns else "tokens"
+    cols = ["source", "salt", "event_s", "n_tok", "doc_id", tok_col]
     if "input_file" in series.columns:
         cols.append("input_file")
     return series.select(*cols).mapInArrow(_encode_partition, ENCODED_SCHEMA)

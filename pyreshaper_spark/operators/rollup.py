@@ -79,6 +79,27 @@ def rollup_cascade(prev_tier: DataFrame, width_s: int) -> DataFrame:
     )
 
 
+def apply_retention(
+    tier: DataFrame, width_s: int, keep_buckets: int
+) -> DataFrame:
+    """Retention policy: keep only the newest ``keep_buckets`` buckets
+    (TimescaleDB-style drop-by-age, against the table's high-water mark
+    so reruns on frozen data are deterministic).
+
+    The threshold is one scalar aggregate broadcast into a filter —
+    at scale this prunes tier partitions at planning time when the
+    table is partitioned by bucket range.
+    """
+    hw = tier.agg(F.max("bucket_s").alias("hw"))
+    return (
+        tier.crossJoin(F.broadcast(hw))
+        .filter(
+            F.col("bucket_s") > F.col("hw") - F.lit(keep_buckets * width_s)
+        )
+        .drop("hw")
+    )
+
+
 def rollup_all_tiers(seq: DataFrame, widths: list[int]) -> dict[int, DataFrame]:
     """Full cascade: widths must be strictly increasing and divide evenly.
 

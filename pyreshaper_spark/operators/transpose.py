@@ -47,14 +47,24 @@ def with_salt(seq: DataFrame, nsalt: int) -> DataFrame:
 
 
 def transpose_to_series(
-    seq: DataFrame, nsalt: int = 8, num_partitions: int = 32
+    seq: DataFrame, nsalt: int = 8, num_partitions: int = 32, pack: bool = False
 ) -> DataFrame:
     """Reorganize row-per-doc slices into per-(source, salt) series layout.
 
     Input must carry ``event_s``. Output columns: doc_id, tokens, n_tok,
     source, event_s, salt — physically clustered by (source, salt) and
     time-ordered within the cluster.
+
+    ``pack=True`` converts ``tokens`` to a u16 binary column BEFORE the
+    shuffle (operators.encode.pack_series_payload): half the shuffled
+    bytes and no list<int> serialization through the exchange — the
+    encoder consumes either form. Use for the encode path; keep
+    ``pack=False`` where downstream wants the tokens array itself.
     """
+    if pack:
+        from pyreshaper_spark.operators.encode import pack_series_payload
+
+        seq = pack_series_payload(seq)
     salted = with_salt(seq, nsalt)
     # Range-partition on the GROUP key only: rows with an identical
     # (source, salt) always map to one partition (RangePartitioner

@@ -38,7 +38,11 @@ from pyreshaper_spark.config import RunConfig
 from pyreshaper_spark.operators.encode import encode_series_table
 from pyreshaper_spark.operators.event_time import ensure_event_time
 from pyreshaper_spark.operators.gapfill import gapfill_locf
-from pyreshaper_spark.operators.rollup import rollup_cascade, rollup_tier0
+from pyreshaper_spark.operators.rollup import (
+    apply_retention,
+    rollup_cascade,
+    rollup_tier0,
+)
 from pyreshaper_spark.operators.transpose import transpose_to_series, with_salt
 from pyreshaper_spark.operators.validate import validate_input
 from pyreshaper_spark.plans.checkpoint import Checkpoint
@@ -153,6 +157,26 @@ def run_pipeline(
             if commit_step(fname, _filled):
                 return PipelineResult(snapshot_ids, run, skipped, step_wall)
 
+    # ---- retention enforcement ----------------------------------------
+    # Runs AFTER the whole cascade so tier k+1 is always built from the
+    # UN-pruned tier k (pruning first would corrupt coarse history);
+    # each prune is its own idempotent commit (a new snapshot — the old
+    # unpruned snapshot stays time-travel-readable).
+    for tier in cfg.tiers:
+        if tier.retention_buckets is None:
+            continue
+        rname = f"retention_{tier.name}"
+
+        def _retention(tier=tier, rname=rname):
+            tname = f"tier_{tier.name}"
+            pruned = apply_retention(
+                cat.read(spark, tname), tier.width_s, tier.retention_buckets
+            )
+            snapshot_ids[rname] = cat.overwrite(tname, pruned, ("source",))
+
+        if commit_step(rname, _retention):
+            return PipelineResult(snapshot_ids, run, skipped, step_wall)
+
     # ---- salted transpose + encode (chunk-resumable) ------------------
     def _encode():
         done = ckpt.chunk_set()
@@ -165,7 +189,8 @@ def run_pipeline(
                 F.broadcast(done_df), ["source", "salt"], "left_anti"
             )
         series = transpose_to_series(
-            salted.drop("salt"), cfg.nsalt, cfg.num_series_partitions
+            salted.drop("salt"), cfg.nsalt, cfg.num_series_partitions,
+            pack=True,
         )
         encoded = encode_series_table(series)
         sid = (

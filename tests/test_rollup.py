@@ -64,3 +64,17 @@ def test_tokens_pruned_from_rollup_scan(spark, seq, tmp_path_factory):
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert read_schema, plan
     assert all("tokens" not in ln for ln in read_schema), read_schema
+
+
+def test_retention_keeps_newest_buckets(spark, seq):
+    from pyreshaper_spark.operators.rollup import apply_retention, rollup_tier0
+
+    tier = rollup_tier0(seq, 3600)
+    kept = apply_retention(tier, 3600, 24)
+    hw = tier.agg(F.max("bucket_s")).collect()[0][0]
+    rows = kept.select("bucket_s").distinct().collect()
+    assert all(r["bucket_s"] > hw - 24 * 3600 for r in rows)
+    assert 0 < kept.count() < tier.count()
+    # idempotent: pruning a pruned tier changes nothing
+    again = apply_retention(kept, 3600, 24)
+    assert again.count() == kept.count()

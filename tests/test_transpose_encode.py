@@ -111,3 +111,19 @@ def test_skewed_source_splits_across_salts(spark):
     assert len(hot) == NSALT
     sizes = sorted(r["n"] for r in hot)
     assert sizes[-1] <= 2 * sizes[0]  # roughly balanced chunks
+
+
+def test_packed_path_roundtrip_exact(spark, seq):
+    """pack=True (u16 binary through the shuffle) must be byte-exact
+    with the list<int> path after decode."""
+    series = transpose_to_series(seq, nsalt=NSALT, num_partitions=8, pack=True)
+    assert "tok_bin" in series.columns and "tokens" not in series.columns
+    dec = decode_series_table(encode_series_table(series))
+    j = seq.alias("a").join(dec.alias("b"), "doc_id", "full_outer")
+    bad = j.filter(
+        F.col("a.tokens").isNull()
+        | F.col("b.tokens").isNull()
+        | (F.col("a.tokens") != F.col("b.tokens"))
+        | (F.col("a.event_s") != F.col("b.event_s"))
+    )
+    assert bad.count() == 0
