@@ -97,6 +97,12 @@ def _pack_fields(values: np.ndarray, nbits: np.ndarray) -> bytes:
     nwords = (total + 63) // 64
     words = np.zeros(nwords, dtype=np.uint64)
 
+    # zero-width fields contribute nothing — and one sitting exactly at
+    # a 64-bit stream boundary would index one word past the end
+    nz = nbits > 0
+    if not nz.all():
+        values, nbits, starts = values[nz], nbits[nz], starts[nz]
+
     widx = starts >> 6                      # first word each field touches
     bitoff = (starts & 63).astype(np.int64)  # offset within that word
     # right-shift that aligns the field's MSB-first bits inside word widx

@@ -31,17 +31,22 @@ N_PLANES = 16
 
 def quantized(emb: DataFrame) -> DataFrame:
     """(vec_id, q: array<long>) — embeddings in exact fixed-point."""
+    # cast to double BEFORE the multiply: float32 × int stays float32 in
+    # Spark and drifts vs DuckDB's double promotion (one observed ULP
+    # flip at sf0.001 pair (131, 230))
     return emb.select(
         "vec_id",
         F.transform(
-            "embedding", lambda x: F.round(x * QUANT).cast("long")
+            "embedding",
+            lambda x: F.round(x.cast("double") * QUANT).cast("long"),
         ).alias("q"),
     )
 
 
 QUANT_SQL = f"""
 SELECT vec_id,
-       list_transform(embedding, x -> CAST(round(x * {QUANT}) AS BIGINT)) AS q
+       list_transform(embedding,
+                      x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS q
 FROM embeddings
 """
 

@@ -104,3 +104,24 @@ def test_compression_ratio_on_realistic_series():
     enc = G.encode_series(ts, vals)
     encoded = len(enc.ts_payload) + len(enc.val_payload) + 24
     assert encoded < 16 * n * 0.6, f"ratio {(16 * n) / encoded:.2f}x too low"
+
+
+def test_pack_zero_width_field_at_word_boundary():
+    """Regression: a zero-width field whose offset lands exactly on a
+    64-bit boundary must not scatter past the word array (found at 8M
+    rows when a dod==0 control bit closed a 64-bit-aligned stream)."""
+    from pyreshaper_spark.functions.gorilla import _pack_fields
+
+    vals = np.array([0xDEADBEEF, 0x0], dtype=np.uint64)
+    bits = np.array([64, 0], dtype=np.int64)
+    out = _pack_fields(vals, bits)
+    assert out == (0xDEADBEEF).to_bytes(8, "big")
+
+
+def test_roundtrip_large_series_regression():
+    """1M-point roundtrip with many dod==0 runs (constant cadence)."""
+    ts = np.arange(1_000_000, dtype=np.int64) * 7
+    vals = np.repeat(np.arange(1000.0), 1000)
+    enc = G.encode_series(ts, vals)
+    dts, dvals = G.decode_series(enc)
+    assert (dts == ts).all() and (dvals == vals).all()

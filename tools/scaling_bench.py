@@ -48,6 +48,7 @@ def prepare_input(sf_dir: str, repeat: int, dest: str) -> str:
         SparkSession.builder.master("local[32]")
         .appName("scaling-bench-fixture")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "16g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
