@@ -89,6 +89,23 @@ def _q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyreshaper_spark.operators.gapfill import interpolate
+
+    seq = _seq(spark, sf_dir, variant="gappy")
+    tier = rollup_all_tiers(seq, [60, 600])[600]
+    out = interpolate(gapfill(tier, 600))
+    return out.select(
+        "source",
+        F.col("bucket_s").cast("long").alias("bucket_s"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("sum_n_tok").cast("long").alias("sum_n_tok"),
+        F.col("filled"),
+        "interp_num",
+        "interp_den",
+    )
+
+
 def _q_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = _seq(spark, sf_dir, variant="gappy")
     tier = rollup_all_tiers(seq, [60, 600])[600]
@@ -145,6 +162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     q["gapfill_10m"] = _q_gapfill
     q["locf_10m"] = _q_locf
+    q["interp_10m"] = _q_interp
     q["source_counts"] = _q_source_counts
     q["series_fidelity"] = _q_series_fidelity
     # -- retention (keep newest 24 one-hour buckets) ------------------
@@ -156,6 +174,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _norm_tier(apply_retention(tier, 3600, 24))
 
     q["tier_1h_retention"] = _q_retention
+
+    # -- as-of join across tiers + grouped top-k ----------------------
+    def _q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.asof import asof_join
+
+        seq = _seq(spark, sf_dir)
+        tiers = rollup_all_tiers(seq, TIER_WIDTHS)
+        left = _norm_tier(tiers[600]).select("source", "bucket_s", "cnt")
+        right = _norm_tier(tiers[3600]).select(
+            "source", "bucket_s", "sum_n_tok"
+        )
+        return asof_join(left, right, ("sum_n_tok",))
+
+    def _q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.asof import topk_per_series
+
+        seq = _seq(spark, sf_dir)
+        return topk_per_series(_norm_tier(rollup_all_tiers(seq, TIER_WIDTHS)[600]))
+
+    q["asof_10m_1h"] = _q_asof
+    q["topk_buckets"] = _q_topk
+
+    # -- metadata replication (broadcast join; once-file analog off) --
+    def _q_tier_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+        seq = _seq(spark, sf_dir)
+        tier = _norm_tier(rollup_all_tiers(seq, TIER_WIDTHS)[3600])
+        meta = seq.groupBy("source").agg(
+            F.count("*").cast("long").alias("src_n_docs"),
+            F.sum("n_tok").cast("long").alias("src_total_tok"),
+        )
+        return tier.join(F.broadcast(meta), "source")
+
+    q["tier_1h_with_meta"] = _q_tier_meta
     # -- text analysis ------------------------------------------------
     q["text_stats"] = lambda s, d: text.text_stats(_docs(s, d))
     q["quality_score"] = lambda s, d: text.quality_score(_docs(s, d))
@@ -236,6 +287,9 @@ SELECT source, bucket_s, cnt,
        ) AS sum_n_tok_locf
 FROM filled
 """
+    from pyreshaper_spark.operators.gapfill import interpolate_sql
+
+    o["interp_10m"] = _GAPFILL_CTES + ", " + interpolate_sql("filled")
     o["source_counts"] = f"""
 WITH {seq_cte('base')}
 SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tok
@@ -251,6 +305,31 @@ SELECT source, count(*) AS n_docs FROM sequences GROUP BY 1
         "SELECT * FROM tier "
         "WHERE bucket_s > (SELECT max(bucket_s) FROM tier) - 24 * 3600"
     )
+    from pyreshaper_spark.operators.asof import asof_join_sql, topk_per_series_sql
+
+    o["asof_10m_1h"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"t10 AS (SELECT source, bucket_s, cnt FROM ({_TIER_AGG.format(w=600)})),\n"
+        f"t1h AS (SELECT source, bucket_s, sum_n_tok FROM ({_TIER_AGG.format(w=3600)}))\n"
+        + asof_join_sql("t10", "t1h", ("sum_n_tok",),
+                        ("source", "bucket_s", "cnt"))
+    )
+    o["topk_buckets"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"t10 AS ({_TIER_AGG.format(w=600)})\n"
+        + topk_per_series_sql("t10")
+    )
+    o["tier_1h_with_meta"] = f"""
+WITH {seq_cte('base')},
+tier AS ({_TIER_AGG.format(w=3600)}),
+meta AS (
+  SELECT source, count(*) AS src_n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS src_total_tok
+  FROM sequences GROUP BY 1
+)
+SELECT t.*, m.src_n_docs, m.src_total_tok
+FROM tier t JOIN meta m USING (source)
+"""
     o["text_stats"] = text.text_stats_sql()
     o["quality_score"] = text.quality_score_sql()
     o["lang_id"] = text.lang_id_sql()

@@ -72,6 +72,11 @@ class RunConfig:
     time_variant_metadata: tuple[str, ...] = ("event_ts", "bucket_s")
     epoch0: int = EPOCH0
     horizon_s: int = HORIZON_S
+    #: cap on the number of source series processed (the reference's
+    #: ``convert(output_limit=N)`` smoke-run knob); None = all
+    source_limit: int | None = None
+    #: run the decode-and-compare fidelity gate as a pipeline step
+    verify_fidelity: bool = False
 
     # ---- validation (mirrors Specifier.validate: types then values) ----
 
@@ -108,6 +113,8 @@ class RunConfig:
             raise ValueError("nsalt must be >= 1")
         if self.num_series_partitions < 1:
             raise ValueError("num_series_partitions must be >= 1")
+        if self.source_limit is not None and self.source_limit < 1:
+            raise ValueError("source_limit must be >= 1 or None")
         if not self.tiers:
             raise ValueError("at least one retention tier is required")
         widths = [t.width_s for t in self.tiers]

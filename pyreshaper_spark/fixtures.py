@@ -96,6 +96,10 @@ def sequences_df(
             "text",
             "source",
         )
+        # spread BEFORE the (expensive) tokenizer projection: the
+        # single-file documents scan would otherwise leave the whole
+        # row-multiplied tokenization on one task
+        docs = docs.repartition(max(64, repeat // 25), "doc_key")
     else:
         docs = docs.select(
             F.col("doc_id").cast("string").alias("doc_key"),

@@ -1,0 +1,104 @@
+"""As-of join + per-series top-k — time-series query surface.
+
+``asof_join`` attaches, to every left-side (source, bucket) row, the
+most recent right-side row with ``bucket_r <= bucket`` in the same
+source (TimescaleDB/kdb "as-of" semantics; the reference has no joins
+at all — this is graft surface for querying across retention tiers,
+e.g. annotating a 10-minute tier with the last closed 1-hour rollup).
+
+Implementation is the scalable union–sort–window trick, NOT a range
+join: tag right rows 0 / left rows 1, union, and LOCF the right
+payload over a window ordered by (bucket, tag). One shuffle on
+source, no O(n·m) range comparison, no skew beyond what the source
+key already has. The DuckDB oracle uses its native ``ASOF JOIN``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    value_cols: tuple[str, ...],
+    key: str = "source",
+    time_col: str = "bucket_s",
+) -> DataFrame:
+    """Left rows + latest right ``value_cols`` as of each left time.
+
+    ``left`` keeps all its columns; right values arrive as
+    ``asof_<col>`` (null when no right row precedes)."""
+    l_tag = left.select(
+        key, time_col, F.lit(1).alias("_tag"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"asof_{c}")
+          for c in value_cols],
+    )
+    r_tag = right.select(
+        key, time_col, F.lit(0).alias("_tag"),
+        *[F.col(c).alias(f"asof_{c}") for c in value_cols],
+    )
+    u = l_tag.unionByName(r_tag)
+    # right rows sort BEFORE left rows at equal time (tag 0 < 1), so a
+    # same-bucket right row is visible to the left row — asof <=
+    w = (
+        Window.partitionBy(key)
+        .orderBy(time_col, "_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        key, time_col, "_tag",
+        *[F.last(f"asof_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+          for c in value_cols],
+    ).filter(F.col("_tag") == 1).drop("_tag")
+    return left.join(filled, [key, time_col], "left")
+
+
+def asof_join_sql(
+    left_cte: str,
+    right_cte: str,
+    value_cols: tuple[str, ...],
+    left_cols: tuple[str, ...],
+    key: str = "source",
+    time_col: str = "bucket_s",
+) -> str:
+    """DuckDB rendering using native ASOF LEFT JOIN over two relations
+    (names of CTEs the caller has defined)."""
+    vals = ", ".join(f"r.{c} AS asof_{c}" for c in value_cols)
+    lcols = ", ".join(f"l.{c}" for c in left_cols)
+    return f"""
+SELECT {lcols}, {vals}
+FROM {left_cte} l
+ASOF LEFT JOIN {right_cte} r
+  ON l.{key} = r.{key} AND l.{time_col} >= r.{time_col}
+"""
+
+
+def topk_per_series(
+    tier: DataFrame, k: int = 3, order_col: str = "sum_n_tok"
+) -> DataFrame:
+    """Top-k buckets per source by ``order_col`` (deterministic
+    tie-break on bucket). Window row_number — one shuffle, no global
+    sort; at scale this is the standard grouped top-k."""
+    w = Window.partitionBy("source").orderBy(
+        F.col(order_col).desc(), F.col("bucket_s").asc()
+    )
+    return (
+        tier.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("source", "bucket_s", order_col, "rank")
+    )
+
+
+def topk_per_series_sql(
+    tier_cte: str, k: int = 3, order_col: str = "sum_n_tok"
+) -> str:
+    return f"""
+SELECT source, bucket_s, {order_col}, rank FROM (
+  SELECT source, bucket_s, {order_col},
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {order_col} DESC, bucket_s ASC) AS rank
+  FROM {tier_cte})
+WHERE rank <= {k}
+"""

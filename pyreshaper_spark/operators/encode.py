@@ -130,13 +130,24 @@ def pack_series_payload(seq: DataFrame) -> DataFrame:
     return seq.mapInArrow(_pack_batches, ", ".join(fields))
 
 
+#: Chunk-size cap: one encoded row never holds more than this many
+#: points. Bounds encoder/writer memory (a 10^7-point hot series would
+#: otherwise become a single multi-hundred-MB cell — observed as an
+#: executor OOM in DynamicPartitionDataWriter at 40M rows) and gives
+#: decode-side parallelism — the same reason Gorilla/M3 use bounded
+#: time blocks. A (source, salt) series is simply a sequence of chunks
+#: in time order.
+MAX_POINTS_PER_CHUNK = 65536
+
+
 class _GroupBuf:
     """Accumulates one (source, salt) run that may span record batches."""
 
-    __slots__ = ("source", "salt", "ts", "vals", "toks", "docs", "files")
+    __slots__ = ("source", "salt", "ts", "vals", "toks", "docs", "files", "n")
 
     def __init__(self, source: str, salt: int):
         self.source, self.salt = source, salt
+        self.n = 0
         self.ts: list[np.ndarray] = []
         self.vals: list[np.ndarray] = []
         self.toks: list[np.ndarray] = []
@@ -259,14 +270,22 @@ def _encode_partition(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
             if buf is not None and (buf.source, buf.salt) != key:
                 yield _chunk_to_batch(buf.encode(pid))
                 buf = None
-            if buf is None:
-                buf = _GroupBuf(*key)
-            buf.ts.append(ev[s:e].astype(np.int64, copy=False))
-            buf.vals.append(ntok[s:e])
-            buf.toks.append(tdata[toff[s] : toff[e]])
-            buf.docs.append(doc_col.slice(s, e - s))
-            if has_files:
-                buf.files |= fset
+            while s < e:
+                if buf is None:
+                    buf = _GroupBuf(*key)
+                take = min(e - s, MAX_POINTS_PER_CHUNK - buf.n)
+                m = s + take
+                buf.ts.append(ev[s:m].astype(np.int64, copy=False))
+                buf.vals.append(ntok[s:m])
+                buf.toks.append(tdata[toff[s] : toff[m]])
+                buf.docs.append(doc_col.slice(s, take))
+                if has_files:
+                    buf.files |= fset
+                buf.n += take
+                s = m
+                if buf.n >= MAX_POINTS_PER_CHUNK:
+                    yield _chunk_to_batch(buf.encode(pid))
+                    buf = None
     if buf is not None:
         yield _chunk_to_batch(buf.encode(pid))
 

@@ -87,4 +87,91 @@ def gapfill_locf(tier: DataFrame, width_s: int) -> DataFrame:
     return locf(gapfill(tier, width_s))
 
 
-__all__ = ["gapfill_spine", "gapfill", "locf", "gapfill_locf", "AGG_COLS"]
+def interpolate(filled_tier: DataFrame, value_col: str = "sum_n_tok") -> DataFrame:
+    """Linear interpolation across gaps (TimescaleDB ``interpolate``).
+
+    Emits the interpolated value as an EXACT integer rational
+    (``interp_num`` / ``interp_den``) instead of a float — division
+    order can differ between engines, numerators cannot:
+
+        num = prev·(next_b − b) + next·(b − prev_b),  den = next_b − prev_b
+
+    Observed buckets carry (value, 1); leading/trailing gaps (no
+    neighbor on one side) stay null — nothing to interpolate toward.
+    Two windows (backward last, forward first) over the same
+    (source, bucket) ordering — one shuffle total.
+    """
+    w_back = (
+        Window.partitionBy("source")
+        .orderBy("bucket_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("source")
+        .orderBy("bucket_s")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    v = F.col(value_col)
+    obs_b = F.when(v.isNotNull(), F.col("bucket_s"))
+    out = (
+        filled_tier.withColumn("prev_v", F.last(v, ignorenulls=True).over(w_back))
+        .withColumn("prev_b", F.last(obs_b, ignorenulls=True).over(w_back))
+        .withColumn("next_v", F.first(v, ignorenulls=True).over(w_fwd))
+        .withColumn("next_b", F.first(obs_b, ignorenulls=True).over(w_fwd))
+    )
+    has_both = F.col("prev_b").isNotNull() & F.col("next_b").isNotNull()
+    num = F.when(v.isNotNull(), v).otherwise(
+        F.when(
+            has_both,
+            F.col("prev_v") * (F.col("next_b") - F.col("bucket_s"))
+            + F.col("next_v") * (F.col("bucket_s") - F.col("prev_b")),
+        )
+    )
+    den = F.when(v.isNotNull(), F.lit(1).cast("long")).otherwise(
+        F.when(has_both, F.col("next_b") - F.col("prev_b"))
+    )
+    return out.select(
+        "source", "bucket_s", "cnt", value_col, "filled",
+        num.cast("long").alias("interp_num"),
+        den.cast("long").alias("interp_den"),
+    )
+
+
+def interpolate_sql(relation: str, value_col: str = "sum_n_tok") -> str:
+    """DuckDB rendering of :func:`interpolate` over an existing relation
+    (CTE or view) yielding source, bucket_s, cnt, <value_col>, filled.
+    Returns a CTE continuation + final SELECT — append after the
+    caller's WITH chain as ``", " + interpolate_sql("filled")``."""
+    return f"""
+nb AS (
+  SELECT *,
+    last_value({value_col} IGNORE NULLS) OVER (
+      PARTITION BY source ORDER BY bucket_s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+    last_value(CASE WHEN {value_col} IS NOT NULL THEN bucket_s END IGNORE NULLS)
+      OVER (PARTITION BY source ORDER BY bucket_s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_b,
+    first_value({value_col} IGNORE NULLS) OVER (
+      PARTITION BY source ORDER BY bucket_s
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+    first_value(CASE WHEN {value_col} IS NOT NULL THEN bucket_s END IGNORE NULLS)
+      OVER (PARTITION BY source ORDER BY bucket_s
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_b
+  FROM {relation}
+)
+SELECT source, bucket_s, cnt, {value_col}, filled,
+  CAST(CASE WHEN {value_col} IS NOT NULL THEN {value_col}
+       WHEN prev_b IS NOT NULL AND next_b IS NOT NULL
+       THEN prev_v * (next_b - bucket_s) + next_v * (bucket_s - prev_b)
+       END AS BIGINT) AS interp_num,
+  CAST(CASE WHEN {value_col} IS NOT NULL THEN 1
+       WHEN prev_b IS NOT NULL AND next_b IS NOT NULL THEN next_b - prev_b
+       END AS BIGINT) AS interp_den
+FROM nb
+"""
+
+
+__all__ = [
+    "gapfill_spine", "gapfill", "locf", "gapfill_locf", "interpolate",
+    "interpolate_sql", "AGG_COLS",
+]

@@ -90,7 +90,13 @@ def run_pipeline(
     """
     cfg.validate()
     cat = IcebergLite(cfg.output_path)
-    ckpt = Checkpoint.load(checkpoint_path)
+    if cfg.write_mode == "overwrite":
+        # reference overwrite mode: ignore prior progress, redo every
+        # step (tables get fresh snapshots; old ones stay time-travelable)
+        ckpt = Checkpoint(attempt=Checkpoint.load(checkpoint_path).attempt)
+    else:  # "skip" (resume) and "append" (incremental chunks) share the
+        # checkpoint; append relies on the encode anti-join for new work
+        ckpt = Checkpoint.load(checkpoint_path)
     ckpt.attempt += 1
     ckpt.save(checkpoint_path)
 
@@ -113,6 +119,18 @@ def run_pipeline(
 
     t0 = time.perf_counter()
     seq = _load_input(spark, cfg)
+    if cfg.source_limit is not None:
+        # the reference's convert(output_limit=N): cap the number of
+        # series processed — deterministic first-N sources by name
+        keep = [
+            r["source"]
+            for r in seq.select("source")
+            .distinct()
+            .orderBy("source")
+            .limit(cfg.source_limit)
+            .collect()
+        ]
+        seq = seq.filter(F.col("source").isin(keep))
     validate_input(seq)
     step_wall["validate"] = round(time.perf_counter() - t0, 3)
 
@@ -141,6 +159,17 @@ def run_pipeline(
                 df = rollup_cascade(
                     cat.read(spark, prev_table), tier.width_s
                 )
+            if not cfg.meta_once:
+                # metadata replication [U: reshaper.py :: convert
+                # metadata write loop]: without once-file mode, the
+                # per-source metadata rides on every tier row via a
+                # broadcast join (meta is |sources| rows — always tiny)
+                meta_cols = cat.read(spark, "meta_source").select(
+                    "source",
+                    F.col("n_docs").alias("src_n_docs"),
+                    F.col("total_tok").alias("src_total_tok"),
+                )
+                df = df.join(F.broadcast(meta_cols), "source")
             snapshot_ids[tname] = cat.overwrite(tname, df, ("source",))
 
         if commit_step(tname, _tier):
@@ -193,9 +222,12 @@ def run_pipeline(
             pack=True,
         )
         encoded = encode_series_table(series)
+        # append ONLY when resuming past committed chunks (they stay
+        # live); a fresh/overwrite run replaces the table — appending
+        # here would duplicate every chunk
         sid = (
             cat.append("series_enc", encoded, ("source",))
-            if cat.exists("series_enc")
+            if done and cat.exists("series_enc")
             else cat.overwrite("series_enc", encoded, ("source",))
         )
         snapshot_ids["series_enc"] = sid
@@ -219,7 +251,50 @@ def run_pipeline(
     if commit_step("encode", _encode):
         return PipelineResult(snapshot_ids, run, skipped, step_wall)
 
+    # ---- optional port-fidelity gate (BASELINE.json:15) ---------------
+    if cfg.verify_fidelity:
+
+        def _verify():
+            from pyreshaper_spark.operators.encode import decode_series_table
+
+            dec = decode_series_table(cat.read(spark, "series_enc"))
+            j = seq.alias("a").join(dec.alias("b"), "doc_id", "full_outer")
+            bad = j.filter(
+                F.col("a.tokens").isNull()
+                | F.col("b.tokens").isNull()
+                | (F.col("a.tokens") != F.col("b.tokens"))
+                | (F.col("a.event_s") != F.col("b.event_s"))
+            ).count()
+            report = spark.createDataFrame(
+                [(int(bad), int(ckpt.attempt))], "bad_rows long, attempt long"
+            )
+            snapshot_ids["fidelity"] = cat.overwrite("fidelity", report)
+            if bad:
+                raise RuntimeError(
+                    f"fidelity invariant violated: {bad} rows differ after "
+                    "decode (token arrays / event times)"
+                )
+
+        if commit_step("verify_fidelity", _verify):
+            return PipelineResult(snapshot_ids, run, skipped, step_wall)
+
     return PipelineResult(snapshot_ids, run, skipped, step_wall)
+
+
+def run_multi(
+    spark: SparkSession,
+    cfgs: list[RunConfig],
+    checkpoint_dir: str,
+) -> list[PipelineResult]:
+    """Sequential multi-spec run — the ``MultiSpecReshaper`` analog
+    [U: reshaper.py :: MultiSpecReshaper]: each RunConfig gets its own
+    checkpoint file under ``checkpoint_dir`` and runs to completion
+    (resumable individually)."""
+    results = []
+    for i, cfg in enumerate(cfgs):
+        ck = os.path.join(checkpoint_dir, f"spec_{i}.json")
+        results.append(run_pipeline(spark, cfg, ck))
+    return results
 
 
 def diagnostics(spark: SparkSession, cfg: RunConfig) -> DataFrame:

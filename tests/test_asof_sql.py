@@ -1,0 +1,60 @@
+"""as-of join, grouped top-k, SQL view registration."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyreshaper_spark.operators.asof import asof_join, topk_per_series
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [("a", 10), ("a", 25), ("a", 5), ("b", 10)],
+        "source string, bucket_s long",
+    )
+    right = spark.createDataFrame(
+        [("a", 10, 100), ("a", 20, 200), ("b", 50, 500)],
+        "source string, bucket_s long, v long",
+    )
+    got = {
+        (r["source"], r["bucket_s"]): r["asof_v"]
+        for r in asof_join(left, right, ("v",)).collect()
+    }
+    assert got == {("a", 5): None, ("a", 10): 100, ("a", 25): 200,
+                   ("b", 10): None}
+
+
+def test_topk_per_series(spark):
+    tier = spark.createDataFrame(
+        [("a", i * 60, (i * 7) % 5 + i) for i in range(10)]
+        + [("b", i * 60, 100 - i) for i in range(5)],
+        "source string, bucket_s long, sum_n_tok long",
+    )
+    r = topk_per_series(tier, k=2)
+    rows = sorted((x["source"], x["rank"], x["bucket_s"]) for x in r.collect())
+    assert len(rows) == 4
+    b_top = [x for x in rows if x[0] == "b"]
+    assert b_top == [("b", 1, 0), ("b", 2, 60)]  # 100, 99
+
+
+def test_register_views(spark, tmp_path):
+    from pyreshaper_spark.config import RunConfig, TierSpec
+    from pyreshaper_spark.fixtures import sequences_df
+    from pyreshaper_spark.plans.pipeline import run_pipeline
+    from pyreshaper_spark.sql import register_views
+
+    seq_path = str(tmp_path / "seq")
+    sequences_df(spark, "/root/testdata/sf0.001").write.parquet(seq_path)
+    cfg = RunConfig(
+        input_path=seq_path, output_path=str(tmp_path / "wh"),
+        tiers=(TierSpec("1m", 60),), nsalt=2, num_series_partitions=4,
+        source_limit=2,
+    )
+    run_pipeline(spark, cfg, str(tmp_path / "ck.json"))
+    names = register_views(spark, cfg)
+    assert {"sequences", "tier_1m", "meta_source", "series_enc"} <= set(names)
+    n = spark.sql(
+        "SELECT count(*) c FROM tier_1m JOIN meta_source USING (source)"
+    ).collect()[0]["c"]
+    assert n > 0

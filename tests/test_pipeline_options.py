@@ -1,0 +1,132 @@
+"""source_limit (output_limit analog), verify_fidelity gate, multi-spec
+runner, and the s2smake CLI analog."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyreshaper_spark.config import RunConfig, TierSpec
+from pyreshaper_spark.fixtures import sequences_df
+from pyreshaper_spark.plans.pipeline import run_multi, run_pipeline
+from pyreshaper_spark.sources.iceberglite import IcebergLite
+
+SF = "/root/testdata/sf0.001"
+TIERS = (TierSpec("1m", 60), TierSpec("10m", 600))
+
+
+@pytest.fixture(scope="module")
+def seq_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("seq") / "sequences")
+    sequences_df(spark, SF).write.parquet(p)
+    return p
+
+
+def test_source_limit_caps_series(spark, seq_path, tmp_path):
+    cfg = RunConfig(
+        input_path=seq_path, output_path=str(tmp_path / "out"),
+        tiers=TIERS, nsalt=2, num_series_partitions=4, source_limit=3,
+    )
+    run_pipeline(spark, cfg, str(tmp_path / "ck.json"))
+    cat = IcebergLite(cfg.output_path)
+    srcs = {
+        r["source"]
+        for r in cat.read(spark, "tier_1m").select("source").distinct().collect()
+    }
+    all_srcs = sorted(
+        r["source"]
+        for r in spark.read.parquet(seq_path).select("source").distinct().collect()
+    )
+    assert srcs == set(all_srcs[:3])
+    enc_srcs = {
+        r["source"]
+        for r in cat.read(spark, "series_enc").select("source").distinct().collect()
+    }
+    assert enc_srcs == set(all_srcs[:3])
+
+
+def test_verify_fidelity_step_passes(spark, seq_path, tmp_path):
+    cfg = RunConfig(
+        input_path=seq_path, output_path=str(tmp_path / "out"),
+        tiers=TIERS, nsalt=2, num_series_partitions=4,
+        verify_fidelity=True, source_limit=4,
+    )
+    res = run_pipeline(spark, cfg, str(tmp_path / "ck.json"))
+    assert "verify_fidelity" in res.steps_run
+    cat = IcebergLite(cfg.output_path)
+    assert cat.read(spark, "fidelity").collect()[0]["bad_rows"] == 0
+
+
+def test_run_multi_sequential_specs(spark, seq_path, tmp_path):
+    cfgs = [
+        RunConfig(
+            input_path=seq_path, output_path=str(tmp_path / f"out{i}"),
+            tiers=TIERS, nsalt=2, num_series_partitions=4, source_limit=2,
+        )
+        for i in range(2)
+    ]
+    results = run_multi(spark, cfgs, str(tmp_path / "cks"))
+    assert all("encode" in r.steps_run for r in results)
+    for i in range(2):
+        assert IcebergLite(str(tmp_path / f"out{i}")).exists("tier_1m")
+
+
+def test_make_config_cli_round_trip(tmp_path):
+    from jobs.make_config import main
+
+    spec = str(tmp_path / "run.json")
+    main([
+        "--input", "/x/seq", "--output", "/x/wh",
+        "--tiers", "1m:60", "1h:3600:24",
+        "--nsalt", "4", "--source-limit", "5", "--verify-fidelity",
+        "-o", spec,
+    ])
+    cfg = RunConfig.read(spec)
+    assert cfg.tiers[1].retention_buckets == 24
+    assert cfg.source_limit == 5 and cfg.verify_fidelity
+    with pytest.raises(ValueError):
+        RunConfig(input_path="a", output_path="b", source_limit=0).validate()
+
+
+def test_write_mode_overwrite_redoes_steps(spark, seq_path, tmp_path):
+    cfg = RunConfig(
+        input_path=seq_path, output_path=str(tmp_path / "out"),
+        tiers=TIERS, nsalt=2, num_series_partitions=4, source_limit=2,
+    )
+    ck = str(tmp_path / "ck.json")
+    first = run_pipeline(spark, cfg, ck)
+    assert "encode" in first.steps_run
+    # skip mode: everything already committed
+    again = run_pipeline(spark, cfg, ck)
+    assert not again.steps_run
+    # overwrite mode: all steps redone, tables get new snapshots
+    redo = run_pipeline(spark, cfg.with_(write_mode="overwrite"), ck)
+    assert set(redo.steps_run) >= set(first.steps_run)
+    cat = IcebergLite(cfg.output_path)
+    assert cat.current_snapshot_id("tier_1m") >= 2
+
+
+def test_meta_replication_on_tiers(spark, seq_path, tmp_path):
+    """meta_once=False (default): per-source metadata rides every tier
+    row via broadcast join — the reference's metadata write loop."""
+    cfg = RunConfig(
+        input_path=seq_path, output_path=str(tmp_path / "out"),
+        tiers=TIERS, nsalt=2, num_series_partitions=4, source_limit=2,
+    )
+    run_pipeline(spark, cfg, str(tmp_path / "ck.json"))
+    cat = IcebergLite(cfg.output_path)
+    tier = cat.read(spark, "tier_1m")
+    assert {"src_n_docs", "src_total_tok"} <= set(tier.columns)
+    meta = {r["source"]: r["n_docs"]
+            for r in cat.read(spark, "meta_source").collect()}
+    per_src = tier.groupBy("source").agg(
+        F.sum("cnt").alias("s"), F.first("src_n_docs").alias("m")
+    ).collect()
+    for r in per_src:
+        assert r["s"] == r["m"] == meta[r["source"]]
+
+    # once-file mode: metadata only in meta_source
+    cfg2 = cfg.with_(output_path=str(tmp_path / "out_once"), meta_once=True)
+    run_pipeline(spark, cfg2, str(tmp_path / "ck2.json"))
+    t2 = IcebergLite(cfg2.output_path).read(spark, "tier_1m")
+    assert "src_n_docs" not in t2.columns

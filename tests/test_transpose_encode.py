@@ -127,3 +127,28 @@ def test_packed_path_roundtrip_exact(spark, seq):
         | (F.col("a.event_s") != F.col("b.event_s"))
     )
     assert bad.count() == 0
+
+
+def test_chunk_cap_splits_large_groups(spark):
+    """A group larger than MAX_POINTS_PER_CHUNK becomes multiple chunks
+    whose decoded concatenation is exact (bounded-memory invariant)."""
+    from pyreshaper_spark.operators.encode import MAX_POINTS_PER_CHUNK
+
+    n = MAX_POINTS_PER_CHUNK + 1000
+    seq = (
+        spark.range(n)
+        .selectExpr(
+            "cast(id as string) as doc_id",
+            "array(cast(id % 50000 as int)) as tokens",
+            "1 as n_tok",
+            "'hot' as source",
+            "id as event_s",
+        )
+    )
+    series = transpose_to_series(seq, nsalt=1, num_partitions=2, pack=True)
+    enc = encode_series_table(series).cache()
+    assert enc.count() >= 2  # split into chunks
+    assert enc.agg(F.max("n")).collect()[0][0] <= MAX_POINTS_PER_CHUNK
+    dec = decode_series_table(enc)
+    assert dec.count() == n
+    assert dec.agg(F.sum("event_s")).collect()[0][0] == n * (n - 1) // 2

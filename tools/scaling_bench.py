@@ -97,13 +97,18 @@ def run_once(
     ]
     print(f"[{master}] spark-submit ...")
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    with open(os.path.join(workdir, f"stdout_{label}.log"), "w") as f:
+        f.write(proc.stdout)
+    with open(os.path.join(workdir, f"stderr_{label}.log"), "w") as f:
+        f.write(proc.stderr)
     timing = None
     for line in proc.stdout.splitlines():
         if line.startswith("TIMING "):
             timing = json.loads(line[len("TIMING "):])
     if timing is None:
         sys.stderr.write(proc.stdout[-3000:] + "\n" + proc.stderr[-3000:])
-        raise RuntimeError(f"no TIMING line from {master} run")
+        raise RuntimeError(f"no TIMING line from {master} run "
+                           f"(full logs in {workdir})")
     warm = timing["all_runs_wall_s"][1:] or timing["all_runs_wall_s"]
     timing["wall_s"] = min(warm)
     timing["execs"] = execs
