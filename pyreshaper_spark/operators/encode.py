@@ -139,15 +139,25 @@ def pack_series_payload(seq: DataFrame) -> DataFrame:
 #: in time order.
 MAX_POINTS_PER_CHUNK = 65536
 
+#: Byte cap on a chunk's token payload — the points cap alone is not
+#: enough (long documents make a 65k-point chunk tens of MB; huge cells
+#: blow up the parquet page writer). 4 MiB keeps encoded cells in the
+#: same ballpark as parquet pages.
+MAX_TOK_BYTES_PER_CHUNK = 4 << 20
+
 
 class _GroupBuf:
     """Accumulates one (source, salt) run that may span record batches."""
 
-    __slots__ = ("source", "salt", "ts", "vals", "toks", "docs", "files", "n")
+    __slots__ = (
+        "source", "salt", "ts", "vals", "toks", "docs", "files", "n",
+        "tok_bytes",
+    )
 
     def __init__(self, source: str, salt: int):
         self.source, self.salt = source, salt
         self.n = 0
+        self.tok_bytes = 0
         self.ts: list[np.ndarray] = []
         self.vals: list[np.ndarray] = []
         self.toks: list[np.ndarray] = []
@@ -273,8 +283,19 @@ def _encode_partition(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
             while s < e:
                 if buf is None:
                     buf = _GroupBuf(*key)
-                take = min(e - s, MAX_POINTS_PER_CHUNK - buf.n)
-                m = s + take
+                m = min(s + MAX_POINTS_PER_CHUNK - buf.n, e)
+                # also stop where the token-byte budget runs out (but
+                # always take at least one row)
+                byte_stop = int(
+                    np.searchsorted(
+                        toff,
+                        toff[s] + MAX_TOK_BYTES_PER_CHUNK - buf.tok_bytes,
+                        side="right",
+                    )
+                    - 1
+                )
+                m = max(min(m, byte_stop), s + 1)
+                take = m - s
                 buf.ts.append(ev[s:m].astype(np.int64, copy=False))
                 buf.vals.append(ntok[s:m])
                 buf.toks.append(tdata[toff[s] : toff[m]])
@@ -282,8 +303,12 @@ def _encode_partition(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
                 if has_files:
                     buf.files |= fset
                 buf.n += take
+                buf.tok_bytes += int(toff[m] - toff[s])
                 s = m
-                if buf.n >= MAX_POINTS_PER_CHUNK:
+                if (
+                    buf.n >= MAX_POINTS_PER_CHUNK
+                    or buf.tok_bytes >= MAX_TOK_BYTES_PER_CHUNK
+                ):
                     yield _chunk_to_batch(buf.encode(pid))
                     buf = None
     if buf is not None:

@@ -225,10 +225,18 @@ def run_pipeline(
         # append ONLY when resuming past committed chunks (they stay
         # live); a fresh/overwrite run replaces the table — appending
         # here would duplicate every chunk
+        # unpartitioned write: rows arrive source-clustered from the
+        # encoder, a hive layout would churn one writer per source with
+        # multi-MB cells (observed executor OOM at 40M rows); per-source
+        # access instead uses manifest column stats (file skipping)
+        wkw = dict(
+            stats_cols=("source",),
+            options={"parquet.block.size": 32 * 1024 * 1024},
+        )
         sid = (
-            cat.append("series_enc", encoded, ("source",))
+            cat.append("series_enc", encoded, **wkw)
             if done and cat.exists("series_enc")
-            else cat.overwrite("series_enc", encoded, ("source",))
+            else cat.overwrite("series_enc", encoded, **wkw)
         )
         snapshot_ids["series_enc"] = sid
         lineage = (

@@ -49,6 +49,35 @@ class SnapshotNotFound(KeyError):
     pass
 
 
+def _footer_stats(
+    path: str, cols: tuple[str, ...]
+) -> dict[str, list]:
+    """Per-file [min, max] for ``cols`` from the parquet footer only —
+    the IcebergLite analog of Iceberg's manifest column stats, enabling
+    planning-time FILE skipping without hive partition directories
+    (used for tables whose rows are clustered but not partitioned,
+    e.g. the encoded-series table)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out: dict[str, list] = {}
+    for c in cols:
+        if c not in idx:
+            continue
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[c]).statistics
+            if st is None or not st.has_min_max:
+                break
+            mins.append(st.min)
+            maxs.append(st.max)
+        else:
+            if mins:
+                out[c] = [min(mins), max(maxs)]
+    return out
+
+
 def _parse_partition(relpath: str) -> dict[str, str]:
     """Extract hive-style ``key=val`` segments from a relative file path."""
     out: dict[str, str] = {}
@@ -118,11 +147,18 @@ class IcebergLite:
 
     # -- writes ----------------------------------------------------------
     def _write_data(
-        self, name: str, df: DataFrame, partition_by: tuple[str, ...]
+        self,
+        name: str,
+        df: DataFrame,
+        partition_by: tuple[str, ...],
+        stats_cols: tuple[str, ...] = (),
+        options: dict | None = None,
     ) -> list[dict]:
         sid = self.current_snapshot_id(name) + 1
         ddir = os.path.join(self._data(name), f"s{sid}")
         w = df.write.mode("overwrite")
+        for k, v in (options or {}).items():
+            w = w.option(k, v)
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(ddir)
@@ -131,20 +167,33 @@ class IcebergLite:
             glob.glob(os.path.join(ddir, "**", "*.parquet"), recursive=True)
         ):
             rel = os.path.relpath(p, self._data(name))
-            files.append({"path": rel, "partition": _parse_partition(rel)})
+            entry = {"path": rel, "partition": _parse_partition(rel)}
+            if stats_cols:
+                entry["stats"] = _footer_stats(p, stats_cols)
+            files.append(entry)
         return files
 
     def append(
-        self, name: str, df: DataFrame, partition_by: tuple[str, ...] = ()
+        self,
+        name: str,
+        df: DataFrame,
+        partition_by: tuple[str, ...] = (),
+        stats_cols: tuple[str, ...] = (),
+        options: dict | None = None,
     ) -> int:
-        new = self._write_data(name, df, partition_by)
+        new = self._write_data(name, df, partition_by, stats_cols, options)
         live = self._snapshot(name, None)["files"] + new
         return self._commit(name, live, "append")
 
     def overwrite(
-        self, name: str, df: DataFrame, partition_by: tuple[str, ...] = ()
+        self,
+        name: str,
+        df: DataFrame,
+        partition_by: tuple[str, ...] = (),
+        stats_cols: tuple[str, ...] = (),
+        options: dict | None = None,
     ) -> int:
-        new = self._write_data(name, df, partition_by)
+        new = self._write_data(name, df, partition_by, stats_cols, options)
         return self._commit(name, new, "overwrite")
 
     def overwrite_partitions(
@@ -168,6 +217,7 @@ class IcebergLite:
         name: str,
         snapshot_id: int | None = None,
         partition_filter: Callable[[dict[str, str]], bool] | None = None,
+        stats_filter: Callable[[dict[str, list]], bool] | None = None,
     ) -> DataFrame:
         """Read a snapshot (time travel via ``snapshot_id``).
 
@@ -182,6 +232,13 @@ class IcebergLite:
         files = snap["files"]
         if partition_filter is not None:
             files = [f for f in files if partition_filter(f["partition"])]
+        if stats_filter is not None:
+            # keep files with NO stats (cannot prove they don't match)
+            files = [
+                f
+                for f in files
+                if not f.get("stats") or stats_filter(f["stats"])
+            ]
         if not files:
             raise SnapshotNotFound(
                 f"{name}@{snap.get('id')}: no files (empty snapshot or "

@@ -70,3 +70,19 @@ def test_missing_snapshot_raises(spark, cat):
     cat.append("t", _df(spark, [("a", 0, 1)]))
     with pytest.raises(SnapshotNotFound):
         cat.read(spark, "t", snapshot_id=7)
+
+
+def test_manifest_column_stats_file_skipping(spark, cat):
+    """Unpartitioned table + stats_cols: per-file min/max in the
+    manifest allow planning-time file skipping (Iceberg-style)."""
+    df_a = _df(spark, [("a", 0, 1), ("a", 60, 2)]).repartition(1)
+    df_b = _df(spark, [("b", 0, 3)]).repartition(1)
+    cat.overwrite("t", df_a, stats_cols=("source",))
+    cat.append("t", df_b, stats_cols=("source",))
+    snap = cat._snapshot("t", None)
+    assert all("stats" in f and "source" in f["stats"] for f in snap["files"])
+    only_b = cat.read(
+        spark, "t",
+        stats_filter=lambda st: st["source"][0] <= "b" <= st["source"][1],
+    )
+    assert [r["cnt"] for r in only_b.collect()] == [3]

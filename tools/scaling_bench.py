@@ -61,7 +61,7 @@ def prepare_input(sf_dir: str, repeat: int, dest: str) -> str:
 
 
 CORES_PER_EXEC = 2
-MEM_PER_EXEC_MB = 8192
+MEM_PER_EXEC_MB = 16384
 
 
 def run_once(
@@ -76,7 +76,13 @@ def run_once(
     label = f"execs_{execs}"
     out = os.path.join(workdir, f"out_{label}")
     cfgp = os.path.join(workdir, f"cfg_{label}.json")
-    RunConfig(input_path=seq_path, output_path=out).write(cfgp)
+    # spill-aware partition sizing (SURVEY §"Optimize for scale"):
+    # series partitions sized so each sort/encode task holds ~300 MB,
+    # independent of executor count — the knob a real deployment sets
+    # from data volume, not cluster size
+    RunConfig(
+        input_path=seq_path, output_path=out, num_series_partitions=128
+    ).write(cfgp)
     ckpt = os.path.join(workdir, f"ckpt_{label}.json")
     master = f"local-cluster[{execs},{CORES_PER_EXEC},{MEM_PER_EXEC_MB}]"
     cmd = [
