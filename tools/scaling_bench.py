@@ -102,7 +102,7 @@ def run_once(
         "--bench-runs", str(runs),
     ]
     print(f"[{master}] spark-submit ...")
-    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=5200)
     with open(os.path.join(workdir, f"stdout_{label}.log"), "w") as f:
         f.write(proc.stdout)
     with open(os.path.join(workdir, f"stderr_{label}.log"), "w") as f:
