@@ -207,6 +207,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return tier.join(F.broadcast(meta), "source")
 
     q["tier_1h_with_meta"] = _q_tier_meta
+    # -- event-stream table ops ---------------------------------------
+    from pyreshaper_spark.operators import events as EV
+
+    def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _utc(spark)
+        return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    q["events_rollup_5m"] = lambda s, d: EV.events_rollup(_events(s, d))
+    q["events_sessions"] = lambda s, d: EV.sessionize(_events(s, d))
+    q["events_props"] = lambda s, d: EV.extract_props(_events(s, d))
+
     # -- text analysis ------------------------------------------------
     q["text_stats"] = lambda s, d: text.text_stats(_docs(s, d))
     q["quality_score"] = lambda s, d: text.quality_score(_docs(s, d))
@@ -305,6 +316,12 @@ SELECT source, count(*) AS n_docs FROM sequences GROUP BY 1
         "SELECT * FROM tier "
         "WHERE bucket_s > (SELECT max(bucket_s) FROM tier) - 24 * 3600"
     )
+    from pyreshaper_spark.operators import events as EV
+
+    o["events_rollup_5m"] = EV.events_rollup_sql()
+    o["events_sessions"] = EV.sessionize_sql()
+    o["events_props"] = EV.EXTRACT_PROPS_SQL
+
     from pyreshaper_spark.operators.asof import asof_join_sql, topk_per_series_sql
 
     o["asof_10m_1h"] = (

@@ -1,0 +1,40 @@
+"""Event-stream operators: rollup, sessionization, JSON extraction."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyreshaper_spark.operators import events as EV
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/events.parquet").cache()
+
+
+def test_rollup_conserves_events(ev):
+    r = EV.events_rollup(ev)
+    assert r.agg(F.sum("cnt")).collect()[0][0] == ev.count()
+
+
+def test_sessionize_gap_semantics(spark):
+    rows = [
+        (1, 100, "2024-01-01 00:00:00"),
+        (2, 100, "2024-01-01 00:10:00"),   # same session (gap 600)
+        (3, 100, "2024-01-01 01:00:00"),   # new session (gap 3000)
+        (4, 200, "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_s string"
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    s = EV.sessionize(df)
+    got = {(r["user_id"], r["session_idx"]): r["n_events"] for r in s.collect()}
+    assert got == {(100, 1): 2, (100, 2): 1, (200, 1): 1}
+
+
+def test_extract_props(ev):
+    r = EV.extract_props(ev)
+    assert r.filter(F.col("k").isNull()).count() == 0
+    assert r.count() == ev.count()
