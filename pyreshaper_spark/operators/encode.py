@@ -33,6 +33,7 @@ appends these to the metrics table.
 from __future__ import annotations
 
 import time
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -87,6 +88,26 @@ def pack_tokens_u16(tokens: np.ndarray) -> bytes:
 
 def unpack_tokens_u16(payload: bytes) -> np.ndarray:
     return np.frombuffer(payload, dtype="<u2").astype(np.int32)
+
+
+#: token-payload codec flags (first byte of tok_payload)
+_TOK_RAW, _TOK_ZLIB = b"\x00", b"\x01"
+
+
+def wrap_tok_payload(raw_u16: bytes) -> bytes:
+    """Flag-byte token payload: zlib-deflate when it actually helps
+    (token streams over natural text repeat heavily; random-id streams
+    don't — the flag keeps the worst case at +1 byte)."""
+    z = zlib.compress(raw_u16, 6)
+    if len(z) < len(raw_u16):
+        return _TOK_ZLIB + z
+    return _TOK_RAW + raw_u16
+
+
+def unwrap_tok_payload(payload: bytes) -> bytes:
+    if payload[:1] == _TOK_ZLIB:
+        return zlib.decompress(payload[1:])
+    return payload[1:]
 
 
 def _pack_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -171,7 +192,7 @@ class _GroupBuf:
         enc = G.encode_series(ts, vals)
         # self.toks holds raw u16-LE byte segments (either pre-packed
         # tok_bin slices or list<int> runs packed at append time)
-        tok_payload = (
+        tok_payload = wrap_tok_payload(
             np.concatenate(self.toks).tobytes() if self.toks else b""
         )
         docs = pa.concat_arrays([a.cast(pa.string()) for a in self.docs])
@@ -350,7 +371,7 @@ def _decode_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
                 val_payload=cols["val_payload"][i],
             )
             ts, vals = G.decode_series(enc)
-            toks = unpack_tokens_u16(cols["tok_payload"][i])
+            toks = unpack_tokens_u16(unwrap_tok_payload(cols["tok_payload"][i]))
             n_toks = np.asarray(cols["doc_n_toks"][i], dtype=np.int64)
             bounds = np.concatenate([[0], np.cumsum(n_toks)])
             out["source"].extend([cols["source"][i]] * enc.n)
