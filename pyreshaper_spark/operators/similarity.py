@@ -114,6 +114,88 @@ SELECT query_id, neighbor_id, dot, rank FROM ranked WHERE rank <= {k}
 """
 
 
+#: fixed-point scale for the exact cosine ranking key
+COS_SCALE = 10**12
+
+
+def topk_cosine(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+    """Brute-force cosine top-k, EXACT across engines: rank key is
+    ``sign(dot) * floor(dot² · 10^12 / (|a|²·|b|²))`` computed in
+    decimal(38,0) — monotone in |cos|·sign, no float division anywhere.
+    Output (query_id, neighbor_id, cos_key, rank)."""
+    from pyspark.sql import Window
+
+    q = quantized(emb).withColumn("n2", _dot(F.col("q"), F.col("q")))
+    queries = q.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qv"),
+        F.col("n2").alias("qn2"),
+    )
+    d38 = "decimal(38,0)"
+    dot = _dot(F.col("qv"), F.col("n.q"))
+    scored = (
+        q.alias("n")
+        .crossJoin(F.broadcast(queries))
+        .filter(F.col("n.vec_id") != F.col("query_id"))
+        .withColumn("dot", dot)
+        .withColumn("_num", F.col("dot").cast(d38) * F.col("dot").cast(d38)
+                    * F.lit(COS_SCALE).cast(d38))
+        .withColumn("_den", F.col("qn2").cast(d38) * F.col("n.n2").cast(d38))
+        .withColumn(
+            # `div` = exact integral quotient on decimals (no scale-6
+            # rounding that plain `/` + floor would introduce)
+            "cos_key",
+            F.signum("dot").cast("long") * F.expr("_num div _den").cast("long"),
+        )
+        .select(
+            "query_id", F.col("n.vec_id").alias("neighbor_id"), "cos_key"
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_key").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_key", "rank")
+    )
+
+
+def topk_cosine_sql(n_queries: int = 10, k: int = 5) -> str:
+    dot = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(list_zip(qv, n.q), p -> p[1] * p[2])), (a, b) -> a + b)"
+    )
+    return f"""
+WITH q0 AS ({QUANT_SQL}),
+q AS (SELECT vec_id, q,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(list_zip(q, q), p -> p[1] * p[2])), (a, b) -> a + b) AS n2
+      FROM q0),
+queries AS (SELECT vec_id AS query_id, q AS qv, n2 AS qn2
+            FROM q WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT query_id, n.vec_id AS neighbor_id,
+         {dot} AS dot, qn2, n.n2 AS nn2
+  FROM q n CROSS JOIN queries
+  WHERE n.vec_id <> query_id
+),
+keyed AS (
+  SELECT query_id, neighbor_id,
+         CAST(sign(dot) AS BIGINT)
+         * CAST((CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT) * {COS_SCALE})
+                // (CAST(qn2 AS HUGEINT) * CAST(nn2 AS HUGEINT)) AS BIGINT)
+           AS cos_key
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_key, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_key DESC, neighbor_id ASC) AS rank
+  FROM keyed)
+WHERE rank <= {k}
+"""
+
+
 def _plane_sign(j: int, d: int) -> int:
     """Deterministic ±1 from md5 parity of 'plane_j:dim_d' — computed in
     Python once (constants baked into the plan AND the oracle SQL)."""
