@@ -56,6 +56,7 @@ class RunConfig:
     * ``write_mode``        ← s2srun skip/overwrite/append flags
     * ``tiers``             ← (new) retention cascade, the graft's output classes
     * ``nsalt``             ← (new) skew salting, analog of WeightBalanced
+                              (0 = auto-size from the hottest source)
     """
 
     input_path: str
@@ -109,8 +110,8 @@ class RunConfig:
             raise ValueError("compression_level must be in 0..9")
         if self.write_mode not in _ALLOWED_WRITE_MODES:
             raise ValueError(f"write_mode must be one of {_ALLOWED_WRITE_MODES}")
-        if self.nsalt < 1:
-            raise ValueError("nsalt must be >= 1")
+        if self.nsalt < 0:
+            raise ValueError("nsalt must be >= 1, or 0 for size-aware auto")
         if self.num_series_partitions < 1:
             raise ValueError("num_series_partitions must be >= 1")
         if self.source_limit is not None and self.source_limit < 1:

@@ -46,6 +46,22 @@ def with_salt(seq: DataFrame, nsalt: int) -> DataFrame:
     )
 
 
+def suggest_nsalt(seq: DataFrame, target_chunk_rows: int = 250_000) -> int:
+    """Size-aware salt count — the `WeightBalanced` analog [U:
+    partition.py :: WeightBalanced]: pick nsalt so the HOTTEST source
+    splits into chunks of ≈ ``target_chunk_rows``. One tiny aggregate;
+    returns at least 1 and rounds up to a power of two (stable chunk
+    identities as data grows ~2×)."""
+    hottest = (
+        seq.groupBy("source").count().agg(F.max("count")).collect()[0][0] or 0
+    )
+    need = max(1, -(-int(hottest) // target_chunk_rows))
+    p = 1
+    while p < need:
+        p *= 2
+    return p
+
+
 def transpose_to_series(
     seq: DataFrame, nsalt: int = 8, num_partitions: int = 32, pack: bool = False
 ) -> DataFrame:

@@ -43,7 +43,11 @@ from pyreshaper_spark.operators.rollup import (
     rollup_cascade,
     rollup_tier0,
 )
-from pyreshaper_spark.operators.transpose import transpose_to_series, with_salt
+from pyreshaper_spark.operators.transpose import (
+    suggest_nsalt,
+    transpose_to_series,
+    with_salt,
+)
 from pyreshaper_spark.operators.validate import validate_input
 from pyreshaper_spark.plans.checkpoint import Checkpoint
 from pyreshaper_spark.sources.iceberglite import IcebergLite
@@ -170,7 +174,9 @@ def run_pipeline(
                     F.col("total_tok").alias("src_total_tok"),
                 )
                 df = df.join(F.broadcast(meta_cols), "source")
-            snapshot_ids[tname] = cat.overwrite(tname, df, ("source",))
+            snapshot_ids[tname] = cat.overwrite(
+                tname, df, ("source",), stats_cols=("bucket_s",)
+            )
 
         if commit_step(tname, _tier):
             return PipelineResult(snapshot_ids, run, skipped, step_wall)
@@ -181,7 +187,9 @@ def run_pipeline(
 
             def _filled(tier=tier, tname=tname, fname=fname):
                 filled = gapfill_locf(cat.read(spark, tname), tier.width_s)
-                snapshot_ids[fname] = cat.overwrite(fname, filled, ("source",))
+                snapshot_ids[fname] = cat.overwrite(
+                    fname, filled, ("source",), stats_cols=("bucket_s",)
+                )
 
             if commit_step(fname, _filled):
                 return PipelineResult(snapshot_ids, run, skipped, step_wall)
@@ -209,7 +217,8 @@ def run_pipeline(
     # ---- salted transpose + encode (chunk-resumable) ------------------
     def _encode():
         done = ckpt.chunk_set()
-        salted = with_salt(seq, cfg.nsalt)
+        nsalt = cfg.nsalt or suggest_nsalt(seq)
+        salted = with_salt(seq, nsalt)
         if done:
             done_df = spark.createDataFrame(
                 [(s, x) for s, x in sorted(done)], "source string, salt int"
@@ -218,7 +227,7 @@ def run_pipeline(
                 F.broadcast(done_df), ["source", "salt"], "left_anti"
             )
         series = transpose_to_series(
-            salted.drop("salt"), cfg.nsalt, cfg.num_series_partitions,
+            salted.drop("salt"), nsalt, cfg.num_series_partitions,
             pack=True,
         )
         encoded = encode_series_table(series)

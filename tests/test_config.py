@@ -40,7 +40,8 @@ def test_value_validation():
     with pytest.raises(ValueError):
         _cfg(write_mode="truncate").validate()
     with pytest.raises(ValueError):
-        _cfg(nsalt=0).validate()
+        _cfg(nsalt=-1).validate()
+    _cfg(nsalt=0).validate()  # 0 = size-aware auto
 
 
 def test_tier_cascade_must_divide():

@@ -130,3 +130,19 @@ def test_meta_replication_on_tiers(spark, seq_path, tmp_path):
     run_pipeline(spark, cfg2, str(tmp_path / "ck2.json"))
     t2 = IcebergLite(cfg2.output_path).read(spark, "tier_1m")
     assert "src_n_docs" not in t2.columns
+
+
+def test_auto_nsalt(spark, seq_path, tmp_path):
+    from pyreshaper_spark.fixtures import sequences_df
+    from pyreshaper_spark.operators.transpose import suggest_nsalt
+
+    sk = sequences_df(spark, SF, variant="skew")
+    assert suggest_nsalt(sk, target_chunk_rows=100) >= 4  # 450 hot rows
+    assert suggest_nsalt(sk, target_chunk_rows=10**9) == 1
+    # pipeline accepts nsalt=0 (auto)
+    cfg = RunConfig(
+        input_path=seq_path, output_path=str(tmp_path / "out"),
+        tiers=TIERS, nsalt=0, num_series_partitions=4, source_limit=2,
+    )
+    res = run_pipeline(spark, cfg, str(tmp_path / "ck.json"))
+    assert "encode" in res.steps_run
