@@ -226,6 +226,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- deduplication ------------------------------------------------
     q["dedup_exact"] = lambda s, d: dedup.exact_dup_groups(_docs(s, d))
     q["dedup_minhash_lsh"] = lambda s, d: dedup.verified_near_dups(_docs(s, d))
+    # hot-shingle guard variant: words in >40% of docs excluded — the
+    # boundedness knob a web-scale dedup must have
+    q["dedup_minhash_capped"] = lambda s, d: dedup.verified_near_dups(
+        _docs(s, d), max_df=200
+    )
     q["dedup_simhash"] = lambda s, d: dedup.simhash_pairs(_docs(s, d))
     q["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
         _docs(s, d)
@@ -354,6 +359,7 @@ FROM tier t JOIN meta m USING (source)
     o["fingerprint"] = text.fingerprint_sql()
     o["dedup_exact"] = dedup.EXACT_DUP_SQL
     o["dedup_minhash_lsh"] = dedup.minhash_lsh_sql()
+    o["dedup_minhash_capped"] = dedup.minhash_lsh_sql(max_df=200)
     o["dedup_simhash"] = dedup.simhash_sql()
     o["dedup_ngram_jaccard"] = dedup.ngram_jaccard_sql()
     o["ann_topk_dot"] = similarity.topk_dot_sql()

@@ -74,22 +74,37 @@ HAVING count(*) > 1
 # MinHash + LSH
 # --------------------------------------------------------------------------
 
-def _doc_words(docs: DataFrame) -> DataFrame:
+def _doc_words(docs: DataFrame, max_df: int | None = None) -> DataFrame:
     """(doc_id, word) distinct pairs — the shingle set (word unigrams;
     the shingle width is a config knob, unigrams keep the oracle SQL
-    readable)."""
-    return docs.select(
+    readable).
+
+    ``max_df`` drops words occurring in more than that many documents —
+    the hot-boilerplate guard that keeps candidate joins bounded at web
+    scale (a stopword shared by every page otherwise makes the
+    shared-shingle join quadratic). Changes near-dup semantics, so it
+    is an explicit opt-in with its own oracle query."""
+    dw = docs.select(
         "doc_id", F.explode(F.array_distinct(words_col())).alias("word")
     )
+    if max_df is None:
+        return dw
+    keep = (
+        dw.groupBy("word")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("word")
+    )
+    return dw.join(F.broadcast(keep), "word").select("doc_id", "word")
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
+def minhash_signatures(docs: DataFrame, max_df: int | None = None) -> DataFrame:
     """One row per doc: sig_0..sig_{k-1} MinHash signature columns.
 
     Single hash-aggregate: explode distinct words, k min-aggregations
     over universal-hash permutations of the word hash. Shuffle volume
     is O(doc × distinct-word), the aggregate is partial+final."""
-    dw = _doc_words(docs).withColumn("h", h32(F.col("word")))
+    dw = _doc_words(docs, max_df).withColumn("h", h32(F.col("word")))
     aggs = [
         F.min(perm(i, F.col("h"))).alias(f"sig_{i}") for i in range(N_PERM)
     ]
@@ -128,7 +143,10 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
 
 
 def verified_near_dups(
-    docs: DataFrame, jaccard_num: int = 1, jaccard_den: int = 2
+    docs: DataFrame,
+    jaccard_num: int = 1,
+    jaccard_den: int = 2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """MinHash→LSH→exact-verify near-dup pipeline.
 
@@ -136,9 +154,9 @@ def verified_near_dups(
     join, kept when ``inter * den >= union * num`` (integer threshold
     num/den, default 1/2). Output: (doc_a, doc_b, n_bands, inter,
     union_sz) — all integers."""
-    sigs = minhash_signatures(docs)
+    sigs = minhash_signatures(docs, max_df)
     cand = lsh_candidate_pairs(sigs)
-    dw = _doc_words(docs)
+    dw = _doc_words(docs, max_df)
     sizes = dw.groupBy("doc_id").agg(F.count("*").alias("n_words"))
     # intersection via a (word → doc) self-join; at web scale restrict
     # this join to the candidate set first (semi-join on doc_a/doc_b)
@@ -176,8 +194,17 @@ def verified_near_dups(
     return out
 
 
-def minhash_lsh_sql(jaccard_num: int = 1, jaccard_den: int = 2) -> str:
+def minhash_lsh_sql(
+    jaccard_num: int = 1, jaccard_den: int = 2, max_df: int | None = None
+) -> str:
     h = h32_sql("word")
+    df_guard = (
+        f""",
+kept AS (SELECT word FROM dw GROUP BY word HAVING count(*) <= {max_df}),
+dwf AS (SELECT dw.doc_id, dw.word FROM dw JOIN kept USING (word))"""
+        if max_df is not None
+        else ",\ndwf AS (SELECT * FROM dw)"
+    )
     sig_cols = ",\n         ".join(
         f"min({perm_sql(i, 'h')}) AS sig_{i}" for i in range(N_PERM)
     )
@@ -191,8 +218,8 @@ def minhash_lsh_sql(jaccard_num: int = 1, jaccard_den: int = 2) -> str:
 WITH dw AS (
   SELECT DISTINCT doc_id, word
   FROM (SELECT doc_id, unnest({WORDS_SQL}) AS word FROM documents)
-),
-dh AS (SELECT doc_id, {h} AS h FROM dw),
+){df_guard},
+dh AS (SELECT doc_id, {h} AS h FROM dwf),
 sigs AS (
   SELECT doc_id,
          {sig_cols}
@@ -207,10 +234,10 @@ cand AS (
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
-sizes AS (SELECT doc_id, count(*) AS n_words FROM dw GROUP BY 1),
+sizes AS (SELECT doc_id, count(*) AS n_words FROM dwf GROUP BY 1),
 pair_words AS (
   SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
-  FROM dw x JOIN dw y ON x.word = y.word AND x.doc_id < y.doc_id
+  FROM dwf x JOIN dwf y ON x.word = y.word AND x.doc_id < y.doc_id
   GROUP BY 1, 2
 )
 SELECT c.doc_a, c.doc_b, c.n_bands,
