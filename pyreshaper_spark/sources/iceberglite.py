@@ -162,14 +162,25 @@ class IcebergLite:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(ddir)
-        files = []
-        for p in sorted(
+        paths = sorted(
             glob.glob(os.path.join(ddir, "**", "*.parquet"), recursive=True)
-        ):
+        )
+        stats: dict[str, dict] = {}
+        if stats_cols and paths:
+            # footer reads are tiny but latency-bound — overlap them
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(min(8, len(paths))) as ex:
+                for p, st in zip(
+                    paths, ex.map(lambda q: _footer_stats(q, stats_cols), paths)
+                ):
+                    stats[p] = st
+        files = []
+        for p in paths:
             rel = os.path.relpath(p, self._data(name))
             entry = {"path": rel, "partition": _parse_partition(rel)}
             if stats_cols:
-                entry["stats"] = _footer_stats(p, stats_cols)
+                entry["stats"] = stats[p]
             files.append(entry)
         return files
 

@@ -92,6 +92,8 @@ def run_once(
         "--conf", "spark.sql.shuffle.partitions="
         + str(max(execs * CORES_PER_EXEC * 2, 8)),
         "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf",
+        "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version=2",
         "--conf", "spark.sql.session.timeZone=UTC",
         "--conf", "spark.ui.enabled=false",
         "--py-files", zpath,
