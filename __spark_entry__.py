@@ -238,6 +238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- similarity search --------------------------------------------
     q["ann_topk_dot"] = lambda s, d: similarity.topk_dot(_emb(s, d))
     q["ann_topk_cosine"] = lambda s, d: similarity.topk_cosine(_emb(s, d))
+    q["ann_ivf_probe"] = lambda s, d: similarity.ivf_probe_topk(_emb(s, d))
     q["ann_lsh_pairs"] = lambda s, d: similarity.lsh_bucket_pairs(_emb(s, d))
     # max pairwise cosine in the synthetic embeddings is ~0.48; 2/5
     # keeps the predicate selective while actually emitting matches
@@ -364,6 +365,7 @@ FROM tier t JOIN meta m USING (source)
     o["dedup_ngram_jaccard"] = dedup.ngram_jaccard_sql()
     o["ann_topk_dot"] = similarity.topk_dot_sql()
     o["ann_topk_cosine"] = similarity.topk_cosine_sql()
+    o["ann_ivf_probe"] = similarity.ivf_probe_topk_sql()
     o["ann_lsh_pairs"] = similarity.lsh_bucket_pairs_sql()
     o["emb_near_dup"] = similarity.cosine_near_dups_sql(num=2, den=5)
     o["mm_meta"] = multimodal.media_meta_sql()

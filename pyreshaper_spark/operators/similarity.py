@@ -205,16 +205,18 @@ def _plane_sign(j: int, d: int) -> int:
     return 1 if int(h[:8], 16) % 2 == 1 else -1
 
 
-def plane_matrix(dim: int = 64) -> list[list[int]]:
-    return [[_plane_sign(j, d) for d in range(dim)] for j in range(N_PLANES)]
+def plane_matrix(dim: int = 64, n_planes: int = N_PLANES) -> list[list[int]]:
+    return [[_plane_sign(j, d) for d in range(dim)] for j in range(n_planes)]
 
 
-def lsh_buckets(emb: DataFrame, dim: int = 64) -> DataFrame:
-    """(vec_id, bucket) — 16-bit hyperplane sign pattern, all JVM-side.
-
-    Each plane's signed sum is an exact integer; bucket bit j is set
-    iff sum_j > 0."""
-    planes = plane_matrix(dim)
+def lsh_buckets(
+    emb: DataFrame, dim: int = 64, n_planes: int = N_PLANES
+) -> DataFrame:
+    """(vec_id, bucket) — n_planes-bit hyperplane sign pattern, all
+    JVM-side. Each plane's signed sum is an exact integer; bucket bit j
+    is set iff sum_j > 0. Fewer planes = coarser lists (the IVF-style
+    nlist knob); more = finer near-dup buckets."""
+    planes = plane_matrix(dim, n_planes)
     q = quantized(emb)
     bucket = None
     for j, signs in enumerate(planes):
@@ -266,6 +268,89 @@ SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b, a.bucket,
                    list_transform(list_zip(a.q, b2.q), p -> p[1] * p[2])),
                    (x, y) -> x + y) AS dot
 FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+"""
+
+
+def ivf_probe_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    max_hamming: int = 2,
+    dim: int = 64,
+    n_planes: int = 6,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse hyperplane buckets
+    (2^n_planes inverted lists — the nlist knob) ; a query probes its
+    own list plus lists within hamming ``max_hamming`` (the nprobe
+    knob), then exact integer dot re-ranks the candidates. Scan cost is
+    O(candidates), not O(N), once the bucket index exists.
+    Output (query_id, neighbor_id, dot, rank) — exact integers."""
+    from pyspark.sql import Window
+
+    b = lsh_buckets(emb, dim, n_planes)
+    q = quantized(emb).join(b, "vec_id")
+    queries = q.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qv"),
+        F.col("bucket").alias("qb"),
+    )
+    cand = (
+        q.alias("n")
+        .crossJoin(F.broadcast(queries))
+        .filter(
+            (F.col("n.vec_id") != F.col("query_id"))
+            & (F.bit_count(F.expr("bucket ^ qb")) <= max_hamming)
+        )
+        .select(
+            "query_id",
+            F.col("n.vec_id").alias("neighbor_id"),
+            _dot(F.col("qv"), F.col("n.q")).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot", "rank")
+    )
+
+
+def ivf_probe_topk_sql(
+    n_queries: int = 10, k: int = 5, max_hamming: int = 2, dim: int = 64,
+    n_planes: int = 6,
+) -> str:
+    planes = plane_matrix(dim, n_planes)
+    terms = []
+    for j, signs in enumerate(planes):
+        lst = ", ".join(str(s) for s in signs)
+        terms.append(
+            f"(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(list_zip(q, [{lst}]), p -> p[1] * p[2])), "
+            f"(a, b) -> a + b) > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    dot = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(list_zip(qv, n.q), p -> p[1] * p[2])), (a, b) -> a + b)"
+    )
+    return f"""
+WITH q0 AS ({QUANT_SQL}),
+b AS (SELECT vec_id, q, {bucket} AS bucket FROM q0),
+queries AS (SELECT vec_id AS query_id, q AS qv, bucket AS qb
+            FROM b WHERE vec_id < {n_queries}),
+cand AS (
+  SELECT query_id, n.vec_id AS neighbor_id, {dot} AS dot
+  FROM b n CROSS JOIN queries
+  WHERE n.vec_id <> query_id
+    AND bit_count(xor(n.bucket, qb)) <= {max_hamming}
+)
+SELECT query_id, neighbor_id, dot, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY dot DESC, neighbor_id ASC) AS rank
+  FROM cand)
+WHERE rank <= {k}
 """
 
 
