@@ -271,9 +271,11 @@ class _BitReader:
 
     def __init__(self, payload: bytes):
         pad = (-len(payload)) % 8
+        # two zero sentinels: wide peeks near the stream end may touch
+        # up to two words past the payload
         self.words = np.frombuffer(
             payload + b"\x00" * pad, dtype=">u8"
-        ).tolist() + [0]
+        ).tolist() + [0, 0]
         self.pos = 0
 
     def read(self, n: int) -> int:
@@ -286,6 +288,16 @@ class _BitReader:
         need = n - avail
         return (cur << need) | (self.words[w + 1] >> (64 - need))
 
+    def peek(self, n: int) -> int:
+        """Read n bits WITHOUT advancing (zero-padded past the end)."""
+        pos = self.pos
+        out = self.read(n)
+        self.pos = pos
+        return out
+
+    def skip(self, n: int) -> None:
+        self.pos += n
+
 
 def decode_timestamps(n: int, first_ts: int, payload: bytes) -> np.ndarray:
     if n == 0:
@@ -296,20 +308,30 @@ def decode_timestamps(n: int, first_ts: int, payload: bytes) -> np.ndarray:
         return out
     r = _BitReader(payload)
     delta = 0
+    prev = int(first_ts)
+    o = out  # local alias
     for i in range(1, n):
-        if r.read(1) == 0:  # '0'
+        # one 16-bit peek covers the widest control+payload prefix
+        v = r.peek(16)
+        if v < 0x8000:          # '0'
+            r.skip(1)
             dod = 0
-        elif r.read(1) == 0:  # '10'
-            dod = r.read(7) - 63
-        elif r.read(1) == 0:  # '110'
-            dod = r.read(9) - 255
-        elif r.read(1) == 0:  # '1110'
-            dod = r.read(12) - 2047
-        else:  # '1111' + raw 64-bit two's complement
+        elif v < 0xC000:        # '10' + 7
+            r.skip(9)
+            dod = ((v >> 7) & 0x7F) - 63
+        elif v < 0xE000:        # '110' + 9
+            r.skip(12)
+            dod = ((v >> 4) & 0x1FF) - 255
+        elif v < 0xF000:        # '1110' + 12
+            r.skip(16)
+            dod = (v & 0xFFF) - 2047
+        else:                   # '1111' + raw 64-bit two's complement
+            r.skip(4)
             raw = r.read(_TS_RAW_BITS)
             dod = raw - (1 << 64) if raw >= (1 << 63) else raw
         delta += dod
-        out[i] = out[i - 1] + delta
+        prev += delta
+        o[i] = prev
     return out
 
 
@@ -322,17 +344,21 @@ def decode_values(n: int, first_val_bits: int, payload: bytes) -> np.ndarray:
         return out.view(np.float64)
     r = _BitReader(payload)
     prev = int(first_val_bits)
+    vals: list[int] = [0] * n
+    vals[0] = prev
     for i in range(1, n):
-        if r.read(1) == 0:
-            cur = prev
+        # '1' + 5-bit lz + 6-bit (sig-1) fits one 12-bit peek
+        v = r.peek(12)
+        if v < 0x800:  # '0' — repeat
+            r.skip(1)
         else:
-            lz = r.read(5)
-            sig = r.read(6) + 1
+            lz = (v >> 6) & 31
+            sig = (v & 63) + 1
+            r.skip(12)
             frag = r.read(sig)
-            tz = 64 - lz - sig
-            cur = prev ^ (frag << tz)
-        out[i] = np.uint64(cur)
-        prev = cur
+            prev = prev ^ (frag << (64 - lz - sig))
+        vals[i] = prev
+    out[:] = np.array(vals, dtype=np.uint64)
     return out.view(np.float64)
 
 
