@@ -235,6 +235,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
         _docs(s, d)
     )
+    # hot-shingle guard variant (same boundedness knob as the MinHash
+    # capped query): shingles in >200 docs dropped before the self-join
+    q["dedup_ngram_capped"] = lambda s, d: dedup.ngram_jaccard_pairs(
+        _docs(s, d), max_df=200
+    )
     # -- similarity search --------------------------------------------
     q["ann_topk_dot"] = lambda s, d: similarity.topk_dot(_emb(s, d))
     q["ann_topk_cosine"] = lambda s, d: similarity.topk_cosine(_emb(s, d))
@@ -363,6 +368,7 @@ FROM tier t JOIN meta m USING (source)
     o["dedup_minhash_capped"] = dedup.minhash_lsh_sql(max_df=200)
     o["dedup_simhash"] = dedup.simhash_sql()
     o["dedup_ngram_jaccard"] = dedup.ngram_jaccard_sql()
+    o["dedup_ngram_capped"] = dedup.ngram_jaccard_sql(max_df=200)
     o["ann_topk_dot"] = similarity.topk_dot_sql()
     o["ann_topk_cosine"] = similarity.topk_cosine_sql()
     o["ann_ivf_probe"] = similarity.ivf_probe_topk_sql()

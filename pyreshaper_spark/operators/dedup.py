@@ -158,15 +158,19 @@ def verified_near_dups(
     cand = lsh_candidate_pairs(sigs)
     dw = _doc_words(docs, max_df)
     sizes = dw.groupBy("doc_id").agg(F.count("*").alias("n_words"))
-    # intersection via a (word → doc) self-join; at web scale restrict
-    # this join to the candidate set first (semi-join on doc_a/doc_b)
+    # exact intersections keyed ON THE CANDIDATE PAIR LIST: join the
+    # pair list to doc_a's words, then equi-join (doc_b, word).  Work is
+    # O(sum over candidate pairs of |words(doc_a)|) — bounded by the LSH
+    # stage's output, never by hot-word df.  (The earlier all-pairs word
+    # self-join re-did the quadratic work LSH exists to avoid.)
     pair_words = (
-        dw.alias("x")
-        .join(dw.alias("y"), "word")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .groupBy(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        cand.select("doc_a", "doc_b")
+        .join(dw.select(F.col("doc_id").alias("doc_a"), "word"), "doc_a")
+        .join(
+            dw.select(F.col("doc_id").alias("doc_b"), "word"),
+            ["doc_b", "word"],
         )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
     out = (
@@ -236,8 +240,10 @@ cand AS (
 ),
 sizes AS (SELECT doc_id, count(*) AS n_words FROM dwf GROUP BY 1),
 pair_words AS (
-  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
-  FROM dwf x JOIN dwf y ON x.word = y.word AND x.doc_id < y.doc_id
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN dwf x ON x.doc_id = c.doc_a
+  JOIN dwf y ON y.doc_id = c.doc_b AND y.word = x.word
   GROUP BY 1, 2
 )
 SELECT c.doc_a, c.doc_b, c.n_bands,
@@ -367,26 +373,48 @@ WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
 # word-n-gram Jaccard
 # --------------------------------------------------------------------------
 
-def ngram_sets(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle-hash) distinct pairs for word n-grams."""
+def ngram_sets(
+    docs: DataFrame, n: int = 3, max_df: int | None = None
+) -> DataFrame:
+    """(doc_id, shingle-hash) distinct pairs for word n-grams.
+
+    ``max_df`` drops shingles appearing in more than that many docs —
+    the same hot-boilerplate guard as the MinHash path (a shared header
+    shingle otherwise makes the candidate self-join quadratic in its
+    document frequency). Opt-in: it changes Jaccard semantics, so it
+    gets its own oracle query (``dedup_ngram_capped``)."""
     words = words_col()
     shingles = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(words, i, n)),
     )
-    return docs.select(
+    ns = docs.select(
         "doc_id",
         F.explode(F.array_distinct(shingles)).alias("shingle"),
     ).withColumn("sh", h32(F.col("shingle"))).select("doc_id", "sh").distinct()
+    if max_df is None:
+        return ns
+    keep = (
+        ns.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("sh")
+    )
+    return ns.join(F.broadcast(keep), "sh").select("doc_id", "sh")
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, jaccard_num: int = 3, jaccard_den: int = 10
+    docs: DataFrame,
+    n: int = 3,
+    jaccard_num: int = 3,
+    jaccard_den: int = 10,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over pairs that share ≥1 shingle (the
-    shared-shingle equi-join is the candidate generator — at web scale
-    cap the per-shingle doc list to bound hot boilerplate shingles)."""
-    ns = ngram_sets(docs, n)
+    shared-shingle equi-join is the candidate generator; ``max_df``
+    bounds hot boilerplate shingles at web scale — the per-shingle
+    join fan-out is then ≤ max_df² per shingle)."""
+    ns = ngram_sets(docs, n, max_df)
     sizes = ns.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     pair = (
         ns.alias("x")
@@ -420,9 +448,19 @@ def ngram_jaccard_pairs(
 
 
 def ngram_jaccard_sql(
-    n: int = 3, jaccard_num: int = 3, jaccard_den: int = 10
+    n: int = 3,
+    jaccard_num: int = 3,
+    jaccard_den: int = 10,
+    max_df: int | None = None,
 ) -> str:
     h = h32_sql("shingle")
+    df_guard = (
+        f""",
+kept AS (SELECT sh FROM ns0 GROUP BY sh HAVING count(*) <= {max_df}),
+ns AS (SELECT ns0.doc_id, ns0.sh FROM ns0 JOIN kept USING (sh))"""
+        if max_df is not None
+        else ",\nns AS (SELECT * FROM ns0)"
+    )
     return f"""
 WITH w AS (SELECT doc_id, {WORDS_SQL} AS words FROM documents),
 shingles AS (
@@ -431,7 +469,7 @@ shingles AS (
                 i -> array_to_string(words[i:i+{n - 1}], ' '))) AS shingle
   FROM w
 ),
-ns AS (SELECT DISTINCT doc_id, {h} AS sh FROM shingles),
+ns0 AS (SELECT DISTINCT doc_id, {h} AS sh FROM shingles){df_guard},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM ns GROUP BY 1),
 pair AS (
   SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter

@@ -86,8 +86,8 @@ marked AS (
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)
 ),
 sess AS (
-  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ep, event_id
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ep, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
   FROM marked
 )
 SELECT user_id, session_idx, count(*) AS n_events,

@@ -271,6 +271,19 @@ FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
 """
 
 
+def _hamming_masks(n_bits: int, max_hamming: int) -> list[int]:
+    """All n_bits-wide masks with ≤ max_hamming set bits, ascending —
+    XORing a bucket with these enumerates its hamming ball (the probe
+    lists). Python-side constant: e.g. 6 bits, h≤2 → 22 masks."""
+    from itertools import combinations
+
+    out = [0]
+    for h in range(1, max_hamming + 1):
+        for bits in combinations(range(n_bits), h):
+            out.append(sum(1 << b for b in bits))
+    return sorted(out)
+
+
 def ivf_probe_topk(
     emb: DataFrame,
     n_queries: int = 10,
@@ -294,13 +307,25 @@ def ivf_probe_topk(
         F.col("q").alias("qv"),
         F.col("bucket").alias("qb"),
     )
+    # inverted-list probe: explode each query into its probe lists (all
+    # buckets within hamming max_hamming of its own — sum C(n_planes, i)
+    # masks, a Python-side constant), then EQUI-JOIN on bucket. The scan
+    # side is touched only on probed lists; with the table bucketed /
+    # partitioned by `bucket` this prunes, which the old
+    # crossJoin+bit_count filter (full scan per query batch) never could.
+    masks = _hamming_masks(n_planes, max_hamming)
+    probed = (
+        queries.withColumn(
+            "mask",
+            F.explode(F.array(*[F.lit(m).cast("long") for m in masks])),
+        )
+        .withColumn("bucket", F.col("mask").bitwiseXOR(F.col("qb")))
+        .drop("qb", "mask")
+    )
     cand = (
         q.alias("n")
-        .crossJoin(F.broadcast(queries))
-        .filter(
-            (F.col("n.vec_id") != F.col("query_id"))
-            & (F.bit_count(F.expr("bucket ^ qb")) <= max_hamming)
-        )
+        .join(F.broadcast(probed), "bucket")
+        .filter(F.col("n.vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("n.vec_id").alias("neighbor_id"),
@@ -354,12 +379,91 @@ WHERE rank <= {k}
 """
 
 
+#: hyperplane-sign banding for near-dup pair generation: 16 sign bits
+#: split into 4 bands × 4 bits; pairs agreeing on ANY band become
+#: candidates (an equi-join per band — never a cross product). At
+#: cos = 0.9 each bit agrees w.p. ≈ 1 - θ/π ≈ 0.856, so
+#: P(some band matches) ≈ 1 - (1 - 0.856⁴)⁴ ≈ 0.95 — recall is
+#: asserted against the brute-force baseline in tests.
+N_SIM_BANDS = 4
+BAND_BITS = N_PLANES // N_SIM_BANDS
+
+
+def _banded_buckets(emb: DataFrame, dim: int = 64) -> DataFrame:
+    """(vec_id, band, band_bits) — the 16-bit hyperplane signature cut
+    into N_SIM_BANDS equi-joinable band keys."""
+    b = lsh_buckets(emb, dim, N_PLANES)
+    bands = [
+        b.select(
+            "vec_id",
+            F.lit(i).alias("band"),
+            F.shiftright(F.col("bucket"), i * BAND_BITS)
+            .bitwiseAND(F.lit((1 << BAND_BITS) - 1))
+            .alias("band_bits"),
+        )
+        for i in range(N_SIM_BANDS)
+    ]
+    out = bands[0]
+    for x in bands[1:]:
+        out = out.unionByName(x)
+    return out
+
+
 def cosine_near_dups(
+    emb: DataFrame, num: int = 9, den: int = 10, dim: int = 64
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs with cos ≥ num/den.
+
+    Candidates from banded hyperplane LSH (equi-join on (band,
+    band_bits) — O(bucket²) per band value, never O(N²)); the exact
+    integer threshold dot²·den² ≥ num²·|a|²·|b|² (decimal(38,0), no
+    sqrt) then keeps true near-dups only. Same banding in the oracle
+    SQL, so results are deterministic and hash-comparable; recall vs
+    the brute-force baseline is covered by ``cosine_near_dups_exact``
+    + the recall pytest. Output (vec_a, vec_b, dot) integers."""
+    banded = _banded_buckets(emb, dim)
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            ["band", "band_bits"],
+        )
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    q = quantized(emb).withColumn("n2", _dot(F.col("q"), F.col("q")))
+    a = q.select(
+        F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"),
+        F.col("n2").alias("na2"),
+    )
+    b = q.select(
+        F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"),
+        F.col("n2").alias("nb2"),
+    )
+    d38 = "decimal(38,0)"
+    pairs = (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .withColumn("dot", _dot(F.col("qa"), F.col("qb")))
+    )
+    return pairs.filter(
+        (F.col("dot") > 0)
+        & (
+            F.col("dot").cast(d38) * F.col("dot").cast(d38) * F.lit(den * den)
+            >= F.col("na2").cast(d38) * F.col("nb2").cast(d38) * F.lit(num * num)
+        )
+    ).select("vec_a", "vec_b", "dot")
+
+
+def cosine_near_dups_exact(
     emb: DataFrame, num: int = 9, den: int = 10
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs with cos ≥ num/den, EXACT:
-    dot > 0 and dot²·den² ≥ num²·|a|²·|b|² in decimal(38,0).
-    Output (vec_a, vec_b, dot) integers."""
+    """Brute-force all-pairs baseline (explicit O(N²) — small-N recall
+    oracle for the LSH path above; NOT for scale use)."""
     q = quantized(emb).withColumn("n2", _dot(F.col("q"), F.col("q")))
     a = q.select(
         F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"),
@@ -384,7 +488,23 @@ def cosine_near_dups(
     ).select("vec_a", "vec_b", "dot")
 
 
-def cosine_near_dups_sql(num: int = 9, den: int = 10) -> str:
+def cosine_near_dups_sql(num: int = 9, den: int = 10, dim: int = 64) -> str:
+    planes = plane_matrix(dim, N_PLANES)
+    terms = []
+    for j, signs in enumerate(planes):
+        lst = ", ".join(str(s) for s in signs)
+        terms.append(
+            f"(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(list_zip(q, [{lst}]), p -> p[1] * p[2])), "
+            f"(a, b) -> a + b) > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {i} AS band, "
+        f"(bucket // {1 << (i * BAND_BITS)}) % {1 << BAND_BITS} AS band_bits "
+        f"FROM bk"
+        for i in range(N_SIM_BANDS)
+    )
     dot = (
         "list_reduce(list_prepend(CAST(0 AS BIGINT), "
         "list_transform(list_zip({x}, {y}), p -> p[1] * p[2])), "
@@ -392,10 +512,21 @@ def cosine_near_dups_sql(num: int = 9, den: int = 10) -> str:
     )
     return f"""
 WITH q AS ({QUANT_SQL}),
-qn AS (SELECT vec_id, q, {dot.format(x="q", y="q")} AS n2 FROM q)
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       {dot.format(x="a.q", y="b.q")} AS dot
-FROM qn a JOIN qn b ON a.vec_id < b.vec_id
+qn AS (SELECT vec_id, q, {dot.format(x="q", y="q")} AS n2 FROM q),
+bk AS (SELECT vec_id, {bucket} AS bucket FROM q),
+banded AS (
+{band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_bits = b.band_bits
+   AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b, {dot.format(x="a.q", y="b.q")} AS dot
+FROM cand c
+JOIN qn a ON a.vec_id = c.vec_a
+JOIN qn b ON b.vec_id = c.vec_b
 WHERE {dot.format(x="a.q", y="b.q")} > 0
   AND CAST({dot.format(x="a.q", y="b.q")} AS HUGEINT)
       * CAST({dot.format(x="a.q", y="b.q")} AS HUGEINT) * {den * den}

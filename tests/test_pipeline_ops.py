@@ -142,8 +142,25 @@ def test_cosine_near_dup_exact_threshold(spark):
         "vec_id long, embedding array<float>",
     )
     got = {(x["vec_a"], x["vec_b"]) for x in
-           similarity.cosine_near_dups(d, num=9, den=10).collect()}
+           similarity.cosine_near_dups(d, num=9, den=10, dim=4).collect()}
     assert got == {(1, 2)}
+    exact = {(x["vec_a"], x["vec_b"]) for x in
+             similarity.cosine_near_dups_exact(d, num=9, den=10).collect()}
+    assert exact == {(1, 2)}
+
+
+def test_cosine_near_dup_lsh_recall(spark, emb):
+    """Banded-LSH near-dup pairs vs brute force at a moderate threshold:
+    every LSH pair is exact (subset), and recall is solid — the banding
+    math says ≈95% at cos 0.9; lower thresholds admit more bit flips so
+    we assert a conservative floor on the synthetic vectors."""
+    lsh = {(x["vec_a"], x["vec_b"]) for x in
+           similarity.cosine_near_dups(emb, num=2, den=5).collect()}
+    exact = {(x["vec_a"], x["vec_b"]) for x in
+             similarity.cosine_near_dups_exact(emb, num=2, den=5).collect()}
+    assert lsh <= exact
+    if exact:
+        assert len(lsh & exact) / len(exact) >= 0.5
 
 
 # ---- multimodal ---------------------------------------------------------

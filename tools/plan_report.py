@@ -114,6 +114,53 @@ def main() -> None:
         [("broadcast hash join chosen", "BroadcastHashJoin" in p)],
     ))
 
+    # 5. dedup / similarity scale shapes — no cartesian anywhere, verify
+    # joins bounded by candidate lists, IVF probe an equi-join on bucket
+    from pyreshaper_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        verified_near_dups,
+    )
+    from pyreshaper_spark.operators.similarity import (
+        cosine_near_dups,
+        ivf_probe_topk,
+    )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+
+    def no_cartesian(p: str) -> bool:
+        return "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+    p_minhash = plan_of(verified_near_dups(docs))
+    p_ngram = plan_of(ngram_jaccard_pairs(docs, max_df=200))
+    p_cos = plan_of(cosine_near_dups(emb, num=2, den=5))
+    p_ivf = plan_of(ivf_probe_topk(emb))
+    sections.append((
+        "Dedup + similarity (candidate-bounded, no cross joins)",
+        "\n".join([
+            "--- verified_near_dups ---", p_minhash[:2200],
+            "--- ngram_jaccard_pairs(max_df) ---", p_ngram[:1200],
+            "--- cosine_near_dups (banded LSH) ---", p_cos[:2200],
+            "--- ivf_probe_topk (inverted-list equi-join) ---", p_ivf[:2200],
+        ]),
+        [
+            ("minhash verify: no cartesian / nested-loop join",
+             no_cartesian(p_minhash)),
+            ("minhash verify join keyed on candidate pairs (doc_a,doc_b)",
+             "doc_a" in p_minhash and "doc_b" in p_minhash),
+            ("ngram capped: no cartesian / nested-loop join",
+             no_cartesian(p_ngram)),
+            ("cosine near-dup: no cartesian / nested-loop join",
+             no_cartesian(p_cos)),
+            ("ivf probe: no cartesian / nested-loop join",
+             no_cartesian(p_ivf)),
+            ("ivf probe: hash equi-join on bucket",
+             "BroadcastHashJoin [bucket" in p_ivf
+             or "SortMergeJoin [bucket" in p_ivf
+             or ("HashJoin" in p_ivf and "bucket" in p_ivf)),
+        ],
+    ))
+
     out = ["# PLANS — physical-plan verification (auto-generated by "
            "tools/plan_report.py)\n"]
     all_ok = True
