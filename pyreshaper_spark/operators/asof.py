@@ -29,14 +29,22 @@ def asof_join(
     """Left rows + latest right ``value_cols`` as of each left time.
 
     ``left`` keeps all its columns; right values arrive as
-    ``asof_<col>`` (null when no right row precedes)."""
+    ``asof_<col>`` (null when no right row precedes).
+
+    All left columns ride THROUGH the union (right rows carry nulls), so
+    the result needs no join back onto ``left`` — one shuffle total, and
+    duplicate (key, time) rows on the left each keep exactly one output
+    row (the old join-back produced k×k rows for k duplicates)."""
+    payload = [c for c in left.columns if c not in (key, time_col)]
     l_tag = left.select(
-        key, time_col, F.lit(1).alias("_tag"),
+        key, time_col, F.lit(1).alias("_tag"), *payload,
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"asof_{c}")
           for c in value_cols],
     )
     r_tag = right.select(
         key, time_col, F.lit(0).alias("_tag"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in payload],
         *[F.col(c).alias(f"asof_{c}") for c in value_cols],
     )
     u = l_tag.unionByName(r_tag)
@@ -47,12 +55,15 @@ def asof_join(
         .orderBy(time_col, "_tag")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = u.select(
-        key, time_col, "_tag",
-        *[F.last(f"asof_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-          for c in value_cols],
-    ).filter(F.col("_tag") == 1).drop("_tag")
-    return left.join(filled, [key, time_col], "left")
+    return (
+        u.select(
+            key, time_col, "_tag", *payload,
+            *[F.last(f"asof_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+              for c in value_cols],
+        )
+        .filter(F.col("_tag") == 1)
+        .select(*left.columns, *[f"asof_{c}" for c in value_cols])
+    )
 
 
 def asof_join_sql(

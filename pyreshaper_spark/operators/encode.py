@@ -196,7 +196,11 @@ class _GroupBuf:
             np.concatenate(self.toks).tobytes() if self.toks else b""
         )
         docs = pa.concat_arrays([a.cast(pa.string()) for a in self.docs])
-        raw_bytes = int(ts.nbytes + vals.nbytes + len(tok_payload) * 2)
+        # raw side of the ratio = pre-compression bytes: int64 ts + f64
+        # vals + the original int32 tokens (tok_bytes counts the u16
+        # packing, ×2 restores the source width) — NOT the wrapped
+        # payload, which would shrink "raw" whenever zlib engages
+        raw_bytes = int(ts.nbytes + vals.nbytes + self.tok_bytes * 2)
         enc_bytes = int(
             len(enc.ts_payload) + len(enc.val_payload) + len(tok_payload) + 24
         )
@@ -294,8 +298,7 @@ def _encode_partition(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
             np.cumsum(lens * 2, out=toff[1:])
         doc_col = b.column("doc_id")
         has_files = b.schema.get_field_index("input_file") >= 0
-        if has_files:
-            fset = set(pc.unique(b.column("input_file")).to_pylist())
+        file_col = b.column("input_file") if has_files else None
         for s, e in _runs(src, salt):
             key = (src[s], int(salt[s]))
             if buf is not None and (buf.source, buf.salt) != key:
@@ -322,7 +325,12 @@ def _encode_partition(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
                 buf.toks.append(tdata[toff[s] : toff[m]])
                 buf.docs.append(doc_col.slice(s, take))
                 if has_files:
-                    buf.files |= fset
+                    # per-slice attribution: only files feeding THIS
+                    # chunk's rows (a batch-wide set would list files
+                    # belonging to other groups sharing the batch)
+                    buf.files |= set(
+                        pc.unique(file_col.slice(s, take)).to_pylist()
+                    )
                 buf.n += take
                 buf.tok_bytes += int(toff[m] - toff[s])
                 s = m

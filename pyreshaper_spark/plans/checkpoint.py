@@ -29,6 +29,10 @@ class Checkpoint:
     chunks_done: list[list] = field(default_factory=list)
     #: monotonically increasing attempt counter (lineage run id)
     attempt: int = 0
+    #: nsalt resolved on the first encode run (0 = not yet resolved).
+    #: Pinned so a resume with changed input or cfg.nsalt=0 (auto) keeps
+    #: the (source, salt) chunk identities of already-committed chunks.
+    nsalt: int = 0
 
     def step_done(self, step: str) -> bool:
         return step in self.steps_done

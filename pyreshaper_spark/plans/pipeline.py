@@ -21,8 +21,10 @@ Output tables under ``cfg.output_path`` (IcebergLite root):
 Scale notes: the tier cascade reads tier *k* back from its committed
 table (not the in-memory lineage), so a resumed run never recomputes
 upstream tiers; the encode step's pending-work set is an anti-join of
-(source, salt) chunks against the checkpoint — at 10^12 sequences the
-chunk list is |sources|×nsalt rows, always broadcastable.
+input files against the LIVE series table's input-file lineage — the
+file list is manifest-sized and broadcastable, the done-set is always
+consistent with committed data (crash-idempotent), and append mode
+encodes exactly the new files' rows.
 """
 
 from __future__ import annotations
@@ -46,7 +48,6 @@ from pyreshaper_spark.operators.rollup import (
 from pyreshaper_spark.operators.transpose import (
     suggest_nsalt,
     transpose_to_series,
-    with_salt,
 )
 from pyreshaper_spark.operators.validate import validate_input
 from pyreshaper_spark.plans.checkpoint import Checkpoint
@@ -98,8 +99,19 @@ def run_pipeline(
         # reference overwrite mode: ignore prior progress, redo every
         # step (tables get fresh snapshots; old ones stay time-travelable)
         ckpt = Checkpoint(attempt=Checkpoint.load(checkpoint_path).attempt)
-    else:  # "skip" (resume) and "append" (incremental chunks) share the
-        # checkpoint; append relies on the encode anti-join for new work
+    elif cfg.write_mode == "append":
+        # incremental mode: EVERY step re-runs (tiers recompute over the
+        # full, possibly-grown input — idempotent overwrites), while the
+        # encode step appends only input files not yet in series_enc.
+        # Keeping steps_done here made append a silent no-op (r1 advice).
+        prior = Checkpoint.load(checkpoint_path)
+        ckpt = Checkpoint(
+            input_snapshot=prior.input_snapshot,
+            chunks_done=prior.chunks_done,
+            attempt=prior.attempt,
+            nsalt=prior.nsalt,
+        )
+    else:  # "skip": resume — committed steps are skipped
         ckpt = Checkpoint.load(checkpoint_path)
     ckpt.attempt += 1
     ckpt.save(checkpoint_path)
@@ -214,26 +226,39 @@ def run_pipeline(
         if commit_step(rname, _retention):
             return PipelineResult(snapshot_ids, run, skipped, step_wall)
 
-    # ---- salted transpose + encode (chunk-resumable) ------------------
+    # ---- salted transpose + encode (file-incremental, resumable) ------
     def _encode():
-        done = ckpt.chunk_set()
-        nsalt = cfg.nsalt or suggest_nsalt(seq)
-        salted = with_salt(seq, nsalt)
-        if done:
-            done_df = spark.createDataFrame(
-                [(s, x) for s, x in sorted(done)], "source string, salt int"
+        # nsalt pinned in the checkpoint on first resolution: a resume
+        # or append with grown input (or cfg.nsalt=0 auto) must keep the
+        # (source, salt) identities of already-committed chunks
+        nsalt = ckpt.nsalt or cfg.nsalt or suggest_nsalt(seq)
+        ckpt.nsalt = nsalt
+        pending = seq
+        resume = cfg.write_mode != "overwrite" and cat.exists("series_enc")
+        if resume:
+            # the done set is derived from the LIVE committed table's
+            # input-file lineage, NOT the checkpoint: a crash between
+            # the table commit and the checkpoint save then re-appends
+            # nothing, and append mode picks up new rows wherever they
+            # land — including inside an existing (source, salt) chunk
+            # (they become additional chunk rows; decode and downstream
+            # reads treat a series as a bag of chunk rows already)
+            done_files = (
+                cat.read(spark, "series_enc")
+                .select(F.explode("input_files").alias("input_file"))
+                .distinct()
             )
-            salted = salted.join(
-                F.broadcast(done_df), ["source", "salt"], "left_anti"
+            pending = seq.join(
+                F.broadcast(done_files), "input_file", "left_anti"
             )
         series = transpose_to_series(
-            salted.drop("salt"), nsalt, cfg.num_series_partitions,
+            pending, nsalt, cfg.num_series_partitions,
             pack=True,
         )
         encoded = encode_series_table(series)
-        # append ONLY when resuming past committed chunks (they stay
-        # live); a fresh/overwrite run replaces the table — appending
-        # here would duplicate every chunk
+        # append ONLY when resuming past a committed table (its chunks
+        # stay live); a fresh/overwrite run replaces the table —
+        # appending here would duplicate every chunk
         # unpartitioned write: rows arrive source-clustered from the
         # encoder, a hive layout would churn one writer per source with
         # multi-MB cells (observed executor OOM at 40M rows); per-source
@@ -244,7 +269,7 @@ def run_pipeline(
         )
         sid = (
             cat.append("series_enc", encoded, **wkw)
-            if done and cat.exists("series_enc")
+            if resume
             else cat.overwrite("series_enc", encoded, **wkw)
         )
         snapshot_ids["series_enc"] = sid

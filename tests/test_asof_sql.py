@@ -25,6 +25,24 @@ def test_asof_join_semantics(spark):
                    ("b", 10): None}
 
 
+def test_asof_join_duplicate_left_rows(spark):
+    """k left rows sharing (key, time) must yield exactly k output rows
+    (the old join-back produced k×k)."""
+    left = spark.createDataFrame(
+        [("a", 10, "x"), ("a", 10, "y"), ("a", 10, "z"), ("a", 30, "w")],
+        "source string, bucket_s long, tag string",
+    )
+    right = spark.createDataFrame(
+        [("a", 5, 50), ("a", 20, 200)],
+        "source string, bucket_s long, v long",
+    )
+    rows = asof_join(left, right, ("v",)).collect()
+    assert len(rows) == 4
+    got = sorted((r["bucket_s"], r["tag"], r["asof_v"]) for r in rows)
+    assert got == [(10, "x", 50), (10, "y", 50), (10, "z", 50),
+                   (30, "w", 200)]
+
+
 def test_topk_per_series(spark):
     tier = spark.createDataFrame(
         [("a", i * 60, (i * 7) % 5 + i) for i in range(10)]

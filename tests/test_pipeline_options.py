@@ -146,3 +146,50 @@ def test_auto_nsalt(spark, seq_path, tmp_path):
     )
     res = run_pipeline(spark, cfg, str(tmp_path / "ck.json"))
     assert "encode" in res.steps_run
+
+
+def test_write_mode_append_encodes_new_files(spark, tmp_path):
+    """Incremental append: new input files arriving after a completed
+    run are rolled up AND encoded on the next append-mode run — even
+    when their rows land inside existing (source, salt) chunks (extra
+    chunk rows). Re-running with nothing new stays idempotent."""
+    from pyreshaper_spark.operators.encode import decode_series_table
+    from pyreshaper_spark.plans.checkpoint import Checkpoint
+
+    seq = sequences_df(spark, SF)
+    part = F.abs(F.xxhash64(F.col("doc_id").cast("string"))) % 2
+    p = str(tmp_path / "inc_seq")
+    seq.filter(part == 0).write.parquet(p)
+    cfg = RunConfig(
+        input_path=p, output_path=str(tmp_path / "out"),
+        tiers=TIERS, nsalt=2, num_series_partitions=4,
+        write_mode="append",
+    )
+    ck = str(tmp_path / "ck.json")
+    first = run_pipeline(spark, cfg, ck)
+    assert "encode" in first.steps_run
+    cat = IcebergLite(cfg.output_path)
+    n_first = cat.read(spark, "series_enc").agg(F.sum("n")).collect()[0][0]
+    assert n_first == seq.filter(part == 0).count()
+
+    # second batch of files lands in the same input directory
+    seq.filter(part == 1).write.mode("append").parquet(p)
+    second = run_pipeline(spark, cfg, ck)
+    # the silent-no-op bug: append must RE-RUN steps, not skip them
+    assert "encode" in second.steps_run and not second.steps_skipped
+
+    total = seq.count()
+    dec = decode_series_table(cat.read(spark, "series_enc"))
+    assert dec.count() == total
+    assert dec.select("doc_id").distinct().count() == total  # no dups
+    t = cat.read(spark, "tier_1m").agg(F.sum("cnt")).collect()[0][0]
+    assert t == total  # tiers reflect the grown input
+
+    # nsalt resolved once and pinned for chunk-identity stability
+    assert Checkpoint.load(ck).nsalt == 2
+
+    # idempotent: a third append run with no new files adds no rows
+    run_pipeline(spark, cfg, ck)
+    dec3 = decode_series_table(cat.read(spark, "series_enc"))
+    assert dec3.count() == total
+    assert dec3.select("doc_id").distinct().count() == total
