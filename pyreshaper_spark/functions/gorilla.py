@@ -2,41 +2,47 @@
 
 The graft's analog of the reference's ``netcdf4c`` deflate compression
 [U: specification.py :: compression_level]: per-series payload
-compression, applied inside ``applyInPandas`` (see operators.encode).
+compression, applied inside the Arrow encode stage (operators.encode).
 
 Scheme (after Pelkonen et al., "Gorilla: A Fast, Scalable, In-Memory
-Time Series Database", VLDB 2015):
+Time Series Database", VLDB 2015), with a STREAM-SPLIT layout:
 
 * **Timestamps** (int64 seconds): store ``ts[0]`` raw; encode
-  ``dod[i] = (ts[i]-ts[i-1]) - (ts[i-1]-ts[i-2])`` (with the first
-  delta treated as a DoD against 0) in the paper's variable-width
-  buckets::
+  ``dod[i] = (ts[i]-ts[i-1]) - (ts[i-1]-ts[i-2])`` (the first delta is
+  a DoD against 0) in the paper's width buckets::
 
-      dod == 0            → '0'
-      [-63, 64]           → '10'   + 7 bits
-      [-255, 256]         → '110'  + 9 bits
-      [-2047, 2048]       → '1110' + 12 bits
-      else                → '1111' + 64 bits raw
+      dod == 0            → bitmap bit 0 (1 bit, nothing else)
+      [-63, 64]           → sel 0 + 7-bit offset payload
+      [-255, 256]         → sel 1 + 9-bit offset payload
+      [-2047, 2048]       → sel 2 + 12-bit offset payload
+      else                → sel 3 + 64-bit raw payload
+
+  ``ts_payload`` = [nonzero bitmap: n-1 bits] [2-bit selector ×
+  nnz] [payloads back-to-back], each stream byte-aligned.
 
 * **Values** (float64 bit patterns): store ``val[0]`` raw; per point,
   ``xor = bits[i] ^ bits[i-1]``::
 
-      xor == 0            → '0'
-      else                → '1' + 5-bit leading-zero count (clamped 31)
-                              + 6-bit (sigbits-1) + sigbits payload
+      xor == 0            → bitmap bit 0
+      else                → 5-bit leading-zero count (clamped 31) and
+                            6-bit (sigbits-1) in an 11-bit meta field,
+                            then the sigbits payload
 
-  Deviation from the paper, stated plainly: the paper's
-  previous-window *reuse* branch ('10' vs '11' control bit) creates a
-  sequential scan dependency; we always emit the explicit-window form.
-  This costs a few % compression but makes ENCODING FULLY
-  VECTORIZABLE in numpy (bucket choice and bit layout are pure
-  per-point functions) — the right trade for a Spark UDF hot path.
+  ``val_payload`` = [nonzero bitmap] [11-bit meta × nnz] [payloads].
 
-Encoding is 100% numpy (the variable-width bit packing uses a
-repeat/cumsum scatter — no Python loop over points). Decoding walks
-the bitstream point-by-point in Python over a pre-unpacked bit array;
-it sits on the verification path (roundtrip tests, ``mapInArrow``
-decode) rather than the ingest hot path.
+Deviations from the paper, stated plainly:
+
+* No previous-window *reuse* branch — it creates a sequential scan
+  dependency; we always emit the explicit window. Costs a few %
+  compression, keeps encoding a pure per-point function.
+* Control information lives in its own fixed-width streams instead of
+  being interleaved with payloads ("structure of arrays"). The bit
+  budget is within ±1 bit/point of the interleaved form (zero points
+  still cost exactly 1 bit), but BOTH directions become branch-free
+  numpy: fixed-width unpacks + cumsum offsets + a word-gather — the
+  point-by-point Python bitstream walk this replaced decoded ~0.3M
+  pts/s/core; this layout decodes tens of M pts/s/core, which is what
+  a 100 TB re-hydration job actually needs.
 
 Pure module — importable and testable without Spark.
 """
@@ -47,13 +53,11 @@ from dataclasses import dataclass
 
 import numpy as np
 
-_TS_BUCKETS = (  # (control-bits as (value, nbits), payload bits, lo, hi)
-    ((0b10, 2), 7, -63, 64),
-    ((0b110, 3), 9, -255, 256),
-    ((0b1110, 4), 12, -2047, 2048),
-)
-_TS_RAW_CTRL = (0b1111, 4)
+#: nonzero-DoD selector buckets: (payload bits, lo, hi); sel 3 = raw 64
+_TS_BUCKETS = ((7, -63, 64), (9, -255, 256), (12, -2047, 2048))
 _TS_RAW_BITS = 64
+_TS_WIDTHS = np.array([7, 9, 12, 64], dtype=np.int64)
+_TS_LOS = np.array([-63, -255, -2047, 0], dtype=np.int64)
 
 
 @dataclass(frozen=True)
@@ -123,6 +127,41 @@ def _pack_fields(values: np.ndarray, nbits: np.ndarray) -> bytes:
     return words.astype(">u8").tobytes()[: (total + 7) // 8]
 
 
+def _unpack_fields(
+    payload: bytes, starts: np.ndarray, nbits: np.ndarray | int
+) -> np.ndarray:
+    """Inverse of ``_pack_fields``: extract MSB-first bitfields at bit
+    offsets ``starts`` with widths ``nbits`` (≤64), fully vectorized.
+
+    Each field lives in a 64-bit window starting at its offset, built
+    from (at most) two adjacent big-endian words — one gather, two
+    shifts, one OR per field."""
+    starts = np.asarray(starts, dtype=np.int64)
+    if np.isscalar(nbits):
+        nbits = np.full(starts.shape, nbits, dtype=np.int64)
+    if starts.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    pad = (-len(payload)) % 8
+    words = np.frombuffer(
+        payload + b"\x00" * (pad + 8), dtype=">u8"
+    ).astype(np.uint64)
+    widx = starts >> 6
+    bitoff = (starts & 63).astype(np.uint64)
+    hi = words[widx] << bitoff
+    lo = np.where(
+        bitoff == 0,
+        np.uint64(0),
+        words[widx + 1] >> ((np.uint64(64) - bitoff) & np.uint64(63)),
+    )
+    window = hi | lo
+    nb = nbits.astype(np.uint64)
+    return np.where(
+        nb == 0,
+        np.uint64(0),
+        window >> ((np.uint64(64) - nb) & np.uint64(63)),
+    )
+
+
 def _clz64(x: np.ndarray) -> np.ndarray:
     """Count leading zeros of uint64, vectorized (x == 0 → 64)."""
     out = np.full(x.shape, 64, dtype=np.int64)
@@ -174,36 +213,26 @@ def encode_timestamps(ts: np.ndarray) -> tuple[int, bytes]:
     dod = np.empty_like(d)
     dod[0] = d[0]
     dod[1:] = d[1:] - d[:-1]
+    m = dod.size
 
-    # per-point bucket selection (pure vectorized classification)
-    fields_vals: list[np.ndarray] = []
-    fields_bits: list[np.ndarray] = []
-    n = dod.size
-    # each point emits (control, payload?) — build as 2 aligned fields,
-    # payload width 0 when control alone encodes the point (dod == 0)
-    ctrl_val = np.zeros(n, dtype=np.uint64)
-    ctrl_bits = np.ones(n, dtype=np.int64)  # '0' for dod == 0
-    pay_val = np.zeros(n, dtype=np.uint64)
-    pay_bits = np.zeros(n, dtype=np.int64)
+    nz = dod != 0
+    # np.packbits is MSB-first per byte — exactly _pack_fields' 1-bit
+    # layout, at C memcpy speed
+    bitmap = np.packbits(nz).tobytes()
 
-    remaining = dod != 0
-    for (cv, cb), pb, lo, hi in _TS_BUCKETS:
-        sel = remaining & (dod >= lo) & (dod <= hi)
-        ctrl_val[sel] = cv
-        ctrl_bits[sel] = cb
-        # zigzag-free offset encoding: dod - lo ∈ [0, hi-lo] fits pb bits
-        pay_val[sel] = (dod[sel] - lo).astype(np.uint64)
-        pay_bits[sel] = pb
-        remaining &= ~sel
-    ctrl_val[remaining] = _TS_RAW_CTRL[0]
-    ctrl_bits[remaining] = _TS_RAW_CTRL[1]
-    pay_val[remaining] = dod[remaining].astype(np.int64).view(np.uint64)
-    pay_bits[remaining] = _TS_RAW_BITS
-
-    # interleave ctrl/payload per point
-    fields_vals = [np.column_stack([ctrl_val, pay_val]).reshape(-1)]
-    fields_bits = [np.column_stack([ctrl_bits, pay_bits]).reshape(-1)]
-    return int(ts[0]), _pack_fields(fields_vals[0], fields_bits[0])
+    dnz = dod[nz]
+    sel = np.full(dnz.shape, 3, dtype=np.uint64)  # default: raw 64-bit
+    for i, (pb, lo, hi) in reversed(list(enumerate(_TS_BUCKETS))):
+        sel[(dnz >= lo) & (dnz <= hi)] = i
+    # zigzag-free offset encoding: dod - lo ∈ [0, hi-lo] fits the width
+    pay = np.where(
+        sel == 3,
+        dnz.view(np.uint64),
+        (dnz - _TS_LOS[sel.astype(np.int64)]).astype(np.uint64),
+    )
+    sels = _pack_fields(sel, np.full(sel.shape, 2, dtype=np.int64))
+    pays = _pack_fields(pay, _TS_WIDTHS[sel.astype(np.int64)])
+    return int(ts[0]), bitmap + sels + pays
 
 
 def encode_values(vals: np.ndarray) -> tuple[int, bytes]:
@@ -214,28 +243,22 @@ def encode_values(vals: np.ndarray) -> tuple[int, bytes]:
     if bits.size == 1:
         return int(bits[0]), b""
     xor = bits[1:] ^ bits[:-1]
-    n = xor.size
+    m = xor.size
 
-    lz = np.minimum(_clz64(xor), 31)
-    tz = _ctz64(xor)
+    nz = xor != 0
+    bitmap = np.packbits(nz).tobytes()
+
+    xnz = xor[nz]
+    lz = np.minimum(_clz64(xnz), 31)
+    tz = _ctz64(xnz)
     sig = np.maximum(64 - lz - tz, 1)  # meaningful bits (≥1 when xor != 0)
-
-    zero = xor == 0
-    # field layout per point: ctrl ('0' | '1'), then for nonzero:
-    # 5-bit lz, 6-bit sig-1, sig-bit payload (xor >> tz)
-    ctrl_val = (~zero).astype(np.uint64)
-    ctrl_bits = np.ones(n, dtype=np.int64)
-    lz_val = lz.astype(np.uint64)
-    lz_bits = np.where(zero, 0, 5)
-    sig_val = (sig - 1).astype(np.uint64)
-    sig_bits = np.where(zero, 0, 6)
-    tz_safe = np.where(zero, 0, tz).astype(np.uint64)
-    pay_val = np.where(zero, np.uint64(0), xor >> tz_safe)
-    pay_bits = np.where(zero, 0, sig)
-
-    vals_i = np.column_stack([ctrl_val, lz_val, sig_val, pay_val]).reshape(-1)
-    bits_i = np.column_stack([ctrl_bits, lz_bits, sig_bits, pay_bits]).reshape(-1)
-    return int(bits[0]), _pack_fields(vals_i, bits_i)
+    # 11-bit meta field per nonzero point: (lz << 6) | (sig - 1); then
+    # the sig-bit payload = xor >> (64 - lz - sig)
+    meta = (lz.astype(np.uint64) << np.uint64(6)) | (sig - 1).astype(np.uint64)
+    frag = xnz >> (64 - lz - sig).astype(np.uint64)
+    metas = _pack_fields(meta, np.full(meta.shape, 11, dtype=np.int64))
+    pays = _pack_fields(frag, sig)
+    return int(bits[0]), bitmap + metas + pays
 
 
 def encode_series(ts: np.ndarray, vals: np.ndarray) -> EncodedSeries:
@@ -258,108 +281,77 @@ def encode_series(ts: np.ndarray, vals: np.ndarray) -> EncodedSeries:
 # decode
 # ---------------------------------------------------------------------------
 
-class _BitReader:
-    """MSB-first bitstream reader with O(1) field reads.
-
-    The payload is viewed as big-endian 64-bit words (python ints); a
-    field of n ≤ 64 bits spans at most two words, so each read is two
-    shifts — no per-bit loop."""
-
-    __slots__ = ("words", "pos")
-
-    _M64 = (1 << 64) - 1
-
-    def __init__(self, payload: bytes):
-        pad = (-len(payload)) % 8
-        # two zero sentinels: wide peeks near the stream end may touch
-        # up to two words past the payload
-        self.words = np.frombuffer(
-            payload + b"\x00" * pad, dtype=">u8"
-        ).tolist() + [0, 0]
-        self.pos = 0
-
-    def read(self, n: int) -> int:
-        w, b = divmod(self.pos, 64)
-        self.pos += n
-        avail = 64 - b
-        cur = self.words[w] & (self._M64 >> b)
-        if n <= avail:
-            return cur >> (avail - n)
-        need = n - avail
-        return (cur << need) | (self.words[w + 1] >> (64 - need))
-
-    def peek(self, n: int) -> int:
-        """Read n bits WITHOUT advancing (zero-padded past the end)."""
-        pos = self.pos
-        out = self.read(n)
-        self.pos = pos
-        return out
-
-    def skip(self, n: int) -> None:
-        self.pos += n
+def _unpack_bitmap(payload: bytes, m: int) -> np.ndarray:
+    """First ceil(m/8) bytes → bool[m] (MSB-first, _pack_fields order)."""
+    nbytes = (m + 7) // 8
+    return (
+        np.unpackbits(np.frombuffer(payload[:nbytes], dtype=np.uint8))[:m]
+        .astype(bool)
+    )
 
 
 def decode_timestamps(n: int, first_ts: int, payload: bytes) -> np.ndarray:
+    """Vectorized stream-split decode: bitmap → selector widths →
+    cumsum payload offsets → one word-gather; double cumsum restores
+    the timestamps. No per-point Python."""
     if n == 0:
         return np.empty(0, dtype=np.int64)
+    if n == 1:
+        return np.array([first_ts], dtype=np.int64)
+    m = n - 1
+    nz = _unpack_bitmap(payload, m)
+    nnz = int(nz.sum())
+    bm_bytes = (m + 7) // 8
+    sel_bytes = (2 * nnz + 7) // 8
+    sel = _unpack_fields(
+        payload[bm_bytes : bm_bytes + sel_bytes],
+        np.arange(nnz, dtype=np.int64) * 2,
+        2,
+    ).astype(np.int64)
+    widths = _TS_WIDTHS[sel]
+    starts = np.cumsum(widths) - widths
+    pay = _unpack_fields(payload[bm_bytes + sel_bytes :], starts, widths)
+    dod_nz = np.where(
+        sel == 3,
+        pay.view(np.int64),
+        pay.astype(np.int64) + _TS_LOS[sel],
+    )
+    dod = np.zeros(m, dtype=np.int64)
+    dod[nz] = dod_nz
     out = np.empty(n, dtype=np.int64)
     out[0] = first_ts
-    if n == 1:
-        return out
-    r = _BitReader(payload)
-    delta = 0
-    prev = int(first_ts)
-    o = out  # local alias
-    for i in range(1, n):
-        # one 16-bit peek covers the widest control+payload prefix
-        v = r.peek(16)
-        if v < 0x8000:          # '0'
-            r.skip(1)
-            dod = 0
-        elif v < 0xC000:        # '10' + 7
-            r.skip(9)
-            dod = ((v >> 7) & 0x7F) - 63
-        elif v < 0xE000:        # '110' + 9
-            r.skip(12)
-            dod = ((v >> 4) & 0x1FF) - 255
-        elif v < 0xF000:        # '1110' + 12
-            r.skip(16)
-            dod = (v & 0xFFF) - 2047
-        else:                   # '1111' + raw 64-bit two's complement
-            r.skip(4)
-            raw = r.read(_TS_RAW_BITS)
-            dod = raw - (1 << 64) if raw >= (1 << 63) else raw
-        delta += dod
-        prev += delta
-        o[i] = prev
+    out[1:] = first_ts + np.cumsum(np.cumsum(dod))
     return out
 
 
 def decode_values(n: int, first_val_bits: int, payload: bytes) -> np.ndarray:
+    """Vectorized stream-split decode: bitmap → 11-bit meta fields →
+    sig-width payload gather; ``bitwise_xor.accumulate`` restores the
+    float64 bit patterns. No per-point Python."""
     if n == 0:
         return np.empty(0, dtype=np.float64)
+    if n == 1:
+        return np.array([first_val_bits], dtype=np.uint64).view(np.float64)
+    m = n - 1
+    nz = _unpack_bitmap(payload, m)
+    nnz = int(nz.sum())
+    bm_bytes = (m + 7) // 8
+    meta_bytes = (11 * nnz + 7) // 8
+    meta = _unpack_fields(
+        payload[bm_bytes : bm_bytes + meta_bytes],
+        np.arange(nnz, dtype=np.int64) * 11,
+        11,
+    )
+    lz = (meta >> np.uint64(6)).astype(np.int64)
+    sig = (meta & np.uint64(63)).astype(np.int64) + 1
+    starts = np.cumsum(sig) - sig
+    frag = _unpack_fields(payload[bm_bytes + meta_bytes :], starts, sig)
+    xor = np.zeros(m, dtype=np.uint64)
+    xor[nz] = frag << (64 - lz - sig).astype(np.uint64)
     out = np.empty(n, dtype=np.uint64)
     out[0] = np.uint64(first_val_bits)
-    if n == 1:
-        return out.view(np.float64)
-    r = _BitReader(payload)
-    prev = int(first_val_bits)
-    vals: list[int] = [0] * n
-    vals[0] = prev
-    for i in range(1, n):
-        # '1' + 5-bit lz + 6-bit (sig-1) fits one 12-bit peek
-        v = r.peek(12)
-        if v < 0x800:  # '0' — repeat
-            r.skip(1)
-        else:
-            lz = (v >> 6) & 31
-            sig = (v & 63) + 1
-            r.skip(12)
-            frag = r.read(sig)
-            prev = prev ^ (frag << (64 - lz - sig))
-        vals[i] = prev
-    out[:] = np.array(vals, dtype=np.uint64)
-    return out.view(np.float64)
+    out[1:] = xor
+    return np.bitwise_xor.accumulate(out).view(np.float64)
 
 
 def decode_series(enc: EncodedSeries) -> tuple[np.ndarray, np.ndarray]:

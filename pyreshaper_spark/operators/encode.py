@@ -360,46 +360,50 @@ def encode_series_table(series: DataFrame) -> DataFrame:
 
 
 def _decode_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """Arrow-native chunk decode: one output RecordBatch per encoded
+    chunk row, all columns built from numpy / Arrow buffers — the only
+    per-row work is slicing; per-POINT work is fully vectorized
+    (stream-split Gorilla decode + a ListArray re-wrap of the flat
+    token buffer). Bounded memory: a chunk is ≤65k points / 4 MiB."""
     for batch in it:
-        cols = batch.to_pydict()
-        out: dict[str, list] = {
-            "source": [],
-            "salt": [],
-            "event_s": [],
-            "n_tok": [],
-            "doc_id": [],
-            "tokens": [],
-        }
+        n_col = batch.column("n").to_numpy(zero_copy_only=False)
+        first_ts = batch.column("first_ts").to_numpy(zero_copy_only=False)
+        fvb = batch.column("first_val_bits").to_numpy(zero_copy_only=False)
+        src_col = batch.column("source")
+        salt_col = batch.column("salt").to_numpy(zero_copy_only=False)
+        ts_pay, val_pay = batch.column("ts_payload"), batch.column("val_payload")
+        tok_pay = batch.column("tok_payload")
+        doc_ids_col = batch.column("doc_ids")
+        doc_ntoks_col = batch.column("doc_n_toks")
         for i in range(batch.num_rows):
-            enc = G.EncodedSeries(
-                n=cols["n"][i],
-                first_ts=cols["first_ts"][i],
-                first_val_bits=cols["first_val_bits"][i],
-                ts_payload=cols["ts_payload"][i],
-                val_payload=cols["val_payload"][i],
+            n = int(n_col[i])
+            ts = G.decode_timestamps(n, int(first_ts[i]), ts_pay[i].as_py())
+            vals = G.decode_values(n, int(fvb[i]), val_pay[i].as_py())
+            toks = unpack_tokens_u16(unwrap_tok_payload(tok_pay[i].as_py()))
+            ntk = (
+                doc_ntoks_col.slice(i, 1)
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
             )
-            ts, vals = G.decode_series(enc)
-            toks = unpack_tokens_u16(unwrap_tok_payload(cols["tok_payload"][i]))
-            n_toks = np.asarray(cols["doc_n_toks"][i], dtype=np.int64)
-            bounds = np.concatenate([[0], np.cumsum(n_toks)])
-            out["source"].extend([cols["source"][i]] * enc.n)
-            out["salt"].extend([cols["salt"][i]] * enc.n)
-            out["event_s"].extend(ts.tolist())
-            out["n_tok"].extend(vals.astype(np.int64).tolist())
-            out["doc_id"].extend(cols["doc_ids"][i])
-            out["tokens"].extend(
-                toks[bounds[j] : bounds[j + 1]].tolist() for j in range(enc.n)
+            offsets = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(ntk, out=offsets[1:])
+            tokens_arr = pa.ListArray.from_arrays(
+                pa.array(offsets.astype(np.int32), pa.int32()),
+                pa.array(toks, pa.int32()),
             )
-        yield pa.RecordBatch.from_pydict(
-            {
-                "source": pa.array(out["source"], pa.string()),
-                "salt": pa.array(out["salt"], pa.int32()),
-                "event_s": pa.array(out["event_s"], pa.int64()),
-                "n_tok": pa.array(out["n_tok"], pa.int32()),
-                "doc_id": pa.array(out["doc_id"], pa.string()),
-                "tokens": pa.array(out["tokens"], pa.list_(pa.int32())),
-            }
-        )
+            zeros = pa.array(np.zeros(n, dtype=np.int64))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    src_col.slice(i, 1).take(zeros),
+                    pa.array(np.full(n, salt_col[i], dtype=np.int32)),
+                    pa.array(ts, pa.int64()),
+                    pa.array(vals.astype(np.int32), pa.int32()),
+                    doc_ids_col.slice(i, 1).flatten(),
+                    tokens_arr,
+                ],
+                names=["source", "salt", "event_s", "n_tok", "doc_id", "tokens"],
+            )
 
 
 def decode_series_table(encoded: DataFrame) -> DataFrame:

@@ -56,59 +56,106 @@ def media_table(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_media(payload: bytes, media_type: str, fake: bool = False) -> np.ndarray:
-    """Decode one media payload to a sample array.
+#: decoder registry: name → callable(payload: bytes, media_type: str)
+#: → np.ndarray of uint8 samples. A real codec (PIL / soundfile /
+#: ffmpeg) drops in via ``register_decoder`` without touching the
+#: pipeline; the feature extractor resolves the decoder ON THE DRIVER
+#: and ships the callable inside the mapInPandas closure, so runtime
+#: registrations work on executors too (module-level registry state is
+#: NOT replicated to Python workers by itself).
+Decoder = "Callable[[bytes, str], np.ndarray]"
+DECODERS: dict[str, object] = {}
 
-    REAL decode is intentionally not implemented in this container
-    (no PIL/ffmpeg/soundfile); ``fake=True`` gives the deterministic
-    stand-in (payload bytes as uint8) so the rest of the pipeline is
-    exercised end-to-end with real shapes.
-    """
-    if not fake:
-        raise NotImplementedError(
-            f"real {media_type} decoding requires media libraries not "
-            "present in this environment; pass fake=True for the "
-            "deterministic test decoder"
-        )
+
+def register_decoder(name: str, fn) -> None:
+    DECODERS[name] = fn
+
+
+def _fake_decode(payload: bytes, media_type: str) -> np.ndarray:
+    """Deterministic stand-in: payload bytes as uint8 'samples'."""
     return np.frombuffer(payload, dtype=np.uint8)
 
 
-def _extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: vectorized byte-stats + fixed-width feature
-    vector per media row. Batch shape: whatever Arrow hands us — the
-    loop is per-ROW over the batch only for the ragged payload column,
-    all math inside is numpy."""
-    for pdf in it:
-        feats, sums, mins, maxs, lens = [], [], [], [], []
-        for payload, mtype in zip(pdf["payload"], pdf["media_type"]):
-            arr = decode_media(payload, mtype, fake=True)
-            lens.append(arr.size)
-            if arr.size == 0:
-                sums.append(0), mins.append(0), maxs.append(0)
-                feats.append(np.zeros(8, dtype=np.float32))
-                continue
-            sums.append(int(arr.sum()))
-            mins.append(int(arr.min()))
-            maxs.append(int(arr.max()))
-            # 8-bin histogram, normalized — the "embedding" stand-in
-            hist = np.bincount(arr >> 5, minlength=8).astype(np.float32)
-            feats.append(hist / max(arr.size, 1))
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "media_type": pdf["media_type"],
-                "n_bytes": lens,
-                "byte_sum": sums,
-                "byte_min": mins,
-                "byte_max": maxs,
-                "feat": feats,
-            }
-        )
+def _real_decode(payload: bytes, media_type: str) -> np.ndarray:
+    """Real media decode — import-gated on libraries this container
+    does not ship; the registry + closure plumbing is the tested part,
+    the codec bodies activate when the libs exist."""
+    try:
+        if media_type == "image":
+            import io
+
+            from PIL import Image  # noqa: F401 — not in this container
+
+            return np.asarray(Image.open(io.BytesIO(payload))).reshape(-1)
+        if media_type == "audio":
+            import io
+
+            import soundfile  # noqa: F401 — not in this container
+
+            data, _ = soundfile.read(io.BytesIO(payload), dtype="int16")
+            return np.asarray(data).reshape(-1).view(np.uint8)
+    except ImportError:
+        pass
+    raise NotImplementedError(
+        f"real {media_type} decoding requires media libraries not "
+        "present in this environment; use the 'fake' decoder or "
+        "register_decoder() a custom one"
+    )
 
 
-def extract_features(media: DataFrame) -> DataFrame:
-    """Vectorized feature extraction over media payloads (mapInPandas)."""
-    return media.mapInPandas(_extract_batches, schema=FEATURE_SCHEMA)
+register_decoder("fake", _fake_decode)
+register_decoder("real", _real_decode)
+
+
+def decode_media(payload: bytes, media_type: str, fake: bool = False) -> np.ndarray:
+    """Decode one media payload to a sample array via the registry."""
+    return DECODERS["fake" if fake else "real"](payload, media_type)
+
+
+def _extract_batches(decode):
+    """mapInPandas worker factory: vectorized byte-stats + fixed-width
+    feature vector per media row, using the given decoder callable.
+    Batch shape: whatever Arrow hands us — the loop is per-ROW over the
+    batch only for the ragged payload column, all math inside is numpy."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats, sums, mins, maxs, lens = [], [], [], [], []
+            for payload, mtype in zip(pdf["payload"], pdf["media_type"]):
+                arr = decode(payload, mtype)
+                lens.append(arr.size)
+                if arr.size == 0:
+                    sums.append(0), mins.append(0), maxs.append(0)
+                    feats.append(np.zeros(8, dtype=np.float32))
+                    continue
+                sums.append(int(arr.sum()))
+                mins.append(int(arr.min()))
+                maxs.append(int(arr.max()))
+                # 8-bin histogram, normalized — the "embedding" stand-in
+                hist = np.bincount(arr >> 5, minlength=8).astype(np.float32)
+                feats.append(hist / max(arr.size, 1))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": lens,
+                    "byte_sum": sums,
+                    "byte_min": mins,
+                    "byte_max": maxs,
+                    "feat": feats,
+                }
+            )
+
+    return gen
+
+
+def extract_features(media: DataFrame, decoder="fake") -> DataFrame:
+    """Vectorized feature extraction over media payloads (mapInPandas).
+
+    ``decoder`` is a registry name or a callable; it is resolved here
+    (driver side) and serialized into the worker closure."""
+    fn = decoder if callable(decoder) else DECODERS[decoder]
+    return media.mapInPandas(_extract_batches(fn), schema=FEATURE_SCHEMA)
 
 
 def media_meta(docs: DataFrame) -> DataFrame:

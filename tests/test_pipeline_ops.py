@@ -192,3 +192,26 @@ def test_ivf_probe_recall_vs_bruteforce(spark, emb):
     assert len(p) > 0
     recall = len(p & b) / len(b)
     assert recall >= 0.2  # synthetic gaussian vectors: probe is approximate
+
+
+def test_decoder_registry_swaps(spark, docs):
+    """A custom decoder registered (or passed directly) flows through
+    the mapInPandas closure and changes the extracted features."""
+    media = multimodal.media_table(docs.limit(20))
+
+    def halved(payload, media_type):
+        import numpy as np
+
+        return (np.frombuffer(payload, dtype=np.uint8) // 2).astype(np.uint8)
+
+    multimodal.register_decoder("halved", halved)
+    default = {r["doc_id"]: r["byte_sum"]
+               for r in multimodal.extract_features(media).collect()}
+    swapped = {r["doc_id"]: r["byte_sum"]
+               for r in multimodal.extract_features(media, "halved").collect()}
+    direct = {r["doc_id"]: r["byte_sum"]
+              for r in multimodal.extract_features(media, halved).collect()}
+    assert swapped == direct
+    for k, v in swapped.items():
+        assert v <= default[k] // 2 + 20_000  # halved bytes sum ~half
+        assert v < default[k]
