@@ -252,6 +252,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # -- multimodal ---------------------------------------------------
     q["mm_meta"] = lambda s, d: multimodal.media_meta(_docs(s, d))
+
+    # -- validation + metrics accounting (previously pytest-only) -----
+    def _q_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.validate import validate_report
+
+        return validate_report(_seq(spark, sf_dir))
+
+    q["validate_input"] = _q_validate
+
+    def _q_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Lineage accounting invariant: every input row is counted in
+        exactly one encoded chunk's metrics (sum of per-chunk n and of
+        per-doc token counts reproduce the per-source input totals)."""
+        seq = _seq(spark, sf_dir)
+        enc = encode_series_table(
+            transpose_to_series(seq, nsalt=4, num_partitions=8, pack=True)
+        )
+        per_chunk = enc.select(
+            "source",
+            "n",
+            F.expr(
+                "aggregate(doc_n_toks, CAST(0 AS BIGINT), (a, x) -> a + x)"
+            ).alias("tok"),
+        )
+        return per_chunk.groupBy("source").agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.sum("tok").cast("long").alias("total_tok"),
+        )
+
+    q["metrics_by_source"] = _q_metrics
     return q
 
 
@@ -375,4 +405,21 @@ FROM tier t JOIN meta m USING (source)
     o["ann_lsh_pairs"] = similarity.lsh_bucket_pairs_sql()
     o["emb_near_dup"] = similarity.cosine_near_dups_sql(num=2, den=5)
     o["mm_meta"] = multimodal.media_meta_sql()
+    # bad_rows: doc_id/source nullability is the only contract clause
+    # expressible over the oracle CTE (its n_tok/tokens are consistent
+    # by construction, as are Spark's — both sides count 0 for those)
+    o["validate_input"] = f"""
+WITH {seq_cte('base')}
+SELECT count(*) AS n_rows,
+       CAST(sum(CASE WHEN doc_id IS NULL OR source IS NULL OR n_tok IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS bad_rows,
+       count(DISTINCT doc_id) AS n_ids,
+       count(*) - count(DISTINCT doc_id) AS dup_ids
+FROM sequences
+"""
+    o["metrics_by_source"] = f"""
+WITH {seq_cte('base')}
+SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tok
+FROM sequences GROUP BY 1
+"""
     return o

@@ -94,10 +94,21 @@ def run_bench(sf_dir: str, cpus: int, repeat: int = 1) -> dict:
     queries["gapfill_locf_10m"] = round(time.perf_counter() - t0, 3)
 
     # q3: salted transpose + Gorilla/DoD encode of every series.
+    from pyreshaper_spark.operators.encode import decode_series_table
+
     t0 = time.perf_counter()
     series = transpose_to_series(seq, nsalt=8, num_partitions=max(cpus, 8), pack=True)
-    encode_series_table(series).agg(F.sum("n").alias("n")).collect()
+    enc = encode_series_table(series).persist()
+    enc.agg(F.sum("n").alias("n")).collect()
     queries["transpose_encode"] = round(time.perf_counter() - t0, 3)
+
+    # q4: decode re-hydration — the reverse path a training job runs
+    # (encoded chunks → per-doc rows with token arrays), stream-split
+    # vectorized decode.
+    t0 = time.perf_counter()
+    decode_series_table(enc).agg(F.sum("n_tok").alias("t")).collect()
+    queries["decode_rehydrate"] = round(time.perf_counter() - t0, 3)
+    enc.unpersist()
 
     total = sum(queries.values())
     out = {

@@ -90,16 +90,18 @@ def sequences_df(
     )
     if repeat > 1:
         reps = spark.range(repeat).select(F.col("id").alias("rep"))
-        docs = docs.crossJoin(reps).select(
+        # pre-spread the TINY docs table first (a |docs|-row shuffle),
+        # then cross-join the broadcast rep range: the ×repeat expansion
+        # and the tokenizer run on all partitions. (Expanding before
+        # repartitioning made the single-file scan task stream every
+        # multiplied wide row into the shuffle alone — observed as a
+        # multi-minute single-task stage at repeat=8000.)
+        docs = docs.repartition(64).crossJoin(F.broadcast(reps)).select(
             F.concat_ws("#", F.col("doc_id").cast("string"), "rep").alias("doc_key"),
             (F.col("doc_id") + F.col("rep") * F.lit(1_000_003)).alias("doc_num"),
             "text",
             "source",
         )
-        # spread BEFORE the (expensive) tokenizer projection: the
-        # single-file documents scan would otherwise leave the whole
-        # row-multiplied tokenization on one task
-        docs = docs.repartition(max(64, repeat // 25), "doc_key")
     else:
         docs = docs.select(
             F.col("doc_id").cast("string").alias("doc_key"),

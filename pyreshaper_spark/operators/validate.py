@@ -75,6 +75,25 @@ def check_source_completeness(seq: DataFrame, tier: DataFrame) -> None:
         )
 
 
+def validate_report(seq: DataFrame) -> DataFrame:
+    """One-row validation summary (the non-raising, oracle-comparable
+    face of :func:`validate_input`): total rows, contract-violating
+    rows, distinct doc_ids, duplicated doc_ids. Single scan,
+    partial+final aggregate."""
+    bad_cond = (
+        F.col("doc_id").isNull()
+        | F.col("tokens").isNull()
+        | F.col("source").isNull()
+        | (F.col("n_tok") != F.size("tokens"))
+    )
+    return seq.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(bad_cond.cast("long")).alias("bad_rows"),
+        F.count_distinct("doc_id").alias("n_ids"),
+        (F.count("*") - F.count_distinct("doc_id")).alias("dup_ids"),
+    )
+
+
 def validate_input(seq: DataFrame) -> None:
     """Full input gate: schema, nulls, doc_id uniqueness.
 

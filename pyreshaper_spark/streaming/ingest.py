@@ -138,3 +138,28 @@ def start_tier0_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def refresh_cascade(
+    spark: SparkSession,
+    out_root: str,
+    widths: list[int],
+    base_table: str = "tier_stream",
+) -> dict[int, int]:
+    """Continuous-aggregate refresh for the coarser tiers: re-aggregate
+    the streaming tier-0 table up the cascade and commit each tier
+    (the TimescaleDB refresh-policy analog — streaming keeps tier 0
+    hot, this runs on schedule). Each refresh reads only the tier
+    below, never raw data. Returns {width_s: snapshot_id}."""
+    from pyreshaper_spark.operators.rollup import rollup_cascade
+
+    cat = IcebergLite(out_root)
+    prev = cat.read(spark, base_table).select(
+        "source", "bucket_s", "cnt", "sum_n_tok", "min_n_tok", "max_n_tok"
+    )
+    sids: dict[int, int] = {}
+    for w in widths:
+        tier = rollup_cascade(prev, w)
+        sids[w] = cat.overwrite(f"tier_stream_{w}", tier, ("source",))
+        prev = cat.read(spark, f"tier_stream_{w}")
+    return sids

@@ -68,3 +68,29 @@ def test_streaming_incremental_pickup(spark, seq, tmp_path):
         "source", "bucket_s", "cnt"
     ).collect()
     assert sorted(got) == sorted(want)
+
+
+def test_refresh_cascade_from_stream_tier(spark, seq, tmp_path):
+    """Coarser tiers refreshed from the streaming tier-0 table match a
+    batch cascade over the same input exactly."""
+    from pyreshaper_spark.operators.rollup import rollup_all_tiers
+    from pyreshaper_spark.streaming.ingest import refresh_cascade
+
+    seq_path = str(tmp_path / "seq")
+    seq.write.parquet(seq_path)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    cat = _run_stream(spark, seq_path, out, ck)
+
+    sids = refresh_cascade(spark, out, [600, 3600])
+    assert set(sids) == {600, 3600}
+    batch = rollup_all_tiers(seq, [60, 600, 3600])
+    for w in (600, 3600):
+        want = sorted(
+            batch[w].select("source", "bucket_s", "cnt", "sum_n_tok").collect()
+        )
+        got = sorted(
+            cat.read(spark, f"tier_stream_{w}")
+            .select("source", "bucket_s", "cnt", "sum_n_tok")
+            .collect()
+        )
+        assert got == want
