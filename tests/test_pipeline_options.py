@@ -193,3 +193,68 @@ def test_write_mode_append_encodes_new_files(spark, tmp_path):
     dec3 = decode_series_table(cat.read(spark, "series_enc"))
     assert dec3.count() == total
     assert dec3.select("doc_id").distinct().count() == total
+
+
+def test_append_cycle_crash_replay_is_exact(spark, tmp_path):
+    """Append-cycle pins: a run killed mid-cycle (after the tier-0
+    merge commit) replays to EXACTLY the same content — no double-
+    counted delta — and a file arriving mid-cycle is deferred to the
+    next cycle, never lost."""
+    from pyreshaper_spark.operators.encode import decode_series_table
+    from pyreshaper_spark.plans.checkpoint import Checkpoint
+
+    seq = sequences_df(spark, SF)
+    part = F.abs(F.xxhash64(F.col("doc_id").cast("string"))) % 3
+    p = str(tmp_path / "seq")
+    seq.filter(part == 0).write.parquet(p)
+    cfg = RunConfig(
+        input_path=p, output_path=str(tmp_path / "out"),
+        tiers=TIERS, nsalt=2, num_series_partitions=4,
+        write_mode="append",
+    )
+    ck = str(tmp_path / "ck.json")
+    run_pipeline(spark, cfg, ck)                       # cycle 1 complete
+    assert Checkpoint.load(ck).cycle is None
+
+    # cycle 2: second batch lands; run is killed right after the tier-0
+    # merge commit (tier_1m) — pins must survive in the checkpoint
+    seq.filter(part == 1).write.mode("append").parquet(p)
+    partial = run_pipeline(spark, cfg, ck, stop_after="tier_1m")
+    assert partial.steps_run[-1] == "tier_1m"
+    assert Checkpoint.load(ck).cycle is not None
+
+    # a THIRD batch arrives while the cycle is interrupted — the pinned
+    # pending list must not include it
+    seq.filter(part == 2).write.mode("append").parquet(p)
+
+    # replay: tier merge re-commits identical content (no double count)
+    run_pipeline(spark, cfg, ck)
+    assert Checkpoint.load(ck).cycle is None
+    cat = IcebergLite(cfg.output_path)
+    two = seq.filter(part < 2)
+    t = cat.read(spark, "tier_1m").agg(F.sum("cnt")).collect()[0][0]
+    assert t == two.count()  # batches 0+1, batch 2 deferred
+    dec = decode_series_table(cat.read(spark, "series_enc"))
+    assert dec.count() == two.count()
+    assert dec.select("doc_id").distinct().count() == two.count()
+
+    # cycle 3 picks up the deferred batch
+    run_pipeline(spark, cfg, ck)
+    t = cat.read(spark, "tier_1m").agg(F.sum("cnt")).collect()[0][0]
+    assert t == seq.count()
+    dec = decode_series_table(cat.read(spark, "series_enc"))
+    assert dec.select("doc_id").distinct().count() == seq.count()
+    # per-bucket exactness vs a from-scratch batch rollup
+    from pyreshaper_spark.operators.rollup import rollup_tier0
+
+    want = sorted(
+        rollup_tier0(spark.read.parquet(p), 60)
+        .select("source", "bucket_s", "cnt", "sum_n_tok")
+        .collect()
+    )
+    got = sorted(
+        cat.read(spark, "tier_1m")
+        .select("source", "bucket_s", "cnt", "sum_n_tok")
+        .collect()
+    )
+    assert got == want

@@ -15,6 +15,7 @@ efficiency = (throughput_4N / throughput_N) / (4N / N)   # require >= 0.8
 from __future__ import annotations
 
 import argparse
+import glob
 import json
 import os
 import shutil
@@ -217,16 +218,38 @@ def main() -> None:
         "(k, 4k) pair present is reported",
     )
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument(
+        "--input", default=None,
+        help="reuse a prebuilt sequences fixture (skips prepare_input); "
+        "lets legs run as separate serialized invocations on an "
+        "otherwise-idle box, merged via BENCH/run_execs_*.json",
+    )
+    ap.add_argument(
+        "--prepare-only", action="store_true",
+        help="build the fixture under /tmp/scaling_input and exit",
+    )
     args = ap.parse_args()
 
     workdir = tempfile.mkdtemp(prefix="scaling_bench_")
+    bench_dir = os.path.join(REPO, "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
     try:
+        if args.prepare_only:
+            os.makedirs("/tmp/scaling_input", exist_ok=True)
+            print(prepare_input(args.sf_dir, args.repeat, "/tmp/scaling_input"))
+            return
         zpath = make_pyfiles_zip(workdir)
-        seq_path = prepare_input(args.sf_dir, args.repeat, workdir)
-        runs = [
-            run_once(e, seq_path, workdir, zpath, runs=args.runs)
-            for e in sorted(args.execs, reverse=True)
-        ]
+        seq_path = args.input or prepare_input(args.sf_dir, args.repeat, workdir)
+        for e in sorted(args.execs, reverse=True):
+            t = run_once(e, seq_path, workdir, zpath, runs=args.runs)
+            with open(os.path.join(bench_dir, f"run_execs_{e}.json"), "w") as f:
+                json.dump(t, f)
+        # report over every per-exec result present (this + prior
+        # serialized invocations against the same fixture)
+        runs = []
+        for p in sorted(glob.glob(os.path.join(bench_dir, "run_execs_*.json"))):
+            with open(p) as f:
+                runs.append(json.load(f))
         path = write_report(runs, runs[0]["sequences"], args)
         print(open(path).read())
     finally:
