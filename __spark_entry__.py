@@ -253,6 +253,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- multimodal ---------------------------------------------------
     q["mm_meta"] = lambda s, d: multimodal.media_meta(_docs(s, d))
 
+    # -- rolling window aggregate over the 10m tier -------------------
+    def _q_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.gapfill import rolling_agg
+
+        tier = rollup_all_tiers(_seq(spark, sf_dir), TIER_WIDTHS)[600]
+        r = rolling_agg(tier, k=6)
+        return r.select(
+            "source", "bucket_s",
+            F.col("sum_n_tok").cast("long").alias("sum_n_tok"),
+            F.col("roll_sum").cast("long").alias("roll_sum"),
+            F.col("roll_n").cast("long").alias("roll_n"),
+            F.col("roll_max").cast("long").alias("roll_max"),
+        )
+
+    q["rolling_10m_6"] = _q_rolling
+
+    # -- streaming tier-0 (availableNow over the static fixture) ------
+    def _q_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Structured Streaming ingest run to completion (availableNow)
+        over the fixture; with static input its tier table must equal
+        the batch tier-0 — which IS the DuckDB oracle used here."""
+        import os
+        import tempfile
+
+        from pyreshaper_spark.sources.iceberglite import IcebergLite
+        from pyreshaper_spark.streaming.ingest import start_tier0_stream
+
+        base = tempfile.mkdtemp(prefix="stream_q_")
+        seq_path = os.path.join(base, "seq")
+        _seq(spark, sf_dir).write.parquet(seq_path)
+        sq = start_tier0_stream(
+            spark, seq_path, os.path.join(base, "out"),
+            os.path.join(base, "ck"), width_s=60,
+        )
+        sq.awaitTermination(300)
+        t = IcebergLite(os.path.join(base, "out")).read(spark, "tier_stream")
+        return t.select(
+            "source", "bucket_s",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("sum_n_tok").cast("long").alias("sum_n_tok"),
+            F.col("min_n_tok").cast("long").alias("min_n_tok"),
+            F.col("max_n_tok").cast("long").alias("max_n_tok"),
+        )
+
+    q["streaming_tier0"] = _q_streaming
+
     # -- validation + metrics accounting (previously pytest-only) -----
     def _q_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyreshaper_spark.operators.validate import validate_report
@@ -422,4 +468,19 @@ WITH {seq_cte('base')}
 SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tok
 FROM sequences GROUP BY 1
 """
+    from pyreshaper_spark.operators.gapfill import rolling_agg_sql
+
+    o["rolling_10m_6"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"tier AS (SELECT source, bucket_s, sum_n_tok "
+        f"FROM ({_TIER_AGG.format(w=600)}))\n"
+        + rolling_agg_sql("tier", k=6)
+    )
+    # streaming availableNow over static input ≡ the batch tier-0
+    o["streaming_tier0"] = (
+        f"WITH {seq_cte('base')}\n"
+        + _TIER_AGG.format(w=60).replace(
+            "count(*)", "CAST(count(*) AS BIGINT)"
+        )
+    )
     return o

@@ -175,3 +175,44 @@ __all__ = [
     "gapfill_spine", "gapfill", "locf", "gapfill_locf", "interpolate",
     "interpolate_sql", "AGG_COLS",
 ]
+
+
+def rolling_agg(
+    tier: DataFrame, k: int, value_col: str = "sum_n_tok"
+) -> DataFrame:
+    """Trailing k-bucket rolling aggregate per source over a (gap-filled
+    or sparse) tier: rolling sum + observation count + running max —
+    the moving-average / smoothing query every monitoring stack runs
+    over continuous aggregates. Exact integers only (consumers derive
+    the average as roll_sum/roll_n — no float in the comparable
+    output).
+
+    One window over the existing (source, bucket_s) ordering — a
+    single shuffle on source, O(k) bounded frame state per partition.
+    """
+    w = (
+        Window.partitionBy("source")
+        .orderBy("bucket_s")
+        .rowsBetween(-(k - 1), Window.currentRow)
+    )
+    return tier.select(
+        "source",
+        "bucket_s",
+        F.col(value_col),
+        F.sum(value_col).over(w).alias("roll_sum"),
+        F.count(value_col).over(w).alias("roll_n"),
+        F.max(value_col).over(w).alias("roll_max"),
+    )
+
+
+def rolling_agg_sql(relation: str, k: int, value_col: str = "sum_n_tok") -> str:
+    """DuckDB twin of :func:`rolling_agg` over a named relation."""
+    return f"""
+SELECT source, bucket_s, {value_col},
+       CAST(sum({value_col}) OVER w AS BIGINT) AS roll_sum,
+       count({value_col}) OVER w               AS roll_n,
+       max({value_col}) OVER w                 AS roll_max
+FROM {relation}
+WINDOW w AS (PARTITION BY source ORDER BY bucket_s
+             ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW)
+"""
