@@ -275,7 +275,12 @@ def _encode_partition(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
 
     buf: _GroupBuf | None = None
     for b in it:
-        src = np.asarray(b.column("source").to_pandas(), dtype=object)
+        # dictionary-encode source ONCE per batch: run detection then
+        # compares int32 codes, not Python string objects (40M object
+        # comparisons were a visible slice of the encode stage)
+        src_dict = pc.dictionary_encode(b.column("source"))
+        src_codes = src_dict.indices.to_numpy(zero_copy_only=False)
+        src_values = src_dict.dictionary.to_pylist()
         salt = b.column("salt").to_numpy(zero_copy_only=False)
         ev = b.column("event_s").to_numpy(zero_copy_only=False)
         ntok = b.column("n_tok").to_numpy(zero_copy_only=False)
@@ -299,8 +304,8 @@ def _encode_partition(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         doc_col = b.column("doc_id")
         has_files = b.schema.get_field_index("input_file") >= 0
         file_col = b.column("input_file") if has_files else None
-        for s, e in _runs(src, salt):
-            key = (src[s], int(salt[s]))
+        for s, e in _runs(src_codes, salt):
+            key = (src_values[src_codes[s]], int(salt[s]))
             if buf is not None and (buf.source, buf.salt) != key:
                 yield _chunk_to_batch(buf.encode(pid))
                 buf = None

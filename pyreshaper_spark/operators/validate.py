@@ -107,14 +107,22 @@ def validate_input(seq: DataFrame) -> None:
         | F.col("source").isNull()
         | (F.col("n_tok") != F.size("tokens"))
     )
+    # uniqueness fast path: count_distinct over the 64-bit doc_id hash
+    # shuffles fixed-width ints instead of strings. If every hash is
+    # distinct, every doc_id is PROVABLY distinct (equal ids ⇒ equal
+    # hashes); only a hash collision (~n²/2⁶⁵) forces the exact
+    # string-distinct pass, so the slow path almost never runs and the
+    # check stays exact.
     row = seq.agg(
         F.count("*").alias("n"),
         F.sum(bad_cond.cast("int")).alias("bad"),
-        F.count_distinct("doc_id").alias("n_ids"),
+        F.count_distinct(F.xxhash64("doc_id")).alias("n_hashes"),
     ).collect()[0]
     if row["bad"]:
         raise ValidationError(f"{row['bad']} rows violate null/n_tok contract")
-    if row["n_ids"] != row["n"]:
-        raise ValidationError(
-            f"{row['n'] - row['n_ids']} duplicated doc_ids (overlapping slices)"
-        )
+    if row["n_hashes"] != row["n"]:
+        n_ids = seq.agg(F.count_distinct("doc_id").alias("x")).collect()[0]["x"]
+        if n_ids != row["n"]:
+            raise ValidationError(
+                f"{row['n'] - n_ids} duplicated doc_ids (overlapping slices)"
+            )

@@ -32,6 +32,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow batches sized to the encoder's chunk cap (65k points):
+        # the default 10k-row batches make every chunk span ~7 batches,
+        # paying per-batch slicing/dictionary overhead 7x
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config(
             "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",

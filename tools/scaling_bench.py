@@ -93,6 +93,7 @@ def run_once(
         "--conf", "spark.sql.shuffle.partitions="
         + str(max(execs * CORES_PER_EXEC * 2, 8)),
         "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=65536",
         "--conf",
         "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version=2",
         "--conf", "spark.sql.session.timeZone=UTC",
