@@ -231,6 +231,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_capped"] = lambda s, d: dedup.verified_near_dups(
         _docs(s, d), max_df=200
     )
+    # band-bucket width cap: the OTHER boundedness knob (per-bucket pair
+    # fan-out ≤ cap² even on pathological boilerplate clusters)
+    q["dedup_minhash_bucketcap"] = lambda s, d: dedup.verified_near_dups(
+        _docs(s, d), max_bucket=50
+    )
     q["dedup_simhash"] = lambda s, d: dedup.simhash_pairs(_docs(s, d))
     q["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
         _docs(s, d)
@@ -268,6 +273,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["rolling_10m_6"] = _q_rolling
+
+    # -- counter rate (lag delta) over the 10m tier -------------------
+    def _q_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.gapfill import rate_delta
+
+        tier = rollup_all_tiers(_seq(spark, sf_dir), TIER_WIDTHS)[600]
+        return rate_delta(
+            tier.select(
+                "source", "bucket_s",
+                F.col("sum_n_tok").cast("long").alias("sum_n_tok"),
+            )
+        )
+
+    q["rate_10m"] = _q_rate
+
+    # -- exact percentile rollup (1h buckets) -------------------------
+    def _q_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.rollup import bucket_percentiles
+
+        return bucket_percentiles(_seq(spark, sf_dir), 3600).select(
+            "source", "bucket_s",
+            F.col("cnt").cast("long").alias("cnt"),
+            "p25_n_tok", "p50_n_tok", "p75_n_tok",
+        )
+
+    q["tier_1h_pct"] = _q_pct
 
     # -- streaming tier-0 (availableNow over the static fixture) ------
     def _q_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -398,6 +429,18 @@ FROM sequences GROUP BY 1
 WITH {seq_cte('base')}
 SELECT source, count(*) AS n_docs FROM sequences GROUP BY 1
 """
+    from pyreshaper_spark.operators.gapfill import rate_delta_sql
+    from pyreshaper_spark.operators.rollup import bucket_percentiles_sql
+
+    o["rate_10m"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"t10 AS (SELECT source, bucket_s, sum_n_tok "
+        f"FROM ({_TIER_AGG.format(w=600)}))\n"
+        + rate_delta_sql("t10")
+    )
+    o["tier_1h_pct"] = (
+        f"WITH {seq_cte('base')}\n" + bucket_percentiles_sql(3600)
+    )
     o["tier_1h_retention"] = (
         f"WITH {seq_cte('base')},\n"
         f"tier AS ({_TIER_AGG.format(w=3600)})\n"
@@ -442,6 +485,7 @@ FROM tier t JOIN meta m USING (source)
     o["dedup_exact"] = dedup.EXACT_DUP_SQL
     o["dedup_minhash_lsh"] = dedup.minhash_lsh_sql()
     o["dedup_minhash_capped"] = dedup.minhash_lsh_sql(max_df=200)
+    o["dedup_minhash_bucketcap"] = dedup.minhash_lsh_sql(max_bucket=50)
     o["dedup_simhash"] = dedup.simhash_sql()
     o["dedup_ngram_jaccard"] = dedup.ngram_jaccard_sql()
     o["dedup_ngram_capped"] = dedup.ngram_jaccard_sql(max_df=200)

@@ -78,6 +78,11 @@ class RunConfig:
     source_limit: int | None = None
     #: run the decode-and-compare fidelity gate as a pipeline step
     verify_fidelity: bool = False
+    #: overlap the (independent) encode step with the tier cascade as
+    #: concurrent Spark jobs from two driver threads — the tier chain's
+    #: small commits hide behind the encode stage's executor work.
+    #: Ignored (sequential) when a ``stop_after`` test hook is set.
+    overlap: bool = False
 
     # ---- validation (mirrors Specifier.validate: types then values) ----
 
@@ -91,6 +96,7 @@ class RunConfig:
             ("num_series_partitions", self.num_series_partitions, int),
             ("write_mode", self.write_mode, str),
             ("meta_once", self.meta_once, bool),
+            ("overlap", self.overlap, bool),
             ("epoch0", self.epoch0, int),
             ("horizon_s", self.horizon_s, int),
         ]

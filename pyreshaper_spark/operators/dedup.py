@@ -89,13 +89,16 @@ def _doc_words(docs: DataFrame, max_df: int | None = None) -> DataFrame:
     )
     if max_df is None:
         return dw
-    keep = (
+    # broadcast the HOT list (df > cap), not the keep list: at web scale
+    # the keep side is ~the whole vocabulary (unbroadcastable) while the
+    # hot side is by construction tiny — anti-join drops it map-side
+    hot = (
         dw.groupBy("word")
         .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= max_df)
+        .filter(F.col("df") > max_df)
         .select("word")
     )
-    return dw.join(F.broadcast(keep), "word").select("doc_id", "word")
+    return dw.join(F.broadcast(hot), "word", "left_anti")
 
 
 def minhash_signatures(docs: DataFrame, max_df: int | None = None) -> DataFrame:
@@ -111,9 +114,20 @@ def minhash_signatures(docs: DataFrame, max_df: int | None = None) -> DataFrame:
     return dw.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(
+    sigs: DataFrame, max_bucket: int | None = None
+) -> DataFrame:
     """Band the signatures and self-join buckets → candidate pairs with
-    the number of agreeing bands. Pairs are (a < b) canonical."""
+    the number of agreeing bands. Pairs are (a < b) canonical.
+
+    ``max_bucket`` drops (band, band_key) buckets wider than that many
+    docs BEFORE the self-join — the second web-scale boundedness knob
+    (complementing ``max_df``): a boilerplate cluster of B identical-ish
+    docs otherwise lands in one bucket and emits B² pairs. With the cap,
+    per-bucket fan-out is ≤ max_bucket² no matter how pathological the
+    corpus; giant buckets are exact-dup work, which ``exact_dup_groups``
+    handles at O(B). Opt-in (changes recall semantics) with its own
+    oracle query."""
     bands = []
     for b in range(N_BANDS):
         cols = [f"sig_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
@@ -127,6 +141,18 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     banded = bands[0]
     for x in bands[1:]:
         banded = banded.unionByName(x)
+    if max_bucket is not None:
+        # window count per bucket, keep members of buckets ≤ cap; one
+        # extra shuffle on the same (band, band_key) the join needs —
+        # AQE coalesces the exchanges
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "band_key")
+        banded = (
+            banded.withColumn("bucket_n", F.count("*").over(w))
+            .filter(F.col("bucket_n") <= max_bucket)
+            .drop("bucket_n")
+        )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -147,6 +173,7 @@ def verified_near_dups(
     jaccard_num: int = 1,
     jaccard_den: int = 2,
     max_df: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash→LSH→exact-verify near-dup pipeline.
 
@@ -155,7 +182,7 @@ def verified_near_dups(
     num/den, default 1/2). Output: (doc_a, doc_b, n_bands, inter,
     union_sz) — all integers."""
     sigs = minhash_signatures(docs, max_df)
-    cand = lsh_candidate_pairs(sigs)
+    cand = lsh_candidate_pairs(sigs, max_bucket)
     dw = _doc_words(docs, max_df)
     sizes = dw.groupBy("doc_id").agg(F.count("*").alias("n_words"))
     # exact intersections keyed ON THE CANDIDATE PAIR LIST: join the
@@ -199,7 +226,10 @@ def verified_near_dups(
 
 
 def minhash_lsh_sql(
-    jaccard_num: int = 1, jaccard_den: int = 2, max_df: int | None = None
+    jaccard_num: int = 1,
+    jaccard_den: int = 2,
+    max_df: int | None = None,
+    max_bucket: int | None = None,
 ) -> str:
     h = h32_sql("word")
     df_guard = (
@@ -218,6 +248,17 @@ dwf AS (SELECT dw.doc_id, dw.word FROM dw JOIN kept USING (word))"""
         key = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
         band_rows.append(f"SELECT doc_id, {b} AS band, {key} AS band_key FROM sigs")
     banded = "\nUNION ALL\n".join(band_rows)
+    bucket_guard = (
+        f""",
+banded AS (
+  SELECT doc_id, band, band_key FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, band_key) AS bucket_n
+    FROM banded0
+  ) WHERE bucket_n <= {max_bucket}
+)"""
+        if max_bucket is not None
+        else ",\nbanded AS (SELECT * FROM banded0)"
+    )
     return f"""
 WITH dw AS (
   SELECT DISTINCT doc_id, word
@@ -229,9 +270,9 @@ sigs AS (
          {sig_cols}
   FROM dh GROUP BY doc_id
 ),
-banded AS (
+banded0 AS (
 {banded}
-),
+){bucket_guard},
 cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
   FROM banded a JOIN banded b
@@ -394,13 +435,15 @@ def ngram_sets(
     ).withColumn("sh", h32(F.col("shingle"))).select("doc_id", "sh").distinct()
     if max_df is None:
         return ns
-    keep = (
+    # same inversion as _doc_words: broadcast the tiny hot list and
+    # anti-join, instead of broadcasting the ~full shingle vocabulary
+    hot = (
         ns.groupBy("sh")
         .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= max_df)
+        .filter(F.col("df") > max_df)
         .select("sh")
     )
-    return ns.join(F.broadcast(keep), "sh").select("doc_id", "sh")
+    return ns.join(F.broadcast(hot), "sh", "left_anti")
 
 
 def ngram_jaccard_pairs(

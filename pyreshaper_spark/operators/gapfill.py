@@ -216,3 +216,37 @@ FROM {relation}
 WINDOW w AS (PARTITION BY source ORDER BY bucket_s
              ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW)
 """
+
+
+def rate_delta(tier: DataFrame, value_col: str = "sum_n_tok") -> DataFrame:
+    """Counter delta between consecutive buckets per source (PromQL
+    ``increase`` over a continuous aggregate): ``delta = v − lag(v)``,
+    ``dt_s = bucket_s − lag(bucket_s)``. Consumers derive the rate as
+    delta/dt_s — exact integers only in the comparable output; the
+    first bucket of each source has null delta/dt_s (no predecessor).
+
+    One lag window on the (source, bucket_s) ordering every other
+    tier-level analytic here already uses — a single small shuffle.
+    """
+    w = Window.partitionBy("source").orderBy("bucket_s")
+    v = F.col(value_col)
+    return tier.select(
+        "source",
+        "bucket_s",
+        v,
+        (v - F.lag(v).over(w)).cast("long").alias("delta"),
+        (F.col("bucket_s") - F.lag("bucket_s").over(w))
+        .cast("long")
+        .alias("dt_s"),
+    )
+
+
+def rate_delta_sql(relation: str, value_col: str = "sum_n_tok") -> str:
+    """DuckDB twin of :func:`rate_delta` over a named relation."""
+    return f"""
+SELECT source, bucket_s, {value_col},
+       CAST({value_col} - lag({value_col}) OVER w AS BIGINT) AS delta,
+       CAST(bucket_s - lag(bucket_s) OVER w AS BIGINT)       AS dt_s
+FROM {relation}
+WINDOW w AS (PARTITION BY source ORDER BY bucket_s)
+"""

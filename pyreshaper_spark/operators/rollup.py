@@ -100,6 +100,49 @@ def apply_retention(
     )
 
 
+def bucket_percentiles(seq: DataFrame, width_s: int) -> DataFrame:
+    """Exact p25/p50/p75 of ``n_tok`` per (source, bucket) — the
+    latency-style distribution rollup monitoring stacks keep next to
+    count/sum/min/max.
+
+    Exactness across engines: Spark ``percentile`` and DuckDB
+    ``quantile_cont`` both linearly interpolate at pos=(n−1)·q; with
+    q ∈ {.25, .5, .75} the fraction and the integer endpoints are all
+    exactly representable doubles, so results are bit-identical.
+
+    Scale note: exact percentile buffers each group's values
+    (O(bucket rows) executor memory) — fine at tier granularity where a
+    bucket holds minutes of one source. For percentiles over huge
+    groups the production path is ``approx_percentile`` (t-digest,
+    mergeable map-side), which is deliberately NOT oracle-checked.
+    """
+    return (
+        seq.select("source", bucket_col(width_s), "n_tok")
+        .groupBy("source", "bucket_s")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.expr("percentile(n_tok, 0.25)").alias("p25_n_tok"),
+            F.expr("percentile(n_tok, 0.5)").alias("p50_n_tok"),
+            F.expr("percentile(n_tok, 0.75)").alias("p75_n_tok"),
+        )
+    )
+
+
+def bucket_percentiles_sql(width_s: int) -> str:
+    """DuckDB twin of :func:`bucket_percentiles` (over the `sequences`
+    CTE the tier oracles already build)."""
+    return f"""
+SELECT source,
+       (event_s // {width_s}) * {width_s} AS bucket_s,
+       count(*)                           AS cnt,
+       quantile_cont(n_tok, 0.25)         AS p25_n_tok,
+       quantile_cont(n_tok, 0.5)          AS p50_n_tok,
+       quantile_cont(n_tok, 0.75)         AS p75_n_tok
+FROM sequences
+GROUP BY 1, 2
+"""
+
+
 def rollup_all_tiers(seq: DataFrame, widths: list[int]) -> dict[int, DataFrame]:
     """Full cascade: widths must be strictly increasing and divide evenly.
 

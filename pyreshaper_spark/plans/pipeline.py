@@ -42,6 +42,7 @@ the next cycle (tiers and series stay mutually consistent).
 from __future__ import annotations
 
 import os
+import threading
 import time
 from dataclasses import dataclass
 
@@ -133,17 +134,24 @@ def run_pipeline(
     snapshot_ids: dict[str, int] = {}
     step_wall: dict[str, float] = {}
 
+    # checkpoint/bookkeeping guard: with cfg.overlap the encode step
+    # commits from a second driver thread (tables are disjoint — the
+    # catalog is per-table — but the checkpoint file is shared)
+    lock = threading.Lock()
+
     def commit_step(step: str, fn) -> bool:
         """Returns True if the caller should stop (stop_after hit)."""
-        if ckpt.step_done(step):
-            skipped.append(step)
-            return False
+        with lock:
+            if ckpt.step_done(step):
+                skipped.append(step)
+                return False
         t0 = time.perf_counter()
         fn()
-        step_wall[step] = round(time.perf_counter() - t0, 3)
-        ckpt.mark_step(step)
-        ckpt.save(checkpoint_path)  # always after the data commit
-        run.append(step)
+        with lock:
+            step_wall[step] = round(time.perf_counter() - t0, 3)
+            ckpt.mark_step(step)
+            ckpt.save(checkpoint_path)  # always after the data commit
+            run.append(step)
         return stop_after == step
 
     t0 = time.perf_counter()
@@ -209,6 +217,95 @@ def run_pipeline(
     # uniqueness is enforced by the fidelity gate over the series table)
     validate_input(seq if delta is None else delta)
     step_wall["validate"] = round(time.perf_counter() - t0, 3)
+
+    # ---- salted transpose + encode (file-incremental, resumable) ------
+    # Defined (and, in overlap mode, STARTED) before the tier chain: the
+    # encode step only reads the input + series_enc lineage — it shares
+    # nothing with the tier/meta tables, so a second driver thread can
+    # run it as a concurrent Spark job and the tier chain's many small
+    # commits (driver-latency-bound, size-independent) hide behind the
+    # encode stage's executor work instead of adding serial wall time.
+    def _encode():
+        # nsalt pinned in the checkpoint on first resolution: a resume
+        # or append with grown input (or cfg.nsalt=0 auto) must keep the
+        # (source, salt) identities of already-committed chunks
+        nsalt = ckpt.nsalt or cfg.nsalt or suggest_nsalt(seq)
+        ckpt.nsalt = nsalt
+        # append cycle: encode exactly the PINNED pending set (a file
+        # arriving mid-cycle must wait for the next cycle, or tiers and
+        # series_enc would disagree about what has been ingested) …
+        pending = seq if delta is None else delta
+        resume = cfg.write_mode != "overwrite" and cat.exists("series_enc")
+        if resume:
+            # … and the done set is derived from the LIVE committed
+            # table's input-file lineage, NOT the checkpoint: a crash
+            # between the table commit and the checkpoint save then
+            # re-appends nothing. New rows are picked up wherever they
+            # land — including inside an existing (source, salt) chunk
+            # (they become additional chunk rows; decode and downstream
+            # reads treat a series as a bag of chunk rows already)
+            done_files = (
+                cat.read(spark, "series_enc")
+                .select(F.explode("input_files").alias("input_file"))
+                .distinct()
+            )
+            pending = pending.join(
+                F.broadcast(done_files), "input_file", "left_anti"
+            )
+        series = transpose_to_series(
+            pending, nsalt, cfg.num_series_partitions,
+            pack=True,
+        )
+        encoded = encode_series_table(series)
+        # append ONLY when resuming past a committed table (its chunks
+        # stay live); a fresh/overwrite run replaces the table —
+        # appending here would duplicate every chunk
+        # unpartitioned write: rows arrive source-clustered from the
+        # encoder, a hive layout would churn one writer per source with
+        # multi-MB cells (observed executor OOM at 40M rows); per-source
+        # access instead uses manifest column stats (file skipping)
+        wkw = dict(
+            stats_cols=("source",),
+            options={"parquet.block.size": 32 * 1024 * 1024},
+        )
+        sid = (
+            cat.append("series_enc", encoded, **wkw)
+            if resume
+            else cat.overwrite("series_enc", encoded, **wkw)
+        )
+        snapshot_ids["series_enc"] = sid
+        lineage = (
+            cat.read(spark, "series_enc")
+            .select(*LINEAGE_COLS)
+            .withColumn("attempt", F.lit(ckpt.attempt))
+            .withColumn("step", F.lit("encode"))
+        )
+        # metrics reflects the live chunk set exactly once per chunk
+        snapshot_ids["metrics"] = cat.overwrite("metrics", lineage)
+        chunks = [
+            (r["source"], r["salt"])
+            for r in cat.read(spark, "series_enc")
+            .select("source", "salt")
+            .distinct()
+            .collect()
+        ]
+        with lock:
+            ckpt.mark_chunks(chunks)
+
+    enc_thread: threading.Thread | None = None
+    enc_err: list[BaseException] = []
+    if cfg.overlap and stop_after is None:
+
+        def _enc_bg():
+            try:
+                commit_step("encode", _encode)
+            except BaseException as e:  # re-raised on join
+                enc_err.append(e)
+
+        enc_thread = threading.Thread(
+            target=_enc_bg, name="encode-overlap", daemon=True
+        )
+        enc_thread.start()
 
     # ---- once-file analog: per-source metadata, written once ----------
     def _meta():
@@ -315,74 +412,12 @@ def run_pipeline(
         if commit_step(rname, _retention):
             return PipelineResult(snapshot_ids, run, skipped, step_wall)
 
-    # ---- salted transpose + encode (file-incremental, resumable) ------
-    def _encode():
-        # nsalt pinned in the checkpoint on first resolution: a resume
-        # or append with grown input (or cfg.nsalt=0 auto) must keep the
-        # (source, salt) identities of already-committed chunks
-        nsalt = ckpt.nsalt or cfg.nsalt or suggest_nsalt(seq)
-        ckpt.nsalt = nsalt
-        # append cycle: encode exactly the PINNED pending set (a file
-        # arriving mid-cycle must wait for the next cycle, or tiers and
-        # series_enc would disagree about what has been ingested) …
-        pending = seq if delta is None else delta
-        resume = cfg.write_mode != "overwrite" and cat.exists("series_enc")
-        if resume:
-            # … and the done set is derived from the LIVE committed
-            # table's input-file lineage, NOT the checkpoint: a crash
-            # between the table commit and the checkpoint save then
-            # re-appends nothing. New rows are picked up wherever they
-            # land — including inside an existing (source, salt) chunk
-            # (they become additional chunk rows; decode and downstream
-            # reads treat a series as a bag of chunk rows already)
-            done_files = (
-                cat.read(spark, "series_enc")
-                .select(F.explode("input_files").alias("input_file"))
-                .distinct()
-            )
-            pending = pending.join(
-                F.broadcast(done_files), "input_file", "left_anti"
-            )
-        series = transpose_to_series(
-            pending, nsalt, cfg.num_series_partitions,
-            pack=True,
-        )
-        encoded = encode_series_table(series)
-        # append ONLY when resuming past a committed table (its chunks
-        # stay live); a fresh/overwrite run replaces the table —
-        # appending here would duplicate every chunk
-        # unpartitioned write: rows arrive source-clustered from the
-        # encoder, a hive layout would churn one writer per source with
-        # multi-MB cells (observed executor OOM at 40M rows); per-source
-        # access instead uses manifest column stats (file skipping)
-        wkw = dict(
-            stats_cols=("source",),
-            options={"parquet.block.size": 32 * 1024 * 1024},
-        )
-        sid = (
-            cat.append("series_enc", encoded, **wkw)
-            if resume
-            else cat.overwrite("series_enc", encoded, **wkw)
-        )
-        snapshot_ids["series_enc"] = sid
-        lineage = (
-            cat.read(spark, "series_enc")
-            .select(*LINEAGE_COLS)
-            .withColumn("attempt", F.lit(ckpt.attempt))
-            .withColumn("step", F.lit("encode"))
-        )
-        # metrics reflects the live chunk set exactly once per chunk
-        snapshot_ids["metrics"] = cat.overwrite("metrics", lineage)
-        chunks = [
-            (r["source"], r["salt"])
-            for r in cat.read(spark, "series_enc")
-            .select("source", "salt")
-            .distinct()
-            .collect()
-        ]
-        ckpt.mark_chunks(chunks)
-
-    if commit_step("encode", _encode):
+    # ---- encode: join the overlapped thread, or run sequentially ------
+    if enc_thread is not None:
+        enc_thread.join()
+        if enc_err:
+            raise enc_err[0]
+    elif commit_step("encode", _encode):
         return PipelineResult(snapshot_ids, run, skipped, step_wall)
 
     # ---- optional port-fidelity gate (BASELINE.json:15) ---------------

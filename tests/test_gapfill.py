@@ -59,3 +59,16 @@ def test_locf_carries_forward_and_only_forward(gappy_tier):
         else:
             # leading nulls stay null; later holes carry the last value
             assert r["sum_n_tok_locf"] == last_seen
+
+
+def test_rate_delta_lag_semantics(gappy_tier):
+    from pyreshaper_spark.operators.gapfill import rate_delta
+
+    out = rate_delta(gappy_tier.select("source", "bucket_s", "sum_n_tok"))
+    rows = out.filter(F.col("source") == "src1").orderBy("bucket_s").collect()
+    assert rows[0]["delta"] is None and rows[0]["dt_s"] is None
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["delta"] == cur["sum_n_tok"] - prev["sum_n_tok"]
+        assert cur["dt_s"] == cur["bucket_s"] - prev["bucket_s"]
+        # gappy fixture: some gaps are wider than one bucket
+    assert any(r["dt_s"] and r["dt_s"] > 60 for r in rows[1:])

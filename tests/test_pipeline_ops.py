@@ -81,6 +81,25 @@ def test_minhash_lsh_catches_near_identical(spark):
     assert all(3 not in p for p in got)
 
 
+def test_minhash_bucket_cap_bounds_boilerplate(spark):
+    base = "spark rollup tier bucket series token stream encode decode salt"
+    # a boilerplate cluster of 30 near-identical docs + one honest pair
+    rows = [(i, base + f" v{i % 2}") for i in range(30)]
+    rows += [(100, "alpha beta gamma delta epsilon zeta eta theta"),
+             (101, "alpha beta gamma delta epsilon zeta eta theta iota")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.verified_near_dups(d, max_bucket=10)
+    got = {(x["doc_a"], x["doc_b"]) for x in capped.collect()}
+    # the honest pair survives (its bucket has 2 members) …
+    assert (100, 101) in got
+    # … while the 30-doc boilerplate bucket (>10 wide) is dropped
+    assert all(a >= 100 for a, _ in got)
+    # uncapped finds the boilerplate pairs — the cap is what removed them
+    unc = {(x["doc_a"], x["doc_b"])
+           for x in dedup.verified_near_dups(d).collect()}
+    assert any(a < 100 for a, _ in unc)
+
+
 def test_simhash_near_dup_hamming(spark):
     base = " ".join(f"tok{i}" for i in range(40))
     rows = [(1, base), (2, base + " tail"), (3, " ".join(f"z{i}" for i in range(40)))]

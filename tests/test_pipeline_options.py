@@ -258,3 +258,30 @@ def test_append_cycle_crash_replay_is_exact(spark, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_overlap_mode_equals_sequential(spark, seq_path, tmp_path):
+    """cfg.overlap runs encode concurrently with the tier chain; every
+    committed table must be identical to the sequential run's."""
+    seq_cfg = RunConfig(
+        input_path=seq_path, output_path=str(tmp_path / "seq_out"),
+        tiers=TIERS, nsalt=2, num_series_partitions=4,
+    )
+    ovl_cfg = seq_cfg.with_(output_path=str(tmp_path / "ovl_out"), overlap=True)
+    r1 = run_pipeline(spark, seq_cfg, str(tmp_path / "ck1.json"))
+    r2 = run_pipeline(spark, ovl_cfg, str(tmp_path / "ck2.json"))
+    assert set(r1.steps_run) == set(r2.steps_run)
+    c1, c2 = IcebergLite(seq_cfg.output_path), IcebergLite(ovl_cfg.output_path)
+    for t in ["meta_source", "tier_1m", "tier_10m", "tier_10m_filled"]:
+        a = {tuple(r) for r in c1.read(spark, t).collect()}
+        b = {tuple(r) for r in c2.read(spark, t).collect()}
+        assert a == b, t
+    # series chunks: same (source, salt, n) multiset
+    key = lambda c, t: sorted(
+        (r["source"], r["salt"], r["n"])
+        for r in c.read(spark, t).select("source", "salt", "n").collect()
+    )
+    assert key(c1, "series_enc") == key(c2, "series_enc")
+    # overlapped run still checkpoints every step (resume-safe)
+    r3 = run_pipeline(spark, ovl_cfg, str(tmp_path / "ck2.json"))
+    assert r3.steps_run == [] and "encode" in r3.steps_skipped

@@ -78,3 +78,24 @@ def test_retention_keeps_newest_buckets(spark, seq):
     # idempotent: pruning a pruned tier changes nothing
     again = apply_retention(kept, 3600, 24)
     assert again.count() == kept.count()
+
+
+def test_bucket_percentiles_match_numpy(seq):
+    import numpy as np
+
+    from pyreshaper_spark.operators.rollup import bucket_percentiles
+
+    got = {
+        (r["source"], r["bucket_s"]): (r["p25_n_tok"], r["p50_n_tok"], r["p75_n_tok"])
+        for r in bucket_percentiles(seq, 3600).collect()
+    }
+    raw = seq.select(
+        "source", ((F.col("event_s") / 3600).cast("long") * 3600).alias("b"), "n_tok"
+    ).collect()
+    groups: dict = {}
+    for r in raw:
+        groups.setdefault((r["source"], r["b"]), []).append(r["n_tok"])
+    for k, vals in groups.items():
+        v = np.array(sorted(vals), dtype=np.float64)
+        exp = tuple(np.quantile(v, q) for q in (0.25, 0.5, 0.75))
+        assert got[k] == exp, (k, got[k], exp)

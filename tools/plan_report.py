@@ -161,6 +161,34 @@ def main() -> None:
         ],
     ))
 
+    # 6. bucket-capped LSH + tier analytics (round-2 additions)
+    from pyreshaper_spark.operators.gapfill import rate_delta
+    from pyreshaper_spark.operators.rollup import bucket_percentiles
+
+    p_cap = plan_of(verified_near_dups(docs, max_bucket=50))
+    p_rate = plan_of(
+        rate_delta(tier0.select("source", "bucket_s", "sum_n_tok"))
+    )
+    p_pct = plan_of(bucket_percentiles(seq, 3600))
+    sections.append((
+        "Band-bucket cap, rate window, percentile rollup",
+        "\n".join([
+            "--- verified_near_dups(max_bucket) ---", p_cap[:2200],
+            "--- rate_delta ---", p_rate[:1200],
+            "--- bucket_percentiles ---", p_pct[:1200],
+        ]),
+        [
+            ("bucket-capped minhash: no cartesian / nested-loop join",
+             no_cartesian(p_cap)),
+            ("bucket cap is a window count, pre-join", "Window" in p_cap),
+            ("rate delta: single window, no extra exchange beyond its "
+             "partitionBy", p_rate.count("Window") // 2 <= 1),
+            ("percentile rollup: tokens pruned from scan",
+             "tokens" not in p_pct.split("ReadSchema")[1].split("\n")[0]
+             if "ReadSchema" in p_pct else False),
+        ],
+    ))
+
     out = ["# PLANS — physical-plan verification (auto-generated by "
            "tools/plan_report.py)\n"]
     all_ok = True
