@@ -258,6 +258,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- multimodal ---------------------------------------------------
     q["mm_meta"] = lambda s, d: multimodal.media_meta(_docs(s, d))
 
+    # -- deterministic sampling / splitting / mixing ------------------
+    from pyreshaper_spark.operators import sampling as SMP
+
+    _SCOLS = ["doc_id", "source", "n_chars"]
+    _STRATA = {"src0": 10000, "src1": 2500}
+    _QUOTAS = {"src0": 10, "src1": 5, "src2": 20}
+    q["sample_30pct"] = lambda s, d: SMP.hash_sample(
+        _docs(s, d), 3000
+    ).select(*_SCOLS)
+    q["stratified_sample"] = lambda s, d: SMP.stratified_sample(
+        _docs(s, d), _STRATA, default_bp=5000
+    ).select(*_SCOLS)
+    q["split_assign"] = lambda s, d: SMP.split_assign(
+        _docs(s, d), val_bp=1000, test_bp=1000
+    ).select(*_SCOLS, "split")
+    q["mix_sources"] = lambda s, d: SMP.mix_sources(
+        _docs(s, d), _QUOTAS
+    ).select(*_SCOLS, "mix_rank")
+
     # -- rolling window aggregate over the 10m tier -------------------
     def _q_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyreshaper_spark.operators.gapfill import rolling_agg
@@ -495,6 +514,15 @@ FROM tier t JOIN meta m USING (source)
     o["ann_lsh_pairs"] = similarity.lsh_bucket_pairs_sql()
     o["emb_near_dup"] = similarity.cosine_near_dups_sql(num=2, den=5)
     o["mm_meta"] = multimodal.media_meta_sql()
+
+    from pyreshaper_spark.operators import sampling as SMP
+
+    o["sample_30pct"] = SMP.hash_sample_sql(3000)
+    o["stratified_sample"] = SMP.stratified_sample_sql(
+        {"src0": 10000, "src1": 2500}, default_bp=5000
+    )
+    o["split_assign"] = SMP.split_assign_sql(val_bp=1000, test_bp=1000)
+    o["mix_sources"] = SMP.mix_sources_sql({"src0": 10, "src1": 5, "src2": 20})
     # bad_rows: doc_id/source nullability is the only contract clause
     # expressible over the oracle CTE (its n_tok/tokens are consistent
     # by construction, as are Spark's — both sides count 0 for those)

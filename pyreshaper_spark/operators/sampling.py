@@ -1,0 +1,157 @@
+"""Deterministic sampling / splitting / mixing over the ``documents``
+table — the corpus-construction operators a training-data pipeline runs
+before anything else touches the data.
+
+Why hash-based instead of ``df.sample``: at 10^12 rows a sample must be
+(a) reproducible across reruns, engines, and cluster sizes, (b) stable
+under repartitioning, and (c) cheap — a map-side filter, no shuffle, no
+RNG state. Every operator here keys off the md5-derived 32-bit doc
+hash (functions.xhash — the one hash Spark and DuckDB compute
+identically), so results are exact-integer oracle-checkable and a
+document's fate (kept / dropped / split / rank) is a pure function of
+its id.
+
+Scale shapes:
+
+* ``hash_sample`` / ``split_assign`` — stateless column expressions:
+  predicate-pushdown-friendly, zero shuffle, trivially parallel.
+* ``stratified_sample`` — same filter with a per-source rate map baked
+  into a CASE expression (|sources| is small); still zero shuffle.
+* ``mix_sources`` — weight-proportional per-source quota via one
+  hash-ordered window per source (single shuffle on source); the
+  hash order makes the quota a deterministic uniform subsample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyreshaper_spark.functions.xhash import h32, h32_sql
+
+#: hash-space modulus for rate predicates: doc kept iff h % DEN < num.
+#: 10_000 gives basis-point granularity, far above any corpus-rate need.
+RATE_DEN = 10_000
+
+
+def _rate_col(doc_id: str = "doc_id") -> F.Column:
+    return F.pmod(h32(F.col(doc_id).cast("string")), F.lit(RATE_DEN))
+
+
+def _rate_sql(expr: str = "doc_id") -> str:
+    return f"(({h32_sql(f'CAST({expr} AS VARCHAR)')}) % {RATE_DEN})"
+
+
+def hash_sample(docs: DataFrame, rate_bp: int) -> DataFrame:
+    """Bernoulli-by-hash sample: keep a doc iff
+    ``h32(doc_id) % 10000 < rate_bp`` (rate in basis points).
+
+    Deterministic, rerun-stable, partition-layout-independent, and a
+    pure map-side filter — the ONLY sampling shape that behaves at
+    10^12 rows (``df.sample`` reseeds per task attempt and re-draws on
+    retries)."""
+    if not 0 <= rate_bp <= RATE_DEN:
+        raise ValueError("rate_bp must be in 0..10000")
+    return docs.filter(_rate_col() < rate_bp)
+
+
+def hash_sample_sql(rate_bp: int, cols: str = "doc_id, source, n_chars") -> str:
+    return f"""
+SELECT {cols}
+FROM documents
+WHERE {_rate_sql()} < {rate_bp}
+"""
+
+
+def stratified_sample(docs: DataFrame, rates_bp: dict[str, int],
+                      default_bp: int = 0) -> DataFrame:
+    """Per-source sampling rates (basis points) — corpus re-weighting
+    by downsampling over-represented sources. Unlisted sources fall
+    back to ``default_bp``. Same zero-shuffle filter as hash_sample;
+    the rate map is a driver-side CASE expression (|sources| small)."""
+    rate = F.lit(default_bp)
+    for src, bp in sorted(rates_bp.items()):
+        if not 0 <= bp <= RATE_DEN:
+            raise ValueError(f"rate for {src!r} out of 0..10000")
+        rate = F.when(F.col("source") == src, F.lit(bp)).otherwise(rate)
+    return docs.filter(_rate_col() < rate)
+
+
+def stratified_sample_sql(rates_bp: dict[str, int], default_bp: int = 0,
+                          cols: str = "doc_id, source, n_chars") -> str:
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {bp}" for s, bp in sorted(rates_bp.items())
+    )
+    return f"""
+SELECT {cols}
+FROM documents
+WHERE {_rate_sql()} < (CASE {cases} ELSE {default_bp} END)
+"""
+
+
+def split_assign(docs: DataFrame, val_bp: int = 100,
+                 test_bp: int = 100) -> DataFrame:
+    """Train/val/test assignment by disjoint hash ranges:
+    ``[0, val_bp) -> val``, ``[val_bp, val_bp+test_bp) -> test``, rest
+    train. A document's split never changes as the corpus grows — the
+    property that keeps eval sets uncontaminated across pipeline runs."""
+    if val_bp + test_bp > RATE_DEN:
+        raise ValueError("val_bp + test_bp must be <= 10000")
+    r = _rate_col()
+    return docs.withColumn(
+        "split",
+        F.when(r < val_bp, F.lit("val"))
+        .when(r < val_bp + test_bp, F.lit("test"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def split_assign_sql(val_bp: int = 100, test_bp: int = 100,
+                     cols: str = "doc_id, source, n_chars") -> str:
+    return f"""
+SELECT {cols},
+       CASE WHEN {_rate_sql()} < {val_bp} THEN 'val'
+            WHEN {_rate_sql()} < {val_bp + test_bp} THEN 'test'
+            ELSE 'train' END AS split
+FROM documents
+"""
+
+
+def mix_sources(docs: DataFrame, quotas: dict[str, int]) -> DataFrame:
+    """Deterministic data mixture: take the first ``quotas[source]``
+    documents of each source in hash order (a uniform subsample, since
+    the hash order is independent of everything else) — the curriculum
+    /mixture-weights op of LLM corpus construction.
+
+    One window per the single (source) shuffle; rank carried in the
+    output so downstream interleave order is also deterministic."""
+    w = Window.partitionBy("source").orderBy(
+        _rate_col(), F.col("doc_id").cast("string")
+    )
+    quota = F.lit(None).cast("long")
+    for src, n in sorted(quotas.items()):
+        quota = F.when(F.col("source") == src, F.lit(n)).otherwise(quota)
+    return (
+        docs.withColumn("mix_rank", F.row_number().over(w))
+        .withColumn("_quota", quota)
+        .filter(F.col("_quota").isNotNull() & (F.col("mix_rank") <= F.col("_quota")))
+        .drop("_quota")
+    )
+
+
+def mix_sources_sql(quotas: dict[str, int],
+                    cols: str = "doc_id, source, n_chars") -> str:
+    cases = " ".join(f"WHEN source = '{s}' THEN {n}"
+                     for s, n in sorted(quotas.items()))
+    return f"""
+SELECT {cols}, mix_rank FROM (
+  SELECT {cols},
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_rate_sql()}, CAST(doc_id AS VARCHAR)
+         ) AS mix_rank
+  FROM documents
+)
+WHERE (CASE {cases} ELSE NULL END) IS NOT NULL
+  AND mix_rank <= (CASE {cases} ELSE NULL END)
+"""

@@ -302,7 +302,15 @@ def run_pipeline(
             except BaseException as e:  # re-raised on join
                 enc_err.append(e)
 
-        enc_thread = threading.Thread(
+        # InheritableThread, NOT threading.Thread: under py4j pinned
+        # thread mode (PySpark default) a plain thread's JVM-call can
+        # deadlock against the main thread's gateway connection
+        # (observed as an indefinite pre-submit hang on local-cluster);
+        # InheritableThread is the supported driver-side concurrency
+        # primitive and also propagates local properties / job groups.
+        from pyspark import InheritableThread
+
+        enc_thread = InheritableThread(
             target=_enc_bg, name="encode-overlap", daemon=True
         )
         enc_thread.start()

@@ -1,0 +1,65 @@
+"""Deterministic sampling / splitting / mixing (operators/sampling.py):
+rerun-stability, partition independence, and DuckDB oracle parity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyreshaper_spark.operators import sampling as SMP
+from tests.conftest import SF_SMOKE, ddb_rows_set, rows_set
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet").cache()
+
+
+def test_hash_sample_deterministic_and_layout_independent(docs):
+    a = rows_set(SMP.hash_sample(docs, 3000).select("doc_id"))
+    b = rows_set(SMP.hash_sample(docs.repartition(7), 3000).select("doc_id"))
+    assert a == b and 0 < len(a) < docs.count()
+
+
+def test_hash_sample_rate_monotone(docs):
+    small = rows_set(SMP.hash_sample(docs, 1000).select("doc_id"))
+    big = rows_set(SMP.hash_sample(docs, 5000).select("doc_id"))
+    assert small < big  # nested samples: rate increase only adds docs
+
+
+def test_split_assign_partitions_disjoint_and_stable(docs):
+    out = SMP.split_assign(docs, val_bp=1000, test_bp=1000)
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= {"train", "val", "test"}
+    assert sum(counts.values()) == docs.count()
+    # growing the corpus never reassigns an existing doc
+    sub = SMP.split_assign(docs.filter(F.col("doc_id") % 2 == 0),
+                           val_bp=1000, test_bp=1000)
+    full = {r["doc_id"]: r["split"] for r in out.collect()}
+    for r in sub.collect():
+        assert full[r["doc_id"]] == r["split"]
+
+
+def test_mix_sources_quota_and_uniformity(docs):
+    out = SMP.mix_sources(docs, {"src0": 10, "src1": 5})
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert got == {"src0": 10, "src1": 5}
+    ranks = sorted(r["mix_rank"] for r in
+                   out.filter(F.col("source") == "src0").collect())
+    assert ranks == list(range(1, 11))
+
+
+def test_sampling_matches_duckdb_oracle(docs, ddb):
+    pairs = [
+        (SMP.hash_sample(docs, 3000).select("doc_id", "source"),
+         "SELECT doc_id, source FROM (" + SMP.hash_sample_sql(3000) + ")"),
+        (SMP.split_assign(docs).select("doc_id", "split"),
+         "SELECT doc_id, split FROM (" + SMP.split_assign_sql() + ")"),
+        (SMP.mix_sources(docs, {"src2": 7}).select("doc_id", "mix_rank"),
+         "SELECT doc_id, mix_rank FROM ("
+         + SMP.mix_sources_sql({"src2": 7}) + ")"),
+    ]
+    for df, sql in pairs:
+        assert rows_set(df) == ddb_rows_set(ddb, sql, df.columns)
