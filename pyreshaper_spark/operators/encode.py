@@ -123,6 +123,17 @@ def _pack_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         if flat.size and (flat.min() < 0 or flat.max() > 0xFFFF):
             raise ValueError("token id out of uint16 range")
         lens = pc.list_value_length(tok).to_numpy(zero_copy_only=False)
+        # deferred input contract (validate_input(token_sizes="defer")):
+        # tokens are in memory here anyway — enforce n_tok == len(tokens)
+        # vectorized, instead of a second full-table scan in validate
+        if b.schema.get_field_index("n_tok") >= 0:
+            ntok = b.column("n_tok").to_numpy(zero_copy_only=False)
+            bad = int((lens != ntok).sum())
+            if bad:
+                raise ValueError(
+                    f"{bad} rows violate n_tok == size(tokens) "
+                    "(null tokens count as a mismatch)"
+                )
         off = np.zeros(len(lens) + 1, dtype=np.int32)
         np.cumsum(lens * 2, out=off[1:])
         data = flat.astype("<u2").tobytes()
@@ -299,6 +310,12 @@ def _encode_partition(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
                 raise ValueError("token id out of uint16 range")
             tdata = flat.astype("<u2").view(np.uint8)
             lens = pc.list_value_length(tok_col).to_numpy(zero_copy_only=False)
+            # deferred input contract (see _pack_batches): unpacked path
+            bad = int((lens != ntok).sum())
+            if bad:
+                raise ValueError(
+                    f"{bad} rows violate n_tok == size(tokens)"
+                )
             toff = np.zeros(len(lens) + 1, dtype=np.int64)
             np.cumsum(lens * 2, out=toff[1:])
         doc_col = b.column("doc_id")

@@ -94,19 +94,39 @@ def validate_report(seq: DataFrame) -> DataFrame:
     )
 
 
-def validate_input(seq: DataFrame) -> None:
+def validate_input(seq: DataFrame, token_sizes: str = "scan") -> None:
     """Full input gate: schema, nulls, doc_id uniqueness.
 
     One aggregate pass (partial+final, no groupBy shuffle for the null
     checks; count_distinct handles uniqueness) — the validation cost at
-    10^12 rows is a single scan, not three."""
+    10^12 rows is a single scan, not three.
+
+    ``token_sizes``:
+
+    * ``"scan"`` (default) — check ``n_tok == size(tokens)`` here. The
+      scan must then read the ``tokens`` column: ~95% of the table's
+      bytes, read ONLY for its lengths.
+    * ``"defer"`` — restrict this gate to the narrow columns (the scan
+      prunes ``tokens`` entirely — at 10^12 rows that turns validation
+      from a full-table read into a ~5% read) and leave the token-size
+      contract to the encode pass, which materializes every token
+      buffer anyway and raises on the first length mismatch
+      (operators.encode). Same rows checked, same failure class,
+      one less full-table scan.
+    """
     check_schema(seq)
+    if token_sizes not in ("scan", "defer"):
+        raise ValueError("token_sizes must be 'scan' or 'defer'")
     bad_cond = (
         F.col("doc_id").isNull()
-        | F.col("tokens").isNull()
         | F.col("source").isNull()
-        | (F.col("n_tok") != F.size("tokens"))
+        | F.col("n_tok").isNull()
+        | (F.col("n_tok") < 0)
     )
+    if token_sizes == "scan":
+        bad_cond = bad_cond | F.col("tokens").isNull() | (
+            F.col("n_tok") != F.size("tokens")
+        )
     # uniqueness fast path: count_distinct over the 64-bit doc_id hash
     # shuffles fixed-width ints instead of strings. If every hash is
     # distinct, every doc_id is PROVABLY distinct (equal ids ⇒ equal

@@ -214,8 +214,12 @@ def run_pipeline(
     # validate the data this run ingests: the full input on fresh /
     # overwrite / resume runs, ONLY the pending files on an append cycle
     # (a 10^12-row table is not rescanned per append; cross-batch doc_id
-    # uniqueness is enforced by the fidelity gate over the series table)
-    validate_input(seq if delta is None else delta)
+    # uniqueness is enforced by the fidelity gate over the series table).
+    # token_sizes="defer": the n_tok==size(tokens) contract is enforced
+    # inside the encode pass (which reads every token buffer anyway) so
+    # this gate scans only the narrow columns — tokens (~95% of bytes)
+    # never enters the validation read
+    validate_input(seq if delta is None else delta, token_sizes="defer")
     step_wall["validate"] = round(time.perf_counter() - t0, 3)
 
     # ---- salted transpose + encode (file-incremental, resumable) ------

@@ -43,3 +43,32 @@ def test_source_completeness(seq):
     V.check_source_completeness(seq, tier)
     with pytest.raises(V.ValidationError):
         V.check_source_completeness(seq, tier.filter(F.col("source") != "src1"))
+
+
+def test_defer_mode_prunes_tokens_and_encoder_enforces(seq):
+    from pyreshaper_spark.operators.encode import encode_series_table
+    from pyreshaper_spark.operators.transpose import transpose_to_series
+
+    broken = seq.withColumn(
+        "n_tok",
+        F.when(F.col("source") == "src1", F.col("n_tok") + 1).otherwise(
+            F.col("n_tok")
+        ),
+    )
+    # defer: the narrow gate passes (nulls/uniqueness fine) …
+    V.validate_input(broken, token_sizes="defer")
+    # … and the encode pass raises on the deferred size contract,
+    # on both the packed and the unpacked path
+    for pack in (True, False):
+        enc = encode_series_table(
+            transpose_to_series(broken, nsalt=2, num_partitions=4, pack=pack)
+        )
+        with pytest.raises(Exception, match="n_tok == size"):
+            enc.count()
+    # clean input encodes fine under the same paths
+    assert (
+        encode_series_table(
+            transpose_to_series(seq, nsalt=2, num_partitions=4, pack=True)
+        ).count()
+        > 0
+    )
