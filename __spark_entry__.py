@@ -319,6 +319,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tier_1h_pct"] = _q_pct
 
+    # production-scale sketch variant (t-digest approx_percentile) —
+    # engine-specific results, so no SQL oracle: rows-only driver check;
+    # accuracy is bounded against the exact op in pytest
+    def _q_pct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.rollup import bucket_percentiles_approx
+
+        return bucket_percentiles_approx(_seq(spark, sf_dir), 3600).select(
+            "source", "bucket_s",
+            F.col("cnt").cast("long").alias("cnt"),
+            "p25_n_tok", "p50_n_tok", "p75_n_tok",
+        )
+
+    q["tier_1h_pct_approx"] = _q_pct_approx
+
     # -- streaming tier-0 (availableNow over the static fixture) ------
     def _q_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Structured Streaming ingest run to completion (availableNow)

@@ -128,6 +128,33 @@ def bucket_percentiles(seq: DataFrame, width_s: int) -> DataFrame:
     )
 
 
+def bucket_percentiles_approx(
+    seq: DataFrame, width_s: int, accuracy: int = 10000
+) -> DataFrame:
+    """Production-scale percentile rollup: ``approx_percentile``
+    (t-digest-style sketch — mergeable map-side, O(accuracy) state per
+    group instead of O(rows)). The exact variant above is the oracle;
+    this is what a 10^12-row deployment runs on huge buckets. No SQL
+    oracle (sketch results are engine-specific); correctness is bounded
+    against the exact op in pytest."""
+    return (
+        seq.select("source", bucket_col(width_s), "n_tok")
+        .groupBy("source", "bucket_s")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.expr(
+                f"approx_percentile(n_tok, array(0.25, 0.5, 0.75), {accuracy})"
+            ).alias("pcts"),
+        )
+        .select(
+            "source", "bucket_s", "cnt",
+            F.col("pcts")[0].alias("p25_n_tok"),
+            F.col("pcts")[1].alias("p50_n_tok"),
+            F.col("pcts")[2].alias("p75_n_tok"),
+        )
+    )
+
+
 def bucket_percentiles_sql(width_s: int) -> str:
     """DuckDB twin of :func:`bucket_percentiles` (over the `sequences`
     CTE the tier oracles already build)."""

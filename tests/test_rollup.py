@@ -99,3 +99,19 @@ def test_bucket_percentiles_match_numpy(seq):
         v = np.array(sorted(vals), dtype=np.float64)
         exp = tuple(np.quantile(v, q) for q in (0.25, 0.5, 0.75))
         assert got[k] == exp, (k, got[k], exp)
+
+
+def test_bucket_percentiles_approx_tracks_exact(seq):
+    from pyreshaper_spark.operators.rollup import (
+        bucket_percentiles,
+        bucket_percentiles_approx,
+    )
+
+    exact = {(r["source"], r["bucket_s"]): r["p50_n_tok"]
+             for r in bucket_percentiles(seq, 3600).collect()}
+    approx = {(r["source"], r["bucket_s"]): r["p50_n_tok"]
+              for r in bucket_percentiles_approx(seq, 3600).collect()}
+    assert set(exact) == set(approx)
+    for k in exact:
+        # t-digest at high accuracy: within 5% of the exact median
+        assert abs(approx[k] - exact[k]) <= max(0.05 * exact[k], 1.0), k

@@ -186,13 +186,17 @@ excluded). Input: deterministic `sequences` fixture from
 
 All executors still share ONE memory bus and ONE disk — a real 4N
 cluster multiplies those with the nodes; these figures are therefore a
-LOWER bound on real executor scaling. Per-step measurements show the
-data-proportional phases scale near-linearly with executors (validate
-~0.95+, salted-transpose+Gorilla-encode ~0.85+, tier-0 aggregate
-similar); the residual gap is a fixed ~5-7 s of driver-side
-commit/read-back latency across the 9 small tier/gap-fill steps, which
-is size-independent and amortizes away as input grows (and on a real
-cluster is hidden behind executor-side work).
+LOWER bound on real executor scaling. Job shape at measurement time:
+the input gate scans only the narrow columns (token-size contract
+enforced inside the encode pass — `validate_input(token_sizes=
+"defer")`), and the tier cascade's 9 small commits run CONCURRENTLY
+with the encode stage from a second driver thread (`RunConfig.
+overlap`), so the size-independent driver-commit latency no longer
+adds serial wall time. What remains on the critical path is
+data-proportional executor work: the validate/tier-0 scans and the
+salted-transpose + Gorilla-encode stage (one range exchange + the
+mapInArrow encoder). Step walls recorded in `BENCH/run_execs_*.json`
+(encode's wall overlaps the tier steps' by construction).
 
 - Gorilla+DoD+tok-pack encode: {best['raw_bytes']:,} raw →
   {best['enc_bytes']:,} encoded bytes
