@@ -215,6 +215,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.read.parquet(f"{sf_dir}/events.parquet")
 
     q["events_rollup_5m"] = lambda s, d: EV.events_rollup(_events(s, d))
+
+    def _q_events_in_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.rangejoin import events_in_sessions
+
+        r = events_in_sessions(_events(spark, sf_dir))
+        return r.select(
+            "user_id",
+            F.col("session_idx").cast("long").alias("session_idx"),
+            F.col("n_joined").cast("long").alias("n_joined"),
+            "min_ep", "max_ep",
+        )
+
+    q["events_in_sessions"] = _q_events_in_sessions
     q["events_sessions"] = lambda s, d: EV.sessionize(_events(s, d))
     q["events_props"] = lambda s, d: EV.extract_props(_events(s, d))
 
@@ -484,6 +497,10 @@ SELECT source, count(*) AS n_docs FROM sequences GROUP BY 1
 
     o["events_rollup_5m"] = EV.events_rollup_sql()
     o["events_sessions"] = EV.sessionize_sql()
+
+    from pyreshaper_spark.operators.rangejoin import events_in_sessions_sql
+
+    o["events_in_sessions"] = events_in_sessions_sql()
     o["events_props"] = EV.EXTRACT_PROPS_SQL
 
     from pyreshaper_spark.operators.asof import asof_join_sql, topk_per_series_sql

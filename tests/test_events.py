@@ -38,3 +38,28 @@ def test_extract_props(ev):
     r = EV.extract_props(ev)
     assert r.filter(F.col("k").isNull()).count() == 0
     assert r.count() == ev.count()
+
+
+def test_interval_join_no_nested_loop_and_session_parity(spark, ev):
+    """Range join: bucketed equi-join shape (no BroadcastNestedLoopJoin
+    / CartesianProduct in the plan) and exact parity with sessionize's
+    per-session counts and bounds."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyreshaper_spark.operators.events import sessionize
+    from pyreshaper_spark.operators.rangejoin import events_in_sessions
+
+    joined = events_in_sessions(ev)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    sess = {(r["user_id"], r["session_idx"]): (r["n_events"], r["first_ep"], r["last_ep"])
+            for r in sessionize(ev).collect()}
+    got = {(r["user_id"], r["session_idx"]): (r["n_joined"], r["min_ep"], r["max_ep"])
+           for r in joined.collect()}
+    assert got == sess
