@@ -89,8 +89,10 @@ def run_bench(sf_dir: str, cpus: int, repeat: int = 1) -> dict:
         return tiers, pts, time.perf_counter() - t0
 
     # Min over PASSES timed executions per query: run-to-run spread on
-    # this shared VM is ±20%, and min-of-k is the standard noise floor.
-    passes = int(os.environ.get("SPARK_GRAFT_PASSES", "2"))
+    # this shared VM is ±20%, and min-of-k is the standard noise floor
+    # (3 passes: the floor typically appears on pass 2-3 after page
+    # cache + JIT settle; costs ~3 s extra at sf0.1).
+    passes = int(os.environ.get("SPARK_GRAFT_PASSES", "3"))
 
     warm_tiers, _, _ = run_cascade()
     for w in widths:
