@@ -93,20 +93,12 @@ def unpack_tokens_u16(payload: bytes) -> np.ndarray:
 #: token-payload codec flags (first byte of tok_payload)
 _TOK_RAW, _TOK_ZLIB = b"\x00", b"\x01"
 
-#: deflate level for the token layer. Measured on the real fixture
-#: token streams: level 1 = 2.41x at 73 MB/s/core vs level 6 = 2.45x
-#: at 13 MB/s/core — repetitive token text gets nothing from the
-#: deeper match search, and at corpus scale the zlib layer was ~half
-#: the encode stage's CPU. The flag byte keeps the format
-#: self-describing, so stored data from any level decodes unchanged.
-TOK_ZLIB_LEVEL = 1
-
 
 def wrap_tok_payload(raw_u16: bytes) -> bytes:
     """Flag-byte token payload: zlib-deflate when it actually helps
     (token streams over natural text repeat heavily; random-id streams
     don't — the flag keeps the worst case at +1 byte)."""
-    z = zlib.compress(raw_u16, TOK_ZLIB_LEVEL)
+    z = zlib.compress(raw_u16, 6)
     if len(z) < len(raw_u16):
         return _TOK_ZLIB + z
     return _TOK_RAW + raw_u16
