@@ -285,3 +285,31 @@ def test_overlap_mode_equals_sequential(spark, seq_path, tmp_path):
     # overlapped run still checkpoints every step (resume-safe)
     r3 = run_pipeline(spark, ovl_cfg, str(tmp_path / "ck2.json"))
     assert r3.steps_run == [] and "encode" in r3.steps_skipped
+
+
+def test_overlap_resume_after_partial_sequential_run(spark, seq_path, tmp_path):
+    """A run killed mid-cascade (stop_after hook) must resume cleanly in
+    overlap mode: committed steps skip, the rest (incl. encode on the
+    second thread) complete, and the result equals a clean run."""
+    cfg = RunConfig(
+        input_path=seq_path, output_path=str(tmp_path / "out"),
+        tiers=TIERS, nsalt=2, num_series_partitions=4, overlap=True,
+    )
+    ck = str(tmp_path / "ck.json")
+    # overlap is ignored when stop_after is set (sequential semantics)
+    r1 = run_pipeline(spark, cfg, ck, stop_after="tier_1m")
+    assert "encode" not in r1.steps_run
+    r2 = run_pipeline(spark, cfg, ck)
+    assert "tier_1m" in r2.steps_skipped and "encode" in r2.steps_run
+    # clean-run parity
+    clean = cfg.with_(output_path=str(tmp_path / "clean"))
+    run_pipeline(spark, clean, str(tmp_path / "ck2.json"))
+    a, b = IcebergLite(cfg.output_path), IcebergLite(clean.output_path)
+    for t in ["tier_1m", "tier_10m", "tier_10m_filled"]:
+        assert ({tuple(r) for r in a.read(spark, t).collect()}
+                == {tuple(r) for r in b.read(spark, t).collect()}), t
+    enc = lambda c: sorted(
+        (r["source"], r["salt"], r["n"])
+        for r in c.read(spark, "series_enc").select("source", "salt", "n").collect()
+    )
+    assert enc(a) == enc(b)

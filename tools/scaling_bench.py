@@ -66,7 +66,8 @@ MEM_PER_EXEC_MB = 16384
 
 
 def run_once(
-    execs: int, seq_path: str, workdir: str, zpath: str, runs: int = 3
+    execs: int, seq_path: str, workdir: str, zpath: str, runs: int = 3,
+    mem_mb: int = MEM_PER_EXEC_MB,
 ) -> dict:
     """One measurement: `execs` separate executor JVMs (local-cluster
     mode — per-executor heap + Python worker pool, the faithful
@@ -90,7 +91,7 @@ def run_once(
         overlap=True,
     ).write(cfgp)
     ckpt = os.path.join(workdir, f"ckpt_{label}.json")
-    master = f"local-cluster[{execs},{CORES_PER_EXEC},{MEM_PER_EXEC_MB}]"
+    master = f"local-cluster[{execs},{CORES_PER_EXEC},{mem_mb}]"
     cmd = [
         "spark-submit",
         "--master", master,
@@ -229,6 +230,11 @@ def main() -> None:
     )
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument(
+        "--mem-mb", type=int, default=MEM_PER_EXEC_MB,
+        help="per-executor heap MB (use 8192 for pairs that include an "
+        "8-executor leg — 8 x 16 GiB exceeds the sandbox's RAM)",
+    )
+    ap.add_argument(
         "--input", default=None,
         help="reuse a prebuilt sequences fixture (skips prepare_input); "
         "lets legs run as separate serialized invocations on an "
@@ -251,7 +257,10 @@ def main() -> None:
         zpath = make_pyfiles_zip(workdir)
         seq_path = args.input or prepare_input(args.sf_dir, args.repeat, workdir)
         for e in sorted(args.execs, reverse=True):
-            t = run_once(e, seq_path, workdir, zpath, runs=args.runs)
+            t = run_once(
+                e, seq_path, workdir, zpath, runs=args.runs,
+                mem_mb=args.mem_mb,
+            )
             with open(os.path.join(bench_dir, f"run_execs_{e}.json"), "w") as f:
                 json.dump(t, f)
         # report over every per-exec result present (this + prior
