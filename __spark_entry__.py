@@ -346,6 +346,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tier_1h_pct_approx"] = _q_pct_approx
 
+    # -- OHLC rollup (gauge semantics, cascaded 1m→10m→1h) ------------
+    def _q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Spark side CASCADES (1m tier-0 → 10m → 1h) while the oracle
+        computes 1h directly from raw rows — equality proves the OHLC
+        cascade is exact, not just the tier-0 aggregate."""
+        from pyreshaper_spark.operators.rollup import (
+            ohlc_cascade,
+            ohlc_finish,
+            rollup_ohlc,
+        )
+
+        t = rollup_ohlc(_seq(spark, sf_dir), 60)
+        for w in (600, 3600):
+            t = ohlc_cascade(t, w)
+        return ohlc_finish(t)
+
+    q["tier_1h_ohlc"] = _q_ohlc
+
+    # -- histogram rollup (cascaded: 10m/bin25 → 1h/bin50) ------------
+    def _q_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.rollup import (
+            bucket_histogram,
+            histogram_cascade,
+        )
+
+        fine = bucket_histogram(_seq(spark, sf_dir), 600, 25)
+        return histogram_cascade(fine, 3600, 50).select(
+            "source", "bucket_s", "bin_lo",
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+
+    q["hist_1h"] = _q_hist
+
+    # -- distinct-cardinality rollup (exact + HLL sketch) -------------
+    def _q_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.rollup import bucket_ndv
+
+        return bucket_ndv(_seq(spark, sf_dir), 3600).select(
+            "source", "bucket_s",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("ndv_n_tok").cast("long").alias("ndv_n_tok"),
+        )
+
+    q["tier_1h_ndv"] = _q_ndv
+
+    # HLL production path — engine-specific estimates, rows-only check;
+    # error bounded vs the exact op in pytest
+    def _q_ndv_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.rollup import bucket_ndv_approx
+
+        return bucket_ndv_approx(_seq(spark, sf_dir), 3600).select(
+            "source", "bucket_s",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("ndv_n_tok").cast("long").alias("ndv_n_tok"),
+        )
+
+    q["tier_1h_ndv_approx"] = _q_ndv_approx
+
+    # -- time-weighted average over the gappy 10m tier ----------------
+    def _q_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.gapfill import time_weighted
+
+        seq = _seq(spark, sf_dir, variant="gappy")
+        tier = rollup_all_tiers(seq, [60, 600])[600]
+        return time_weighted(tier, 600, 3600)
+
+    q["twa_1h"] = _q_twa
+
+    # -- gap detection over the gappy 10m tier ------------------------
+    def _q_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.gapfill import detect_gaps
+
+        seq = _seq(spark, sf_dir, variant="gappy")
+        tier = rollup_all_tiers(seq, [60, 600])[600]
+        return detect_gaps(tier, 600)
+
+    q["gaps_10m"] = _q_gaps
+
     # -- streaming tier-0 (availableNow over the static fixture) ------
     def _q_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Structured Streaming ingest run to completion (availableNow)
@@ -487,6 +565,27 @@ SELECT source, count(*) AS n_docs FROM sequences GROUP BY 1
     o["tier_1h_pct"] = (
         f"WITH {seq_cte('base')}\n" + bucket_percentiles_sql(3600)
     )
+    from pyreshaper_spark.operators.gapfill import (
+        detect_gaps_sql,
+        time_weighted_sql,
+    )
+    from pyreshaper_spark.operators.rollup import (
+        histogram_sql,
+        ndv_sql,
+        ohlc_sql,
+    )
+
+    o["tier_1h_ohlc"] = f"WITH {seq_cte('base')}\n" + ohlc_sql(3600)
+    o["hist_1h"] = f"WITH {seq_cte('base')}\n" + histogram_sql(3600, 50)
+    o["tier_1h_ndv"] = f"WITH {seq_cte('base')}\n" + ndv_sql(3600)
+    _GAPPY_T10 = (
+        f"WITH {seq_cte('gappy')},\n"
+        "t10 AS (SELECT source, (event_s // 600) * 600 AS bucket_s, "
+        "CAST(sum(n_tok) AS BIGINT) AS sum_n_tok "
+        "FROM sequences GROUP BY 1, 2)\n"
+    )
+    o["twa_1h"] = _GAPPY_T10 + time_weighted_sql("t10", 600, 3600)
+    o["gaps_10m"] = _GAPPY_T10 + detect_gaps_sql("t10", 600)
     o["tier_1h_retention"] = (
         f"WITH {seq_cte('base')},\n"
         f"tier AS ({_TIER_AGG.format(w=3600)})\n"

@@ -250,3 +250,120 @@ SELECT source, bucket_s, {value_col},
 FROM {relation}
 WINDOW w AS (PARTITION BY source ORDER BY bucket_s)
 """
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average — irregular samples → duration-weighted rollup
+# --------------------------------------------------------------------------
+
+def time_weighted(
+    tier: DataFrame,
+    fine_w: int,
+    coarse_w: int,
+    value_col: str = "sum_n_tok",
+) -> DataFrame:
+    """Time-weighted average of a (possibly gappy) fine tier into coarse
+    buckets — the TimescaleDB ``time_weight``/``average`` analog with
+    LOCF (step-function) semantics.
+
+    Each fine-tier point holds its value from ``bucket_s`` until the
+    next point of the same source, clamped to the end of the point's
+    coarse bucket (segments never bleed across the coarse boundary; a
+    source's last point holds for one fine width). Output is the EXACT
+    integer rational ``(tw_num, tw_den)`` = (Σ value·dt, Σ dt) so the
+    oracle compare has no float division; consumers divide.
+
+    One lag-family window (lead over (source, bucket_s)) + one hash
+    aggregate — same shuffle count as :func:`rate_delta`, so it scales
+    identically: the window partitions by source, the aggregate by
+    (source, coarse bucket).
+    """
+    w = Window.partitionBy("source").orderBy("bucket_s")
+    b = F.col("bucket_s")
+    coarse = (b / coarse_w).cast("long") * coarse_w
+    hold_until = F.least(
+        F.coalesce(F.lead("bucket_s").over(w), b + fine_w),
+        coarse + coarse_w,
+    )
+    v = F.col(value_col)
+    return (
+        tier.select(
+            "source",
+            coarse.alias("cbucket_s"),
+            v.alias("v"),
+            (hold_until - b).cast("long").alias("dt"),
+        )
+        .groupBy("source", F.col("cbucket_s").alias("bucket_s"))
+        .agg(
+            (F.sum(F.col("v") * F.col("dt"))).cast("long").alias("tw_num"),
+            F.sum("dt").cast("long").alias("tw_den"),
+        )
+    )
+
+
+def time_weighted_sql(
+    relation: str, fine_w: int, coarse_w: int, value_col: str = "sum_n_tok"
+) -> str:
+    """DuckDB twin of :func:`time_weighted` over a named relation."""
+    return f"""
+SELECT source, bucket_s,
+       CAST(sum(v * dt) AS BIGINT) AS tw_num,
+       CAST(sum(dt) AS BIGINT)     AS tw_den
+FROM (
+  SELECT source,
+         (bucket_s // {coarse_w}) * {coarse_w} AS bucket_s,
+         {value_col}                           AS v,
+         least(coalesce(lead(bucket_s) OVER (PARTITION BY source
+                                             ORDER BY bucket_s),
+                        bucket_s + {fine_w}),
+               (bucket_s // {coarse_w}) * {coarse_w} + {coarse_w})
+         - bucket_s                            AS dt
+  FROM {relation}
+)
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Gap detection — report missing-bucket runs instead of filling them
+# --------------------------------------------------------------------------
+
+def detect_gaps(tier: DataFrame, width_s: int) -> DataFrame:
+    """Missing-bucket runs per source in a tier: one row per gap with
+    ``gap_start`` (first missing bucket), ``gap_end`` (first present
+    bucket after the run, exclusive) and ``n_missing``. The monitoring
+    face of gap-fill — report holes rather than patching them.
+
+    Same single lag window as :func:`rate_delta`; the filter keeps only
+    boundary rows so output is O(gaps), never O(buckets).
+    """
+    w = Window.partitionBy("source").orderBy("bucket_s")
+    prev = F.lag("bucket_s").over(w)
+    return (
+        tier.select("source", "bucket_s", prev.alias("prev_s"))
+        .filter(F.col("bucket_s") - F.col("prev_s") > width_s)
+        .select(
+            "source",
+            (F.col("prev_s") + width_s).cast("long").alias("gap_start"),
+            F.col("bucket_s").cast("long").alias("gap_end"),
+            ((F.col("bucket_s") - F.col("prev_s")) / width_s - 1)
+            .cast("long")
+            .alias("n_missing"),
+        )
+    )
+
+
+def detect_gaps_sql(relation: str, width_s: int) -> str:
+    """DuckDB twin of :func:`detect_gaps` over a named relation."""
+    return f"""
+SELECT source,
+       CAST(prev_s + {width_s} AS BIGINT)                  AS gap_start,
+       CAST(bucket_s AS BIGINT)                            AS gap_end,
+       CAST((bucket_s - prev_s) // {width_s} - 1 AS BIGINT) AS n_missing
+FROM (
+  SELECT source, bucket_s,
+         lag(bucket_s) OVER (PARTITION BY source ORDER BY bucket_s) AS prev_s
+  FROM {relation}
+)
+WHERE bucket_s - prev_s > {width_s}
+"""

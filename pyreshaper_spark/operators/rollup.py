@@ -182,3 +182,204 @@ def rollup_all_tiers(seq: DataFrame, widths: list[int]) -> dict[int, DataFrame]:
         prev = rollup_tier0(seq, w) if prev is None else rollup_cascade(prev, w)
         tiers[w] = prev
     return tiers
+
+# --------------------------------------------------------------------------
+# OHLC (open/high/low/close) rollup — candlestick-style continuous aggregate
+# --------------------------------------------------------------------------
+
+#: Packing base for (event_s, n_tok) → one BIGINT order key. n_tok is a
+#: non-negative int32 (< 2^31) and event_s ≤ EPOCH0 + HORIZON_S ≈ 1.7e9,
+#: so event_s * 2^31 + n_tok < 2^62 — no int64 overflow, and the packed
+#: key orders lexicographically by (event_s, n_tok). The n_tok tiebreak
+#: makes open/close DETERMINISTIC when several rows share a timestamp
+#: (min_by/arg_max break such ties arbitrarily — and differently across
+#: engines — so they cannot be oracle-compared).
+OHLC_PACK = 1 << 31
+
+
+def rollup_ohlc(seq: DataFrame, width_s: int) -> DataFrame:
+    """Tier-0 OHLC aggregate: first/last/min/max of ``n_tok`` per
+    (source, bucket) — the gauge-semantics companion to
+    :func:`rollup_tier0` (which is counter-semantics count/sum/min/max).
+
+    Storage keeps packed ``o_key``/``c_key`` (not unpacked open/close)
+    because min/max over the packed key is what makes the cascade exact:
+    ``open(coarse) = unpack(min(o_key over fine buckets))`` — plain
+    associative min/max, so tier k+1 never rescans raw data and Spark
+    runs partial+final hash aggregation with O(groups) shuffle volume.
+    Use :func:`ohlc_finish` to project user-facing columns.
+    """
+    packed = (F.col("event_s") * OHLC_PACK + F.col("n_tok")).cast("long")
+    return (
+        seq.select("source", bucket_col(width_s), packed.alias("pk"), "n_tok")
+        .groupBy("source", "bucket_s")
+        .agg(
+            F.min("pk").alias("o_key"),
+            F.max("pk").alias("c_key"),
+            F.min("n_tok").alias("lo"),
+            F.max("n_tok").alias("hi"),
+        )
+    )
+
+
+def ohlc_cascade(prev: DataFrame, width_s: int) -> DataFrame:
+    """OHLC tier k+1 from tier k — exact: earliest fine-bucket open IS
+    the coarse open (packed keys order by time first)."""
+    return (
+        prev.select(
+            "source",
+            ((F.col("bucket_s") / width_s).cast("long") * width_s).alias(
+                "bucket_s"
+            ),
+            "o_key", "c_key", "lo", "hi",
+        )
+        .groupBy("source", "bucket_s")
+        .agg(
+            F.min("o_key").alias("o_key"),
+            F.max("c_key").alias("c_key"),
+            F.min("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+        )
+    )
+
+
+def ohlc_finish(tier: DataFrame) -> DataFrame:
+    """Unpack the stored keys into user-facing OHLC columns."""
+    o, c = F.col("o_key"), F.col("c_key")
+    return tier.select(
+        "source",
+        F.col("bucket_s").cast("long").alias("bucket_s"),
+        (o / OHLC_PACK).cast("long").alias("open_s"),
+        (o % OHLC_PACK).cast("long").alias("open_n_tok"),
+        (c / OHLC_PACK).cast("long").alias("close_s"),
+        (c % OHLC_PACK).cast("long").alias("close_n_tok"),
+        F.col("lo").cast("long").alias("min_n_tok"),
+        F.col("hi").cast("long").alias("max_n_tok"),
+    )
+
+
+def ohlc_sql(width_s: int) -> str:
+    """DuckDB twin of ``ohlc_finish(rollup_ohlc(seq, width_s))`` —
+    computed DIRECTLY from raw rows, so comparing it against a Spark
+    side that cascades through finer tiers proves cascade exactness."""
+    p = OHLC_PACK
+    return f"""
+SELECT source,
+       (event_s // {width_s}) * {width_s}                    AS bucket_s,
+       min(event_s * {p} + n_tok) // {p}                     AS open_s,
+       min(event_s * {p} + n_tok) % {p}                      AS open_n_tok,
+       max(event_s * {p} + n_tok) // {p}                     AS close_s,
+       max(event_s * {p} + n_tok) % {p}                      AS close_n_tok,
+       CAST(min(n_tok) AS BIGINT)                            AS min_n_tok,
+       CAST(max(n_tok) AS BIGINT)                            AS max_n_tok
+FROM sequences
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Histogram rollup — n_tok distribution over time (heatmap support)
+# --------------------------------------------------------------------------
+
+def bucket_histogram(seq: DataFrame, width_s: int, bin_w: int) -> DataFrame:
+    """Fixed-width histogram of ``n_tok`` per (source, time bucket):
+    one row per (source, bucket_s, bin_lo) with the row count falling in
+    ``[bin_lo, bin_lo + bin_w)``. The distribution-over-time rollup
+    behind latency heatmaps — exact integers, trivially mergeable.
+
+    Scale: group count is O(sources × buckets × occupied bins); the
+    partial aggregate collapses input partitions before the exchange
+    exactly like :func:`rollup_tier0`.
+    """
+    return (
+        seq.select(
+            "source",
+            bucket_col(width_s),
+            ((F.col("n_tok") / bin_w).cast("long") * bin_w).alias("bin_lo"),
+        )
+        .groupBy("source", "bucket_s", "bin_lo")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def histogram_cascade(
+    prev: DataFrame, width_s: int, bin_w: int
+) -> DataFrame:
+    """Coarser histogram tier from a finer one: re-bucket time AND
+    re-bin values (the fine ``bin_w`` must divide the coarse one —
+    floor(floor(x/a)*a / b)*b == floor(x/b)*b when a | b), then sum
+    counts. Exact; never rescans raw data."""
+    return (
+        prev.select(
+            "source",
+            ((F.col("bucket_s") / width_s).cast("long") * width_s).alias(
+                "bucket_s"
+            ),
+            ((F.col("bin_lo") / bin_w).cast("long") * bin_w).alias("bin_lo"),
+            "cnt",
+        )
+        .groupBy("source", "bucket_s", "bin_lo")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def histogram_sql(width_s: int, bin_w: int) -> str:
+    """DuckDB twin of :func:`bucket_histogram`, direct from raw rows."""
+    return f"""
+SELECT source,
+       (event_s // {width_s}) * {width_s} AS bucket_s,
+       (n_tok // {bin_w}) * {bin_w}       AS bin_lo,
+       count(*)                           AS cnt
+FROM sequences
+GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
+# Distinct-cardinality rollup (exact + HLL sketch production path)
+# --------------------------------------------------------------------------
+
+def bucket_ndv(seq: DataFrame, width_s: int) -> DataFrame:
+    """Exact distinct count of ``n_tok`` values per (source, bucket) —
+    the cardinality rollup (how many distinct sequence lengths arrived
+    this hour). Exact ``count(DISTINCT …)`` is a two-phase aggregate in
+    Spark (partial distinct per partition, then merge) — fine at tier
+    granularity; for huge buckets use :func:`bucket_ndv_approx`."""
+    return (
+        seq.select("source", bucket_col(width_s), "n_tok")
+        .groupBy("source", "bucket_s")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.countDistinct("n_tok").alias("ndv_n_tok"),
+        )
+    )
+
+
+def bucket_ndv_approx(
+    seq: DataFrame, width_s: int, rsd: float = 0.02
+) -> DataFrame:
+    """Production-scale cardinality: ``approx_count_distinct``
+    (HyperLogLog++ — O(1/rsd²) state per group, mergeable map-side;
+    exact distinct shuffles every distinct value). Engine-specific
+    results → no SQL oracle; error is bounded against the exact op in
+    pytest."""
+    return (
+        seq.select("source", bucket_col(width_s), "n_tok")
+        .groupBy("source", "bucket_s")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.approx_count_distinct("n_tok", rsd).alias("ndv_n_tok"),
+        )
+    )
+
+
+def ndv_sql(width_s: int) -> str:
+    """DuckDB twin of :func:`bucket_ndv`."""
+    return f"""
+SELECT source,
+       (event_s // {width_s}) * {width_s} AS bucket_s,
+       count(*)                           AS cnt,
+       count(DISTINCT n_tok)              AS ndv_n_tok
+FROM sequences
+GROUP BY 1, 2
+"""

@@ -72,3 +72,61 @@ def test_rate_delta_lag_semantics(gappy_tier):
         assert cur["dt_s"] == cur["bucket_s"] - prev["bucket_s"]
         # gappy fixture: some gaps are wider than one bucket
     assert any(r["dt_s"] and r["dt_s"] > 60 for r in rows[1:])
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average + gap detection
+# --------------------------------------------------------------------------
+
+def test_time_weighted_semantics(spark):
+    """Hand-computed LOCF-weighted average on an irregular series:
+    segments clamp at the coarse-bucket boundary; the last point of a
+    source holds for one fine width."""
+    from pyreshaper_spark.operators.gapfill import time_weighted
+
+    rows = [
+        # src1, coarse bucket 0 (width 100, fine width 10)
+        ("src1", 0, 5),     # holds [0, 30) → dt 30
+        ("src1", 30, 7),    # holds [30, 100) clamp at 100 → dt 70
+        ("src1", 110, 9),   # last point → dt 10 (one fine width)
+        ("src2", 95, 4),    # holds [95, 100) clamp → dt 5
+    ]
+    tier = spark.createDataFrame(rows, "source string, bucket_s long, sum_n_tok long")
+    out = {
+        (r.source, r.bucket_s): (r.tw_num, r.tw_den)
+        for r in time_weighted(tier, 10, 100).collect()
+    }
+    assert out == {
+        ("src1", 0): (5 * 30 + 7 * 70, 100),
+        ("src1", 100): (9 * 10, 10),
+        ("src2", 0): (4 * 5, 5),
+    }
+
+
+def test_detect_gaps_finds_exact_runs(spark):
+    from pyreshaper_spark.operators.gapfill import detect_gaps
+
+    rows = [("a", 0), ("a", 600), ("a", 2400), ("a", 3000), ("b", 0), ("b", 1200)]
+    tier = spark.createDataFrame(rows, "source string, bucket_s long")
+    got = {
+        (r.source, r.gap_start, r.gap_end, r.n_missing)
+        for r in detect_gaps(tier, 600).collect()
+    }
+    assert got == {("a", 1200, 2400, 2), ("b", 600, 1200, 1)}
+
+
+def test_detect_gaps_matches_gapfill_filled_count(spark):
+    """Invariant vs gap-fill: total missing buckets reported by
+    detect_gaps == number of spine rows gapfill marks filled."""
+    from pyreshaper_spark.fixtures import sequences_df
+    from pyreshaper_spark.operators.gapfill import detect_gaps, gapfill
+    from pyreshaper_spark.operators.rollup import rollup_all_tiers
+    from tests.conftest import SF_SMOKE
+
+    seq = sequences_df(spark, SF_SMOKE, variant="gappy")
+    tier = rollup_all_tiers(seq, [60, 600])[600]
+    n_missing = (
+        detect_gaps(tier, 600).agg(F.sum("n_missing")).collect()[0][0]
+    )
+    n_filled = gapfill(tier, 600).filter("filled").count()
+    assert n_missing == n_filled

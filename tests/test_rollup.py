@@ -115,3 +115,83 @@ def test_bucket_percentiles_approx_tracks_exact(seq):
     for k in exact:
         # t-digest at high accuracy: within 5% of the exact median
         assert abs(approx[k] - exact[k]) <= max(0.05 * exact[k], 1.0), k
+
+
+# --------------------------------------------------------------------------
+# OHLC / histogram / NDV rollups
+# --------------------------------------------------------------------------
+
+OHLC_COLS = [
+    "source", "bucket_s", "open_s", "open_n_tok",
+    "close_s", "close_n_tok", "min_n_tok", "max_n_tok",
+]
+
+
+def test_ohlc_cascade_equals_direct(seq):
+    """OHLC cascaded 1m→10m→1h equals OHLC computed directly at 1h —
+    the packed-key min/max makes first/last associative."""
+    from pyreshaper_spark.operators.rollup import (
+        ohlc_cascade,
+        ohlc_finish,
+        rollup_ohlc,
+    )
+
+    t = rollup_ohlc(seq, 60)
+    for w in (600, 3600):
+        t = ohlc_cascade(t, w)
+    cascaded = rows_set(ohlc_finish(t), OHLC_COLS)
+    direct = rows_set(ohlc_finish(rollup_ohlc(seq, 3600)), OHLC_COLS)
+    assert cascaded == direct
+
+
+def test_ohlc_open_close_are_boundary_rows(seq):
+    """open is the value at the bucket's earliest event (min n_tok on
+    timestamp ties), close at its latest (max n_tok on ties)."""
+    from pyreshaper_spark.operators.rollup import ohlc_finish, rollup_ohlc
+
+    out = ohlc_finish(rollup_ohlc(seq, 3600))
+    rows = seq.select(
+        "source",
+        ((F.col("event_s") / 3600).cast("long") * 3600).alias("bucket_s"),
+        "event_s", "n_tok",
+    ).collect()
+    by_bucket: dict[tuple, list] = {}
+    for r in rows:
+        by_bucket.setdefault((r.source, r.bucket_s), []).append(
+            (r.event_s, r.n_tok)
+        )
+    for r in out.collect():
+        pts = sorted(by_bucket[(r.source, r.bucket_s)])
+        assert (r.open_s, r.open_n_tok) == pts[0]
+        assert (r.close_s, r.close_n_tok) == pts[-1]
+        assert r.min_n_tok == min(p[1] for p in pts)
+        assert r.max_n_tok == max(p[1] for p in pts)
+
+
+def test_histogram_cascade_and_conservation(seq):
+    """Re-binned/re-bucketed histogram equals the direct coarse one, and
+    every input row lands in exactly one (bucket, bin) cell."""
+    from pyreshaper_spark.operators.rollup import (
+        bucket_histogram,
+        histogram_cascade,
+    )
+
+    cols = ["source", "bucket_s", "bin_lo", "cnt"]
+    fine = bucket_histogram(seq, 600, 25)
+    casc = histogram_cascade(fine, 3600, 50)
+    direct = bucket_histogram(seq, 3600, 50)
+    assert rows_set(casc, cols) == rows_set(direct, cols)
+    assert casc.agg(F.sum("cnt")).collect()[0][0] == seq.count()
+
+
+def test_ndv_approx_error_bounded(seq):
+    """HLL estimate within 3×rsd of the exact distinct count per group."""
+    from pyreshaper_spark.operators.rollup import bucket_ndv, bucket_ndv_approx
+
+    exact = {
+        (r.source, r.bucket_s): r.ndv_n_tok
+        for r in bucket_ndv(seq, 3600).collect()
+    }
+    for r in bucket_ndv_approx(seq, 3600, rsd=0.02).collect():
+        e = exact[(r.source, r.bucket_s)]
+        assert abs(r.ndv_n_tok - e) <= max(2, 0.06 * e), (r.source, r.bucket_s)
