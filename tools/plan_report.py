@@ -189,6 +189,48 @@ def main() -> None:
         ],
     ))
 
+    # 7. OHLC cascade / histogram / NDV / TWA (round-2 additions)
+    from pyreshaper_spark.operators.gapfill import time_weighted
+    from pyreshaper_spark.operators.rollup import (
+        bucket_histogram,
+        histogram_cascade,
+        ohlc_cascade,
+        rollup_ohlc,
+    )
+
+    ohlc1h = ohlc_cascade(ohlc_cascade(rollup_ohlc(seq, 60), 600), 3600)
+    p_ohlc = plan_of(ohlc1h)
+    p_hist = plan_of(histogram_cascade(bucket_histogram(seq, 600, 25), 3600, 50))
+    p_twa = plan_of(
+        time_weighted(
+            rollup_all_tiers(seq, [600])[600].select(
+                "source", "bucket_s", "sum_n_tok"
+            ),
+            600, 3600,
+        )
+    )
+    sections.append((
+        "OHLC cascade, histogram cascade, time-weighted average",
+        "\n".join([
+            "--- ohlc 1m→10m→1h ---", p_ohlc[:2200],
+            "--- histogram 10m/25 → 1h/50 ---", p_hist[:1500],
+            "--- time_weighted 10m→1h ---", p_twa[:1500],
+        ]),
+        [
+            ("ohlc: tokens pruned from scan",
+             "tokens" not in p_ohlc.split("ReadSchema")[1].split("\n")[0]
+             if "ReadSchema" in p_ohlc else False),
+            ("ohlc cascade: every level partial+final hash agg "
+             "(3 levels → ≥6 HashAggregate nodes in tree+detail)",
+             p_ohlc.count("HashAggregate") >= 6),
+            ("histogram cascade: hash aggregates, no window/sort",
+             "HashAggregate" in p_hist and "Window" not in p_hist),
+            ("twa: single window then hash agg — exactly one extra "
+             "exchange for the coarse grouping",
+             p_twa.count("Window") // 2 == 1),
+        ],
+    ))
+
     out = ["# PLANS — physical-plan verification (auto-generated by "
            "tools/plan_report.py)\n"]
     all_ok = True
