@@ -504,3 +504,51 @@ def diagnostics(spark: SparkSession, cfg: RunConfig) -> DataFrame:
         F.max("wall_ms").alias("max_chunk_wall_ms"),
         F.count("*").alias("chunks"),
     )
+
+
+def maintain(
+    spark: SparkSession,
+    cfg: RunConfig,
+    target_file_bytes: int = 128 << 20,
+    min_files: int = 4,
+    expire_keep: int | None = None,
+) -> dict[str, dict]:
+    """Table maintenance for long-running append deployments —
+    Iceberg's ``rewrite_data_files`` + ``expire_snapshots`` applied to
+    this engine's tables.
+
+    ``series_enc`` accretes one commit dir per append cycle (the
+    file-incremental encode appends, never rewrites), so after many
+    cycles its manifest holds many small files; tier tables are
+    overwritten each cycle but their snapshot LOG grows without bound.
+    Compaction bin-packs multi-file tables (preserving manifest column
+    stats used for per-source file skipping); ``expire_keep`` trims
+    snapshot history and reclaims unreferenced data files.
+
+    Returns {table: {"compacted_snapshot": id|None, "expired_files": n}}.
+    """
+    cat = IcebergLite(cfg.output_path)
+    stats_for = {"series_enc": ("source",)}
+    report: dict[str, dict] = {}
+    if not os.path.isdir(cfg.output_path):
+        return report
+    for t in sorted(os.listdir(cfg.output_path)):
+        if not os.path.exists(cat._log_path(t)):
+            continue
+        entry: dict = {"compacted_snapshot": None, "expired_files": 0}
+        # tier/filled/retention tables are hive-partitioned by source;
+        # series_enc and metrics are unpartitioned (stats-pruned)
+        partitioned = any(
+            f["partition"] for f in cat._snapshot(t, None)["files"]
+        )
+        entry["compacted_snapshot"] = cat.compact(
+            spark, t,
+            partition_by=("source",) if partitioned else (),
+            target_file_bytes=target_file_bytes,
+            min_files=min_files,
+            stats_cols=stats_for.get(t, ()),
+        )
+        if expire_keep is not None:
+            entry["expired_files"] = cat.expire_snapshots(t, expire_keep)
+        report[t] = entry
+    return report

@@ -255,6 +255,15 @@ class IcebergLite:
                 f"{name}@{snap.get('id')}: no files (empty snapshot or "
                 "filter pruned everything)"
             )
+        return self._df_for_files(spark, name, files)
+
+    def _df_for_files(
+        self, spark: SparkSession, name: str, files: list[dict]
+    ) -> DataFrame:
+        """DataFrame over an explicit manifest-file subset. Files are
+        grouped per commit dir and each group read with its own
+        ``basePath`` so hive partition columns are recovered, then
+        unioned by name."""
         data = self._data(name)
         by_commit: dict[str, list[str]] = {}
         for f in files:
@@ -278,3 +287,93 @@ class IcebergLite:
 
     def exists(self, name: str) -> bool:
         return self.current_snapshot_id(name) > 0
+
+    # -- maintenance -----------------------------------------------------
+    def compact(
+        self,
+        spark: SparkSession,
+        name: str,
+        partition_by: tuple[str, ...] = (),
+        target_file_bytes: int = 128 << 20,
+        min_files: int = 2,
+        stats_cols: tuple[str, ...] = (),
+    ) -> int | None:
+        """Bin-pack small-file compaction — Iceberg's
+        ``rewrite_data_files``. Long-running append cycles (the
+        streaming ingest and the file-incremental pipeline both commit
+        per cycle) accrete many small parquet files per partition; at
+        100 TB that multiplies scan-planning and open() cost. This
+        rewrites every partition holding ≥ ``min_files`` files into
+        ~``target_file_bytes`` files and commits a ``rewrite`` snapshot
+        referencing the new files plus the untouched ones.
+
+        Logically lossless: rows are identical before and after (test
+        asserts set equality), and prior snapshots still reference the
+        old files — time travel across the compaction keeps working
+        until :meth:`expire_snapshots` reclaims them.
+
+        Returns the new snapshot id, or None if nothing needed rewriting.
+        """
+        import math
+
+        snap = self._snapshot(name, None)
+        groups: dict[tuple, list[dict]] = {}
+        for f in snap["files"]:
+            groups.setdefault(tuple(sorted(f["partition"].items())), []).append(f)
+        todo = [fs for fs in groups.values() if len(fs) >= min_files]
+        if not todo:
+            return None
+        rewrite = [f for fs in todo for f in fs]
+        data = self._data(name)
+        total = sum(
+            os.path.getsize(os.path.join(data, f["path"])) for f in rewrite
+        )
+        df = self._df_for_files(spark, name, rewrite)
+        n = max(1, math.ceil(total / target_file_bytes))
+        # partitioned tables: bound files PER partition dir; unpartitioned:
+        # bound total output files
+        df = (
+            df.repartition(n, *partition_by) if partition_by
+            else df.repartition(n)
+        )
+        new = self._write_data(name, df, partition_by, stats_cols)
+        rewritten = {f["path"] for f in rewrite}
+        kept = [f for f in snap["files"] if f["path"] not in rewritten]
+        return self._commit(name, kept + new, "rewrite")
+
+    def expire_snapshots(self, name: str, keep_last: int = 1) -> int:
+        """Expire all but the newest ``keep_last`` snapshots and delete
+        data files no longer referenced by any retained snapshot —
+        Iceberg's ``expire_snapshots`` maintenance. Returns the number
+        of data files deleted. The log rewrite is the same atomic
+        tmp+``os.replace`` as a commit; file deletion happens only
+        AFTER the new log is durable (a crash in between leaves
+        harmless orphans, never a broken snapshot)."""
+        log = self._read_log(name)
+        if len(log["snapshots"]) <= keep_last:
+            return 0
+        kept_snaps = log["snapshots"][-keep_last:]
+        live = {f["path"] for s in kept_snaps for f in s["files"]}
+        dead = {
+            f["path"]
+            for s in log["snapshots"][:-keep_last]
+            for f in s["files"]
+        } - live
+        log["snapshots"] = kept_snaps
+        p = self._log_path(name)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(log, f)
+        os.replace(tmp, p)
+        data = self._data(name)
+        for rel in sorted(dead):
+            try:
+                os.remove(os.path.join(data, rel))
+            except FileNotFoundError:
+                pass
+        # drop now-empty commit dirs (cosmetic)
+        for d in sorted(glob.glob(os.path.join(data, "s*")), reverse=True):
+            for sub, _, names in list(os.walk(d, topdown=False)):
+                if not names and not os.listdir(sub):
+                    os.rmdir(sub)
+        return len(dead)

@@ -86,3 +86,62 @@ def test_manifest_column_stats_file_skipping(spark, cat):
         stats_filter=lambda st: st["source"][0] <= "b" <= st["source"][1],
     )
     assert [r["cnt"] for r in only_b.collect()] == [3]
+
+
+# --------------------------------------------------------------------------
+# Maintenance: compaction + snapshot expiry
+# --------------------------------------------------------------------------
+
+def _rows(spark, cat, name, **kw):
+    return {tuple(r) for r in cat.read(spark, name, **kw).collect()}
+
+
+def test_compact_binpacks_and_preserves_rows(spark, cat):
+    """Many small appends → one rewrite snapshot with fewer files,
+    identical rows, and time travel to pre-compaction still works."""
+    for i in range(5):
+        cat.append(
+            "t", _df(spark, [("a", 60 * i, i), ("b", 60 * i, i)]).repartition(2),
+            partition_by=("source",),
+        )
+    before = _rows(spark, cat, "t")
+    n_before = len(cat._snapshot("t", None)["files"])
+    sid = cat.compact(spark, "t", partition_by=("source",))
+    assert sid == 6
+    snap = cat._snapshot("t", None)
+    assert snap["op"] == "rewrite"
+    assert len(snap["files"]) < n_before
+    assert _rows(spark, cat, "t") == before
+    # partition pruning still works post-compaction
+    only_a = cat.read(
+        spark, "t", partition_filter=lambda pt: pt.get("source") == "a"
+    )
+    assert {r["source"] for r in only_a.collect()} == {"a"}
+    # time travel across the rewrite
+    assert _rows(spark, cat, "t", snapshot_id=5) == before
+    # idempotent: a second compact finds single-file partitions → no-op
+    assert cat.compact(spark, "t", partition_by=("source",)) is None
+
+
+def test_expire_snapshots_reclaims_dead_files(spark, cat):
+    for i in range(4):
+        cat.append("t", _df(spark, [("a", 60 * i, i)]))
+    cat.compact(spark, "t")
+    before = _rows(spark, cat, "t")
+    deleted = cat.expire_snapshots("t", keep_last=1)
+    assert deleted > 0
+    # current snapshot unaffected
+    assert _rows(spark, cat, "t") == before
+    # expired snapshot ids are gone
+    with pytest.raises(SnapshotNotFound):
+        cat.read(spark, "t", snapshot_id=2)
+    # every surviving manifest path exists on disk; dead ones are gone
+    data = cat._data("t")
+    live = {f["path"] for f in cat._snapshot("t", None)["files"]}
+    import glob as _g
+
+    on_disk = {
+        os.path.relpath(p, data)
+        for p in _g.glob(os.path.join(data, "**", "*.parquet"), recursive=True)
+    }
+    assert live <= on_disk and on_disk - live == set()

@@ -313,3 +313,53 @@ def test_overlap_resume_after_partial_sequential_run(spark, seq_path, tmp_path):
         for r in c.read(spark, "series_enc").select("source", "salt", "n").collect()
     )
     assert enc(a) == enc(b)
+
+
+def test_maintenance_compacts_append_cycles(spark, tmp_path):
+    """After several append cycles, maintain() bin-packs series_enc,
+    expires old snapshots, and every query result is unchanged —
+    including decode fidelity and per-source stats pruning."""
+    from pyreshaper_spark.operators.encode import decode_series_table
+    from pyreshaper_spark.plans.pipeline import maintain
+
+    seq = sequences_df(spark, SF)
+    part = F.abs(F.xxhash64(F.col("doc_id").cast("string"))) % 3
+    p = str(tmp_path / "inc_seq")
+    seq.filter(part == 0).write.parquet(p)
+    cfg = RunConfig(
+        input_path=p, output_path=str(tmp_path / "out"),
+        tiers=TIERS, nsalt=2, num_series_partitions=4,
+        write_mode="append",
+    )
+    ck = str(tmp_path / "ck.json")
+    run_pipeline(spark, cfg, ck)
+    for i in (1, 2):
+        seq.filter(part == i).write.mode("append").parquet(p)
+        run_pipeline(spark, cfg, ck)
+
+    cat = IcebergLite(cfg.output_path)
+    n_files_before = len(cat._snapshot("series_enc", None)["files"])
+    dec_before = {
+        tuple(r) for r in decode_series_table(
+            cat.read(spark, "series_enc")
+        ).select("doc_id", "n_tok").collect()
+    }
+    tier_before = {
+        tuple(r) for r in cat.read(spark, "tier_1m").collect()
+    }
+
+    rep = maintain(spark, cfg, min_files=2, expire_keep=1)
+    assert rep["series_enc"]["compacted_snapshot"] is not None
+    assert rep["series_enc"]["expired_files"] > 0
+    snap = cat._snapshot("series_enc", None)
+    assert len(snap["files"]) < n_files_before
+    # manifest column stats survive compaction (per-source file skipping)
+    assert all("stats" in f for f in snap["files"])
+
+    dec_after = {
+        tuple(r) for r in decode_series_table(
+            cat.read(spark, "series_enc")
+        ).select("doc_id", "n_tok").collect()
+    }
+    assert dec_after == dec_before
+    assert {tuple(r) for r in cat.read(spark, "tier_1m").collect()} == tier_before
