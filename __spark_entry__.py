@@ -165,6 +165,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["interp_10m"] = _q_interp
     q["source_counts"] = _q_source_counts
     q["series_fidelity"] = _q_series_fidelity
+
+    # -- skew variant: hot source holding 90% of all rows -------------
+    # The salted transpose must stay lossless when one (source) group
+    # dwarfs the rest (F3 fixture; suggest_nsalt splits the hot chunk).
+    def _q_fidelity_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.transpose import suggest_nsalt
+
+        seq = _seq(spark, sf_dir, variant="skew")
+        nsalt = max(4, suggest_nsalt(seq, target_chunk_rows=2000))
+        series = transpose_to_series(seq, nsalt=nsalt, num_partitions=8)
+        decoded = decode_series_table(encode_series_table(series))
+        j = seq.alias("a").join(decoded.alias("b"), "doc_id")
+        ok = j.filter(
+            (F.col("a.tokens") == F.col("b.tokens"))
+            & (F.col("a.event_s") == F.col("b.event_s"))
+        )
+        return ok.groupBy(F.col("a.source").alias("source")).agg(
+            F.count("*").cast("long").alias("n_docs")
+        )
+
+    q["series_fidelity_skew"] = _q_fidelity_skew
+
+    def _q_tier_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+        seq = _seq(spark, sf_dir, variant="skew")
+        return _norm_tier(rollup_all_tiers(seq, TIER_WIDTHS)[3600])
+
+    q["tier_1h_skew"] = _q_tier_skew
     # -- retention (keep newest 24 one-hour buckets) ------------------
     def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyreshaper_spark.operators.rollup import apply_retention
@@ -553,6 +580,13 @@ FROM sequences GROUP BY 1
 WITH {seq_cte('base')}
 SELECT source, count(*) AS n_docs FROM sequences GROUP BY 1
 """
+    o["series_fidelity_skew"] = f"""
+WITH {seq_cte('skew')}
+SELECT source, count(*) AS n_docs FROM sequences GROUP BY 1
+"""
+    o["tier_1h_skew"] = (
+        f"WITH {seq_cte('skew')}\n{_TIER_AGG.format(w=3600)}"
+    )
     from pyreshaper_spark.operators.gapfill import rate_delta_sql
     from pyreshaper_spark.operators.rollup import bucket_percentiles_sql
 

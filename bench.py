@@ -28,10 +28,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def build_spark(cpus: int):
     from pyspark.sql import SparkSession
 
+    # Shuffle-partition sizing follows DATA VOLUME, not core count: every
+    # post-aggregation exchange here carries O(groups) rows (~225k tier
+    # points at sf0.1 — a few MB), so 32 partitions × 4 tiers is pure
+    # task-wave overhead (measured 2.5 s → 0.9 s cascade at 8). A 100 TB
+    # run sizes this by the ~64 MB/partition rule instead (and AQE
+    # coalesce, left ON, absorbs runtime variance either way); the env
+    # override is the knob for that.
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE", "8")
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"pyreshaper-spark-bench-{cpus}")
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
