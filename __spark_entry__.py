@@ -451,6 +451,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["gaps_10m"] = _q_gaps
 
+    # -- M4 downsample (cascaded 1m→10m→1h; first/last/min/max POINTS) -
+    def _q_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Spark side CASCADES the M4 corners through finer tiers while
+        the oracle computes 1h directly from raw rows — equality proves
+        the packed-key min/max cascade is exact."""
+        from pyreshaper_spark.operators.rollup import (
+            m4_cascade,
+            m4_finish,
+            rollup_m4,
+        )
+
+        t = rollup_m4(_seq(spark, sf_dir), 60)
+        for w in (600, 3600):
+            t = m4_cascade(t, w)
+        return m4_finish(t)
+
+    q["m4_1h"] = _q_m4
+
+    # -- cumulative totals over the 1h tier ---------------------------
+    def _q_cum(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.rollup import cumulative_tier
+
+        tier = rollup_all_tiers(_seq(spark, sf_dir), TIER_WIDTHS)[3600]
+        return cumulative_tier(tier)
+
+    q["cum_1h"] = _q_cum
+
+    # -- per-source staleness (dead-feed detector) --------------------
+    def _q_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.gapfill import staleness
+
+        return staleness(_seq(spark, sf_dir))
+
+    q["staleness"] = _q_staleness
+
+    # -- token-level vocabulary analytics -----------------------------
+    # These run on the cross-engine token stream (md5-derived token ids
+    # — see operators/vocab.py) so DuckDB can replay them; production
+    # uses the same operators over explode_tokens(sequences).
+    from pyreshaper_spark.operators import vocab as VB
+
+    q["tok_topk_1h"] = lambda s, d: VB.token_topk(
+        VB.token_stream(_docs(s, d)), 3600, 5
+    )
+    q["vocab_growth_1h"] = lambda s, d: VB.vocab_growth(
+        VB.token_stream(_docs(s, d)), 3600
+    )
+    q["token_ndv_1h"] = lambda s, d: VB.token_ndv(
+        VB.token_stream(_docs(s, d)), 3600
+    )
+
+    # -- cross-source correlation moments over the 1h tier ------------
+    def _q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.correlate import source_corr_moments
+
+        tier = rollup_all_tiers(_seq(spark, sf_dir), TIER_WIDTHS)[3600]
+        return source_corr_moments(_norm_tier(tier))
+
+    q["src_corr_1h"] = _q_corr
+
     # -- streaming tier-0 (availableNow over the static fixture) ------
     def _q_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Structured Streaming ingest run to completion (availableNow)
@@ -704,6 +764,32 @@ WITH {seq_cte('base')}
 SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tok
 FROM sequences GROUP BY 1
 """
+    from pyreshaper_spark.operators.correlate import corr_moments_sql
+    from pyreshaper_spark.operators.gapfill import staleness_sql
+    from pyreshaper_spark.operators.rollup import cumulative_sql, m4_sql
+    from pyreshaper_spark.operators.vocab import (
+        token_cte,
+        token_ndv_sql,
+        token_topk_sql,
+        vocab_growth_sql,
+    )
+
+    o["m4_1h"] = f"WITH {seq_cte('base')}\n" + m4_sql(3600)
+    o["cum_1h"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"tier AS ({_TIER_AGG.format(w=3600)})\n"
+        + cumulative_sql("tier")
+    )
+    o["staleness"] = f"WITH {seq_cte('base')}\n" + staleness_sql()
+    o["tok_topk_1h"] = f"WITH {token_cte()}\n" + token_topk_sql(3600, 5)
+    o["vocab_growth_1h"] = f"WITH {token_cte()}\n" + vocab_growth_sql(3600)
+    o["token_ndv_1h"] = f"WITH {token_cte()}\n" + token_ndv_sql(3600)
+    o["src_corr_1h"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"tier AS ({_TIER_AGG.format(w=3600)})\n"
+        + corr_moments_sql("tier")
+    )
+
     from pyreshaper_spark.operators.gapfill import rolling_agg_sql
 
     o["rolling_10m_6"] = (

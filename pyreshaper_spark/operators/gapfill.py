@@ -367,3 +367,52 @@ FROM (
 )
 WHERE bucket_s - prev_s > {width_s}
 """
+
+
+# --------------------------------------------------------------------------
+# Staleness — per-source heartbeat lag against the stream high-water mark
+# --------------------------------------------------------------------------
+
+def staleness(seq: DataFrame, now_s: int | None = None) -> DataFrame:
+    """Per-source freshness report: last/first event time, row count and
+    ``staleness_s`` = seconds since that source's newest event, measured
+    against ``now_s`` (or, by default, the table's own high-water mark
+    so reruns on frozen data are deterministic).
+
+    The dead-feed detector ("which sources stopped reporting?"): a
+    single partial+final aggregate — O(sources) output — plus, when
+    ``now_s`` is None, one scalar high-water aggregate broadcast into
+    the projection, same shape as :func:`~.rollup.apply_retention`.
+    """
+    per_src = seq.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("event_s").cast("long").alias("first_s"),
+        F.max("event_s").cast("long").alias("last_s"),
+    )
+    if now_s is not None:
+        return per_src.select(
+            "*", (F.lit(now_s) - F.col("last_s")).cast("long").alias("staleness_s")
+        )
+    hw = seq.agg(F.max("event_s").alias("hw"))
+    return (
+        per_src.crossJoin(F.broadcast(hw))
+        .select(
+            "source", "n_rows", "first_s", "last_s",
+            (F.col("hw") - F.col("last_s")).cast("long").alias("staleness_s"),
+        )
+    )
+
+
+def staleness_sql() -> str:
+    """DuckDB twin of :func:`staleness` (default high-water-mark mode)
+    over the `sequences` CTE."""
+    return """
+SELECT source,
+       count(*)                  AS n_rows,
+       CAST(min(event_s) AS BIGINT) AS first_s,
+       CAST(max(event_s) AS BIGINT) AS last_s,
+       CAST((SELECT max(event_s) FROM sequences) - max(event_s) AS BIGINT)
+         AS staleness_s
+FROM sequences
+GROUP BY 1
+"""

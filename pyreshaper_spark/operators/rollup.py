@@ -383,3 +383,137 @@ SELECT source,
 FROM sequences
 GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# M4 downsample — first/last/min/max POINTS (value AND timestamp) per bucket
+# --------------------------------------------------------------------------
+# The M4 aggregation (Jugel et al., VLDB 2014) is the standard
+# error-free line-chart downsample: keeping the first, last, bottom and
+# top point of every pixel-column-sized bucket reproduces the rendered
+# line exactly. OHLC above keeps only the min/max VALUES; M4 also needs
+# WHERE the extremes occurred, so two more packed keys order by
+# (n_tok, event_s): min → (lowest value, earliest occurrence),
+# max → (highest value, latest occurrence) — deterministic under ties
+# and still plain associative min/max, so the cascade stays exact and
+# the aggregate runs partial+final with O(groups) shuffle volume.
+
+def rollup_m4(seq: DataFrame, width_s: int) -> DataFrame:
+    """Tier-0 M4 aggregate: packed first/last/bottom/top point keys per
+    (source, bucket). ``t_pack`` orders by (event_s, n_tok) — same key
+    as OHLC; ``v_pack`` orders by (n_tok, event_s)."""
+    t_pack = (F.col("event_s") * OHLC_PACK + F.col("n_tok")).cast("long")
+    v_pack = (F.col("n_tok") * OHLC_PACK + F.col("event_s")).cast("long")
+    return (
+        seq.select(
+            "source", bucket_col(width_s),
+            t_pack.alias("tp"), v_pack.alias("vp"),
+        )
+        .groupBy("source", "bucket_s")
+        .agg(
+            F.min("tp").alias("first_key"),
+            F.max("tp").alias("last_key"),
+            F.min("vp").alias("bottom_key"),
+            F.max("vp").alias("top_key"),
+        )
+    )
+
+
+def m4_cascade(prev: DataFrame, width_s: int) -> DataFrame:
+    """M4 tier k+1 from tier k — exact for all four corners: the packed
+    keys make first/last/bottom/top plain min/max, which compose."""
+    return (
+        prev.select(
+            "source",
+            ((F.col("bucket_s") / width_s).cast("long") * width_s).alias(
+                "bucket_s"
+            ),
+            "first_key", "last_key", "bottom_key", "top_key",
+        )
+        .groupBy("source", "bucket_s")
+        .agg(
+            F.min("first_key").alias("first_key"),
+            F.max("last_key").alias("last_key"),
+            F.min("bottom_key").alias("bottom_key"),
+            F.max("top_key").alias("top_key"),
+        )
+    )
+
+
+def m4_finish(tier: DataFrame) -> DataFrame:
+    """Unpack the four stored keys into the eight user-facing columns."""
+    fk, lk = F.col("first_key"), F.col("last_key")
+    bk, tk = F.col("bottom_key"), F.col("top_key")
+    return tier.select(
+        "source",
+        F.col("bucket_s").cast("long").alias("bucket_s"),
+        (fk / OHLC_PACK).cast("long").alias("first_s"),
+        (fk % OHLC_PACK).cast("long").alias("first_v"),
+        (lk / OHLC_PACK).cast("long").alias("last_s"),
+        (lk % OHLC_PACK).cast("long").alias("last_v"),
+        (bk % OHLC_PACK).cast("long").alias("min_s"),
+        (bk / OHLC_PACK).cast("long").alias("min_v"),
+        (tk % OHLC_PACK).cast("long").alias("max_s"),
+        (tk / OHLC_PACK).cast("long").alias("max_v"),
+    )
+
+
+def m4_sql(width_s: int) -> str:
+    """DuckDB twin of ``m4_finish(rollup_m4(seq, width_s))`` — direct
+    from raw rows, so a cascading Spark side proves cascade exactness."""
+    p = OHLC_PACK
+    return f"""
+SELECT source,
+       (event_s // {width_s}) * {width_s}   AS bucket_s,
+       min(event_s * {p} + n_tok) // {p}    AS first_s,
+       min(event_s * {p} + n_tok) % {p}     AS first_v,
+       max(event_s * {p} + n_tok) // {p}    AS last_s,
+       max(event_s * {p} + n_tok) % {p}     AS last_v,
+       min(n_tok * {p} + event_s) % {p}     AS min_s,
+       min(n_tok * {p} + event_s) // {p}    AS min_v,
+       max(n_tok * {p} + event_s) % {p}     AS max_s,
+       max(n_tok * {p} + event_s) // {p}    AS max_v
+FROM sequences
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Cumulative totals — running sums over a tier (counter-style dashboards)
+# --------------------------------------------------------------------------
+
+def cumulative_tier(tier: DataFrame) -> DataFrame:
+    """Running ``cnt``/``sum_n_tok`` totals per source over bucket time —
+    the "tokens ingested to date" counter dashboards plot.
+
+    One window over the TIER (O(sources × buckets) rows, never raw
+    data): partitions are per-source so the sort is within the small
+    per-source bucket list; exact integer arithmetic throughout.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("bucket_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return tier.select(
+        "source",
+        F.col("bucket_s").cast("long").alias("bucket_s"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("sum_n_tok").cast("long").alias("sum_n_tok"),
+        F.sum("cnt").over(w).cast("long").alias("cum_cnt"),
+        F.sum("sum_n_tok").over(w).cast("long").alias("cum_sum_n_tok"),
+    )
+
+
+def cumulative_sql(relation: str) -> str:
+    """DuckDB twin of :func:`cumulative_tier` over a named tier relation."""
+    return f"""
+SELECT source, bucket_s, cnt, sum_n_tok,
+       CAST(sum(cnt) OVER w AS BIGINT)       AS cum_cnt,
+       CAST(sum(sum_n_tok) OVER w AS BIGINT) AS cum_sum_n_tok
+FROM {relation}
+WINDOW w AS (PARTITION BY source ORDER BY bucket_s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""

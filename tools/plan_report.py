@@ -231,6 +231,62 @@ def main() -> None:
         ],
     ))
 
+    # 8. M4 cascade, cumulative, token vocab, correlation (round-2 cont.)
+    from pyreshaper_spark.operators.correlate import source_corr_moments
+    from pyreshaper_spark.operators.rollup import (
+        cumulative_tier,
+        m4_cascade,
+        rollup_m4,
+    )
+    from pyreshaper_spark.operators.vocab import (
+        explode_tokens,
+        token_topk,
+        vocab_growth,
+    )
+
+    m4_1h = m4_cascade(m4_cascade(rollup_m4(seq, 60), 600), 3600)
+    p_m4 = plan_of(m4_1h)
+    p_cum = plan_of(cumulative_tier(rollup_all_tiers(seq, [3600])[3600]))
+    p_topk = plan_of(token_topk(explode_tokens(seq), 3600, 5))
+    p_vg = plan_of(vocab_growth(explode_tokens(seq), 3600))
+    p_corr = plan_of(
+        source_corr_moments(rollup_all_tiers(seq, [3600])[3600])
+    )
+    sections.append((
+        "M4 cascade, cumulative totals, token vocab, correlation moments",
+        "\n".join([
+            "--- m4 1m→10m→1h ---", p_m4[:2000],
+            "--- cumulative_tier ---", p_cum[:1200],
+            "--- token_topk (exploded stream) ---", p_topk[:2000],
+            "--- vocab_growth ---", p_vg[:1200],
+            "--- source_corr_moments ---", p_corr[:1500],
+        ]),
+        [
+            ("m4: tokens pruned from scan",
+             "tokens" not in p_m4.split("ReadSchema")[1].split("\n")[0]
+             if "ReadSchema" in p_m4 else False),
+            ("m4 cascade: partial+final hash agg at every level",
+             p_m4.count("HashAggregate") >= 6),
+            ("cumulative: single per-source window over the tier",
+             p_cum.count("Window") // 2 == 1),
+            ("token topk: explode collapsed by partial agg BEFORE any "
+             "exchange (first hashpartitioning keyed on the agg keys)",
+             "Generate" in p_topk and p_topk.count("HashAggregate") >= 2
+             and "token" in p_topk.split(
+                 "Arguments: hashpartitioning", 1
+             )[-1].split("\n")[0]),
+            ("token topk: partial top-k pushed below the window exchange "
+             "(WindowGroupLimit)", "WindowGroupLimit" in p_topk),
+            ("vocab growth: two aggregates + one running-sum window",
+             p_vg.count("HashAggregate") >= 4
+             and p_vg.count("Window") // 2 == 1),
+            ("corr moments: equi-join on bucket_s, no cartesian",
+             no_cartesian(p_corr)
+             and ("SortMergeJoin [bucket_s" in p_corr
+                  or "HashJoin" in p_corr)),
+        ],
+    ))
+
     out = ["# PLANS — physical-plan verification (auto-generated by "
            "tools/plan_report.py)\n"]
     all_ok = True
