@@ -502,6 +502,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         VB.token_stream(_docs(s, d)), 3600
     )
 
+    # -- exact binary-weight EWMA over the 10m tier -------------------
+    def _q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.gapfill import ewma_binary
+
+        tier = rollup_all_tiers(_seq(spark, sf_dir), TIER_WIDTHS)[600]
+        return ewma_binary(
+            tier.select(
+                "source", "bucket_s",
+                F.col("sum_n_tok").cast("long").alias("sum_n_tok"),
+            ),
+            k=4,
+        )
+
+    q["ewma_10m"] = _q_ewma
+
+    # -- mergeable HLL sketch cascade (production NDV path) -----------
+    # Estimates are Datasketches-specific → rows-only driver check; the
+    # cascade≡direct-sketch identity and error bounds live in pytest.
+    def _q_ndv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.rollup import (
+            ndv_sketch_cascade,
+            ndv_sketch_finish,
+            ndv_sketch_tier0,
+        )
+
+        t = ndv_sketch_tier0(_seq(spark, sf_dir), 60)
+        for w in (600, 3600):
+            t = ndv_sketch_cascade(t, w)
+        return ndv_sketch_finish(t)
+
+    q["tier_1h_ndv_sketch"] = _q_ndv_sketch
+
     # -- cross-source correlation moments over the 1h tier ------------
     def _q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyreshaper_spark.operators.correlate import source_corr_moments
@@ -781,6 +813,14 @@ FROM sequences GROUP BY 1
         + cumulative_sql("tier")
     )
     o["staleness"] = f"WITH {seq_cte('base')}\n" + staleness_sql()
+    from pyreshaper_spark.operators.gapfill import ewma_binary_sql
+
+    o["ewma_10m"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"tier AS (SELECT source, bucket_s, sum_n_tok "
+        f"FROM ({_TIER_AGG.format(w=600)}))\n"
+        + ewma_binary_sql("tier", k=4)
+    )
     o["tok_topk_1h"] = f"WITH {token_cte()}\n" + token_topk_sql(3600, 5)
     o["vocab_growth_1h"] = f"WITH {token_cte()}\n" + vocab_growth_sql(3600)
     o["token_ndv_1h"] = f"WITH {token_cte()}\n" + token_ndv_sql(3600)

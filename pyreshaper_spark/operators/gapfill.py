@@ -370,6 +370,72 @@ WHERE bucket_s - prev_s > {width_s}
 
 
 # --------------------------------------------------------------------------
+# Exponential smoothing — exact binary-weight EWMA over the last k buckets
+# --------------------------------------------------------------------------
+
+def ewma_binary(
+    tier: DataFrame, k: int, value_col: str = "sum_n_tok"
+) -> DataFrame:
+    """α = 1/2 exponentially-weighted moving average truncated at ``k``
+    lags, per source over bucket time — the dashboard smoothing curve,
+    kept EXACT by using power-of-two weights and emitting the rational
+    (``ewma_num``, ``ewma_den``): weight(lag i) = 2^(k-1-i), so the
+    true EWMA is num/den and consumers divide. Missing leading history
+    (the first k-1 buckets of each source) shrinks the denominator to
+    the weights actually present rather than zero-padding.
+
+    True recursive EWMA needs running state; the k-term truncation is
+    what makes it a WINDOW — k explicit lags over one (source, bucket)
+    sort, no shuffle beyond the tier's own, error vs the infinite tail
+    bounded by 2^-k of the weight mass. SQL-expressible in both engines
+    (plain lag arithmetic), hence oracle-checkable — unlike float
+    recursive forms.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("bucket_s")
+    v = F.col(value_col)
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for i in range(k):
+        wi = 1 << (k - 1 - i)
+        li = v if i == 0 else F.lag(value_col, i).over(w)
+        num = num + F.coalesce(li * wi, F.lit(0))
+        den = den + F.when(li.isNotNull(), F.lit(wi)).otherwise(F.lit(0))
+    return tier.select(
+        "source",
+        F.col("bucket_s").cast("long").alias("bucket_s"),
+        v.cast("long").alias(value_col),
+        num.cast("long").alias("ewma_num"),
+        den.cast("long").alias("ewma_den"),
+    )
+
+
+def ewma_binary_sql(
+    relation: str, k: int, value_col: str = "sum_n_tok"
+) -> str:
+    """DuckDB twin of :func:`ewma_binary` over a named tier relation."""
+    num_terms, den_terms = [], []
+    for i in range(k):
+        wi = 1 << (k - 1 - i)
+        expr = (
+            value_col
+            if i == 0
+            else f"lag({value_col}, {i}) OVER (PARTITION BY source ORDER BY bucket_s)"
+        )
+        num_terms.append(f"coalesce(({expr}) * {wi}, 0)")
+        den_terms.append(f"CASE WHEN ({expr}) IS NOT NULL THEN {wi} ELSE 0 END")
+    return f"""
+SELECT source,
+       CAST(bucket_s AS BIGINT)  AS bucket_s,
+       CAST({value_col} AS BIGINT) AS {value_col},
+       CAST({' + '.join(num_terms)} AS BIGINT) AS ewma_num,
+       CAST({' + '.join(den_terms)} AS BIGINT) AS ewma_den
+FROM {relation}
+"""
+
+
+# --------------------------------------------------------------------------
 # Staleness — per-source heartbeat lag against the stream high-water mark
 # --------------------------------------------------------------------------
 

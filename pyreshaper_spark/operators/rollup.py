@@ -386,6 +386,61 @@ GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# Mergeable HLL sketch cascade — NDV rollup that NEVER rescans raw data
+# --------------------------------------------------------------------------
+# bucket_ndv_approx above re-aggregates from raw for each tier width; at
+# 10^12 rows the production shape is the one below: build a Datasketches
+# HLL sketch column once at tier 0 (hll_sketch_agg), then UNION sketches
+# up the cascade (hll_union_agg) — set union is what HLL registers merge
+# exactly, so the cascaded estimate is IDENTICAL to sketching the coarse
+# bucket directly (asserted in pytest), at O(2^lg_k) bytes per group and
+# zero raw-data rescans. Estimates are engine-specific → rows-only
+# driver check; error bounds vs exact NDV asserted in pytest.
+
+def ndv_sketch_tier0(seq: DataFrame, width_s: int, lg_k: int = 12) -> DataFrame:
+    """Tier-0 cardinality sketch: one HLL sketch of ``n_tok`` per
+    (source, bucket), carried as a binary column alongside the count."""
+    return (
+        seq.select("source", bucket_col(width_s), "n_tok")
+        .groupBy("source", "bucket_s")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.hll_sketch_agg("n_tok", F.lit(lg_k)).alias("ndv_sk"),
+        )
+    )
+
+
+def ndv_sketch_cascade(prev: DataFrame, width_s: int) -> DataFrame:
+    """Sketch tier k+1 from tier k: union the fine-bucket sketches —
+    exact register merge, no raw rescan, same O(groups) shuffle shape
+    as :func:`rollup_cascade`."""
+    return (
+        prev.select(
+            "source",
+            ((F.col("bucket_s") / width_s).cast("long") * width_s).alias(
+                "bucket_s"
+            ),
+            "cnt", "ndv_sk",
+        )
+        .groupBy("source", "bucket_s")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.hll_union_agg("ndv_sk").alias("ndv_sk"),
+        )
+    )
+
+
+def ndv_sketch_finish(tier: DataFrame) -> DataFrame:
+    """Project the user-facing estimate from the sketch column."""
+    return tier.select(
+        "source",
+        F.col("bucket_s").cast("long").alias("bucket_s"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.hll_sketch_estimate("ndv_sk").cast("long").alias("ndv_n_tok"),
+    )
+
+
+# --------------------------------------------------------------------------
 # M4 downsample — first/last/min/max POINTS (value AND timestamp) per bucket
 # --------------------------------------------------------------------------
 # The M4 aggregation (Jugel et al., VLDB 2014) is the standard

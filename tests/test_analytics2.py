@@ -171,6 +171,77 @@ def test_token_ndv_bounds(seq):
     assert bad.count() == 0
 
 
+# -- HLL sketch cascade -----------------------------------------------------
+
+def test_ndv_sketch_cascade_equals_direct_sketch(seq):
+    """HLL register union is an exact set-union merge: cascading
+    1m→10m→1h sketches must give the IDENTICAL estimate as sketching
+    the 1h buckets directly."""
+    from pyreshaper_spark.operators.rollup import (
+        ndv_sketch_cascade,
+        ndv_sketch_finish,
+        ndv_sketch_tier0,
+    )
+
+    t = ndv_sketch_tier0(seq, 60)
+    for w in (600, 3600):
+        t = ndv_sketch_cascade(t, w)
+    casc = ndv_sketch_finish(t)
+    direct = ndv_sketch_finish(ndv_sketch_tier0(seq, 3600))
+    assert casc.exceptAll(direct).count() == 0
+    assert direct.exceptAll(casc).count() == 0
+
+
+def test_ndv_sketch_error_bounded(seq):
+    from pyreshaper_spark.operators.rollup import (
+        bucket_ndv,
+        ndv_sketch_finish,
+        ndv_sketch_tier0,
+    )
+
+    est = ndv_sketch_finish(ndv_sketch_tier0(seq, 3600)).withColumnRenamed(
+        "ndv_n_tok", "est"
+    )
+    exact = bucket_ndv(seq, 3600).select(
+        "source", "bucket_s", F.col("ndv_n_tok").alias("exact")
+    )
+    j = est.join(exact, ["source", "bucket_s"]).collect()
+    assert len(j) > 0
+    for r in j:
+        assert abs(r["est"] - r["exact"]) <= max(2, 0.05 * r["exact"])
+
+
+# -- EWMA -------------------------------------------------------------------
+
+def test_ewma_binary_against_driver_compute(seq):
+    from pyreshaper_spark.operators.gapfill import ewma_binary
+
+    tier = rollup_all_tiers(seq, [3600])[3600].select(
+        "source", "bucket_s", F.col("sum_n_tok").cast("long").alias("sum_n_tok")
+    )
+    k = 4
+    got = {
+        (r["source"], r["bucket_s"]): (r["ewma_num"], r["ewma_den"])
+        for r in ewma_binary(tier, k=k).collect()
+    }
+    series = {}
+    for r in tier.collect():
+        series.setdefault(r["source"], []).append(
+            (r["bucket_s"], r["sum_n_tok"])
+        )
+    for src, pts in series.items():
+        pts.sort()
+        for idx, (b, _v) in enumerate(pts):
+            num = den = 0
+            for i in range(k):
+                if idx - i < 0:
+                    continue
+                w = 1 << (k - 1 - i)
+                num += pts[idx - i][1] * w
+                den += w
+            assert got[(src, b)] == (num, den)
+
+
 # -- correlation ------------------------------------------------------------
 
 def test_corr_moments_and_pearson_match_numpy(seq):

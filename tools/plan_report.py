@@ -287,6 +287,45 @@ def main() -> None:
         ],
     ))
 
+    # 9. HLL sketch cascade + EWMA window
+    from pyreshaper_spark.operators.gapfill import ewma_binary
+    from pyreshaper_spark.operators.rollup import (
+        ndv_sketch_cascade,
+        ndv_sketch_finish,
+        ndv_sketch_tier0,
+    )
+
+    sk = ndv_sketch_tier0(seq, 60)
+    for w in (600, 3600):
+        sk = ndv_sketch_cascade(sk, w)
+    p_sk = plan_of(ndv_sketch_finish(sk))
+    p_ewma = plan_of(
+        ewma_binary(
+            rollup_all_tiers(seq, [600])[600].select(
+                "source", "bucket_s", "sum_n_tok"
+            ),
+            k=4,
+        )
+    )
+    sections.append((
+        "HLL sketch cascade + exact EWMA",
+        "\n".join([
+            "--- ndv sketch 1m→10m→1h ---", p_sk[:2000],
+            "--- ewma_binary k=4 ---", p_ewma[:1200],
+        ]),
+        [
+            ("sketch cascade: tokens pruned from scan",
+             "tokens" not in p_sk.split("ReadSchema")[1].split("\n")[0]
+             if "ReadSchema" in p_sk else False),
+            ("sketch cascade: partial+final agg at every level (no raw "
+             "rescan between tiers — single scan node)",
+             p_sk.count("HashAggregate") + p_sk.count("ObjectHashAggregate")
+             >= 6 and p_sk.count("Scan parquet") // 2 <= 1),
+            ("ewma: all k lags in ONE window, no extra exchange",
+             p_ewma.count("Window") // 2 == 1),
+        ],
+    ))
+
     out = ["# PLANS — physical-plan verification (auto-generated by "
            "tools/plan_report.py)\n"]
     all_ok = True
