@@ -42,6 +42,9 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--verify-fidelity", action="store_true")
     ap.add_argument("--once", action="store_true", dest="meta_once",
                     help="once-file mode: metadata only in meta_source")
+    ap.add_argument("--analytics", nargs="+", default=None,
+                    help="extra aggregate families (ohlc m4 ndv_sketch "
+                         "hist50) materialized per tier")
     ap.add_argument("-o", "--spec", required=True, help="output spec JSON path")
     args = ap.parse_args(argv)
 
@@ -57,6 +60,8 @@ def main(argv: list[str] | None = None) -> None:
     )
     if args.tiers is not None:
         kw["tiers"] = tuple(args.tiers)
+    if args.analytics is not None:
+        kw["analytics"] = tuple(args.analytics)
     cfg = RunConfig(**kw).validate()
     cfg.write(args.spec)
     print(f"wrote {args.spec}:\n{cfg.to_json()}")

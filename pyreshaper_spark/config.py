@@ -83,6 +83,11 @@ class RunConfig:
     #: small commits hide behind the encode stage's executor work.
     #: Ignored (sequential) when a ``stop_after`` test hook is set.
     overlap: bool = False
+    #: extra continuous-aggregate families materialized per tier next to
+    #: the count/sum/min/max tables (names from
+    #: operators.rollup.ANALYTIC_FAMILIES: ohlc, m4, ndv_sketch, hist50);
+    #: each cascades and append-merges exactly like the main tiers
+    analytics: tuple[str, ...] = ()
 
     # ---- validation (mirrors Specifier.validate: types then values) ----
 
@@ -137,6 +142,15 @@ class RunConfig:
         names = [t.name for t in self.tiers]
         if len(set(names)) != len(names):
             raise ValueError("tier names must be unique")
+        if self.analytics:
+            from pyreshaper_spark.operators.rollup import ANALYTIC_FAMILIES
+
+            bad = [a for a in self.analytics if a not in ANALYTIC_FAMILIES]
+            if bad:
+                raise ValueError(
+                    f"unknown analytics families {bad}; allowed: "
+                    f"{sorted(ANALYTIC_FAMILIES)}"
+                )
 
     def validate(self) -> "RunConfig":
         self.validate_types()
@@ -155,6 +169,7 @@ class RunConfig:
         d = json.loads(s)
         d["tiers"] = tuple(TierSpec(**t) for t in d.get("tiers", ()))
         d["time_variant_metadata"] = tuple(d.get("time_variant_metadata", ()))
+        d["analytics"] = tuple(d.get("analytics", ()))
         return cls(**d).validate()
 
     def write(self, path: str) -> None:

@@ -562,6 +562,26 @@ def cumulative_tier(tier: DataFrame) -> DataFrame:
     )
 
 
+#: Analytic aggregate families the pipeline can materialize as
+#: continuous-aggregate tables next to the count/sum/min/max tiers
+#: (RunConfig.analytics). Each entry is (tier0, cascade) with the
+#: uniform signature tier0(seq, width_s) / cascade(prev, width_s).
+#: Every family's aggregates are ASSOCIATIVE, which gives the pipeline
+#: two properties for free: tier k+1 never rescans raw data, and the
+#: append-cycle merge is simply cascade(base ∪ delta, same_width) —
+#: re-bucketing at the same width is the identity, so one re-aggregation
+#: over O(tier rows) merges a delta exactly.
+ANALYTIC_FAMILIES: dict = {
+    "ohlc": (rollup_ohlc, ohlc_cascade),
+    "m4": (rollup_m4, m4_cascade),
+    "ndv_sketch": (ndv_sketch_tier0, ndv_sketch_cascade),
+    "hist50": (
+        lambda seq, w: bucket_histogram(seq, w, 50),
+        lambda prev, w: histogram_cascade(prev, w, 50),
+    ),
+}
+
+
 def cumulative_sql(relation: str) -> str:
     """DuckDB twin of :func:`cumulative_tier` over a named tier relation."""
     return f"""

@@ -17,6 +17,9 @@ Output tables under ``cfg.output_path`` (IcebergLite root):
                          (source, salt), partitioned by source
     metrics              per-chunk lineage rows (partition id, input
                          files, row counts, bytes, wall time)
+    <family>_<name>      optional analytic continuous aggregates
+                         (cfg.analytics: ohlc / m4 / ndv_sketch /
+                         hist50), cascaded + append-merged like tiers
 
 Scale notes: the tier cascade reads tier *k* back from its committed
 table (not the in-memory lineage), so a resumed run never recomputes
@@ -179,9 +182,13 @@ def run_pipeline(
     delta = None  # pending-file subset of seq (None = full recompute)
     if cfg.write_mode == "append":
         if ckpt.cycle is None:
-            base_tables = ["meta_source"] + [
-                f"tier_{t.name}" for t in cfg.tiers
-            ]
+            base_tables = (
+                ["meta_source"]
+                + [f"tier_{t.name}" for t in cfg.tiers]
+                # analytic families only need their tier-0 base pinned:
+                # coarser family tiers recompute from the merged finer one
+                + [f"{fam}_{cfg.tiers[0].name}" for fam in cfg.analytics]
+            )
             done_files: set[str] = set()
             if cat.exists("series_enc"):
                 done_files = {
@@ -403,6 +410,45 @@ def run_pipeline(
 
             if commit_step(fname, _filled):
                 return PipelineResult(snapshot_ids, run, skipped, step_wall)
+
+    # ---- analytic aggregate families (OHLC / M4 / NDV sketch / hist) --
+    # Same commit/resume/append discipline as the main tiers. Every
+    # family's aggregates are associative, so the append-cycle merge is
+    # cascade(pinned base ∪ delta tier-0, same width) — re-bucketing at
+    # the same width is the identity, one O(tier rows) re-aggregation;
+    # coarser family tiers always recompute from the just-merged finer
+    # family table, never from raw data.
+    from pyreshaper_spark.operators.rollup import ANALYTIC_FAMILIES
+
+    for fam in cfg.analytics:
+        tier0_fn, cascade_fn = ANALYTIC_FAMILIES[fam]
+        prev_fam: str | None = None
+        for tier in cfg.tiers:
+            aname = f"{fam}_{tier.name}"
+
+            def _fam(
+                tier=tier, prev_fam=prev_fam, aname=aname,
+                tier0_fn=tier0_fn, cascade_fn=cascade_fn,
+            ):
+                if prev_fam is None:
+                    df = tier0_fn(
+                        seq if delta is None else delta, tier.width_s
+                    )
+                    if delta is not None:
+                        base = _tier_base(aname, list(df.columns))
+                        if base is not None:
+                            df = cascade_fn(
+                                base.unionByName(df), tier.width_s
+                            )
+                else:
+                    df = cascade_fn(cat.read(spark, prev_fam), tier.width_s)
+                snapshot_ids[aname] = cat.overwrite(
+                    aname, df, ("source",), stats_cols=("bucket_s",)
+                )
+
+            if commit_step(aname, _fam):
+                return PipelineResult(snapshot_ids, run, skipped, step_wall)
+            prev_fam = aname
 
     # ---- retention enforcement ----------------------------------------
     # Runs AFTER the whole cascade so tier k+1 is always built from the

@@ -1,0 +1,122 @@
+"""Pipeline analytic aggregate families (RunConfig.analytics):
+fresh-run parity with the direct operators, resume skipping, and exact
+append-cycle merge."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyreshaper_spark.config import RunConfig, TierSpec
+from pyreshaper_spark.fixtures import sequences_df
+from pyreshaper_spark.operators.rollup import (
+    m4_finish,
+    ndv_sketch_finish,
+    ndv_sketch_tier0,
+    ohlc_finish,
+    rollup_m4,
+    rollup_ohlc,
+)
+from pyreshaper_spark.plans.pipeline import run_pipeline
+from pyreshaper_spark.sources.iceberglite import IcebergLite
+
+SF = "/root/testdata/sf0.001"
+TIERS = (TierSpec("1m", 60), TierSpec("10m", 600), TierSpec("1h", 3600))
+FAMS = ("ohlc", "m4", "ndv_sketch", "hist50")
+
+
+@pytest.fixture(scope="module")
+def seq_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("aseq") / "sequences")
+    sequences_df(spark, SF).write.parquet(p)
+    return p
+
+
+def _set(df):
+    return {tuple(str(v) for v in r) for r in df.collect()}
+
+
+def test_analytics_tables_match_direct_operators(spark, seq_path, tmp_path):
+    cfg = RunConfig(
+        input_path=seq_path, output_path=str(tmp_path / "out"),
+        tiers=TIERS, nsalt=2, num_series_partitions=4, analytics=FAMS,
+    )
+    res = run_pipeline(spark, cfg, str(tmp_path / "ck.json"))
+    for fam in FAMS:
+        for t in TIERS:
+            assert f"{fam}_{t.name}" in res.steps_run
+    cat = IcebergLite(cfg.output_path)
+    seq = sequences_df(spark, SF)
+
+    got = ohlc_finish(
+        cat.read(spark, "ohlc_1h").select(
+            "source", "bucket_s", "o_key", "c_key", "lo", "hi"
+        )
+    )
+    assert _set(got) == _set(ohlc_finish(rollup_ohlc(seq, 3600)))
+
+    got_m4 = m4_finish(
+        cat.read(spark, "m4_1h").select(
+            "source", "bucket_s",
+            "first_key", "last_key", "bottom_key", "top_key",
+        )
+    )
+    assert _set(got_m4) == _set(m4_finish(rollup_m4(seq, 3600)))
+
+    got_sk = ndv_sketch_finish(
+        cat.read(spark, "ndv_sketch_1h").select(
+            "source", "bucket_s", "cnt", "ndv_sk"
+        )
+    )
+    assert _set(got_sk) == _set(
+        ndv_sketch_finish(ndv_sketch_tier0(seq, 3600))
+    )
+
+    # resume run skips every family step
+    res2 = run_pipeline(spark, cfg, str(tmp_path / "ck.json"))
+    assert not res2.steps_run
+    for fam in FAMS:
+        assert f"{fam}_1h" in res2.steps_skipped
+
+
+def test_analytics_append_merge_is_exact(spark, tmp_path):
+    """Two append cycles over a split input must produce byte-identical
+    family tables to one full recompute — the associative-merge claim."""
+    seq = sequences_df(spark, SF)
+    part = F.abs(F.xxhash64(F.col("doc_id").cast("string"))) % 2
+    p = str(tmp_path / "inc_seq")
+    seq.filter(part == 0).write.parquet(p)
+    cfg = RunConfig(
+        input_path=p, output_path=str(tmp_path / "out"),
+        tiers=TIERS, nsalt=2, num_series_partitions=4,
+        write_mode="append", analytics=("ohlc", "ndv_sketch"),
+    )
+    ck = str(tmp_path / "ck.json")
+    run_pipeline(spark, cfg, ck)
+    seq.filter(part == 1).write.mode("append").parquet(p)
+    second = run_pipeline(spark, cfg, ck)
+    assert "ohlc_1m" in second.steps_run  # append re-runs family steps
+
+    cat = IcebergLite(cfg.output_path)
+    got = ohlc_finish(
+        cat.read(spark, "ohlc_1h").select(
+            "source", "bucket_s", "o_key", "c_key", "lo", "hi"
+        )
+    )
+    assert _set(got) == _set(ohlc_finish(rollup_ohlc(seq, 3600)))
+    got_sk = ndv_sketch_finish(
+        cat.read(spark, "ndv_sketch_1h").select(
+            "source", "bucket_s", "cnt", "ndv_sk"
+        )
+    )
+    assert _set(got_sk) == _set(
+        ndv_sketch_finish(ndv_sketch_tier0(seq, 3600))
+    )
+
+
+def test_bad_family_name_rejected(tmp_path):
+    with pytest.raises(ValueError, match="unknown analytics"):
+        RunConfig(
+            input_path="x", output_path=str(tmp_path), tiers=TIERS,
+            analytics=("nope",),
+        ).validate()
