@@ -517,6 +517,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ewma_10m"] = _q_ewma
 
+    # -- anomaly z-flag over the 10m tier (exact integer z-test) ------
+    def _q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.gapfill import anomaly_zflag
+
+        tier = rollup_all_tiers(_seq(spark, sf_dir), TIER_WIDTHS)[600]
+        return anomaly_zflag(
+            tier.select(
+                "source", "bucket_s",
+                F.col("sum_n_tok").cast("long").alias("sum_n_tok"),
+            ),
+            k=6, z_num=2, z_den=1,
+        )
+
+    q["anomaly_10m"] = _q_anomaly
+
+    # -- seasonal diff over the LOCF-filled 10m tier (1h period) ------
+    # Composed on the gap-filled spine so every bucket past the first
+    # period has a comparison point (the raw fixture tier is too sparse
+    # for ±period matches to exist at sf0.01).
+    def _q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.gapfill import seasonal_diff
+
+        seq = _seq(spark, sf_dir, variant="gappy")
+        tier = rollup_all_tiers(seq, [60, 600])[600]
+        filled = gapfill_locf(tier, 600).select(
+            "source", "bucket_s",
+            F.col("sum_n_tok_locf").cast("long").alias("sum_n_tok_locf"),
+        )
+        return seasonal_diff(filled, period_s=3600, value_col="sum_n_tok_locf")
+
+    q["seasonal_10m"] = _q_seasonal
+
     # -- mergeable HLL sketch cascade (production NDV path) -----------
     # Estimates are Datasketches-specific → rows-only driver check; the
     # cascade≡direct-sketch identity and error bounds live in pytest.
@@ -820,6 +852,30 @@ FROM sequences GROUP BY 1
         f"tier AS (SELECT source, bucket_s, sum_n_tok "
         f"FROM ({_TIER_AGG.format(w=600)}))\n"
         + ewma_binary_sql("tier", k=4)
+    )
+    from pyreshaper_spark.operators.gapfill import (
+        anomaly_zflag_sql,
+        seasonal_diff_sql,
+    )
+
+    o["anomaly_10m"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"tier AS (SELECT source, bucket_s, sum_n_tok "
+        f"FROM ({_TIER_AGG.format(w=600)}))\n"
+        + anomaly_zflag_sql("tier", k=6, z_num=2, z_den=1)
+    )
+    o["seasonal_10m"] = (
+        _GAPFILL_CTES
+        + """, locf AS (
+SELECT source, bucket_s,
+       CAST(last_value(sum_n_tok IGNORE NULLS) OVER (
+         PARTITION BY source ORDER BY bucket_s
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS sum_n_tok_locf
+FROM filled
+)
+"""
+        + seasonal_diff_sql("locf", period_s=3600, value_col="sum_n_tok_locf")
     )
     o["tok_topk_1h"] = f"WITH {token_cte()}\n" + token_topk_sql(3600, 5)
     o["vocab_growth_1h"] = f"WITH {token_cte()}\n" + vocab_growth_sql(3600)

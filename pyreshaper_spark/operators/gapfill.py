@@ -370,6 +370,152 @@ WHERE bucket_s - prev_s > {width_s}
 
 
 # --------------------------------------------------------------------------
+# Anomaly flag — exact integer z-score test against a trailing window
+# --------------------------------------------------------------------------
+
+def anomaly_zflag(
+    tier: DataFrame,
+    k: int = 6,
+    z_num: int = 3,
+    z_den: int = 1,
+    min_n: int = 3,
+    value_col: str = "sum_n_tok",
+) -> DataFrame:
+    """Flag buckets whose value deviates more than z = z_num/z_den
+    population standard deviations from the TRAILING ``k`` buckets
+    (current bucket excluded — no self-contamination), per source.
+
+    The z-test is algebraically cleared of square roots and divisions:
+
+        |v − s/n| > z·σ  ⇔  (v·n − s)²·z_den² > z_num²·(n·ss − s²)
+
+    so the comparison is EXACT integer/decimal arithmetic — no float
+    drift, hence oracle-checkable (a float z-score never is). The
+    squares are computed in decimal(38,0): at 10^12-scale bucket values
+    (v ≈ 1e12) the square is ~1e24, far past int64. One rolling window
+    (n, Σv, Σv²) per source — same single-exchange shape as
+    :func:`rolling_agg`. Buckets with fewer than ``min_n`` trailing
+    points are never flagged (variance of a near-empty window is
+    noise).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("bucket_s")
+        .rowsBetween(-k, -1)
+    )
+    v = F.col(value_col)
+    vd = v.cast("decimal(18,0)")
+    n = F.count(value_col).over(w)
+    s = F.sum(vd).over(w).cast("decimal(18,0)")
+    ss = F.sum(vd * vd).over(w).cast("decimal(38,0)")
+    nd = n.cast("decimal(18,0)")
+    dev = (vd * nd - s).cast("decimal(18,0)")
+    lhs = (dev * dev).cast("decimal(38,0)") * F.lit(z_den * z_den)
+    # n ≤ k (tiny), so n·ss stays within the 38-digit cap even with ss
+    # near 10^25 at extreme scale
+    var_term = (nd * ss - (s * s).cast("decimal(38,0)")).cast("decimal(38,0)")
+    rhs = F.lit(z_num * z_num).cast("decimal(38,0)") * var_term
+    return tier.select(
+        "source",
+        F.col("bucket_s").cast("long").alias("bucket_s"),
+        v.cast("long").alias(value_col),
+        n.cast("long").alias("roll_n"),
+        (
+            (n >= min_n) & (lhs > rhs)
+        ).alias("is_anomaly"),
+    )
+
+
+def anomaly_zflag_sql(
+    relation: str,
+    k: int = 6,
+    z_num: int = 3,
+    z_den: int = 1,
+    min_n: int = 3,
+    value_col: str = "sum_n_tok",
+) -> str:
+    """DuckDB twin of :func:`anomaly_zflag` over a named tier relation.
+
+    Internal arithmetic uses HUGEINT (exact 128-bit) — DuckDB's decimal
+    width rules reject the chained products, and only the boolean/long
+    outputs are hash-compared, so internal types just need exactness
+    (Spark's side uses decimal(38,0), identical integer values).
+    """
+    return f"""
+SELECT source,
+       CAST(bucket_s AS BIGINT)    AS bucket_s,
+       CAST({value_col} AS BIGINT) AS {value_col},
+       CAST(n AS BIGINT)           AS roll_n,
+       (n >= {min_n} AND
+        (v * n - s) * (v * n - s) * {z_den * z_den}
+        > {z_num * z_num} * (n * ss - s * s)) AS is_anomaly
+FROM (
+  SELECT source, bucket_s, {value_col},
+         CAST({value_col} AS HUGEINT) AS v,
+         CAST(count({value_col}) OVER w AS HUGEINT) AS n,
+         CAST(coalesce(sum(CAST({value_col} AS HUGEINT)) OVER w, 0)
+              AS HUGEINT) AS s,
+         CAST(coalesce(sum(CAST({value_col} AS HUGEINT)
+                         * CAST({value_col} AS HUGEINT)) OVER w, 0)
+              AS HUGEINT) AS ss
+  FROM {relation}
+  WINDOW w AS (PARTITION BY source ORDER BY bucket_s
+               ROWS BETWEEN {k} PRECEDING AND 1 PRECEDING)
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# Seasonal diff — compare each bucket to the same bucket one period ago
+# --------------------------------------------------------------------------
+
+def seasonal_diff(
+    tier: DataFrame, period_s: int, value_col: str = "sum_n_tok"
+) -> DataFrame:
+    """Value minus the value one season earlier (PromQL ``offset`` /
+    same-hour-yesterday comparison): a bucket-keyed self-join, NOT a
+    row lag — gaps in the series must not shift the comparison point.
+
+    Left join on (source, bucket_s − period_s): prior-season value and
+    delta are NULL when that bucket is missing. Equi-join on the tier's
+    own keys — co-partitioned with the tier's layout at scale.
+    """
+    v = F.col(value_col)
+    prev = tier.select(
+        "source",
+        (F.col("bucket_s") + period_s).cast("long").alias("bucket_s"),
+        v.cast("long").alias("prev_v"),
+    )
+    cur = tier.select(
+        "source",
+        F.col("bucket_s").cast("long").alias("bucket_s"),
+        v.cast("long").alias(value_col),
+    )
+    return cur.join(prev, ["source", "bucket_s"], "left").select(
+        "source", "bucket_s", value_col, "prev_v",
+        (F.col(value_col) - F.col("prev_v")).cast("long").alias("season_delta"),
+    )
+
+
+def seasonal_diff_sql(
+    relation: str, period_s: int, value_col: str = "sum_n_tok"
+) -> str:
+    """DuckDB twin of :func:`seasonal_diff` over a named tier relation."""
+    return f"""
+SELECT c.source,
+       CAST(c.bucket_s AS BIGINT)        AS bucket_s,
+       CAST(c.{value_col} AS BIGINT)     AS {value_col},
+       CAST(p.{value_col} AS BIGINT)     AS prev_v,
+       CAST(c.{value_col} - p.{value_col} AS BIGINT) AS season_delta
+FROM {relation} c
+LEFT JOIN {relation} p
+  ON c.source = p.source AND c.bucket_s = p.bucket_s + {period_s}
+"""
+
+
+# --------------------------------------------------------------------------
 # Exponential smoothing — exact binary-weight EWMA over the last k buckets
 # --------------------------------------------------------------------------
 

@@ -242,6 +242,66 @@ def test_ewma_binary_against_driver_compute(seq):
             assert got[(src, b)] == (num, den)
 
 
+# -- anomaly z-flag ---------------------------------------------------------
+
+def test_anomaly_zflag_matches_float_zscore(seq):
+    """The exact integer comparison must agree with the float z-score
+    on every row (fixture values are far from the float boundary)."""
+    from pyreshaper_spark.operators.gapfill import anomaly_zflag
+
+    tier = rollup_all_tiers(seq, [600])[600].select(
+        "source", "bucket_s", F.col("sum_n_tok").cast("long").alias("sum_n_tok")
+    )
+    k, z = 6, 2
+    got = {
+        (r["source"], r["bucket_s"]): (r["roll_n"], r["is_anomaly"])
+        for r in anomaly_zflag(tier, k=k, z_num=z, z_den=1).collect()
+    }
+    series = {}
+    for r in tier.collect():
+        series.setdefault(r["source"], []).append(
+            (r["bucket_s"], r["sum_n_tok"])
+        )
+    n_flagged = 0
+    for src, pts in series.items():
+        pts.sort()
+        for idx, (b, v) in enumerate(pts):
+            wnd = [p[1] for p in pts[max(0, idx - k):idx]]
+            n = len(wnd)
+            expect = False
+            if n >= 3:
+                s, ss = sum(wnd), sum(x * x for x in wnd)
+                expect = (v * n - s) ** 2 > z * z * (n * ss - s * s)
+            assert got[(src, b)] == (n, expect), (src, b)
+            n_flagged += expect
+    assert n_flagged > 0  # the fixture must exercise both branches
+
+
+# -- seasonal diff ----------------------------------------------------------
+
+def test_seasonal_diff_bucket_keyed_not_row_lag(spark):
+    """A missing prior-season bucket must yield NULL, never a shifted
+    comparison (the row-lag failure mode)."""
+    from pyreshaper_spark.operators.gapfill import seasonal_diff
+
+    rows = [
+        ("a", 0, 10), ("a", 600, 11),
+        # 1200 missing
+        ("a", 1800, 13), ("a", 2400, 99),
+    ]
+    tier = spark.createDataFrame(
+        rows, "source string, bucket_s long, sum_n_tok long"
+    )
+    got = {
+        r["bucket_s"]: (r["prev_v"], r["season_delta"])
+        for r in seasonal_diff(tier, period_s=1200).collect()
+    }
+    assert got[0] == (None, None)
+    assert got[600] == (None, None)
+    assert got[1800] == (11, 2)       # 1800-1200=600 present
+    assert got[2400] == (None, None)  # 1200 missing → NULL, not 10/11
+
+
 # -- correlation ------------------------------------------------------------
 
 def test_corr_moments_and_pearson_match_numpy(seq):
