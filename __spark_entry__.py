@@ -285,6 +285,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_ngram_capped"] = lambda s, d: dedup.ngram_jaccard_pairs(
         _docs(s, d), max_df=200
     )
+
+    # -- dedup decision: pair graph -> clusters -> one survivor each --
+    def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.cluster import components_with_size
+
+        pairs = dedup.verified_near_dups(_docs(spark, sf_dir), max_df=200)
+        return components_with_size(pairs)
+
+    q["dedup_components"] = _q_dedup_components
+
+    def _q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.cluster import survivor_flags
+
+        docs = _docs(spark, sf_dir)
+        pairs = dedup.verified_near_dups(docs, max_df=200)
+        return survivor_flags(docs, pairs)
+
+    q["dedup_survivors"] = _q_dedup_survivors
     # -- similarity search --------------------------------------------
     q["ann_topk_dot"] = lambda s, d: similarity.topk_dot(_emb(s, d))
     q["ann_topk_cosine"] = lambda s, d: similarity.topk_cosine(_emb(s, d))
@@ -796,6 +814,14 @@ FROM tier t JOIN meta m USING (source)
     o["dedup_simhash"] = dedup.simhash_sql()
     o["dedup_ngram_jaccard"] = dedup.ngram_jaccard_sql()
     o["dedup_ngram_capped"] = dedup.ngram_jaccard_sql(max_df=200)
+    from pyreshaper_spark.operators.cluster import (
+        components_sql,
+        survivor_flags_sql,
+    )
+
+    _PAIRS_SQL = dedup.minhash_lsh_sql(max_df=200)
+    o["dedup_components"] = components_sql(_PAIRS_SQL)
+    o["dedup_survivors"] = survivor_flags_sql(_PAIRS_SQL)
     o["ann_topk_dot"] = similarity.topk_dot_sql()
     o["ann_topk_cosine"] = similarity.topk_cosine_sql()
     o["ann_ivf_probe"] = similarity.ivf_probe_topk_sql()
