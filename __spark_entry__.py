@@ -303,6 +303,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return survivor_flags(docs, pairs)
 
     q["dedup_survivors"] = _q_dedup_survivors
+
+    # -- eval-contamination check (n-gram overlap across hash splits) -
+    def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.contamination import (
+            split_contamination,
+        )
+
+        return split_contamination(
+            _docs(spark, sf_dir), n=3, val_bp=1000, test_bp=1000
+        )
+
+    q["contamination_3g"] = _q_contamination
     # -- similarity search --------------------------------------------
     q["ann_topk_dot"] = lambda s, d: similarity.topk_dot(_emb(s, d))
     q["ann_topk_cosine"] = lambda s, d: similarity.topk_cosine(_emb(s, d))
@@ -423,6 +435,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["hist_1h"] = _q_hist
+
+    # -- distribution drift: exact TVD between consecutive 1d buckets -
+    def _q_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.drift import histogram_drift_tvd
+        from pyreshaper_spark.operators.rollup import bucket_histogram
+
+        hist = bucket_histogram(_seq(spark, sf_dir), 86400, 50)
+        return histogram_drift_tvd(hist, 86400)
+
+    q["drift_tvd_1d"] = _q_drift
 
     # -- distinct-cardinality rollup (exact + HLL sketch) -------------
     def _q_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -753,6 +775,13 @@ SELECT source, count(*) AS n_docs FROM sequences GROUP BY 1
 
     o["tier_1h_ohlc"] = f"WITH {seq_cte('base')}\n" + ohlc_sql(3600)
     o["hist_1h"] = f"WITH {seq_cte('base')}\n" + histogram_sql(3600, 50)
+    from pyreshaper_spark.operators.drift import histogram_drift_sql
+
+    o["drift_tvd_1d"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"hist AS ({histogram_sql(86400, 50)})"
+        + histogram_drift_sql("hist", 86400)
+    )
     o["tier_1h_ndv"] = f"WITH {seq_cte('base')}\n" + ndv_sql(3600)
     _GAPPY_T10 = (
         f"WITH {seq_cte('gappy')},\n"
@@ -822,6 +851,13 @@ FROM tier t JOIN meta m USING (source)
     _PAIRS_SQL = dedup.minhash_lsh_sql(max_df=200)
     o["dedup_components"] = components_sql(_PAIRS_SQL)
     o["dedup_survivors"] = survivor_flags_sql(_PAIRS_SQL)
+    from pyreshaper_spark.operators.contamination import (
+        split_contamination_sql,
+    )
+
+    o["contamination_3g"] = split_contamination_sql(
+        n=3, val_bp=1000, test_bp=1000
+    )
     o["ann_topk_dot"] = similarity.topk_dot_sql()
     o["ann_topk_cosine"] = similarity.topk_cosine_sql()
     o["ann_ivf_probe"] = similarity.ivf_probe_topk_sql()

@@ -425,9 +425,14 @@ def ngram_sets(
     document frequency). Opt-in: it changes Jaccard semantics, so it
     gets its own oracle query (``dedup_ngram_capped``)."""
     words = words_col()
+    # guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of being
+    # empty like DuckDB's generate_series — docs with < n words must
+    # produce no shingles, not a truncated one
+    idx = F.when(
+        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
     shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i, n))
     )
     ns = docs.select(
         "doc_id",
