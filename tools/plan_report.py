@@ -326,6 +326,48 @@ def main() -> None:
         ],
     ))
 
+    # 10. connected components round, contamination probe, TVD drift
+    from pyreshaper_spark.operators.cluster import (
+        _canon,
+        _large_star,
+        _small_star,
+    )
+    from pyreshaper_spark.operators.contamination import split_contamination
+    from pyreshaper_spark.operators.drift import histogram_drift_tvd
+
+    edges = _canon(
+        verified_near_dups(docs, max_df=200).select(
+            F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+        )
+    )
+    p_star = plan_of(_small_star(_large_star(edges)))
+    p_cont = plan_of(split_contamination(docs))
+    p_drift = plan_of(
+        histogram_drift_tvd(bucket_histogram(seq, 86400, 50), 86400)
+    )
+    sections.append((
+        "CC star round, contamination probe, TVD drift",
+        "\n".join([
+            "--- small_star(large_star(edges)) one round ---",
+            p_star[:2200],
+            "--- split_contamination ---", p_cont[:2000],
+            "--- histogram_drift_tvd ---", p_drift[:2000],
+        ]),
+        [
+            ("cc round: no cartesian / nested-loop join — min-label "
+             "contraction is agg + equi-join only", no_cartesian(p_star)),
+            ("cc round: per-center min is a partial+final hash agg",
+             p_star.count("HashAggregate") >= 2),
+            ("contamination: train set probed via LEFT-SEMI equi-join",
+             "LeftSemi" in p_cont and no_cartesian(p_cont)),
+            ("drift: no window — two hash aggs + keyed joins only",
+             "Window" not in p_drift and no_cartesian(p_drift)),
+            ("drift: tokens pruned from scan",
+             "tokens" not in p_drift.split("ReadSchema")[1].split("\n")[0]
+             if "ReadSchema" in p_drift else False),
+        ],
+    ))
+
     out = ["# PLANS — physical-plan verification (auto-generated by "
            "tools/plan_report.py)\n"]
     all_ok = True
