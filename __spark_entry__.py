@@ -446,6 +446,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["drift_tvd_1d"] = _q_drift
 
+    # -- unbinned KS drift (sees within-bin shift TVD-over-bins misses)
+    def _q_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.drift import ks_drift
+
+        return ks_drift(_seq(spark, sf_dir), 86400)
+
+    q["ks_drift_1d"] = _q_ks
+
     # -- distinct-cardinality rollup (exact + HLL sketch) -------------
     def _q_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyreshaper_spark.operators.rollup import bucket_ndv
@@ -615,6 +623,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["src_corr_1h"] = _q_corr
 
+    # lead/lag cross-correlation: x at t vs y at t+1h (directional)
+    def _q_corr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.correlate import source_corr_moments
+
+        tier = rollup_all_tiers(_seq(spark, sf_dir), TIER_WIDTHS)[3600]
+        return source_corr_moments(_norm_tier(tier), lag_s=3600)
+
+    q["src_corr_1h_lag1"] = _q_corr_lag
+
     # -- streaming tier-0 (availableNow over the static fixture) ------
     def _q_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Structured Streaming ingest run to completion (availableNow)
@@ -644,6 +661,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["streaming_tier0"] = _q_streaming
+
+    def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming exact dedup run to completion (availableNow): the
+        surviving key SET equals batch DISTINCT over the content hash
+        (which doc survives is arrival-order-dependent, so only the key
+        column is exposed to the hash compare). Tokens here are the
+        md5-derived cross-engine stream (vocab.py pattern) so DuckDB
+        can recompute the same keys; the operator is unchanged."""
+        import os
+        import tempfile
+
+        from pyreshaper_spark.fixtures import VOCAB_SIZE
+        from pyreshaper_spark.functions.xhash import h32, words_col
+        from pyreshaper_spark.sources.iceberglite import IcebergLite
+        from pyreshaper_spark.streaming.dedup import (
+            DEDUP_TABLE,
+            start_dedup_stream,
+        )
+
+        md = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.transform(
+                words_col(),
+                lambda w: F.pmod(h32(w), F.lit(VOCAB_SIZE)).cast("int"),
+            ).alias("tokens"),
+        )
+        seq2 = (
+            _seq(spark, sf_dir)
+            .drop("tokens")
+            .join(md, "doc_id")
+            .select("doc_id", "tokens", "n_tok", "source", "event_s")
+        )
+        base = tempfile.mkdtemp(prefix="stream_dd_")
+        seq_path = os.path.join(base, "seq")
+        seq2.write.parquet(seq_path)
+        sq = start_dedup_stream(
+            spark, seq_path, os.path.join(base, "out"),
+            os.path.join(base, "ck"),
+        )
+        sq.awaitTermination(300)
+        t = IcebergLite(os.path.join(base, "out")).read(spark, DEDUP_TABLE)
+        return t.select("content_key")
+
+    q["streaming_dedup"] = _q_streaming_dedup
 
     # -- validation + metrics accounting (previously pytest-only) -----
     def _q_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -782,6 +843,9 @@ SELECT source, count(*) AS n_docs FROM sequences GROUP BY 1
         f"hist AS ({histogram_sql(86400, 50)})"
         + histogram_drift_sql("hist", 86400)
     )
+    from pyreshaper_spark.operators.drift import ks_drift_sql
+
+    o["ks_drift_1d"] = f"WITH {seq_cte('base')}" + ks_drift_sql(86400)
     o["tier_1h_ndv"] = f"WITH {seq_cte('base')}\n" + ndv_sql(3600)
     _GAPPY_T10 = (
         f"WITH {seq_cte('gappy')},\n"
@@ -947,6 +1011,11 @@ FROM filled
         f"tier AS ({_TIER_AGG.format(w=3600)})\n"
         + corr_moments_sql("tier")
     )
+    o["src_corr_1h_lag1"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"tier AS ({_TIER_AGG.format(w=3600)})\n"
+        + corr_moments_sql("tier", lag_s=3600)
+    )
 
     from pyreshaper_spark.operators.gapfill import rolling_agg_sql
 
@@ -956,6 +1025,19 @@ FROM filled
         f"FROM ({_TIER_AGG.format(w=600)}))\n"
         + rolling_agg_sql("tier", k=6)
     )
+    # streaming dedup availableNow over static input: surviving key set
+    # ≡ batch DISTINCT content hash over the md5-derived token arrays
+    # (cross-engine identical list rendering: '[1, 2, 3]')
+    from pyreshaper_spark.fixtures import VOCAB_SIZE
+    from pyreshaper_spark.functions.xhash import h32_sql
+
+    o["streaming_dedup"] = f"""
+SELECT DISTINCT md5(CAST(
+  list_transform(regexp_split_to_array(lower(text), '\\s+'),
+                 w -> {h32_sql('w')} % {VOCAB_SIZE})
+  AS VARCHAR)) AS content_key
+FROM documents
+"""
     # streaming availableNow over static input ≡ the batch tier-0
     o["streaming_tier0"] = (
         f"WITH {seq_cte('base')}\n"

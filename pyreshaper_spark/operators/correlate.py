@@ -33,10 +33,19 @@ def source_corr_moments(
     tier: DataFrame,
     value_col: str = "sum_n_tok",
     sources: Sequence[str] | None = None,
+    lag_s: int = 0,
 ) -> DataFrame:
     """Exact correlation moments for every source pair over their
     shared time buckets: one row per (source_a < source_b) with
     bucket-aligned n, Σx, Σy, Σxy, Σx², Σy².
+
+    ``lag_s`` shifts the b side: x at bucket t is paired with y at
+    bucket t + lag_s — lead/lag CROSS-correlation ("does source A's
+    traffic this hour predict source B's next hour?"). The pairing is
+    bucket-KEYED (b's buckets are shifted before the equi-join), so
+    gaps never misalign the series. With a nonzero lag the relation is
+    directional, so all ordered pairs (source_a ≠ source_b) are
+    emitted; at lag 0 it is symmetric and only source_a < source_b.
 
     Products are cast to decimal(38,0) BEFORE summing so the sums stay
     exact far past int64 (sum_n_tok per bucket can reach ~1e12 at the
@@ -46,16 +55,26 @@ def source_corr_moments(
     t = tier.select(*cols)
     if sources is not None:
         t = t.filter(F.col("source").isin(list(sources)))
-    a, b = t.alias("a"), t.alias("b")
+    b_side = t
+    if lag_s:
+        b_side = t.select(
+            "source", (F.col("bucket_s") - lag_s).alias("bucket_s"), "v"
+        )
+    a, b = t.alias("a"), b_side.alias("b")
     # decimal(18,0) multiply inputs: the product is decimal(37,0) —
     # still exact — whereas 38×38 would exceed both engines' 38-digit
     # result cap (Spark rounds, DuckDB errors). Bucket values ≤ ~1e12
     # at target scale fit 18 digits with room.
     av = F.col("a.v").cast("decimal(18,0)")
     bv = F.col("b.v").cast("decimal(18,0)")
+    pred = (
+        F.col("a.source") < F.col("b.source")
+        if lag_s == 0
+        else F.col("a.source") != F.col("b.source")
+    )
     return (
         a.join(b, "bucket_s")
-        .filter(F.col("a.source") < F.col("b.source"))
+        .filter(pred)
         .groupBy(
             F.col("a.source").alias("source_a"),
             F.col("b.source").alias("source_b"),
@@ -89,9 +108,28 @@ def corr_finish(moments: DataFrame) -> DataFrame:
     )
 
 
-def corr_moments_sql(relation: str, value_col: str = "sum_n_tok") -> str:
+def corr_moments_sql(
+    relation: str, value_col: str = "sum_n_tok", lag_s: int = 0
+) -> str:
     """DuckDB twin of :func:`source_corr_moments` over a named tier
     relation carrying (source, bucket_s, value_col)."""
+    if lag_s:
+        return f"""
+SELECT a.source AS source_a,
+       b.source AS source_b,
+       count(*) AS n_buckets,
+       CAST(sum(CAST(a.{value_col} AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sx,
+       CAST(sum(CAST(b.{value_col} AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sy,
+       CAST(sum(CAST(a.{value_col} AS DECIMAL(18,0))
+              * CAST(b.{value_col} AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sxy,
+       CAST(sum(CAST(a.{value_col} AS DECIMAL(18,0))
+              * CAST(a.{value_col} AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sxx,
+       CAST(sum(CAST(b.{value_col} AS DECIMAL(18,0))
+              * CAST(b.{value_col} AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS syy
+FROM {relation} a JOIN {relation} b ON b.bucket_s = a.bucket_s + {lag_s}
+WHERE a.source <> b.source
+GROUP BY 1, 2
+"""
     return f"""
 SELECT a.source AS source_a,
        b.source AS source_b,

@@ -110,6 +110,145 @@ def tvd_finish(drift: DataFrame) -> DataFrame:
     )
 
 
+def ks_drift(seq: DataFrame, width_s: int) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between each time
+    bucket's ``n_tok`` distribution and its predecessor's.
+
+    D = max_v |F_cur(v) − F_prev(v)| evaluated at the union of support
+    points (ECDFs are step functions, so that max is exact) and emitted
+    as the integer rational
+
+        ks_num = max_v |cum_cur(v)·T_prev − cum_prev(v)·T_cur|
+        ks_den = T_cur · T_prev
+
+    The unbinned complement of :func:`histogram_drift_tvd`: KS sees a
+    median shift WITHIN one histogram bin that TVD-over-bins cannot.
+
+    Scale shape: raw rows collapse to per-(source, bucket, value)
+    counts in one partial+final hash agg (O(sources × buckets ×
+    distinct values) — ``n_tok`` is bounded, so this is tier-sized);
+    the ECDF runs inside a (source, bucket) window partition — never a
+    global sort; the bucket pairing is keyed, not lagged."""
+    from pyspark.sql import Window
+
+    from pyreshaper_spark.operators.rollup import bucket_col
+
+    zero = F.lit(0).cast(_D18)
+    vc = (
+        seq.select("source", bucket_col(width_s), "n_tok")
+        .groupBy("source", "bucket_s", "n_tok")
+        .agg(F.count("*").cast(_D18).alias("c"))
+    )
+    tot = vc.groupBy("source", "bucket_s").agg(F.sum("c").alias("tot"))
+    pairs = tot.join(
+        tot.select(
+            "source",
+            (F.col("bucket_s") + width_s).alias("bucket_s"),
+            F.col("tot").alias("tot_prev"),
+        ),
+        ["source", "bucket_s"],
+    )
+    cur = vc.select("source", "bucket_s", "n_tok", F.col("c").alias("c_cur"))
+    prev = vc.select(
+        "source",
+        (F.col("bucket_s") + width_s).alias("bucket_s"),
+        "n_tok",
+        F.col("c").alias("c_prev"),
+    )
+    both = cur.join(prev, ["source", "bucket_s", "n_tok"], "full_outer").select(
+        "source",
+        "bucket_s",
+        "n_tok",
+        F.coalesce("c_cur", zero).alias("c_cur"),
+        F.coalesce("c_prev", zero).alias("c_prev"),
+    )
+    w = (
+        Window.partitionBy("source", "bucket_s")
+        .orderBy("n_tok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = both.select(
+        "source",
+        "bucket_s",
+        F.sum("c_cur").over(w).alias("cum_c"),
+        F.sum("c_prev").over(w).alias("cum_p"),
+    )
+    return (
+        cums.join(pairs, ["source", "bucket_s"])
+        .groupBy("source", "bucket_s", "tot", "tot_prev")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_c") * F.col("tot_prev")
+                    - F.col("cum_p") * F.col("tot")
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias("ks_num")
+        )
+        .select(
+            "source",
+            "bucket_s",
+            "ks_num",
+            (F.col("tot") * F.col("tot_prev"))
+            .cast("decimal(38,0)")
+            .alias("ks_den"),
+        )
+    )
+
+
+def ks_finish(drift: DataFrame) -> DataFrame:
+    """Float KS D ∈ [0,1] from the exact rational (derived metric)."""
+    return drift.select(
+        "source",
+        "bucket_s",
+        (F.col("ks_num").cast("double") / F.col("ks_den").cast("double"))
+        .alias("ks_d"),
+    )
+
+
+def ks_drift_sql(width_s: int) -> str:
+    """DuckDB twin of :func:`ks_drift` direct from ``sequences``. Emits
+    a CTE-list continuation (leading comma)."""
+    return f""",
+vc AS (
+  SELECT source, (event_s // {width_s}) * {width_s} AS bucket_s, n_tok,
+         CAST(count(*) AS DECIMAL(18,0)) AS c
+  FROM sequences GROUP BY 1, 2, 3
+),
+tot AS (SELECT source, bucket_s, sum(c) AS tot FROM vc GROUP BY 1, 2),
+kpairs AS (
+  SELECT c.source, c.bucket_s, c.tot, p.tot AS tot_prev
+  FROM tot c JOIN tot p
+    ON p.source = c.source AND p.bucket_s = c.bucket_s - {width_s}
+),
+kboth AS (
+  SELECT coalesce(c.source, p.source)                 AS source,
+         coalesce(c.bucket_s, p.bucket_s + {width_s}) AS bucket_s,
+         coalesce(c.n_tok, p.n_tok)                   AS n_tok,
+         coalesce(c.c, 0)                             AS c_cur,
+         coalesce(p.c, 0)                             AS c_prev
+  FROM vc c FULL OUTER JOIN vc p
+    ON p.source = c.source AND p.bucket_s = c.bucket_s - {width_s}
+   AND p.n_tok = c.n_tok
+),
+kcums AS (
+  SELECT source, bucket_s,
+         sum(c_cur)  OVER w AS cum_c,
+         sum(c_prev) OVER w AS cum_p
+  FROM kboth
+  WINDOW w AS (PARTITION BY source, bucket_s ORDER BY n_tok
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT b.source, b.bucket_s,
+       CAST(max(abs(b.cum_c * t.tot_prev - b.cum_p * t.tot))
+            AS DECIMAL(38,0))                       AS ks_num,
+       CAST(t.tot * t.tot_prev AS DECIMAL(38,0))    AS ks_den
+FROM kcums b JOIN kpairs t USING (source, bucket_s)
+GROUP BY b.source, b.bucket_s, t.tot, t.tot_prev
+"""
+
+
 def histogram_drift_sql(relation: str, width_s: int) -> str:
     """DuckDB twin of :func:`histogram_drift_tvd`. Emits a CTE-list
     continuation: append after an open ``WITH …`` list (leading comma

@@ -103,6 +103,59 @@ def test_drift_tvd_identical_distributions_zero(spark):
     assert len(out) == 1 and int(out[0]["tvd_num"]) == 0
 
 
+def test_ks_drift_hand_case(spark):
+    from pyreshaper_spark.operators.drift import ks_drift, ks_finish
+
+    # bucket 0: values [1,1,2,3]; bucket 86400: values [2,3,3,3]
+    # ECDF diffs at union support {1,2,3}: |2/4-0|=1/2, |3/4-1/4|=1/2,
+    # |1-1|=0  ->  D = 1/2, num = 8 (cum*4 scale), den = 16
+    rows = [("s0", 0, v) for v in (1, 1, 2, 3)] + [
+        ("s0", 86400, v) for v in (2, 3, 3, 3)
+    ]
+    seq = spark.createDataFrame(
+        rows, "source string, event_s long, n_tok int"
+    )
+    out = ks_drift(seq, 86400).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert Fraction(int(r["ks_num"]), int(r["ks_den"])) == Fraction(1, 2)
+    f = ks_finish(ks_drift(seq, 86400)).collect()[0]
+    assert abs(f["ks_d"] - 0.5) < 1e-12
+
+
+def test_ks_drift_identical_is_zero(spark):
+    from pyreshaper_spark.operators.drift import ks_drift
+
+    rows = [("s0", b, v) for b in (0, 86400) for v in (5, 7, 7, 9)]
+    seq = spark.createDataFrame(
+        rows, "source string, event_s long, n_tok int"
+    )
+    out = ks_drift(seq, 86400).collect()
+    assert len(out) == 1 and int(out[0]["ks_num"]) == 0
+
+
+def test_lagged_corr_moments_alignment(spark):
+    from pyreshaper_spark.operators.correlate import source_corr_moments
+
+    # y(t+1h) == x(t) exactly -> lagged moments see a perfect pairing
+    tier = spark.createDataFrame(
+        [("a", 0, 10), ("a", 3600, 20),
+         ("b", 3600, 10), ("b", 7200, 20)],
+        "source string, bucket_s long, sum_n_tok long",
+    )
+    out = source_corr_moments(tier, lag_s=3600).collect()
+    by_pair = {(r["source_a"], r["source_b"]): r for r in out}
+    ab = by_pair[("a", "b")]
+    # pairs: (x=10, y=10), (x=20, y=20)
+    assert (ab["n_buckets"], int(ab["sx"]), int(ab["sy"]),
+            int(ab["sxy"])) == (2, 30, 30, 500)
+    # reverse direction exists and is different (only 1 aligned bucket:
+    # b at t=3600 (10) with a at t=7200 -> none; b@3600 pairs a@7200?
+    # a has no 7200 bucket, so only b@... -> ("b","a") pairs b(t) with
+    # a(t+1h): t=0 absent, so no rows — assert absence
+    assert ("b", "a") not in by_pair
+
+
 def test_drift_disjoint_distributions_is_one(spark):
     rows = [("s0", 0, 0, 5), ("s0", 86400, 50, 9)]
     hist = spark.createDataFrame(
