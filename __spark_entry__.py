@@ -156,6 +156,21 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _md_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, tokens) with md5-derived token ids — the cross-engine
+    token stream (vocab.py pattern) for oracles over token ARRAYS."""
+    from pyreshaper_spark.fixtures import VOCAB_SIZE
+    from pyreshaper_spark.functions.xhash import h32, words_col
+
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.transform(
+            words_col(),
+            lambda w: F.pmod(h32(w), F.lit(VOCAB_SIZE)).cast("int"),
+        ).alias("tokens"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         f"tier_{_TIER_NAMES[w]}": _q_tier(w) for w in TIER_WIDTHS
@@ -263,6 +278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["quality_score"] = lambda s, d: text.quality_score(_docs(s, d))
     q["lang_id"] = lambda s, d: text.lang_id(_docs(s, d))
     q["fingerprint"] = lambda s, d: text.fingerprint(_docs(s, d))
+    q["pii_scan"] = lambda s, d: text.pii_scan(_docs(s, d))
     # -- deduplication ------------------------------------------------
     q["dedup_exact"] = lambda s, d: dedup.exact_dup_groups(_docs(s, d))
     q["dedup_minhash_lsh"] = lambda s, d: dedup.verified_near_dups(_docs(s, d))
@@ -315,6 +331,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["contamination_3g"] = _q_contamination
+
+    # -- sequence-level duplication (token k-gram granularity) --------
+    def _q_seqdup_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.subdup import crossdoc_dup_stats
+
+        return crossdoc_dup_stats(_md_tokens(spark, sf_dir), k=5)
+
+    q["seqdup_crossdoc"] = _q_seqdup_cross
+
+    def _q_seqdup_intra(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.subdup import intradoc_repetition
+
+        return intradoc_repetition(_md_tokens(spark, sf_dir), k=5)
+
+    q["seqdup_intradoc"] = _q_seqdup_intra
     # -- similarity search --------------------------------------------
     q["ann_topk_dot"] = lambda s, d: similarity.topk_dot(_emb(s, d))
     q["ann_topk_cosine"] = lambda s, d: similarity.topk_cosine(_emb(s, d))
@@ -672,25 +703,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         import os
         import tempfile
 
-        from pyreshaper_spark.fixtures import VOCAB_SIZE
-        from pyreshaper_spark.functions.xhash import h32, words_col
         from pyreshaper_spark.sources.iceberglite import IcebergLite
         from pyreshaper_spark.streaming.dedup import (
             DEDUP_TABLE,
             start_dedup_stream,
         )
 
-        md = _docs(spark, sf_dir).select(
-            F.col("doc_id").cast("string").alias("doc_id"),
-            F.transform(
-                words_col(),
-                lambda w: F.pmod(h32(w), F.lit(VOCAB_SIZE)).cast("int"),
-            ).alias("tokens"),
-        )
         seq2 = (
             _seq(spark, sf_dir)
             .drop("tokens")
-            .join(md, "doc_id")
+            .join(_md_tokens(spark, sf_dir), "doc_id")
             .select("doc_id", "tokens", "n_tok", "source", "event_s")
         )
         base = tempfile.mkdtemp(prefix="stream_dd_")
@@ -900,6 +922,7 @@ FROM tier t JOIN meta m USING (source)
     o["quality_score"] = text.quality_score_sql()
     o["lang_id"] = text.lang_id_sql()
     o["fingerprint"] = text.fingerprint_sql()
+    o["pii_scan"] = text.pii_scan_sql()
     o["dedup_exact"] = dedup.EXACT_DUP_SQL
     o["dedup_minhash_lsh"] = dedup.minhash_lsh_sql()
     o["dedup_minhash_capped"] = dedup.minhash_lsh_sql(max_df=200)
@@ -922,6 +945,14 @@ FROM tier t JOIN meta m USING (source)
     o["contamination_3g"] = split_contamination_sql(
         n=3, val_bp=1000, test_bp=1000
     )
+    from pyreshaper_spark.fixtures import VOCAB_SIZE as _V
+    from pyreshaper_spark.operators.subdup import (
+        crossdoc_dup_sql,
+        intradoc_repetition_sql,
+    )
+
+    o["seqdup_crossdoc"] = crossdoc_dup_sql(5, _V)
+    o["seqdup_intradoc"] = intradoc_repetition_sql(5, _V)
     o["ann_topk_dot"] = similarity.topk_dot_sql()
     o["ann_topk_cosine"] = similarity.topk_cosine_sql()
     o["ann_ivf_probe"] = similarity.ivf_probe_topk_sql()

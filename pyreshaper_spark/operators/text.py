@@ -226,3 +226,53 @@ SELECT doc_id,
        list_max(list_transform(list_distinct({WORDS_SQL}), w -> {h})) AS fp_set_max
 FROM documents
 """
+
+
+# --------------------------------------------------------------------------
+# PII-pattern scan — safety-filter face of the text surface
+# --------------------------------------------------------------------------
+
+#: Conservative PII-ish patterns with identical semantics in Java regex
+#: (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_DIGITRUN_RE = "[0-9]{7,}"
+PII_IPV4_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+def pii_scan(docs: DataFrame) -> DataFrame:
+    """Per-doc counts of email-like, long-digit-run, and IPv4-like
+    substrings plus a ``has_pii`` flag — the redaction-candidate
+    filter every training corpus runs. Pure codegen projection (three
+    regexp_extract_all's fused into the scan stage); counts are exact
+    non-overlapping match counts, identical across engines."""
+    def _n(pat: str) -> Column:
+        return F.size(F.regexp_extract_all("text", F.lit(pat), 0))
+
+    return docs.select(
+        "doc_id",
+        _n(PII_EMAIL_RE).alias("n_emails"),
+        _n(PII_DIGITRUN_RE).alias("n_digit_runs"),
+        _n(PII_IPV4_RE).alias("n_ipv4"),
+        (
+            (_n(PII_EMAIL_RE) > 0)
+            | (_n(PII_DIGITRUN_RE) > 0)
+            | (_n(PII_IPV4_RE) > 0)
+        ).alias("has_pii"),
+    )
+
+
+def pii_scan_sql() -> str:
+    def _n(pat: str) -> str:
+        return f"len(regexp_extract_all(text, '{pat}'))"
+
+    # DuckDB single-quoted strings are escape-free, so the same pattern
+    # text (with its literal backslashes) embeds verbatim
+    e, d, i = _n(PII_EMAIL_RE), _n(PII_DIGITRUN_RE), _n(PII_IPV4_RE)
+    return f"""
+SELECT doc_id,
+       {e} AS n_emails,
+       {d} AS n_digit_runs,
+       {i} AS n_ipv4,
+       ({e} > 0 OR {d} > 0 OR {i} > 0) AS has_pii
+FROM documents
+"""
