@@ -346,6 +346,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return intradoc_repetition(_md_tokens(spark, sf_dir), k=5)
 
     q["seqdup_intradoc"] = _q_seqdup_intra
+
+    # -- sequence packing (context-window layout, 2048-token windows) -
+    def _q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.packing import pack_assign
+
+        return pack_assign(_seq(spark, sf_dir), 2048)
+
+    q["pack_assign_2k"] = _q_pack
     # -- similarity search --------------------------------------------
     q["ann_topk_dot"] = lambda s, d: similarity.topk_dot(_emb(s, d))
     q["ann_topk_cosine"] = lambda s, d: similarity.topk_cosine(_emb(s, d))
@@ -953,6 +961,11 @@ FROM tier t JOIN meta m USING (source)
 
     o["seqdup_crossdoc"] = crossdoc_dup_sql(5, _V)
     o["seqdup_intradoc"] = intradoc_repetition_sql(5, _V)
+    from pyreshaper_spark.operators.packing import pack_assign_sql
+
+    o["pack_assign_2k"] = (
+        f"WITH {seq_cte('base')}" + pack_assign_sql(2048)
+    )
     o["ann_topk_dot"] = similarity.topk_dot_sql()
     o["ann_topk_cosine"] = similarity.topk_cosine_sql()
     o["ann_ivf_probe"] = similarity.ivf_probe_topk_sql()

@@ -1,0 +1,89 @@
+"""Sequence packing — the context-window layout op of LLM pretraining.
+
+Pretraining consumes a token STREAM: documents are concatenated in a
+fixed order and chunked into context windows of ``context_len`` tokens
+(docs straddle window boundaries; EOD tokens mark joins). The batch
+builder therefore needs, per document: its token offset in the stream,
+which window (pack) it starts in, and how many windows it spans —
+exactly what :func:`pack_assign` emits.
+
+Determinism: concatenation order is (md5-hash(doc_id), doc_id) within
+each source — reproducible across engines, reruns, and cluster sizes
+(the same property ``sampling.hash_sample`` keys on), and a uniform
+shuffle of the corpus as a free side effect (hash order ≈ random
+order), which is what training wants anyway.
+
+Scale shape: ONE window (per-source cumulative sum) over rows already
+reduced to (doc_id, n_tok) — the payload never enters the shuffle; the
+pack summary is one hash agg. A single global stream (``by=()``) would
+serialize into one partition — the per-source stream is the sharded
+layout real pipelines use (one stream per shard/source, readers
+round-robin shards).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyreshaper_spark.functions.xhash import h32, h32_sql
+
+
+def pack_assign(seq: DataFrame, context_len: int) -> DataFrame:
+    """Per-doc stream layout: (doc_id, source, n_tok, tok_offset,
+    pack_id, n_span) where ``tok_offset`` is the doc's first-token
+    position in its source's concatenated stream, ``pack_id =
+    tok_offset DIV context_len`` the window its first token lands in,
+    and ``n_span`` how many windows it touches."""
+    w = (
+        Window.partitionBy("source")
+        .orderBy(h32(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("long")
+    out = seq.select(
+        "doc_id", "source", "n_tok", off.alias("tok_offset")
+    )
+    return out.select(
+        "*",
+        F.expr(f"tok_offset DIV {context_len}").alias("pack_id"),
+        (
+            F.expr(f"(tok_offset + n_tok - 1) DIV {context_len}")
+            - F.expr(f"tok_offset DIV {context_len}")
+            + 1
+        ).cast("long").alias("n_span"),
+    )
+
+
+def pack_stats(seq: DataFrame, context_len: int) -> DataFrame:
+    """Per-(source, pack) summary: docs starting in the window and
+    tokens contributed by them — the feed-rate/waste report (the last
+    window of each source is the only underfull one by construction)."""
+    return (
+        pack_assign(seq, context_len)
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs_start"),
+            F.sum("n_tok").cast("long").alias("toks_started"),
+        )
+    )
+
+
+def pack_assign_sql(context_len: int) -> str:
+    """DuckDB twin of :func:`pack_assign` over ``sequences``. Emits a
+    final SELECT (append after a complete WITH list)."""
+    h = h32_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT doc_id, source, n_tok, tok_offset,
+       tok_offset // {context_len} AS pack_id,
+       (tok_offset + n_tok - 1) // {context_len}
+         - tok_offset // {context_len} + 1 AS n_span
+FROM (
+  SELECT doc_id, source, n_tok,
+         CAST(coalesce(sum(n_tok) OVER (
+           PARTITION BY source ORDER BY {h}, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS tok_offset
+  FROM sequences
+)
+"""

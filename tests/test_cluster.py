@@ -93,6 +93,33 @@ def test_components_with_size(spark):
     }
 
 
+def test_cc_property_random_graphs(spark):
+    """Hypothesis sweep: star contraction ≡ union-find on arbitrary
+    small graphs (including multi-edges, self-loops filtered upstream,
+    disconnected blobs)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    node = st.integers(min_value=0, max_value=19).map(lambda i: f"v{i:02d}")
+    edges_strategy = st.lists(
+        st.tuples(node, node), min_size=1, max_size=40
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(edges=edges_strategy)
+    def run(edges):
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            return
+        _check(spark, edges)
+
+    run()
+
+
 def test_survivors(spark):
     docs = spark.createDataFrame(
         [(d, "s0", "t") for d in ["a", "b", "c", "x", "y", "z"]],
