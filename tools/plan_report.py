@@ -340,18 +340,22 @@ def main() -> None:
             F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
         )
     )
+    from pyreshaper_spark.operators.packing import pack_assign
+
     p_star = plan_of(_small_star(_large_star(edges)))
     p_cont = plan_of(split_contamination(docs))
     p_drift = plan_of(
         histogram_drift_tvd(bucket_histogram(seq, 86400, 50), 86400)
     )
+    p_pack = plan_of(pack_assign(seq, 2048))
     sections.append((
-        "CC star round, contamination probe, TVD drift",
+        "CC star round, contamination probe, TVD drift, packing",
         "\n".join([
             "--- small_star(large_star(edges)) one round ---",
             p_star[:2200],
             "--- split_contamination ---", p_cont[:2000],
             "--- histogram_drift_tvd ---", p_drift[:2000],
+            "--- pack_assign ---", p_pack[:1200],
         ]),
         [
             ("cc round: no cartesian / nested-loop join — min-label "
@@ -365,6 +369,12 @@ def main() -> None:
             ("drift: tokens pruned from scan",
              "tokens" not in p_drift.split("ReadSchema")[1].split("\n")[0]
              if "ReadSchema" in p_drift else False),
+            ("packing: single per-source window, token payload pruned "
+             "from scan",
+             p_pack.count("Window") // 2 == 1
+             and ("tokens" not in p_pack.split("ReadSchema")[1]
+                  .split("\n")[0]
+                  if "ReadSchema" in p_pack else False)),
         ],
     ))
 
