@@ -273,6 +273,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_sessions"] = lambda s, d: EV.sessionize(_events(s, d))
     q["events_props"] = lambda s, d: EV.extract_props(_events(s, d))
 
+    # -- product analytics: funnel / cohorts / type pivot -------------
+    from pyreshaper_spark.operators import funnel as FN
+
+    q["events_funnel"] = lambda s, d: FN.funnel(_events(s, d))
+    q["events_cohorts"] = lambda s, d: FN.cohort_retention(_events(s, d))
+    q["events_type_pivot"] = lambda s, d: FN.type_pivot(_events(s, d))
+
     # -- text analysis ------------------------------------------------
     q["text_stats"] = lambda s, d: text.text_stats(_docs(s, d))
     q["quality_score"] = lambda s, d: text.quality_score(_docs(s, d))
@@ -900,6 +907,11 @@ SELECT source, count(*) AS n_docs FROM sequences GROUP BY 1
 
     o["events_in_sessions"] = events_in_sessions_sql()
     o["events_props"] = EV.EXTRACT_PROPS_SQL
+    from pyreshaper_spark.operators import funnel as FN
+
+    o["events_funnel"] = FN.funnel_sql()
+    o["events_cohorts"] = FN.cohort_retention_sql()
+    o["events_type_pivot"] = FN.type_pivot_sql()
 
     from pyreshaper_spark.operators.asof import asof_join_sql, topk_per_series_sql
 
