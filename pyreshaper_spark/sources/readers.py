@@ -1,0 +1,126 @@
+"""Source readers — normalize external deliveries into the engine's
+``sequences`` contract.
+
+The reference reads exactly one format (NetCDF slice files); the graft
+equivalent contract is the Iceberg/parquet ``sequences`` table
+(BASELINE.json input_hint). Real corpora, however, arrive as parquet,
+JSONL, CSV, or ORC drops — these readers land any of them in the SAME
+validated shape, so everything downstream (validate → transpose →
+tiers → encode) is format-agnostic:
+
+    sequences(doc_id string, tokens array<int>, n_tok int,
+              source string, event_s long)
+
+Design rules (mirroring the reference's fixed-schema stance, SURVEY
+§1.1 "Schema system: fixed, validated, not inferred"):
+
+* **Never infer.** Every reader passes an explicit schema — inference
+  costs an extra full scan at 100 TB and silently drifts types.
+* **FAILFAST by default** — a malformed record is a pipeline stop, not
+  a silent null (the reference errors on schema mismatch); pass
+  ``mode="PERMISSIVE"`` to triage instead.
+* CSV cannot carry arrays: tokens travel as a space-delimited string
+  column and are parsed JVM-side (``split`` + element cast) — still a
+  pure codegen projection, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SEQ_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("tokens", T.ArrayType(T.IntegerType()), False),
+    T.StructField("n_tok", T.IntegerType(), False),
+    T.StructField("source", T.StringType(), False),
+    T.StructField("event_s", T.LongType(), False),
+])
+
+#: CSV wire schema: arrays flattened to a space-delimited string.
+SEQ_CSV_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("tokens_str", T.StringType(), False),
+    T.StructField("n_tok", T.IntegerType(), False),
+    T.StructField("source", T.StringType(), False),
+    T.StructField("event_s", T.LongType(), False),
+])
+
+_COLS = ["doc_id", "tokens", "n_tok", "source", "event_s"]
+
+
+def read_sequences_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(SEQ_SCHEMA).parquet(path).select(*_COLS)
+
+
+def read_sequences_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(SEQ_SCHEMA).orc(path).select(*_COLS)
+
+
+def read_sequences_json(
+    spark: SparkSession, path: str, mode: str = "FAILFAST"
+) -> DataFrame:
+    """JSON-lines delivery; arrays are native JSON arrays."""
+    return (
+        spark.read.schema(SEQ_SCHEMA)
+        .option("mode", mode)
+        .json(path)
+        .select(*_COLS)
+    )
+
+
+def read_sequences_csv(
+    spark: SparkSession, path: str, mode: str = "FAILFAST"
+) -> DataFrame:
+    """CSV delivery with tokens as a space-delimited string column."""
+    raw = (
+        spark.read.schema(SEQ_CSV_SCHEMA)
+        .option("header", "true")
+        .option("mode", mode)
+        .csv(path)
+    )
+    tokens = F.transform(
+        F.split(F.col("tokens_str"), " "), lambda t: t.cast("int")
+    )
+    return raw.select(
+        "doc_id",
+        tokens.alias("tokens"),
+        "n_tok",
+        "source",
+        "event_s",
+    )
+
+
+READERS = {
+    "parquet": read_sequences_parquet,
+    "orc": read_sequences_orc,
+    "json": read_sequences_json,
+    "csv": read_sequences_csv,
+}
+
+
+def read_sequences(
+    spark: SparkSession, path: str, fmt: str = "parquet"
+) -> DataFrame:
+    """Format-dispatching sequences reader (the one the jobs use)."""
+    try:
+        reader = READERS[fmt]
+    except KeyError:
+        raise ValueError(
+            f"unknown sequences format {fmt!r}; one of {sorted(READERS)}"
+        ) from None
+    return reader(spark, path)
+
+
+def write_sequences_csv(seq: DataFrame, path: str) -> None:
+    """Flatten to the CSV wire schema (tokens → space-joined string)."""
+    seq.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.transform(F.col("tokens"), lambda t: t.cast("string"))
+        ).alias("tokens_str"),
+        "n_tok",
+        "source",
+        "event_s",
+    ).write.option("header", "true").mode("overwrite").csv(path)
