@@ -61,6 +61,9 @@ class RunConfig:
 
     input_path: str
     output_path: str
+    #: wire format of the input drop (sources.readers dispatch):
+    #: parquet | orc | json | csv
+    input_format: str = "parquet"
     table_format: str = "parquet"
     compression_level: int = 3  # parquet zstd level for table sinks
     tiers: tuple[TierSpec, ...] = field(
@@ -95,6 +98,7 @@ class RunConfig:
         checks = [
             ("input_path", self.input_path, str),
             ("output_path", self.output_path, str),
+            ("input_format", self.input_format, str),
             ("table_format", self.table_format, str),
             ("compression_level", self.compression_level, int),
             ("nsalt", self.nsalt, int),
@@ -114,6 +118,13 @@ class RunConfig:
                 raise TypeError("RunConfig.tiers items must be TierSpec")
 
     def validate_values(self) -> None:
+        from pyreshaper_spark.sources.readers import READERS
+
+        if self.input_format not in READERS:
+            raise ValueError(
+                f"input_format must be one of {sorted(READERS)}, "
+                f"got {self.input_format!r}"
+            )
         if self.table_format not in _ALLOWED_TABLE_FORMATS:
             raise ValueError(f"table_format must be one of "
                              f"{_ALLOWED_TABLE_FORMATS}, got {self.table_format!r}")

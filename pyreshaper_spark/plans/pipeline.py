@@ -90,7 +90,14 @@ class PipelineResult:
 
 
 def _load_input(spark: SparkSession, cfg: RunConfig) -> DataFrame:
-    seq = spark.read.parquet(cfg.input_path)
+    if cfg.input_format == "parquet":
+        # schema-flexible default: test fixtures carry extra columns
+        # (doc_num, variant fields) beyond the sequences contract
+        seq = spark.read.parquet(cfg.input_path)
+    else:
+        from pyreshaper_spark.sources.readers import read_sequences
+
+        seq = read_sequences(spark, cfg.input_path, cfg.input_format)
     if "input_file" not in seq.columns:
         # captured at scan time (pre-shuffle) — the reference's
         # per-variable input-file accounting

@@ -68,3 +68,47 @@ def test_failfast_on_malformed_json(spark, tmp_path):
 def test_unknown_format_rejected(spark):
     with pytest.raises(ValueError, match="unknown sequences format"):
         read_sequences(spark, "/nowhere", "avro")
+
+
+def test_pipeline_end_to_end_from_jsonl(spark, seq, tmp_path):
+    """The full pipeline over a JSONL input drop commits the same tier-0
+    as over parquet — the readers are wired through RunConfig."""
+    from pyreshaper_spark.config import RunConfig, TierSpec
+    from pyreshaper_spark.plans.pipeline import run_pipeline
+    from pyreshaper_spark.sources.iceberglite import IcebergLite
+
+    tiers = (TierSpec("1m", 60),)
+    paths = {}
+    seq.write.json(str(tmp_path / "seq_json"))
+    seq.write.parquet(str(tmp_path / "seq_parquet"))
+    for fmt in ("json", "parquet"):
+        cfg = RunConfig(
+            input_path=str(tmp_path / f"seq_{fmt}"),
+            output_path=str(tmp_path / f"out_{fmt}"),
+            input_format=fmt, tiers=tiers, nsalt=2,
+            num_series_partitions=4,
+        )
+        run_pipeline(spark, cfg, str(tmp_path / f"ck_{fmt}.json"))
+        paths[fmt] = cfg.output_path
+    rows = {
+        fmt: sorted(
+            map(
+                tuple,
+                IcebergLite(p)
+                .read(spark, "tier_1m")
+                .select("source", "bucket_s", "cnt", "sum_n_tok")
+                .collect(),
+            )
+        )
+        for fmt, p in paths.items()
+    }
+    assert rows["json"] == rows["parquet"]
+
+
+def test_runconfig_rejects_bad_input_format():
+    from pyreshaper_spark.config import RunConfig
+
+    with pytest.raises(ValueError, match="input_format"):
+        RunConfig(
+            input_path="/x", output_path="/y", input_format="avro"
+        ).validate()
