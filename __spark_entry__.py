@@ -423,6 +423,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rate_10m"] = _q_rate
 
+    # -- within-day linear trend of the 1h tier -----------------------
+    def _q_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.rollup import bucket_trend
+
+        tier = rollup_all_tiers(_seq(spark, sf_dir), TIER_WIDTHS)[3600]
+        return bucket_trend(
+            tier.select(
+                "source", "bucket_s",
+                F.col("sum_n_tok").cast("long").alias("sum_n_tok"),
+            ),
+            coarse_s=86400, fine_s=3600,
+        )
+
+    q["trend_1d"] = _q_trend
+
     # -- exact percentile rollup (1h buckets) -------------------------
     def _q_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyreshaper_spark.operators.rollup import bucket_percentiles
@@ -594,6 +609,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["token_ndv_1h"] = lambda s, d: VB.token_ndv(
         VB.token_stream(_docs(s, d)), 3600
+    )
+    q["tok_cms"] = lambda s, d: VB.token_cms(
+        VB.token_stream(_docs(s, d)), depth=4, width=64
     )
 
     # -- exact binary-weight EWMA over the 10m tier -------------------
@@ -1062,6 +1080,17 @@ FROM filled
     o["tok_topk_1h"] = f"WITH {token_cte()}\n" + token_topk_sql(3600, 5)
     o["vocab_growth_1h"] = f"WITH {token_cte()}\n" + vocab_growth_sql(3600)
     o["token_ndv_1h"] = f"WITH {token_cte()}\n" + token_ndv_sql(3600)
+    from pyreshaper_spark.operators.vocab import token_cms_sql
+
+    o["tok_cms"] = f"WITH {token_cte()}\n" + token_cms_sql(depth=4, width=64)
+    from pyreshaper_spark.operators.rollup import bucket_trend_sql
+
+    o["trend_1d"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"t60 AS (SELECT source, bucket_s, sum_n_tok "
+        f"FROM ({_TIER_AGG.format(w=3600)}))\n"
+        + bucket_trend_sql("t60", 86400, 3600)
+    )
     o["src_corr_1h"] = (
         f"WITH {seq_cte('base')},\n"
         f"tier AS ({_TIER_AGG.format(w=3600)})\n"

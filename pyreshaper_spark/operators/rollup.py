@@ -592,3 +592,91 @@ FROM {relation}
 WINDOW w AS (PARTITION BY source ORDER BY bucket_s
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
+
+
+def bucket_trend(
+    tier: DataFrame,
+    coarse_s: int,
+    fine_s: int,
+    value_col: str = "sum_n_tok",
+) -> DataFrame:
+    """Within-bucket linear trend: least-squares slope of a fine tier's
+    values against time inside each coarse bucket ("is this source's
+    token rate ramping up or down within the hour?") — the level-drift
+    complement of the distribution-drift ops in ``drift.py``.
+
+    Exactness: the regression is carried as integer sufficient
+    statistics — t is the fine-bucket index within the coarse bucket
+    (0..coarse/fine−1, single digits) and v the tier value, so
+    n·Σtv − Σt·Σv and n·Σt² − (Σt)² stay far inside int64 for values up
+    to ~1e17. Emitted as an exact rational (slope_num, slope_den) with
+    slope = num/den/fine_s per second; :func:`trend_finish` derives the
+    float (pytest vs numpy, not oracle-hashed).
+
+    Scale: input is a TIER (already O(sources × buckets)); one hash
+    aggregate keyed (source, coarse bucket), no window, no join.
+    """
+    n_fine = coarse_s // fine_s
+    t = F.expr(f"(bucket_s % {coarse_s}) div {fine_s}").alias("t")
+    v = F.col(value_col).cast("long").alias("v")
+    g = tier.select(
+        "source",
+        F.expr(f"(bucket_s div {coarse_s}) * {coarse_s}").alias("bucket_s"),
+        t,
+        v,
+    ).groupBy("source", "bucket_s").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum("v").cast("long").alias("sv"),
+        F.sum(F.col("t") * F.col("v")).cast("long").alias("stv"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+    )
+    assert n_fine >= 2  # a 1-point bucket has no slope (den = 0)
+    return g.select(
+        "source",
+        F.col("bucket_s").cast("long").alias("bucket_s"),
+        "n", "st", "sv", "stv", "stt",
+        (F.col("n") * F.col("stv") - F.col("st") * F.col("sv"))
+        .cast("long").alias("slope_num"),
+        (F.col("n") * F.col("stt") - F.col("st") * F.col("st"))
+        .cast("long").alias("slope_den"),
+    )
+
+
+def trend_finish(trend: DataFrame, fine_s: int) -> DataFrame:
+    """Float slope (value units per second) from the exact rational —
+    derived metric, pytest-checked against numpy.polyfit."""
+    return trend.select(
+        "source", "bucket_s", "n",
+        F.when(
+            F.col("slope_den") > 0,
+            F.col("slope_num")
+            / F.col("slope_den").cast("double")
+            / F.lit(float(fine_s)),
+        ).alias("slope_per_s"),
+    )
+
+
+def bucket_trend_sql(
+    relation: str, coarse_s: int, fine_s: int, value_col: str = "sum_n_tok"
+) -> str:
+    """DuckDB twin of :func:`bucket_trend` over a named fine-tier
+    relation carrying (source, bucket_s, value_col)."""
+    return f"""
+SELECT source, bucket_s, n, st, sv, stv, stt,
+       CAST(n * stv - st * sv AS BIGINT)  AS slope_num,
+       CAST(n * stt - st * st AS BIGINT)  AS slope_den
+FROM (
+  SELECT source,
+         (bucket_s // {coarse_s}) * {coarse_s}       AS bucket_s,
+         count(*)                                    AS n,
+         CAST(sum((bucket_s % {coarse_s}) // {fine_s}) AS BIGINT) AS st,
+         CAST(sum({value_col}) AS BIGINT)            AS sv,
+         CAST(sum(((bucket_s % {coarse_s}) // {fine_s}) * {value_col})
+              AS BIGINT)                             AS stv,
+         CAST(sum(((bucket_s % {coarse_s}) // {fine_s})
+                * ((bucket_s % {coarse_s}) // {fine_s})) AS BIGINT) AS stt
+  FROM {relation}
+  GROUP BY 1, 2
+)
+"""

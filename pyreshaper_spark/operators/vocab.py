@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from pyreshaper_spark.config import EPOCH0, HORIZON_S
 from pyreshaper_spark.fixtures import VOCAB_SIZE
-from pyreshaper_spark.functions.xhash import h32, h32_sql, words_col
+from pyreshaper_spark.functions.xhash import h32, h32_sql, perm, words_col
 
 from .rollup import bucket_col
 
@@ -204,4 +204,105 @@ SELECT source,
        count(DISTINCT token)              AS ndv_token
 FROM tok
 GROUP BY 1, 2
+"""
+
+
+def token_cms(
+    tok: DataFrame, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Count-min sketch of per-source token frequencies: ``depth``
+    independent hash rows × ``width`` counters — the mergeable
+    heavy-hitter path for id spaces too large to aggregate exactly
+    (:func:`token_topk` shuffles O(occupied vocabulary) keys; the
+    sketch caps state at depth × width counters per source regardless
+    of vocabulary size, and sketches merge by cell-wise addition, so
+    tier cascades / append cycles union for free).
+
+    Determinism across engines: row i's bucket is the xhash universal
+    permutation (``(a_i·h + b_i) mod P31``, fixed constants) of the
+    md5-derived 32-bit token hash, mod ``width`` — byte-identical in
+    DuckDB (:func:`token_cms_sql`), so the full counter table is
+    oracle-hashable, unlike engine-specific sketch blobs.
+
+    Point estimates (min over rows of the probed cells) come from
+    :func:`cms_estimate`; the classic bound err ≤ e/width · N holds per
+    row with probability 1 − e^−depth.
+    """
+    hh = h32(F.col("token").cast("string"))
+    rows = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(i).alias("cms_row"),
+                F.pmod(perm(i, hh), F.lit(width)).alias("cms_bucket"),
+            )
+            for i in range(depth)
+        ])
+    ).alias("cell")
+    return (
+        tok.select("source", rows)
+        .groupBy(
+            "source",
+            F.col("cell.cms_row").alias("cms_row"),
+            F.col("cell.cms_bucket").alias("cms_bucket"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "source",
+            F.col("cms_row").cast("long").alias("cms_row"),
+            F.col("cms_bucket").cast("long").alias("cms_bucket"),
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+    )
+
+
+def cms_estimate(
+    cms: DataFrame, tokens: DataFrame, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Point-query the sketch: estimated occurrence count per
+    (source, token) = min over the depth rows of the probed cells.
+    ``tokens`` carries (source, token) probe rows; the probe explodes
+    into its depth cells and equi-joins the sketch — never a scan."""
+    hh = h32(F.col("token").cast("string"))
+    probes = tokens.select(
+        "source",
+        "token",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("cms_row"),
+                    F.pmod(perm(i, hh), F.lit(width)).alias("cms_bucket"),
+                )
+                for i in range(depth)
+            ])
+        ).alias("cell"),
+    ).select(
+        "source", "token",
+        F.col("cell.cms_row").cast("long").alias("cms_row"),
+        F.col("cell.cms_bucket").cast("long").alias("cms_bucket"),
+    )
+    return (
+        probes.join(cms, ["source", "cms_row", "cms_bucket"])
+        .groupBy("source", "token")
+        .agg(F.min("cnt").cast("long").alias("est_cnt"))
+    )
+
+
+def token_cms_sql(depth: int = 4, width: int = 64) -> str:
+    """DuckDB twin of :func:`token_cms` over the `tok` CTE."""
+    from pyreshaper_spark.functions.xhash import MINHASH_PERMS, P31
+
+    h = h32_sql("CAST(token AS VARCHAR)")
+    arms = []
+    for i in range(depth):
+        a, b = MINHASH_PERMS[i]
+        arms.append(
+            f"SELECT source, {i} AS cms_row, "
+            f"((({h}) * {a} + {b}) % {P31}) % {width} AS cms_bucket "
+            f"FROM tok"
+        )
+    cells = "\nUNION ALL\n".join(arms)
+    return f"""
+SELECT source, cms_row, cms_bucket, count(*) AS cnt
+FROM ({cells})
+GROUP BY 1, 2, 3
 """

@@ -378,6 +378,35 @@ def main() -> None:
         ],
     ))
 
+    from pyreshaper_spark.operators.rollup import bucket_trend
+    from pyreshaper_spark.operators.vocab import explode_tokens, token_cms
+
+    tier1h = rollup_all_tiers(seq, [60, 600, 3600])[3600].select(
+        "source", "bucket_s",
+        F.col("sum_n_tok").cast("long").alias("sum_n_tok"),
+    )
+    p_trend = plan_of(bucket_trend(tier1h, 86400, 3600))
+    p_cms = plan_of(token_cms(explode_tokens(seq)))
+    sections.append((
+        "Trend regression, count-min sketch",
+        "\n".join([
+            "--- bucket_trend(1h tier, 1d) ---", p_trend[:2400],
+            "--- token_cms(explode_tokens) ---", p_cms[:2000],
+        ]),
+        [
+            ("trend: no window, no join — hash aggregates only",
+             "Window" not in p_trend and no_cartesian(p_trend)),
+            ("trend: tokens pruned from the tier scan",
+             "tokens" not in p_trend.split("ReadSchema")[1].split("\n")[0]
+             if "ReadSchema" in p_trend else False),
+            ("cms: partial+final hash agg collapses the exploded "
+             "stream before the exchange (state ≤ depth × width / "
+             "partition)",
+             p_cms.count("HashAggregate") >= 2
+             and "Generate" in p_cms),
+        ],
+    ))
+
     out = ["# PLANS — physical-plan verification (auto-generated by "
            "tools/plan_report.py)\n"]
     all_ok = True
