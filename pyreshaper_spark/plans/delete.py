@@ -1,0 +1,313 @@
+"""Targeted document deletion with incremental table repair.
+
+The compliance face of the retention engine ("right to be forgotten"):
+remove a set of ``doc_id``s from EVERY data product of a completed
+pipeline run — encoded series chunks, all tier / filled / analytic
+continuous aggregates, per-source metadata, lineage metrics — without
+recomputing any of them from scratch.
+
+Work is proportional to what the victims actually touched, never to
+the corpus:
+
+* **series_enc** — only the (source, salt) chunks that contained a
+  victim are re-encoded (from the remaining raw rows of exactly those
+  chunks: salt = ``pmod(xxhash64(doc_id), nsalt)`` is derivable from
+  the victim list alone, using the checkpoint-pinned nsalt). The table
+  commit is a single-snapshot copy-on-write
+  :meth:`IcebergLite.replace_rows`: files that cannot hold an affected
+  chunk (manifest ``source`` stats) are carried by reference.
+* **tiers** — a victim at event time t invalidates exactly one bucket
+  per tier width. Affected tier-0 buckets are re-aggregated from the
+  remaining raw rows of those buckets only; affected cascade buckets
+  re-aggregate the already-repaired finer tier. Untouched buckets of
+  affected sources ride along unchanged (modulo refreshed metadata
+  replication columns); untouched sources keep their hive partitions
+  (``overwrite_partitions``) — their files are not rewritten.
+* **meta_source / metrics** — O(sources) / O(chunks) rebuilds.
+
+At a 10^12-row deployment the raw-side reads here prune to the
+affected sources' partitions and affected buckets' row groups (the
+victim bucket list is a broadcast semi-join key set); nothing rescans
+the historical corpus.
+
+Retention interplay: repair never *adds* history — repaired buckets
+are re-filtered against the live table's retention high-water mark, so
+a bucket already aged out cannot be resurrected by a delete.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyreshaper_spark.config import RunConfig
+from pyreshaper_spark.operators.encode import encode_series_table
+from pyreshaper_spark.operators.rollup import (
+    ANALYTIC_FAMILIES,
+    rollup_cascade,
+    rollup_tier0,
+)
+from pyreshaper_spark.operators.transpose import (
+    transpose_to_series,
+    with_salt,
+)
+from pyreshaper_spark.plans.checkpoint import Checkpoint
+from pyreshaper_spark.plans.pipeline import LINEAGE_COLS, _load_input
+from pyreshaper_spark.sources.iceberglite import IcebergLite
+
+
+def _bucket(width_s: int) -> F.Column:
+    return ((F.col("event_s") / width_s).cast("long") * width_s).alias(
+        "bucket_s"
+    )
+
+
+def delete_docs(
+    spark: SparkSession,
+    cfg: RunConfig,
+    checkpoint_path: str,
+    doc_ids: Sequence[str] | DataFrame,
+) -> dict:
+    """Delete ``doc_ids`` from every committed table of a finished
+    pipeline run (see module docstring). Returns a report dict.
+
+    ``doc_ids`` may be a Python sequence or a one-column ``doc_id``
+    DataFrame. The victim list is assumed driver-manageable (a
+    compliance batch, not a corpus) — it is broadcast into every probe.
+    """
+    cfg.validate()
+    cat = IcebergLite(cfg.output_path)
+    ckpt = Checkpoint.load(checkpoint_path)
+    if ckpt.cycle is not None:
+        raise RuntimeError(
+            "delete_docs: an append cycle is in flight (checkpoint has "
+            "pinned cycle state); finish or replay it first"
+        )
+    nsalt = ckpt.nsalt or cfg.nsalt
+    if not nsalt:
+        raise RuntimeError(
+            "delete_docs: no resolved nsalt (pipeline has not encoded yet)"
+        )
+
+    if isinstance(doc_ids, DataFrame):
+        ids = doc_ids.select(F.col("doc_id").cast("string").alias("doc_id"))
+    else:
+        ids = spark.createDataFrame(
+            [(str(d),) for d in doc_ids], "doc_id string"
+        )
+    ids = ids.distinct()
+
+    seq = _load_input(spark, cfg)
+    victims = (
+        with_salt(
+            seq.join(F.broadcast(ids), "doc_id", "left_semi"), nsalt
+        )
+        .select("doc_id", "source", "salt", "event_s")
+        .cache()
+    )
+    n_victims = victims.count()
+    report: dict = {"deleted_rows": n_victims, "snapshot_ids": {}}
+    if n_victims == 0:
+        victims.unpersist()
+        return report
+
+    remaining = seq.join(F.broadcast(ids), "doc_id", "left_anti")
+    affected_sources = sorted(
+        r[0] for r in victims.select("source").distinct().collect()
+    )
+    src_set = set(affected_sources)
+    report["affected_sources"] = affected_sources
+
+    # ---- series_enc: re-encode exactly the affected chunks ------------
+    chunk_keys = victims.select("source", "salt").distinct()
+    rem_chunks = (
+        with_salt(remaining, nsalt)
+        .join(F.broadcast(chunk_keys), ["source", "salt"], "left_semi")
+        .drop("salt")
+    )
+    encoded = encode_series_table(
+        transpose_to_series(
+            rem_chunks, nsalt, cfg.num_series_partitions, pack=True
+        )
+    )
+    smin, smax = affected_sources[0], affected_sources[-1]
+    sid, rewritten, kept = cat.replace_rows(
+        spark,
+        "series_enc",
+        keys=F.broadcast(chunk_keys),
+        key_cols=("source", "salt"),
+        replacement=encoded,
+        # manifest column stats: skip files whose source range cannot
+        # intersect the affected source set
+        stats_filter=lambda st: (
+            "source" not in st
+            or (st["source"][0] <= smax and st["source"][1] >= smin)
+        ),
+        stats_cols=("source",),
+        options={"parquet.block.size": 32 * 1024 * 1024},
+    )
+    report["snapshot_ids"]["series_enc"] = sid
+    report["series_files_rewritten"] = rewritten
+    report["series_files_untouched"] = kept
+
+    # metrics mirrors the live chunk set (same rebuild as the pipeline)
+    lineage = (
+        cat.read(spark, "series_enc")
+        .select(*LINEAGE_COLS)
+        .withColumn("attempt", F.lit(ckpt.attempt))
+        .withColumn("step", F.lit("delete"))
+    )
+    report["snapshot_ids"]["metrics"] = cat.overwrite("metrics", lineage)
+
+    # ---- meta_source: recompute affected sources' rows ----------------
+    meta_new = remaining.filter(F.col("source").isin(affected_sources)).groupBy(
+        "source"
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tok"),
+        F.min("event_s").alias("first_event_s"),
+        F.max("event_s").alias("last_event_s"),
+    )
+    meta_keep = cat.read(spark, "meta_source").filter(
+        ~F.col("source").isin(affected_sources)
+    )
+    meta = meta_keep.unionByName(meta_new)
+    report["snapshot_ids"]["meta_source"] = cat.overwrite("meta_source", meta)
+
+    # ---- tier cascade repair -------------------------------------------
+    src_keys = F.broadcast(
+        spark.createDataFrame([(s,) for s in affected_sources], "source string")
+    )
+
+    def _replace_sources(tname: str, out: DataFrame) -> int:
+        """Atomically swap the affected sources' rows for ``out``
+        (their full recomputed row set). Untouched sources' hive
+        partitions are carried by reference; a source whose rows all
+        vanished simply has no replacement rows — its partition is
+        dropped in the same commit (the ``overwrite_partitions`` path
+        would silently keep it)."""
+        sid, _, _ = cat.replace_rows(
+            spark,
+            tname,
+            keys=src_keys,
+            key_cols=("source",),
+            replacement=out,
+            partition_filter=lambda p: p.get("source") in src_set,
+            partition_by=("source",),
+        )
+        return sid
+
+    def _repair_tables(tier0_fn, cascade_fn, table_of, with_meta: bool) -> None:
+        """Shared repair walk for the main tiers and each analytic
+        family: fix affected buckets at tier 0 from remaining raw rows,
+        then each coarser tier from the repaired finer one."""
+        prev_repaired: DataFrame | None = None  # affected-source rows
+        for tier in cfg.tiers:
+            tname = table_of(tier)
+            w = tier.width_s
+            bad = victims.select("source", _bucket(w)).distinct()
+            old = cat.read(
+                spark,
+                tname,
+                partition_filter=lambda p: p.get("source") in src_set,
+            )
+            meta_cols = [c for c in old.columns if c.startswith("src_")]
+            if prev_repaired is None:
+                rem_src = remaining.filter(
+                    F.col("source").isin(affected_sources)
+                )
+                fixed = tier0_fn(
+                    rem_src.withColumn("bucket_s", _bucket(w))
+                    .join(F.broadcast(bad), ["source", "bucket_s"], "left_semi")
+                    .drop("bucket_s"),
+                    w,
+                )
+            else:
+                fixed = cascade_fn(
+                    prev_repaired.withColumn(
+                        "cb", (F.col("bucket_s") / w).cast("long") * w
+                    )
+                    .join(
+                        F.broadcast(
+                            bad.select("source", F.col("bucket_s").alias("cb"))
+                        ),
+                        ["source", "cb"],
+                        "left_semi",
+                    )
+                    .drop("cb"),
+                    w,
+                )
+            untouched_buckets = old.drop(*meta_cols).join(
+                F.broadcast(bad), ["source", "bucket_s"], "left_anti"
+            )
+            # NOTE: the next tier cascades from the UN-pruned repair
+            # (prev_repaired below), matching the pipeline's
+            # prune-after-cascade ordering; the retention filter applies
+            # only to what gets written
+            repaired = untouched_buckets.unionByName(fixed)
+            written = repaired
+            if tier.retention_buckets is not None:
+                # never resurrect aged-out buckets: re-filter against the
+                # live table's high-water mark
+                hw = cat.read(spark, tname).agg(F.max("bucket_s")).collect()[
+                    0
+                ][0]
+                written = repaired.filter(
+                    F.col("bucket_s") > hw - tier.retention_buckets * w
+                )
+            if with_meta and meta_cols:
+                mc = cat.read(spark, "meta_source").select(
+                    "source",
+                    F.col("n_docs").alias("src_n_docs"),
+                    F.col("total_tok").alias("src_total_tok"),
+                )
+                out = written.join(F.broadcast(mc), "source")
+            else:
+                out = written
+            report["snapshot_ids"][tname] = _replace_sources(tname, out)
+            prev_repaired = repaired
+
+            fname = f"{tname}_filled"
+            if cat.exists(fname):
+                # pipeline ordering: filled tables are built from the
+                # pre-retention tier (prune runs after the cascade)
+                from pyreshaper_spark.operators.gapfill import gapfill_locf
+
+                report["snapshot_ids"][fname] = _replace_sources(
+                    fname, gapfill_locf(repaired, w)
+                )
+
+    _repair_tables(
+        rollup_tier0, rollup_cascade,
+        lambda t: f"tier_{t.name}",
+        with_meta=not cfg.meta_once,
+    )
+    for fam in cfg.analytics:
+        tier0_fn, cascade_fn = ANALYTIC_FAMILIES[fam]
+        _repair_tables(
+            tier0_fn, cascade_fn, lambda t, fam=fam: f"{fam}_{t.name}",
+            with_meta=False,
+        )
+
+    # ---- optional fidelity gate -----------------------------------------
+    if cfg.verify_fidelity:
+        from pyreshaper_spark.operators.encode import decode_series_table
+
+        dec = decode_series_table(cat.read(spark, "series_enc"))
+        j = remaining.alias("a").join(dec.alias("b"), "doc_id", "full_outer")
+        bad_rows = j.filter(
+            F.col("a.tokens").isNull()
+            | F.col("b.tokens").isNull()
+            | (F.col("a.tokens") != F.col("b.tokens"))
+            | (F.col("a.event_s") != F.col("b.event_s"))
+        ).count()
+        if bad_rows:
+            raise RuntimeError(
+                f"delete_docs fidelity violated: {bad_rows} rows differ"
+            )
+        report["fidelity_checked"] = True
+
+    victims.unpersist()
+    return report

@@ -288,6 +288,64 @@ class IcebergLite:
     def exists(self, name: str) -> bool:
         return self.current_snapshot_id(name) > 0
 
+    def replace_rows(
+        self,
+        spark: SparkSession,
+        name: str,
+        keys: DataFrame,
+        key_cols: tuple[str, ...],
+        replacement: DataFrame | None = None,
+        partition_filter: Callable[[dict[str, str]], bool] | None = None,
+        stats_filter: Callable[[dict[str, list]], bool] | None = None,
+        partition_by: tuple[str, ...] = (),
+        stats_cols: tuple[str, ...] = (),
+        options: dict | None = None,
+    ) -> tuple[int, int, int]:
+        """Copy-on-write row-level delete/upsert — Iceberg's
+        ``MERGE``/``DELETE`` with copy-on-write semantics: rows whose
+        ``key_cols`` match a row of ``keys`` are removed; ``replacement``
+        rows (if any) are added; everything lands in ONE atomic commit.
+
+        File skipping is the point at scale: only files that COULD hold
+        a matching row (per ``partition_filter`` / ``stats_filter``
+        against the manifest) are read and rewritten — every other file
+        is carried into the new snapshot by reference, so the rewrite
+        cost is O(affected files), not O(table). Prior snapshots still
+        reference the old files (time travel across the delete works
+        until :meth:`expire_snapshots`).
+
+        Returns (snapshot_id, files_rewritten, files_untouched).
+        """
+        snap = self._snapshot(name, None)
+        cand, untouched = [], []
+        for f in snap["files"]:
+            skip = (
+                partition_filter is not None
+                and not partition_filter(f["partition"])
+            ) or (
+                stats_filter is not None
+                and f.get("stats")
+                and not stats_filter(f["stats"])
+            )
+            (untouched if skip else cand).append(f)
+        parts: list[DataFrame] = []
+        if cand:
+            parts.append(
+                self._df_for_files(spark, name, cand).join(
+                    keys, list(key_cols), "left_anti"
+                )
+            )
+        if replacement is not None:
+            parts.append(replacement)
+        if not parts:
+            return self._snapshot(name, None)["id"], 0, len(untouched)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        new = self._write_data(name, df, partition_by, stats_cols, options)
+        sid = self._commit(name, untouched + new, "replace")
+        return sid, len(cand), len(untouched)
+
     # -- maintenance -----------------------------------------------------
     def compact(
         self,

@@ -145,3 +145,46 @@ def test_expire_snapshots_reclaims_dead_files(spark, cat):
         for p in _g.glob(os.path.join(data, "**", "*.parquet"), recursive=True)
     }
     assert live <= on_disk and on_disk - live == set()
+
+
+def test_replace_rows_copy_on_write(spark, cat):
+    """Row-level delete + upsert in one commit; files that cannot match
+    (per partition filter) are carried by reference."""
+    cat.append(
+        "t",
+        _df(spark, [("a", 1, 10), ("a", 2, 20), ("b", 1, 5), ("c", 9, 1)]),
+        partition_by=("source",),
+    )
+    before = {f["path"] for f in cat._snapshot("t", None)["files"]}
+    keys = spark.createDataFrame(
+        [("a", 2)], "source string, bucket_s long"
+    )
+    repl = _df(spark, [("a", 2, 99), ("a", 3, 7)])
+    sid, rewritten, untouched = cat.replace_rows(
+        spark, "t", keys, ("source", "bucket_s"), repl,
+        partition_filter=lambda p: p.get("source") == "a",
+        partition_by=("source",),
+    )
+    got = sorted(
+        map(tuple, cat.read(spark, "t").select("source", "bucket_s", "cnt").collect())
+    )
+    assert got == [
+        ("a", 1, 10), ("a", 2, 99), ("a", 3, 7), ("b", 1, 5), ("c", 9, 1)
+    ]
+    assert untouched == 2  # b and c files untouched
+    after = {f["path"] for f in cat._snapshot("t", None)["files"]}
+    assert {p for p in before if "source=b" in p or "source=c" in p} <= after
+    assert not any(p in after for p in before if "source=a" in p)
+    # pure delete: no replacement, drop everything matching
+    allb = spark.createDataFrame([("b",)], "source string")
+    cat.replace_rows(
+        spark, "t", allb, ("source",), None,
+        partition_filter=lambda p: p.get("source") == "b",
+        partition_by=("source",),
+    )
+    assert cat.read(spark, "t").filter("source = 'b'").count() == 0
+    # time travel across the replace still sees the original rows
+    assert (
+        cat.read(spark, "t", snapshot_id=1)
+        .filter("source = 'a' and bucket_s = 2").collect()[0]["cnt"] == 20
+    )
