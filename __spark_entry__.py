@@ -171,6 +171,24 @@ def _md_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _md_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, tokens) with md5-derived token ids — the
+    sequences-shaped cross-engine relation for operators that need
+    token ORDER plus the source key (bigrams) or doc identity
+    (rarity)."""
+    from pyreshaper_spark.fixtures import VOCAB_SIZE
+    from pyreshaper_spark.functions.xhash import h32, words_col
+
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "source",
+        F.transform(
+            words_col(),
+            lambda w: F.pmod(h32(w), F.lit(VOCAB_SIZE)).cast("int"),
+        ).alias("tokens"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         f"tier_{_TIER_NAMES[w]}": _q_tier(w) for w in TIER_WIDTHS
@@ -613,6 +631,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tok_cms"] = lambda s, d: VB.token_cms(
         VB.token_stream(_docs(s, d)), depth=4, width=64
     )
+    # bigrams need token ORDER → the sequences-shaped md-token relation
+    q["tok_bigram_pmi"] = lambda s, d: VB.bigram_pmi(
+        _md_seq(s, d), min_count=2
+    )
+    q["doc_rarity"] = lambda s, d: VB.doc_rarity(_md_seq(s, d), max_df=2)
 
     # -- exact binary-weight EWMA over the 10m tier -------------------
     def _q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1083,6 +1106,16 @@ FROM filled
     from pyreshaper_spark.operators.vocab import token_cms_sql
 
     o["tok_cms"] = f"WITH {token_cte()}\n" + token_cms_sql(depth=4, width=64)
+    from pyreshaper_spark.operators.vocab import (
+        bigram_pmi_sql,
+        doc_rarity_sql,
+        seqs_cte,
+    )
+
+    o["tok_bigram_pmi"] = (
+        f"WITH {seqs_cte(_V)}," + bigram_pmi_sql(_V, min_count=2)
+    )
+    o["doc_rarity"] = f"WITH {seqs_cte(_V)}," + doc_rarity_sql(2)
     from pyreshaper_spark.operators.rollup import bucket_trend_sql
 
     o["trend_1d"] = (

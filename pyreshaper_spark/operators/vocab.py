@@ -207,6 +207,258 @@ GROUP BY 1, 2
 """
 
 
+def seqs_cte(vocab_size: int = VOCAB_SIZE) -> str:
+    """DuckDB CTE body defining `seqs(doc_id, source, tokens)` — the
+    md5-derived cross-engine token ARRAYS (order preserved, unlike the
+    exploded `tok` stream) for the bigram/rarity oracles."""
+    return f"""seqs AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         list_transform(regexp_split_to_array(lower(text), '\\s+'),
+                        w -> {h32_sql('w')} % {vocab_size}) AS tokens
+  FROM documents
+)"""
+
+
+def bigram_counts(seq: DataFrame, vocab_size: int = VOCAB_SIZE) -> DataFrame:
+    """Adjacent-token bigram counts per source — (source, t1, t2, c_xy).
+
+    Bigrams need ORDER, so unlike the other vocab operators this one
+    takes the sequences-shaped relation (source, tokens:array<int>)
+    rather than the exploded ``tok`` stream. Each doc contributes
+    ``n_tok − 1`` packed keys ``t1·V + t2`` (one BIGINT — no struct key
+    crosses the exchange); the first aggregate's map-side partial agg
+    collapses each input partition to its occupied bigram-type count,
+    so shuffle volume is bounded by distinct bigram types per
+    partition, never by corpus size.
+    """
+    toks = F.col("tokens")
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    bg = F.transform(
+        idx,
+        lambda i: F.element_at(toks, i).cast("long") * vocab_size
+        + F.element_at(toks, i + 1).cast("long"),
+    )
+    return (
+        seq.select("source", F.explode(bg).alias("bg"))
+        .groupBy("source", "bg")
+        .agg(F.count("*").alias("c_xy"))
+        .select(
+            "source",
+            (F.col("bg") / vocab_size).cast("long").alias("t1"),
+            F.pmod(F.col("bg"), F.lit(vocab_size)).cast("long").alias("t2"),
+            F.col("c_xy").cast("long").alias("c_xy"),
+        )
+    )
+
+
+def bigram_pmi(
+    seq: DataFrame,
+    vocab_size: int = VOCAB_SIZE,
+    min_count: int = 2,
+    assoc_num: int = 8,
+    assoc_den: int = 1,
+) -> DataFrame:
+    """Pointwise-mutual-information association mining over adjacent
+    token pairs — the collocation detector ("which token pairs co-occur
+    far above chance?") a tokenizer/merge-rule audit needs.
+
+    PMI itself is a log — float, not oracle-hashable — so the operator
+    emits the EXACT sufficient statistics per (source, t1, t2):
+    bigram count ``c_xy``, unigram counts ``c_x``/``c_y``, per-source
+    totals ``n_uni`` (token occurrences) and ``n_big`` (bigram
+    positions), plus the exact association flag
+
+        assoc  ⇔  p(x,y) / (p(x)·p(y)) ≥ assoc_num/assoc_den
+               ⇔  c_xy · n_uni² · assoc_den ≥ c_x · c_y · n_big · assoc_num
+
+    cross-multiplied in decimal(38,0) (DuckDB HUGEINT) — exact while
+    products fit 38 digits (~1e13-token corpora); beyond that use the
+    float :func:`pmi_finish`. ``min_count`` drops singleton bigrams
+    BEFORE the joins (the classic PMI-noise guard — and the result-size
+    bound: survivors ≤ n_big/min_count).
+
+    Scale shape: unigram counts and per-source totals are
+    vocabulary-/source-bounded → both broadcast; the only large
+    relation (bigram types) is touched once.
+    """
+    big_all = bigram_counts(seq, vocab_size)
+    big = big_all.filter(F.col("c_xy") >= min_count)
+    uni = (
+        seq.select("source", F.explode("tokens").alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = uni.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_uni")
+    )
+    n_big = big_all.groupBy("source").agg(
+        F.sum("c_xy").cast("long").alias("n_big")
+    )
+    d18 = "decimal(18,0)"
+    out = (
+        big.join(
+            F.broadcast(
+                uni.select(
+                    "source",
+                    F.col("token").alias("t1"),
+                    F.col("c").alias("c_x"),
+                )
+            ),
+            ["source", "t1"],
+        )
+        .join(
+            F.broadcast(
+                uni.select(
+                    "source",
+                    F.col("token").alias("t2"),
+                    F.col("c").alias("c_y"),
+                )
+            ),
+            ["source", "t2"],
+        )
+        .join(F.broadcast(totals), "source")
+        .join(F.broadcast(n_big), "source")
+    )
+    lhs = (
+        F.col("c_xy").cast(d18)
+        * F.col("n_uni").cast(d18)
+        * F.col("n_uni").cast(d18)
+        * F.lit(assoc_den).cast(d18)
+    )
+    rhs = (
+        F.col("c_x").cast(d18)
+        * F.col("c_y").cast(d18)
+        * F.col("n_big").cast(d18)
+        * F.lit(assoc_num).cast(d18)
+    )
+    return out.select(
+        "source",
+        "t1",
+        "t2",
+        "c_xy",
+        F.col("c_x").cast("long").alias("c_x"),
+        F.col("c_y").cast("long").alias("c_y"),
+        "n_uni",
+        "n_big",
+        (lhs >= rhs).alias("assoc"),
+    )
+
+
+def pmi_finish(stats: DataFrame) -> DataFrame:
+    """Float PMI from the exact statistics (derived metric — pytest
+    vs math.log, not oracle-hashed): log2[(c_xy/n_big)/((c_x/n_uni)·
+    (c_y/n_uni))]."""
+    return stats.withColumn(
+        "pmi",
+        F.log2(
+            (F.col("c_xy") / F.col("n_big"))
+            / ((F.col("c_x") / F.col("n_uni")) * (F.col("c_y") / F.col("n_uni")))
+        ),
+    )
+
+
+def bigram_pmi_sql(
+    vocab_size: int = VOCAB_SIZE,
+    min_count: int = 2,
+    assoc_num: int = 8,
+    assoc_den: int = 1,
+) -> str:
+    """DuckDB twin of :func:`bigram_pmi` over a `seqs(source, tokens)`
+    CTE (md5-derived token arrays — see :func:`seqs_cte`)."""
+    return f"""
+big AS (
+  SELECT source, bg // {vocab_size} AS t1, bg % {vocab_size} AS t2,
+         count(*) AS c_xy
+  FROM (
+    SELECT source,
+           unnest(list_transform(
+             generate_series(1, greatest(len(tokens) - 1, 0)),
+             i -> CAST(tokens[i] AS BIGINT) * {vocab_size}
+                  + CAST(tokens[i + 1] AS BIGINT))) AS bg
+    FROM seqs)
+  GROUP BY 1, 2, 3
+),
+uni AS (
+  SELECT source, token, count(*) AS c
+  FROM (SELECT source, unnest(tokens) AS token FROM seqs)
+  GROUP BY 1, 2
+),
+tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_uni FROM uni GROUP BY 1),
+nb  AS (SELECT source, CAST(sum(c_xy) AS BIGINT) AS n_big FROM big GROUP BY 1)
+SELECT big.source, t1, t2, c_xy,
+       CAST(ux.c AS BIGINT) AS c_x,
+       CAST(uy.c AS BIGINT) AS c_y,
+       n_uni, n_big,
+       CAST(c_xy AS HUGEINT) * n_uni * n_uni * {assoc_den}
+         >= CAST(ux.c AS HUGEINT) * uy.c * n_big * {assoc_num} AS assoc
+FROM big
+JOIN uni ux ON ux.source = big.source AND ux.token = big.t1
+JOIN uni uy ON uy.source = big.source AND uy.token = big.t2
+JOIN tot ON tot.source = big.source
+JOIN nb  ON nb.source = big.source
+WHERE c_xy >= {min_count}
+"""
+
+
+def doc_rarity(
+    seq: DataFrame, max_df: int, num: int = 1, den: int = 10
+) -> DataFrame:
+    """Token-rarity document quality: per doc, how much of it is made
+    of tokens that barely occur elsewhere — the OOV/garbage detector
+    (mojibake, hex dumps, and mis-tokenized text are exactly the docs
+    whose tokens have tiny document frequency).
+
+    Output (doc_id, n_occ, n_rare, min_df, rare_heavy): ``n_rare``
+    counts token OCCURRENCES whose token appears in ≤ ``max_df``
+    documents; ``rare_heavy`` is the exact threshold
+    ``n_rare/n_occ ≥ num/den``.
+
+    Scale shape: document frequency is a partial+final hash agg
+    bounded by the vocabulary; its broadcast joins back onto the token
+    stream (one row per distinct token — a hot token is still one row);
+    the per-doc re-aggregate groups rows that are already doc-local.
+    """
+    tok = seq.select("doc_id", F.explode("tokens").alias("token"))
+    df_tbl = tok.groupBy("token").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    return (
+        tok.join(F.broadcast(df_tbl), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_occ"),
+            F.sum(F.when(F.col("df") <= max_df, 1).otherwise(0))
+            .cast("long")
+            .alias("n_rare"),
+            F.min("df").cast("long").alias("min_df"),
+        )
+        .withColumn(
+            "rare_heavy",
+            F.col("n_rare") * F.lit(den) >= F.col("n_occ") * F.lit(num),
+        )
+    )
+
+
+def doc_rarity_sql(max_df: int, num: int = 1, den: int = 10) -> str:
+    """DuckDB twin of :func:`doc_rarity` over a `seqs(doc_id, tokens)`
+    CTE."""
+    return f"""
+tokstream AS (SELECT doc_id, unnest(tokens) AS token FROM seqs),
+dfx AS (SELECT token, count(DISTINCT doc_id) AS df FROM tokstream GROUP BY 1)
+SELECT doc_id,
+       count(*)                                         AS n_occ,
+       CAST(sum(CASE WHEN df <= {max_df} THEN 1 ELSE 0 END) AS BIGINT)
+                                                        AS n_rare,
+       CAST(min(df) AS BIGINT)                          AS min_df,
+       CAST(sum(CASE WHEN df <= {max_df} THEN 1 ELSE 0 END) AS BIGINT)
+         * {den} >= count(*) * {num}                    AS rare_heavy
+FROM tokstream JOIN dfx USING (token)
+GROUP BY 1
+"""
+
+
 def token_cms(
     tok: DataFrame, depth: int = 4, width: int = 64
 ) -> DataFrame:

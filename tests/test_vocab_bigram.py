@@ -1,0 +1,95 @@
+"""Bigram/PMI association mining and token-rarity doc quality
+(operators/vocab.py::bigram_counts / bigram_pmi / doc_rarity)."""
+
+from __future__ import annotations
+
+import math
+
+from pyreshaper_spark.operators.vocab import (
+    bigram_counts,
+    bigram_pmi,
+    doc_rarity,
+    pmi_finish,
+)
+
+V = 100  # tiny vocab so packed keys are easy to read
+
+
+def _toy(spark):
+    # "1 2" dominates src0; token 9 appears once, in doc d3 only
+    rows = [
+        ("d0", "src0", [1, 2, 3, 1, 2]),
+        ("d1", "src0", [1, 2, 1, 2]),
+        ("d2", "src0", [4]),          # too short for any bigram
+        ("d3", "src1", [5, 6, 9]),
+        ("d4", "src1", [5, 6, 5, 6]),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id string, source string, tokens array<int>"
+    )
+
+
+def test_bigram_counts_adjacency(spark):
+    got = {
+        (r["source"], r["t1"], r["t2"]): r["c_xy"]
+        for r in bigram_counts(_toy(spark), V).collect()
+    }
+    # d0: (1,2)(2,3)(3,1)(1,2); d1: (1,2)(2,1)(1,2); d2: none
+    assert got[("src0", 1, 2)] == 4
+    assert got[("src0", 2, 3)] == 1
+    assert got[("src0", 3, 1)] == 1
+    assert got[("src0", 2, 1)] == 1
+    assert got[("src1", 5, 6)] == 3
+    assert got[("src1", 6, 5)] == 1
+    assert got[("src1", 6, 9)] == 1
+    assert sum(v for (s, _, _), v in got.items() if s == "src0") == 7
+
+
+def test_bigram_pmi_stats_and_assoc_flag(spark):
+    out = {
+        (r["source"], r["t1"], r["t2"]): r
+        for r in bigram_pmi(
+            _toy(spark), V, min_count=1, assoc_num=2, assoc_den=1
+        ).collect()
+    }
+    r = out[("src0", 1, 2)]
+    # src0 unigrams: 1×4, 2×4, 3×1, 4×1 → n_uni=10; bigrams total 7
+    assert (r["c_x"], r["c_y"], r["n_uni"], r["n_big"]) == (4, 4, 10, 7)
+    # lift = (4/7) / ((4/10)(4/10)) = 400/112 ≈ 3.57 ≥ 2 → assoc
+    assert r["assoc"]
+    # (2,1): lift = (1/7)/((4/10)(4/10)) = 100/112 ≈ 0.89 < 2
+    assert not out[("src0", 2, 1)]["assoc"]
+    # exact flag ⇔ float lift comparison, everywhere
+    for rr in out.values():
+        lift = (rr["c_xy"] / rr["n_big"]) / (
+            (rr["c_x"] / rr["n_uni"]) * (rr["c_y"] / rr["n_uni"])
+        )
+        assert rr["assoc"] == (lift >= 2.0), rr
+
+
+def test_pmi_finish_matches_math_log(spark):
+    stats = bigram_pmi(_toy(spark), V, min_count=1)
+    for r in pmi_finish(stats).collect():
+        want = math.log2(
+            (r["c_xy"] / r["n_big"])
+            / ((r["c_x"] / r["n_uni"]) * (r["c_y"] / r["n_uni"]))
+        )
+        assert abs(r["pmi"] - want) < 1e-12
+
+
+def test_min_count_prunes_singletons(spark):
+    out = bigram_pmi(_toy(spark), V, min_count=2)
+    keys = {(r["source"], r["t1"], r["t2"]) for r in out.collect()}
+    assert keys == {("src0", 1, 2), ("src1", 5, 6)}
+
+
+def test_doc_rarity_flags_oov_heavy_doc(spark):
+    got = {r["doc_id"]: r for r in doc_rarity(_toy(spark), max_df=1).collect()}
+    # token 9 and 4 are single-doc tokens; 3 appears only in d0
+    assert (got["d3"]["n_occ"], got["d3"]["n_rare"]) == (3, 1)
+    assert got["d3"]["min_df"] == 1
+    assert got["d3"]["rare_heavy"]  # 1/3 ≥ 1/10
+    assert (got["d2"]["n_occ"], got["d2"]["n_rare"]) == (1, 1)
+    assert got["d1"]["n_rare"] == 0 and not got["d1"]["rare_heavy"]
+    # d0 has one occurrence of df-1 token 3 → 1/5 ≥ 1/10 → heavy
+    assert got["d0"]["n_rare"] == 1 and got["d0"]["rare_heavy"]
