@@ -389,6 +389,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["emb_near_dup"] = lambda s, d: similarity.cosine_near_dups(
         _emb(s, d), num=2, den=5
     )
+    # trained coarse quantizer (exact-integer Lloyd) + IVF probe
+    from pyreshaper_spark.operators import kmeans as KM
+
+    q["kmeans_assign"] = lambda s, d: KM.kmeans_assign(
+        _emb(s, d), k=8, n_iter=2
+    )
+    q["ann_ivf_kmeans"] = lambda s, d: KM.ivf_kmeans_topk(
+        _emb(s, d), k=8, n_iter=2, n_queries=10, topk=5, nprobe=2
+    )
     # -- multimodal ---------------------------------------------------
     q["mm_meta"] = lambda s, d: multimodal.media_meta(_docs(s, d))
 
@@ -1021,6 +1030,15 @@ FROM tier t JOIN meta m USING (source)
     )
     o["ann_topk_dot"] = similarity.topk_dot_sql()
     o["ann_topk_cosine"] = similarity.topk_cosine_sql()
+    from pyreshaper_spark.operators.kmeans import (
+        ivf_kmeans_topk_sql,
+        kmeans_assign_sql,
+    )
+
+    o["kmeans_assign"] = kmeans_assign_sql(k=8, n_iter=2)
+    o["ann_ivf_kmeans"] = ivf_kmeans_topk_sql(
+        k=8, n_iter=2, n_queries=10, topk=5, nprobe=2
+    )
     o["ann_ivf_probe"] = similarity.ivf_probe_topk_sql()
     o["ann_lsh_pairs"] = similarity.lsh_bucket_pairs_sql()
     o["emb_near_dup"] = similarity.cosine_near_dups_sql(num=2, den=5)

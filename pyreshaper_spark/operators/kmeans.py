@@ -1,0 +1,271 @@
+"""Exact-integer k-means over embeddings + IVF probe with a trained
+coarse quantizer.
+
+The hyperplane IVF in :mod:`similarity` uses data-independent buckets;
+a real IVF index (FAISS ``IndexIVFFlat``) trains its inverted lists
+with k-means so list populations track the data distribution. This
+module is that trainer/prober, kept oracle-hashable:
+
+* arithmetic is the fixed-point integer quantization from
+  :mod:`similarity` (``round(x · 10⁴)``), so every squared distance is
+  an exact int64;
+* init is deterministic (centroid j = vector ``vec_id == j``);
+* the centroid update is element-wise TRUNCATED integer division
+  (``sum div count`` — Spark ``div`` ≡ DuckDB ``//``), i.e. centroids
+  live on the same integer grid as the vectors. The ≤1-ulp-of-10⁻⁴
+  perturbation vs the rational mean is far below centroid separation
+  and buys bit-identical cross-engine assignments;
+* ties (equidistant centroids) break toward the smaller cluster id in
+  both engines.
+
+Scale shape: each Lloyd iteration is one broadcast of k·dim integers
+against a single scan (N·k candidate rows collapse in the map-side
+partial agg of the argmin groupBy), then a k-row re-aggregate —
+exactly the shuffle profile of the tier cascade. ``n_iter`` is a small
+constant (FAISS default trains on a sample; at 100 TB you'd fit on a
+``hash_sample`` of the corpus and assign the full table once, which is
+the same ``assign`` operator).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import QUANT_SQL, _dot, quantized
+
+DIM = 64
+
+
+def _d2(a, b) -> F.Column:
+    """Exact squared L2 distance between two int64 arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def init_centroids(emb: DataFrame, k: int) -> DataFrame:
+    """(cid, c) — deterministic init: centroid j is vector vec_id==j."""
+    return quantized(emb).filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("c")
+    )
+
+
+def assign(q: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: (vec_id, q, cluster, d2).
+
+    Broadcast the k centroids against one scan; the argmin is
+    ``min(struct(d2, cid))`` — a hash aggregate with map-side partial
+    collapse, no window, ties to the smaller cid.
+    """
+    scored = q.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "q",
+        F.struct(
+            _d2(F.col("q"), F.col("c")).alias("d2"),
+            F.col("cid").alias("cid"),
+        ).alias("cand"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.min("cand").alias("best"), F.first("q").alias("q")
+    )
+    return best.select(
+        "vec_id",
+        "q",
+        F.col("best.cid").alias("cluster"),
+        F.col("best.d2").alias("d2"),
+    )
+
+
+def update(assigned: DataFrame, dim: int = DIM) -> DataFrame:
+    """New centroids from an assignment: element-wise ``sum div count``
+    (truncated integer division — cross-engine exact). Clusters that
+    lost every member disappear (both engines agree: the group simply
+    has no rows)."""
+    sums = assigned.groupBy(F.col("cluster").alias("cid")).agg(
+        F.count("*").alias("cnt"),
+        *[
+            F.sum(F.element_at("q", d + 1)).alias(f"s{d}")
+            for d in range(dim)
+        ],
+    )
+    return sums.select(
+        "cid",
+        F.array(
+            *[F.expr(f"s{d} div cnt").cast("long") for d in range(dim)]
+        ).alias("c"),
+    )
+
+
+def lloyd(
+    emb: DataFrame, k: int = 8, n_iter: int = 2, dim: int = DIM
+) -> tuple[DataFrame, DataFrame]:
+    """``n_iter`` Lloyd iterations; returns (assignments, centroids).
+    Assignments are AFTER the last centroid update (i.e. n_iter updates
+    then one final assign) — mirrored exactly by the unrolled oracle
+    SQL."""
+    q = quantized(emb)
+    cents = init_centroids(emb, k)
+    a = assign(q, cents)
+    for _ in range(n_iter):
+        cents = update(a, dim)
+        a = assign(q, cents)
+    return a, cents
+
+
+def kmeans_assign(
+    emb: DataFrame, k: int = 8, n_iter: int = 2, dim: int = DIM
+) -> DataFrame:
+    """(vec_id, cluster, d2) after ``n_iter`` Lloyd iterations."""
+    a, _ = lloyd(emb, k, n_iter, dim)
+    return a.select(
+        "vec_id", F.col("cluster").cast("long").alias("cluster"), "d2"
+    )
+
+
+def ivf_kmeans_topk(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    n_queries: int = 10,
+    topk: int = 5,
+    nprobe: int = 2,
+    dim: int = DIM,
+) -> DataFrame:
+    """IVF top-k with the trained quantizer: vectors live in their
+    nearest-centroid inverted list; a query probes its ``nprobe``
+    nearest lists and exact integer dot re-ranks the candidates —
+    FAISS ``IndexIVFFlat.search`` shape. The probe is an equi-join on
+    ``cluster`` (the list id), so a cluster-partitioned table prunes.
+    Output (query_id, neighbor_id, dot, rank)."""
+    lists, cents = lloyd(emb, k, n_iter, dim)
+    queries = lists.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+    qc = queries.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "qv",
+        F.col("cid").alias("cluster"),
+        _d2(F.col("qv"), F.col("c")).alias("cd2"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("cd2").asc(), F.col("cluster").asc()
+    )
+    probes = (
+        qc.withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") <= nprobe)
+        .select("query_id", "qv", "cluster")
+    )
+    cand = (
+        lists.alias("n")
+        .join(F.broadcast(probes), "cluster")
+        .filter(F.col("n.vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("n.vec_id").alias("neighbor_id"),
+            _dot(F.col("qv"), F.col("n.q")).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "dot", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# oracle SQL — the Lloyd loop unrolled for a fixed n_iter
+# --------------------------------------------------------------------------
+
+_D2_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(list_zip({x}, {y}), p -> (p[1] - p[2]) * (p[1] - p[2]))), "
+    "(a, b) -> a + b)"
+)
+_DOT_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(list_zip({x}, {y}), p -> p[1] * p[2])), (a, b) -> a + b)"
+)
+
+
+def _assign_cte(src: str, cents: str) -> str:
+    d2 = _D2_SQL.format(x=f"{src}.q", y=f"{cents}.c")
+    return f"""(
+  SELECT vec_id, q, cluster, d2 FROM (
+    SELECT {src}.vec_id, {src}.q, {cents}.cid AS cluster, {d2} AS d2,
+           row_number() OVER (PARTITION BY {src}.vec_id
+                              ORDER BY {d2} ASC, {cents}.cid ASC) AS rn
+    FROM q {src} CROSS JOIN {cents}
+  ) WHERE rn = 1
+)"""
+
+
+def _update_cte(asg: str, dim: int) -> str:
+    return f"""(
+  SELECT cluster AS cid, list(v ORDER BY d) AS c FROM (
+    SELECT cluster, d, sum(q[d]) // count(*) AS v
+    FROM {asg} CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS d)
+    GROUP BY 1, 2
+  ) GROUP BY 1
+)"""
+
+
+def _lloyd_ctes(k: int, n_iter: int, dim: int) -> str:
+    """CTE chain q, c0, a0, c1, a1, … c{n_iter}, a{n_iter}; the final
+    assignment CTE is ``a{n_iter}``."""
+    parts = [
+        f"q AS ({QUANT_SQL})",
+        f"c0 AS (SELECT vec_id AS cid, q AS c FROM q WHERE vec_id < {k})",
+        f"a0 AS {_assign_cte('qq', 'c0')}",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(f"c{i} AS {_update_cte(f'a{i - 1}', dim)}")
+        parts.append(f"a{i} AS {_assign_cte('qq', f'c{i}')}")
+    return ",\n".join(parts)
+
+
+def kmeans_assign_sql(k: int = 8, n_iter: int = 2, dim: int = DIM) -> str:
+    return f"""
+WITH {_lloyd_ctes(k, n_iter, dim)}
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, d2 FROM a{n_iter}
+"""
+
+
+def ivf_kmeans_topk_sql(
+    k: int = 8,
+    n_iter: int = 2,
+    n_queries: int = 10,
+    topk: int = 5,
+    nprobe: int = 2,
+    dim: int = DIM,
+) -> str:
+    cd2 = _D2_SQL.format(x="qq.qv", y="c.c")
+    dot = _DOT_SQL.format(x="p.qv", y="n.q")
+    return f"""
+WITH {_lloyd_ctes(k, n_iter, dim)},
+queries AS (SELECT vec_id AS query_id, q AS qv FROM a{n_iter}
+            WHERE vec_id < {n_queries}),
+probes AS (
+  SELECT query_id, qv, cluster FROM (
+    SELECT qq.query_id, qq.qv, c.cid AS cluster,
+           row_number() OVER (PARTITION BY qq.query_id
+                              ORDER BY {cd2} ASC, c.cid ASC) AS prn
+    FROM queries qq CROSS JOIN c{n_iter} c
+  ) WHERE prn <= {nprobe}
+),
+cand AS (
+  SELECT p.query_id, n.vec_id AS neighbor_id, {dot} AS dot
+  FROM a{n_iter} n JOIN probes p ON n.cluster = p.cluster
+  WHERE n.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, dot, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY dot DESC, neighbor_id ASC) AS rank
+  FROM cand)
+WHERE rank <= {topk}
+"""

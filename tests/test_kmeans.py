@@ -1,0 +1,116 @@
+"""Exact-integer k-means + IVF probe (operators/kmeans.py) — parity
+with an independent numpy Lloyd implementation using the same
+quantization, truncated-division centroid update, and tie-breaks."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pyreshaper_spark.operators.kmeans import (
+    ivf_kmeans_topk,
+    kmeans_assign,
+    lloyd,
+    update,
+)
+from pyreshaper_spark.operators.similarity import topk_dot
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def _np_quant(emb_rows):
+    ids = np.array([r["vec_id"] for r in emb_rows])
+    # mirror quantized(): double promotion BEFORE the multiply
+    q = np.rint(
+        np.array([r["embedding"] for r in emb_rows], dtype=np.float64) * 10_000
+    ).astype(np.int64)
+    order = np.argsort(ids)
+    return ids[order], q[order]
+
+
+def _np_lloyd(ids, q, k, n_iter):
+    cents = {int(ids[j]): q[ids == j][0] for j in range(k)}
+
+    def assign_all(cents):
+        cids = sorted(cents)
+        C = np.stack([cents[c] for c in cids])
+        d2 = ((q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        best = d2.argmin(axis=1)  # argmin takes the FIRST min → low cid
+        return np.array([cids[b] for b in best]), d2[
+            np.arange(len(q)), best
+        ]
+
+    a, d2 = assign_all(cents)
+    for _ in range(n_iter):
+        new = {}
+        for c in np.unique(a):
+            m = q[a == c]
+            s = m.sum(axis=0)
+            # truncated division (toward zero) ≡ Spark div / DuckDB //
+            new[int(c)] = np.fix(s / len(m)).astype(np.int64)
+        cents = new
+        a, d2 = assign_all(cents)
+    return a, d2, cents
+
+
+def test_kmeans_matches_numpy_lloyd(spark, emb):
+    got = {
+        r["vec_id"]: (r["cluster"], r["d2"])
+        for r in kmeans_assign(emb, k=8, n_iter=2).collect()
+    }
+    ids, q = _np_quant(emb.collect())
+    a, d2, _ = _np_lloyd(ids, q, 8, 2)
+    want = {int(i): (int(c), int(d)) for i, c, d in zip(ids, a, d2)}
+    assert got == want
+
+
+def test_centroids_match_numpy(spark, emb):
+    _, cents = lloyd(emb, k=8, n_iter=2)
+    got = {r["cid"]: list(r["c"]) for r in cents.collect()}
+    ids, q = _np_quant(emb.collect())
+    _, _, np_cents = _np_lloyd(ids, q, 8, 2)
+    assert got == {c: list(v) for c, v in np_cents.items()}
+
+
+def test_update_drops_empty_clusters(spark):
+    df = spark.createDataFrame(
+        [(0, [0, 0], 5, 0), (1, [10, 10], 5, 0)],
+        "vec_id int, q array<long>, cluster int, d2 long",
+    )
+    out = update(df, dim=2).collect()
+    assert len(out) == 1 and out[0]["cid"] == 5
+    assert list(out[0]["c"]) == [5, 5]
+
+
+def test_ivf_kmeans_recall_vs_brute_force(spark, emb):
+    """nprobe=2 of 8 lists after 2 iterations must recover most exact
+    top-5 dot neighbors (sanity floor, not a tuning claim)."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_dot(emb, n_queries=10, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_kmeans_topk(
+            emb, k=8, n_iter=2, n_queries=10, topk=5, nprobe=2
+        ).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.5
+
+
+def test_ivf_kmeans_ranks_are_dense_per_query(spark, emb):
+    rows = ivf_kmeans_topk(
+        emb, k=8, n_iter=2, n_queries=10, topk=5, nprobe=2
+    ).collect()
+    per_q: dict[int, list[int]] = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(per_q) == set(range(10))
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
