@@ -188,3 +188,63 @@ def test_replace_rows_copy_on_write(spark, cat):
         cat.read(spark, "t", snapshot_id=1)
         .filter("source = 'a' and bucket_s = 2").collect()[0]["cnt"] == 20
     )
+
+
+def test_read_changes_append_only_is_o_of_new_data(spark, cat):
+    cat.append("t", _df(spark, [("a", 0, 1)]))
+    cat.append("t", _df(spark, [("b", 60, 2), ("c", 120, 3)]))
+    ch = cat.read_changes(spark, "t", from_snapshot_id=1)
+    rows = {(r["source"], r["_change_type"]) for r in ch.collect()}
+    assert rows == {("b", "insert"), ("c", "insert")}
+
+
+def test_read_changes_detects_deletes_and_upserts(spark, cat):
+    cat.append("t", _df(spark, [("a", 0, 1), ("b", 60, 2)]))
+    keys = spark.createDataFrame([("a",)], "source string")
+    cat.replace_rows(
+        spark, "t", keys, ("source",),
+        replacement=_df(spark, [("a", 0, 99)]),
+    )
+    ch = cat.read_changes(spark, "t", from_snapshot_id=1)
+    got = {(r["source"], r["cnt"], r["_change_type"]) for r in ch.collect()}
+    # b rode through the rewrite (carryover) → cancelled; a is del+ins
+    assert got == {("a", 1, "delete"), ("a", 99, "insert")}
+
+
+def test_read_changes_compaction_is_empty(spark, cat):
+    cat.append("t", _df(spark, [("a", 0, 1)]))
+    cat.append("t", _df(spark, [("b", 60, 2)]))
+    cat.compact(spark, "t")
+    ch = cat.read_changes(spark, "t", from_snapshot_id=2)
+    assert ch.count() == 0
+    # without carryover elimination the rewrite is visible
+    raw = cat.read_changes(
+        spark, "t", from_snapshot_id=2, eliminate_carryovers=False
+    )
+    assert raw.count() == 4
+
+
+def test_read_changes_between_pinned_snapshots(spark, cat):
+    cat.append("t", _df(spark, [("a", 0, 1)]))
+    cat.append("t", _df(spark, [("b", 60, 2)]))
+    cat.append("t", _df(spark, [("c", 120, 3)]))
+    ch = cat.read_changes(spark, "t", from_snapshot_id=1, to_snapshot_id=2)
+    assert {r["source"] for r in ch.collect()} == {"b"}
+    same = cat.read_changes(spark, "t", from_snapshot_id=2, to_snapshot_id=2)
+    assert same.count() == 0 and "_change_type" in same.columns
+
+
+def test_schema_evolution_add_column_null_fills(spark, cat):
+    cat.append("t", _df(spark, [("a", 0, 1)]))
+    evolved = spark.createDataFrame(
+        [("b", 60, 2, "fr")],
+        "source string, bucket_s long, cnt long, lang string",
+    )
+    cat.append("t", evolved)
+    got = {r["source"]: r["lang"] for r in cat.read(spark, "t").collect()}
+    assert got == {"a": None, "b": "fr"}
+    # time travel to the pre-evolution snapshot keeps the old schema
+    assert "lang" not in cat.read(spark, "t", snapshot_id=1).columns
+    ch = cat.read_changes(spark, "t", from_snapshot_id=1)
+    r = ch.collect()
+    assert len(r) == 1 and r[0]["lang"] == "fr"
