@@ -407,6 +407,43 @@ def main() -> None:
         ],
     ))
 
+    from pyreshaper_spark.operators.kmeans import ivf_kmeans_topk, lloyd
+    from pyreshaper_spark.operators.vocab import bigram_pmi, doc_rarity
+
+    md_seq = seq.select("doc_id", "source", "tokens")
+    p_pmi = plan_of(bigram_pmi(md_seq, min_count=2))
+    p_rare = plan_of(doc_rarity(md_seq, max_df=2))
+    p_km = plan_of(lloyd(emb, k=8, n_iter=1)[0])
+    p_ivfkm = plan_of(ivf_kmeans_topk(emb, k=8, n_iter=1))
+    sections.append((
+        "Bigram PMI, doc rarity, k-means assign, IVF-kmeans probe",
+        "\n".join([
+            "--- bigram_pmi ---", p_pmi[:2200],
+            "--- doc_rarity ---", p_rare[:1400],
+            "--- kmeans assign (1 iter) ---", p_km[:1800],
+            "--- ivf_kmeans_topk ---", p_ivfkm[:1800],
+        ]),
+        [
+            ("pmi: unigram/total sides broadcast (≥3 broadcast "
+             "hash joins), bigram stream aggregated partial+final",
+             p_pmi.count("BroadcastHashJoin") >= 3
+             and p_pmi.count("HashAggregate") >= 2),
+            ("rarity: df table broadcast, no cartesian",
+             "BroadcastHashJoin" in p_rare and no_cartesian(p_rare)),
+            ("kmeans assign: centroid side is a BROADCAST nested loop "
+             "(k-row constant side — the intended N×k scoring), argmin "
+             "collapsed by partial+final hash agg, no shuffle "
+             "cartesian",
+             "BroadcastNestedLoopJoin" in p_km
+             and "CartesianProduct" not in p_km
+             and p_km.count("HashAggregate") >= 2),
+            ("ivf-kmeans: probe is an EQUI-join on the list id "
+             "(broadcast hash join on cluster)",
+             "BroadcastHashJoin" in p_ivfkm
+             and "cluster" in p_ivfkm),
+        ],
+    ))
+
     out = ["# PLANS — physical-plan verification (auto-generated by "
            "tools/plan_report.py)\n"]
     all_ok = True
