@@ -646,6 +646,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["doc_rarity"] = lambda s, d: VB.doc_rarity(_md_seq(s, d), max_df=2)
 
+    # -- BPE tokenizer training ----------------------------------------
+    from pyreshaper_spark.operators import bpe as BPE
+
+    q["bpe_word_counts"] = lambda s, d: BPE.word_counts(
+        _docs(s, d), max_words=200
+    )
+
+    def _q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Full train+apply path (rows-only: merge induction is
+        driver-side — not SQL-expressible; exactness is pytest-covered
+        against a hand-computed Sennrich example + naive recount)."""
+        docs = _docs(spark, sf_dir)
+        merges = BPE.train_bpe(BPE.word_counts(docs, max_words=500), 50)
+        return BPE.bpe_segment(docs, merges).select("doc_id", "n_pieces")
+
+    q["bpe_segment"] = _q_bpe_segment
+
     # -- exact binary-weight EWMA over the 10m tier -------------------
     def _q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyreshaper_spark.operators.gapfill import ewma_binary
@@ -1134,6 +1151,11 @@ FROM filled
         f"WITH {seqs_cte(_V)}," + bigram_pmi_sql(_V, min_count=2)
     )
     o["doc_rarity"] = f"WITH {seqs_cte(_V)}," + doc_rarity_sql(2)
+    from pyreshaper_spark.operators.bpe import word_counts_sql
+
+    o["bpe_word_counts"] = word_counts_sql(max_words=200)
+    # bpe_segment: rows-only (driver-side merge induction — the apply
+    # is pytest-verified; see operators/bpe.py)
     from pyreshaper_spark.operators.rollup import bucket_trend_sql
 
     o["trend_1d"] = (
