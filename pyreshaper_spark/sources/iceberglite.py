@@ -433,6 +433,7 @@ class IcebergLite:
         target_file_bytes: int = 128 << 20,
         min_files: int = 2,
         stats_cols: tuple[str, ...] = (),
+        sort_by: tuple[str, ...] = (),
     ) -> int | None:
         """Bin-pack small-file compaction — Iceberg's
         ``rewrite_data_files``. Long-running append cycles (the
@@ -442,6 +443,18 @@ class IcebergLite:
         rewrites every partition holding ≥ ``min_files`` files into
         ~``target_file_bytes`` files and commits a ``rewrite`` snapshot
         referencing the new files plus the untouched ones.
+
+        ``sort_by`` makes it a SORT-based rewrite (Iceberg's
+        ``rewrite_data_files(strategy => 'sort')``): rows are
+        range-partitioned + sorted on the given columns before the
+        write, so each output file covers a narrow, non-overlapping
+        value range — which turns the manifest min/max ``stats_cols``
+        into an effective file-skipping index (a point/range
+        ``stats_filter`` then opens O(matching range) files instead of
+        all of them). Appends arrive unsorted; periodic sorted
+        compaction is how the read path earns pruning without paying a
+        global sort on every write. With ``min_files=1`` every
+        partition is re-clustered even if already compacted.
 
         Logically lossless: rows are identical before and after (test
         asserts set equality), and prior snapshots still reference the
@@ -468,10 +481,13 @@ class IcebergLite:
         n = max(1, math.ceil(total / target_file_bytes))
         # partitioned tables: bound files PER partition dir; unpartitioned:
         # bound total output files
-        df = (
-            df.repartition(n, *partition_by) if partition_by
-            else df.repartition(n)
-        )
+        if sort_by:
+            keys = [*partition_by, *sort_by]
+            df = df.repartitionByRange(n, *keys).sortWithinPartitions(*keys)
+        elif partition_by:
+            df = df.repartition(n, *partition_by)
+        else:
+            df = df.repartition(n)
         new = self._write_data(name, df, partition_by, stats_cols)
         rewritten = {f["path"] for f in rewrite}
         kept = [f for f in snap["files"] if f["path"] not in rewritten]

@@ -248,3 +248,41 @@ def test_schema_evolution_add_column_null_fills(spark, cat):
     ch = cat.read_changes(spark, "t", from_snapshot_id=1)
     r = ch.collect()
     assert len(r) == 1 and r[0]["lang"] == "fr"
+
+
+def test_sorted_compaction_enables_stats_pruning(spark, cat):
+    # unsorted appends: every file spans the whole bucket_s range, so
+    # a range stats_filter cannot skip anything
+    import pyspark.sql.functions as SF
+
+    rows = [(f"s{i % 3}", (i * 37) % 1000, i) for i in range(60)]
+    df = spark.createDataFrame(rows, "source string, bucket_s long, cnt long")
+    for chunk in range(4):
+        cat.append(
+            "t",
+            df.filter(SF.pmod("cnt", SF.lit(4)) == chunk).repartition(2),
+            stats_cols=("bucket_s",),
+        )
+    pred = lambda st: st["bucket_s"][0] <= 100 and st["bucket_s"][1] >= 50
+    before = cat._snapshot("t", None)["files"]
+    frac_before = sum(1 for f in before if pred(f["stats"])) / len(before)
+
+    sid = cat.compact(
+        spark, "t", target_file_bytes=4096, min_files=1,
+        stats_cols=("bucket_s",), sort_by=("bucket_s",),
+    )
+    assert sid is not None
+    after = cat._snapshot("t", None)["files"]
+    assert len(after) > 1
+    # sorted rewrite → narrow non-overlapping ranges → the [50,100]
+    # window matches a strictly smaller share of files than before
+    frac_after = sum(1 for f in after if pred(f["stats"])) / len(after)
+    assert frac_after < frac_before
+    # the pruned read returns exactly the rows in range
+    got = cat.read(spark, "t", stats_filter=pred).filter(
+        (SF.col("bucket_s") >= 50) & (SF.col("bucket_s") <= 100)
+    )
+    want = df.filter((SF.col("bucket_s") >= 50) & (SF.col("bucket_s") <= 100))
+    assert sorted(got.collect()) == sorted(want.collect())
+    # lossless: full read unchanged
+    assert cat.read(spark, "t").count() == 60
