@@ -645,6 +645,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _md_seq(s, d), min_count=2
     )
     q["doc_rarity"] = lambda s, d: VB.doc_rarity(_md_seq(s, d), max_df=2)
+    q["token_zipf"] = lambda s, d: VB.token_zipf(
+        VB.token_stream(_docs(s, d))
+    )
+
+    # PromQL increase with counter-reset correction over the 10m tier
+    def _q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.gapfill import counter_rate
+
+        tier = rollup_all_tiers(_seq(spark, sf_dir), TIER_WIDTHS)[600]
+        return counter_rate(
+            tier.select(
+                "source", "bucket_s",
+                F.col("sum_n_tok").cast("long").alias("sum_n_tok"),
+            )
+        )
+
+    q["rate_resets_10m"] = _q_counter_rate
 
     # -- BPE tokenizer training ----------------------------------------
     from pyreshaper_spark.operators import bpe as BPE
@@ -1154,6 +1171,16 @@ FROM filled
     from pyreshaper_spark.operators.bpe import word_counts_sql
 
     o["bpe_word_counts"] = word_counts_sql(max_words=200)
+    from pyreshaper_spark.operators.gapfill import counter_rate_sql
+    from pyreshaper_spark.operators.vocab import token_zipf_sql
+
+    o["token_zipf"] = f"WITH {token_cte()}\n" + token_zipf_sql()
+    o["rate_resets_10m"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"t10 AS (SELECT source, bucket_s, sum_n_tok "
+        f"FROM ({_TIER_AGG.format(w=600)}))\n"
+        + counter_rate_sql("t10")
+    )
     # bpe_segment: rows-only (driver-side merge induction — the apply
     # is pytest-verified; see operators/bpe.py)
     from pyreshaper_spark.operators.rollup import bucket_trend_sql

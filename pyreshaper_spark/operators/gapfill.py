@@ -252,6 +252,53 @@ WINDOW w AS (PARTITION BY source ORDER BY bucket_s)
 """
 
 
+def counter_rate(tier: DataFrame, value_col: str = "sum_n_tok") -> DataFrame:
+    """Reset-corrected counter increase — full PromQL ``increase``
+    semantics on top of :func:`rate_delta`: when a monotone counter
+    goes DOWN between samples the process restarted, so the true
+    increase for that interval is the new value itself (counter
+    restarted from 0), not the negative delta. Output adds
+    ``increase`` (reset-corrected, null on each source's first bucket)
+    and a ``reset`` flag.
+
+    Same single lag window as :func:`rate_delta` — reset correction is
+    a row-local CASE on top, no extra shuffle.
+    """
+    w = Window.partitionBy("source").orderBy("bucket_s")
+    v = F.col(value_col)
+    pv = F.lag(value_col).over(w)
+    reset = pv.isNotNull() & (v < pv)
+    return tier.select(
+        "source",
+        "bucket_s",
+        v,
+        F.when(pv.isNull(), F.lit(None))
+        .when(reset, v)
+        .otherwise(v - pv)
+        .cast("long")
+        .alias("increase"),
+        reset.alias("reset"),
+        (F.col("bucket_s") - F.lag("bucket_s").over(w))
+        .cast("long")
+        .alias("dt_s"),
+    )
+
+
+def counter_rate_sql(relation: str, value_col: str = "sum_n_tok") -> str:
+    """DuckDB twin of :func:`counter_rate` over a named relation."""
+    v, pv = value_col, f"lag({value_col}) OVER w"
+    return f"""
+SELECT source, bucket_s, {v},
+       CAST(CASE WHEN {pv} IS NULL THEN NULL
+                 WHEN {v} < {pv} THEN {v}
+                 ELSE {v} - {pv} END AS BIGINT)        AS increase,
+       ({pv} IS NOT NULL AND {v} < {pv})               AS reset,
+       CAST(bucket_s - lag(bucket_s) OVER w AS BIGINT) AS dt_s
+FROM {relation}
+WINDOW w AS (PARTITION BY source ORDER BY bucket_s)
+"""
+
+
 # --------------------------------------------------------------------------
 # Time-weighted average — irregular samples → duration-weighted rollup
 # --------------------------------------------------------------------------

@@ -459,6 +459,63 @@ GROUP BY 1
 """
 
 
+def token_zipf(tok: DataFrame) -> DataFrame:
+    """Frequency-rank curve of the token distribution — the Zipf view
+    a corpus-health dashboard plots (a healthy natural-language corpus
+    is near-linear in log-log; boilerplate floods flatten the head,
+    mojibake fattens the tail). Output (rank, token, cnt), rank 1 =
+    most frequent, ties broken by token id ascending.
+
+    The global window ranks the VOCABULARY-bounded count table (≤ V
+    rows regardless of corpus size) — the corpus-sized work is the
+    partial+final count agg before it, so the single-partition window
+    sort is O(V log V), not a scale hazard. The Zipf exponent is a
+    float fit → :func:`zipf_finish`, pytest vs numpy.polyfit.
+    """
+    counts = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return counts.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.col("token").cast("long").alias("token"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
+def zipf_finish(curve: DataFrame) -> DataFrame:
+    """Least-squares slope of log(cnt) vs log(rank) — the Zipf
+    exponent (≈ −1 for natural text). Float output, derived metric:
+    one row (slope, intercept, n)."""
+    pts = curve.select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    m = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        "n",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / n).alias("intercept"),
+    )
+
+
+def token_zipf_sql() -> str:
+    """DuckDB twin of :func:`token_zipf` over the `tok` CTE."""
+    return """
+SELECT row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank,
+       token, cnt
+FROM (SELECT token, count(*) AS cnt FROM tok GROUP BY 1)
+"""
+
+
 def token_cms(
     tok: DataFrame, depth: int = 4, width: int = 64
 ) -> DataFrame:

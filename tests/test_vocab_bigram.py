@@ -93,3 +93,39 @@ def test_doc_rarity_flags_oov_heavy_doc(spark):
     assert got["d1"]["n_rare"] == 0 and not got["d1"]["rare_heavy"]
     # d0 has one occurrence of df-1 token 3 → 1/5 ≥ 1/10 → heavy
     assert got["d0"]["n_rare"] == 1 and got["d0"]["rare_heavy"]
+
+
+def test_token_zipf_ranks_and_finish(spark):
+    import numpy as np
+
+    from pyreshaper_spark.operators.vocab import token_zipf, zipf_finish
+
+    tok = spark.createDataFrame(
+        [("s", 0, t) for t in [1] * 8 + [2] * 4 + [3] * 2 + [4] * 2 + [5]],
+        "source string, event_s long, token long",
+    )
+    curve = token_zipf(tok)
+    got = {r["rank"]: (r["token"], r["cnt"]) for r in curve.collect()}
+    # tie at cnt=2 breaks by token asc: 3 before 4
+    assert got == {1: (1, 8), 2: (2, 4), 3: (3, 2), 4: (4, 2), 5: (5, 1)}
+    fin = zipf_finish(curve).collect()[0]
+    x = np.log(np.array([1, 2, 3, 4, 5], dtype=float))
+    y = np.log(np.array([8, 4, 2, 2, 1], dtype=float))
+    slope, intercept = np.polyfit(x, y, 1)
+    assert abs(fin["slope"] - slope) < 1e-12
+    assert abs(fin["intercept"] - intercept) < 1e-12
+
+
+def test_counter_rate_reset_correction(spark):
+    from pyreshaper_spark.operators.gapfill import counter_rate
+
+    tier = spark.createDataFrame(
+        [("s", 0, 10), ("s", 600, 25), ("s", 1200, 5), ("s", 2400, 7)],
+        "source string, bucket_s long, sum_n_tok long",
+    )
+    got = {r["bucket_s"]: r for r in counter_rate(tier).collect()}
+    assert got[0]["increase"] is None and not got[0]["reset"]
+    assert got[600]["increase"] == 15 and not got[600]["reset"]
+    # 25 → 5 is a reset: increase = new value, not -20
+    assert got[1200]["increase"] == 5 and got[1200]["reset"]
+    assert got[2400]["increase"] == 2 and got[2400]["dt_s"] == 1200
