@@ -1,9 +1,13 @@
-"""Targeted document deletion with incremental table repair.
+"""Targeted document deletion and restatement with incremental repair.
 
-The compliance face of the retention engine ("right to be forgotten"):
-remove a set of ``doc_id``s from EVERY data product of a completed
-pipeline run — encoded series chunks, all tier / filled / analytic
-continuous aggregates, per-source metadata, lineage metrics — without
+The mutation faces of the retention engine: :func:`delete_docs` is
+"right to be forgotten" (remove a set of ``doc_id``s from EVERY data
+product of a completed pipeline run); :func:`restate_docs` is the
+upsert twin (the input rows for a set of ``doc_id``s were corrected in
+place — payload, source, or event time — and every data product must
+converge to a from-scratch run on the corrected input). Both repair
+encoded series chunks, all tier / filled / analytic continuous
+aggregates, per-source metadata, and lineage metrics — without
 recomputing any of them from scratch.
 
 Work is proportional to what the victims actually touched, never to
@@ -64,6 +68,37 @@ def _bucket(width_s: int) -> F.Column:
     )
 
 
+def _resolve_ids(
+    spark: SparkSession, doc_ids: Sequence[str] | DataFrame
+) -> DataFrame:
+    if isinstance(doc_ids, DataFrame):
+        ids = doc_ids.select(F.col("doc_id").cast("string").alias("doc_id"))
+    else:
+        ids = spark.createDataFrame(
+            [(str(d),) for d in doc_ids], "doc_id string"
+        )
+    return ids.distinct()
+
+
+def _load_run(
+    op: str, spark: SparkSession, cfg: RunConfig, checkpoint_path: str
+) -> tuple[IcebergLite, Checkpoint, int]:
+    cfg.validate()
+    cat = IcebergLite(cfg.output_path)
+    ckpt = Checkpoint.load(checkpoint_path)
+    if ckpt.cycle is not None:
+        raise RuntimeError(
+            f"{op}: an append cycle is in flight (checkpoint has "
+            "pinned cycle state); finish or replay it first"
+        )
+    nsalt = ckpt.nsalt or cfg.nsalt
+    if not nsalt:
+        raise RuntimeError(
+            f"{op}: no resolved nsalt (pipeline has not encoded yet)"
+        )
+    return cat, ckpt, nsalt
+
+
 def delete_docs(
     spark: SparkSession,
     cfg: RunConfig,
@@ -77,27 +112,8 @@ def delete_docs(
     DataFrame. The victim list is assumed driver-manageable (a
     compliance batch, not a corpus) — it is broadcast into every probe.
     """
-    cfg.validate()
-    cat = IcebergLite(cfg.output_path)
-    ckpt = Checkpoint.load(checkpoint_path)
-    if ckpt.cycle is not None:
-        raise RuntimeError(
-            "delete_docs: an append cycle is in flight (checkpoint has "
-            "pinned cycle state); finish or replay it first"
-        )
-    nsalt = ckpt.nsalt or cfg.nsalt
-    if not nsalt:
-        raise RuntimeError(
-            "delete_docs: no resolved nsalt (pipeline has not encoded yet)"
-        )
-
-    if isinstance(doc_ids, DataFrame):
-        ids = doc_ids.select(F.col("doc_id").cast("string").alias("doc_id"))
-    else:
-        ids = spark.createDataFrame(
-            [(str(d),) for d in doc_ids], "doc_id string"
-        )
-    ids = ids.distinct()
+    cat, ckpt, nsalt = _load_run("delete_docs", spark, cfg, checkpoint_path)
+    ids = _resolve_ids(spark, doc_ids)
 
     seq = _load_input(spark, cfg)
     victims = (
@@ -114,6 +130,94 @@ def delete_docs(
         return report
 
     remaining = seq.join(F.broadcast(ids), "doc_id", "left_anti")
+    _repair_run(spark, cfg, cat, ckpt, nsalt, victims, remaining, report)
+    victims.unpersist()
+    return report
+
+
+def restate_docs(
+    spark: SparkSession,
+    cfg: RunConfig,
+    checkpoint_path: str,
+    doc_ids: Sequence[str] | DataFrame,
+) -> dict:
+    """Restatement — the upsert face of :func:`delete_docs`: the INPUT
+    rows for ``doc_ids`` have been corrected in place (payload, source,
+    or event time may all have changed; a doc may even be brand-new or
+    gone entirely), and every committed table must be repaired to equal
+    a from-scratch run on the current input — at incremental cost.
+
+    The victim position set is the UNION of old and new placements:
+
+    * **old** — recovered from the committed ``series_enc`` itself:
+      chunks whose metadata ``doc_ids`` list (manifest-scale, no
+      payload read) names a victim are decoded — O(victim chunks) —
+      yielding the doc's previously-committed (source, event_s);
+    * **new** — the victim rows of the current input.
+
+    Both placements' (source, salt) chunks re-encode and both
+    placements' time buckets re-aggregate, so a doc that MOVED between
+    sources or buckets is removed where it was and added where it now
+    belongs. Everything downstream is the shared repair walk of
+    :func:`delete_docs` with ``current`` = the full corrected input.
+    """
+    cat, ckpt, nsalt = _load_run("restate_docs", spark, cfg, checkpoint_path)
+    ids = _resolve_ids(spark, doc_ids)
+
+    from pyreshaper_spark.operators.encode import decode_series_table
+
+    seq = _load_input(spark, cfg)
+    enc = cat.read(spark, "series_enc")
+    old_chunks = (
+        enc.select("source", "salt", F.explode("doc_ids").alias("doc_id"))
+        .join(F.broadcast(ids), "doc_id", "left_semi")
+        .select("source", "salt")
+        .distinct()
+    )
+    old_rows = (
+        decode_series_table(
+            enc.join(F.broadcast(old_chunks), ["source", "salt"], "left_semi")
+        )
+        .join(F.broadcast(ids), "doc_id", "left_semi")
+        .select("doc_id", "source", "event_s")
+    )
+    new_rows = seq.join(F.broadcast(ids), "doc_id", "left_semi").select(
+        "doc_id", "source", "event_s"
+    )
+    victims = (
+        with_salt(old_rows.unionByName(new_rows), nsalt)
+        .select("doc_id", "source", "salt", "event_s")
+        .distinct()
+        .cache()
+    )
+    n_victims = victims.count()
+    report: dict = {"restated_positions": n_victims, "snapshot_ids": {}}
+    if n_victims == 0:
+        victims.unpersist()
+        return report
+
+    _repair_run(spark, cfg, cat, ckpt, nsalt, victims, seq, report)
+    victims.unpersist()
+    return report
+
+
+def _repair_run(
+    spark: SparkSession,
+    cfg: RunConfig,
+    cat: IcebergLite,
+    ckpt: Checkpoint,
+    nsalt: int,
+    victims: DataFrame,
+    current: DataFrame,
+    report: dict,
+) -> None:
+    """Shared incremental repair: given victim positions (doc_id,
+    source, salt, event_s — every placement whose chunk/buckets are
+    stale) and ``current`` (the full post-change input relation),
+    re-encode exactly the victim chunks and re-aggregate exactly the
+    victim buckets so every table equals a from-scratch run on
+    ``current``."""
+    remaining = current
     affected_sources = sorted(
         r[0] for r in victims.select("source").distinct().collect()
     )
@@ -305,9 +409,6 @@ def delete_docs(
         ).count()
         if bad_rows:
             raise RuntimeError(
-                f"delete_docs fidelity violated: {bad_rows} rows differ"
+                f"repair fidelity violated: {bad_rows} rows differ"
             )
         report["fidelity_checked"] = True
-
-    victims.unpersist()
-    return report

@@ -1,0 +1,178 @@
+"""Restatement (plans.delete.restate_docs): after in-place input
+corrections — payload edits, a source/bucket move, a removal, a
+brand-new doc — every table must equal a from-scratch run on the
+corrected input, at victim-bounded cost."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyreshaper_spark.config import RunConfig, TierSpec
+from pyreshaper_spark.fixtures import sequences_df
+from pyreshaper_spark.operators.encode import decode_series_table
+from pyreshaper_spark.plans.delete import restate_docs
+from pyreshaper_spark.plans.pipeline import run_pipeline
+from pyreshaper_spark.sources.iceberglite import IcebergLite
+
+SF = "/root/testdata/sf0.001"
+TIERS = (TierSpec("1m", 60), TierSpec("10m", 600), TierSpec("1h", 3600))
+
+
+def _cfg(inp, out, **kw):
+    base = dict(
+        input_path=inp, output_path=out, tiers=TIERS, nsalt=2,
+        num_series_partitions=4, analytics=("ohlc",),
+    )
+    base.update(kw)
+    return RunConfig(**base)
+
+
+def _rows(df, drop=()):
+    cols = sorted(c for c in df.columns if c not in drop)
+    return sorted(
+        tuple(str(r[c]) for c in cols) for r in df.select(*cols).collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def restated_state(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("restate")
+    seq = sequences_df(spark, SF).cache()
+    srcs = sorted(r[0] for r in seq.select("source").distinct().collect())
+    docs = [
+        r["doc_id"]
+        for r in seq.filter(F.col("source") == srcs[1])
+        .select("doc_id").orderBy("doc_id").limit(3).collect()
+    ]
+    d_payload, d_move, d_gone = docs
+    d_new = "restated-new-doc"
+
+    full_p = str(root / "seq_orig")
+    seq.write.parquet(full_p)
+
+    # corrected input: payload edit, source+bucket move, removal, insert
+    corrected = (
+        seq.filter(F.col("doc_id") != d_gone)
+        .withColumn(
+            "tokens",
+            F.when(
+                F.col("doc_id") == d_payload, F.expr("slice(tokens, 1, 5)")
+            ).otherwise(F.col("tokens")),
+        )
+        .withColumn(
+            "n_tok",
+            F.when(F.col("doc_id") == d_payload, F.lit(5)).otherwise(
+                F.col("n_tok")
+            ),
+        )
+        .withColumn(
+            "source",
+            F.when(F.col("doc_id") == d_move, F.lit(srcs[2])).otherwise(
+                F.col("source")
+            ),
+        )
+        .withColumn(
+            "event_s",
+            F.when(
+                F.col("doc_id") == d_move, F.col("event_s") + 7200
+            ).otherwise(F.col("event_s")),
+        )
+    )
+    new_row = spark.createDataFrame(
+        [(d_new, [1, 2, 3, 4], 4, srcs[0], 1704067777)],
+        "doc_id string, tokens array<int>, n_tok int, source string, "
+        "event_s long",
+    )
+    corrected = corrected.unionByName(new_row)
+    corr_p = str(root / "seq_corrected")
+    corrected.write.parquet(corr_p)
+
+    # run on the original, then restate against the corrected input
+    cfg = _cfg(full_p, str(root / "out"), verify_fidelity=True)
+    ck = str(root / "ck.json")
+    run_pipeline(spark, cfg, ck)
+    corr_cfg = _cfg(corr_p, str(root / "out"), verify_fidelity=True)
+    report = restate_docs(
+        spark, corr_cfg, ck, [d_payload, d_move, d_gone, d_new]
+    )
+
+    ref_cfg = _cfg(corr_p, str(root / "ref_out"))
+    run_pipeline(spark, ref_cfg, str(root / "ref_ck.json"))
+    return {
+        "cfg": corr_cfg, "ref_cfg": ref_cfg, "report": report,
+        "moved": d_move, "gone": d_gone, "new": d_new,
+        "payload": d_payload, "to_src": srcs[2],
+    }
+
+
+TABLES = (
+    "tier_1m", "tier_10m", "tier_1h",
+    "tier_10m_filled", "tier_1h_filled",
+    "ohlc_1m", "ohlc_10m", "ohlc_1h",
+    "meta_source",
+)
+
+
+@pytest.mark.parametrize("table", TABLES)
+def test_tables_equal_fresh_run(spark, restated_state, table):
+    cat = IcebergLite(restated_state["cfg"].output_path)
+    ref = IcebergLite(restated_state["ref_cfg"].output_path)
+    assert _rows(cat.read(spark, table)) == _rows(ref.read(spark, table))
+
+
+def test_series_decode_equals_fresh_run(spark, restated_state):
+    cat = IcebergLite(restated_state["cfg"].output_path)
+    ref = IcebergLite(restated_state["ref_cfg"].output_path)
+    got = decode_series_table(cat.read(spark, "series_enc"))
+    want = decode_series_table(ref.read(spark, "series_enc"))
+    assert _rows(got) == _rows(want)
+
+
+def test_moved_doc_lives_only_at_new_position(spark, restated_state):
+    cat = IcebergLite(restated_state["cfg"].output_path)
+    dec = decode_series_table(cat.read(spark, "series_enc"))
+    moved = dec.filter(F.col("doc_id") == restated_state["moved"]).collect()
+    assert len(moved) == 1
+    assert moved[0]["source"] == restated_state["to_src"]
+    gone = dec.filter(F.col("doc_id") == restated_state["gone"]).count()
+    assert gone == 0
+    new = dec.filter(F.col("doc_id") == restated_state["new"]).collect()
+    assert len(new) == 1 and list(new[0]["tokens"]) == [1, 2, 3, 4]
+    pay = dec.filter(F.col("doc_id") == restated_state["payload"]).collect()
+    assert len(pay) == 1 and len(pay[0]["tokens"]) == 5
+
+
+def test_restate_nothing_is_noop(spark, tmp_path):
+    seq = sequences_df(spark, SF).limit(100)
+    p = str(tmp_path / "seq")
+    seq.write.parquet(p)
+    cfg = _cfg(p, str(tmp_path / "out"), analytics=())
+    ck = str(tmp_path / "ck.json")
+    run_pipeline(spark, cfg, ck)
+    cat = IcebergLite(cfg.output_path)
+    before = cat.current_snapshot_id("series_enc")
+    report = restate_docs(spark, cfg, ck, ["no-such-doc"])
+    assert report["restated_positions"] == 0
+    assert cat.current_snapshot_id("series_enc") == before
+
+
+def test_unchanged_restate_is_lossless(spark, tmp_path):
+    """Restating docs whose input did NOT change must leave every row
+    identical (the repair is exact, not just convergent)."""
+    seq = sequences_df(spark, SF).limit(150)
+    p = str(tmp_path / "seq")
+    seq.write.parquet(p)
+    cfg = _cfg(p, str(tmp_path / "out"), analytics=())
+    ck = str(tmp_path / "ck.json")
+    run_pipeline(spark, cfg, ck)
+    cat = IcebergLite(cfg.output_path)
+    some = [r["doc_id"] for r in seq.limit(5).collect()]
+    before = _rows(cat.read(spark, "tier_1m"))
+    dec_before = _rows(decode_series_table(cat.read(spark, "series_enc")))
+    restate_docs(spark, cfg, ck, some)
+    assert _rows(cat.read(spark, "tier_1m")) == before
+    assert (
+        _rows(decode_series_table(cat.read(spark, "series_enc")))
+        == dec_before
+    )
