@@ -663,6 +663,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rate_resets_10m"] = _q_counter_rate
 
+    # ACF (periodicity detector, exact moments) — composed on the
+    # LOCF-filled 10m spine: the raw fixture tier is too sparse for
+    # (t, t+lag) pairs to exist at sf0.01 (same reason as seasonal_10m)
+    def _q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.correlate import autocorr_moments
+
+        seq = _seq(spark, sf_dir, variant="gappy")
+        tier = rollup_all_tiers(seq, [60, 600])[600]
+        filled = gapfill_locf(tier, 600).select(
+            "source", "bucket_s",
+            F.col("sum_n_tok_locf").cast("long").alias("sum_n_tok_locf"),
+        )
+        return autocorr_moments(
+            filled, lags=(600, 1200, 3600), value_col="sum_n_tok_locf"
+        )
+
+    q["acf_10m"] = _q_acf
+
+    # PromQL histogram_quantile over the 1h histogram rollup (p90)
+    def _q_histq(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.rollup import (
+            bucket_histogram,
+            histogram_quantile,
+        )
+
+        hist = bucket_histogram(_seq(spark, sf_dir), 3600, 50)
+        return histogram_quantile(hist, bin_w=50, q_num=9, q_den=10)
+
+    q["hist_q90_1h"] = _q_histq
+
     # -- BPE tokenizer training ----------------------------------------
     from pyreshaper_spark.operators import bpe as BPE
 
@@ -1180,6 +1210,27 @@ FROM filled
         f"t10 AS (SELECT source, bucket_s, sum_n_tok "
         f"FROM ({_TIER_AGG.format(w=600)}))\n"
         + counter_rate_sql("t10")
+    )
+    from pyreshaper_spark.operators.correlate import autocorr_sql
+    from pyreshaper_spark.operators.rollup import histogram_quantile_sql
+
+    o["acf_10m"] = (
+        _GAPFILL_CTES
+        + """, locf AS (
+SELECT source, bucket_s,
+       CAST(last_value(sum_n_tok IGNORE NULLS) OVER (
+         PARTITION BY source ORDER BY bucket_s
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS sum_n_tok_locf
+FROM filled
+)
+"""
+        + autocorr_sql("locf", (600, 1200, 3600), value_col="sum_n_tok_locf")
+    )
+    o["hist_q90_1h"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"hist AS ({histogram_sql(3600, 50)})\n"
+        + histogram_quantile_sql("hist", bin_w=50, q_num=9, q_den=10)
     )
     # bpe_segment: rows-only (driver-side merge induction — the apply
     # is pytest-verified; see operators/bpe.py)

@@ -146,3 +146,85 @@ FROM {relation} a JOIN {relation} b USING (bucket_s)
 WHERE a.source < b.source
 GROUP BY 1, 2
 """
+
+
+def autocorr_moments(
+    tier: DataFrame,
+    lags: Sequence[int],
+    value_col: str = "sum_n_tok",
+) -> DataFrame:
+    """Autocorrelation (ACF) sufficient statistics: per (source,
+    lag_s), exact moments of the pairs (x(t), x(t + lag_s)) — the
+    periodicity detector (a daily cycle shows as an r peak at the 24h
+    lag). ``acf_finish`` derives float r per lag (pytest vs numpy).
+
+    One join serves EVERY lag: the y side explodes the lag list
+    (|lags| is a small constant) and shifts bucket-KEYED before the
+    equi-join — gaps never misalign pairs, and the join input stays
+    O(tier × |lags|). Products in decimal(18 → 38) exactly as
+    :func:`source_corr_moments`.
+    """
+    t = tier.select("source", "bucket_s", F.col(value_col).alias("v"))
+    lag_arr = F.array(*[F.lit(int(s)).cast("long") for s in lags])
+    b = t.select(
+        "source",
+        F.explode(lag_arr).alias("lag_s"),
+        "bucket_s",
+        F.col("v").alias("vy"),
+    ).withColumn("bucket_s", F.col("bucket_s") - F.col("lag_s"))
+    av = F.col("v").cast("decimal(18,0)")
+    bv = F.col("vy").cast("decimal(18,0)")
+    return (
+        t.join(b, ["source", "bucket_s"])
+        .groupBy("source", "lag_s")
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.sum(av).cast("decimal(38,0)").alias("sx"),
+            F.sum(bv).cast("decimal(38,0)").alias("sy"),
+            F.sum(av * bv).cast("decimal(38,0)").alias("sxy"),
+            F.sum(av * av).cast("decimal(38,0)").alias("sxx"),
+            F.sum(bv * bv).cast("decimal(38,0)").alias("syy"),
+        )
+    )
+
+
+def acf_finish(moments: DataFrame) -> DataFrame:
+    """Float ACF r per (source, lag_s) from the exact moments."""
+    n = F.col("n_buckets").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    cov = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    return moments.select(
+        "source", "lag_s", "n_buckets",
+        F.when(
+            (var_x > 0) & (var_y > 0), cov / F.sqrt(var_x * var_y)
+        ).alias("acf_r"),
+    )
+
+
+def autocorr_sql(
+    relation: str, lags: Sequence[int], value_col: str = "sum_n_tok"
+) -> str:
+    """DuckDB twin of :func:`autocorr_moments` over a named relation."""
+    lag_list = ", ".join(str(int(s)) for s in lags)
+    return f"""
+SELECT a.source,
+       l.lag_s,
+       count(*) AS n_buckets,
+       CAST(sum(CAST(a.{value_col} AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sx,
+       CAST(sum(CAST(b.{value_col} AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sy,
+       CAST(sum(CAST(a.{value_col} AS DECIMAL(18,0))
+              * CAST(b.{value_col} AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sxy,
+       CAST(sum(CAST(a.{value_col} AS DECIMAL(18,0))
+              * CAST(a.{value_col} AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sxx,
+       CAST(sum(CAST(b.{value_col} AS DECIMAL(18,0))
+              * CAST(b.{value_col} AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS syy
+FROM (SELECT unnest([{lag_list}]) AS lag_s) l
+CROSS JOIN {relation} a
+JOIN {relation} b
+  ON b.source = a.source AND b.bucket_s = a.bucket_s + l.lag_s
+GROUP BY 1, 2
+"""

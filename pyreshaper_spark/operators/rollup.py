@@ -27,7 +27,7 @@ Scale notes (100 TB design point):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Aggregate column names shared by every tier (and by the oracle SQL).
@@ -679,4 +679,87 @@ FROM (
   FROM {relation}
   GROUP BY 1, 2
 )
+"""
+
+
+def histogram_quantile(
+    hist: DataFrame, bin_w: int, q_num: int, q_den: int
+) -> DataFrame:
+    """PromQL ``histogram_quantile`` over the histogram rollup: per
+    (source, bucket_s), the q = q_num/q_den quantile estimated from
+    the bin counts with linear interpolation inside the quantile bin
+    (uniform-within-bin assumption, rank = ceil-style first bin whose
+    cumulative count reaches q·total). Output is EXACT integers —
+    ``q_bin_lo`` plus the interpolated position as a rational
+    (hq_num, hq_den):
+
+        value = bin_lo + bin_w · (q·total − cum_before) / cnt_bin
+              = hq_num / hq_den,
+        hq_num = bin_lo·cnt·q_den + bin_w·(q_num·total − cum_before·q_den),
+        hq_den = cnt·q_den
+
+    so the oracle compare has no float division; consumers divide.
+
+    Shape: one cumulative window + one total window over the SAME
+    (source, bucket_s) partitioning (a single exchange), then an
+    argmin aggregate picks the first qualifying bin — all inputs are
+    tier-histogram rows, never raw data.
+    """
+    wp = Window.partitionBy("source", "bucket_s")
+    w = wp.orderBy("bin_lo").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rows = hist.select(
+        "source",
+        "bucket_s",
+        "bin_lo",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wp).alias("total"),
+    ).filter(F.col("cum") * q_den >= F.col("total") * q_num)
+    best = rows.groupBy("source", "bucket_s").agg(
+        F.min(F.struct("bin_lo", "cnt", "cum", "total")).alias("b")
+    )
+    bin_lo = F.col("b.bin_lo")
+    cnt = F.col("b.cnt")
+    cum_before = F.col("b.cum") - cnt
+    total = F.col("b.total")
+    return best.select(
+        "source",
+        F.col("bucket_s").cast("long").alias("bucket_s"),
+        bin_lo.cast("long").alias("q_bin_lo"),
+        (
+            bin_lo * cnt * q_den
+            + bin_w * (total * q_num - cum_before * q_den)
+        ).cast("long").alias("hq_num"),
+        (cnt * q_den).cast("long").alias("hq_den"),
+    )
+
+
+def histogram_quantile_sql(
+    relation: str, bin_w: int, q_num: int, q_den: int
+) -> str:
+    """DuckDB twin of :func:`histogram_quantile` over a named
+    histogram relation (source, bucket_s, bin_lo, cnt)."""
+    return f"""
+SELECT source, bucket_s,
+       CAST(bin_lo AS BIGINT) AS q_bin_lo,
+       CAST(bin_lo * cnt * {q_den}
+            + {bin_w} * (total * {q_num} - (cum - cnt) * {q_den})
+            AS BIGINT)        AS hq_num,
+       CAST(cnt * {q_den} AS BIGINT) AS hq_den
+FROM (
+  SELECT source, bucket_s, bin_lo, cnt, cum, total,
+         row_number() OVER (PARTITION BY source, bucket_s
+                            ORDER BY bin_lo) AS rn
+  FROM (
+    SELECT source, bucket_s, bin_lo, cnt,
+           sum(cnt) OVER (PARTITION BY source, bucket_s ORDER BY bin_lo
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(cnt) OVER (PARTITION BY source, bucket_s)          AS total
+    FROM {relation}
+  )
+  WHERE cum * {q_den} >= total * {q_num}
+)
+WHERE rn = 1
 """
