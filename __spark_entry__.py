@@ -400,6 +400,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # -- multimodal ---------------------------------------------------
     q["mm_meta"] = lambda s, d: multimodal.media_meta(_docs(s, d))
+    # frame sampling over fixed-size planes is pure codegen (binary
+    # substring) — md5 emitted so the frames themselves hash-compare.
+    # Small planes (w 4..16, h 3..9) so fixture payloads hold several
+    # frames; real video planes just change the two columns.
+    def _q_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+        m = multimodal.media_table(_docs(spark, sf_dir)).withColumn(
+            "width", (F.pmod("doc_id", F.lit(13)) + 4).cast("int")
+        ).withColumn(
+            "height", (F.pmod("doc_id", F.lit(7)) + 3).cast("int")
+        )
+        return multimodal.sample_frames_planar(m, every_k=4)
+
+    q["mm_frame_sample"] = _q_frames
 
     # -- deterministic sampling / splitting / mixing ------------------
     from pyreshaper_spark.operators import sampling as SMP
@@ -1107,6 +1120,11 @@ FROM tier t JOIN meta m USING (source)
     o["ann_lsh_pairs"] = similarity.lsh_bucket_pairs_sql()
     o["emb_near_dup"] = similarity.cosine_near_dups_sql(num=2, den=5)
     o["mm_meta"] = multimodal.media_meta_sql()
+    o["mm_frame_sample"] = multimodal.sample_frames_planar_sql(
+        every_k=4,
+        width_sql="(doc_id % 13) + 4",
+        height_sql="(doc_id % 7) + 3",
+    )
 
     from pyreshaper_spark.operators import sampling as SMP
 

@@ -183,3 +183,183 @@ SELECT doc_id,
        CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS INT) AS sample_rate
 FROM documents
 """
+
+
+# --------------------------------------------------------------------------
+# frame sampling + resize — the video/image halves of the brief's
+# decode / feature-extract / resize / frame-sample quartet
+# --------------------------------------------------------------------------
+
+def sample_frames_planar(media: DataFrame, every_k: int = 4) -> DataFrame:
+    """Frame sampling for FIXED-SIZE planes, entirely JVM-side: when a
+    video payload is raw width×height byte planes back to back (the
+    synthetic table's convention, and the shape of decoded raw video),
+    sampling every k-th frame needs NO Python at all — frame count and
+    offsets are arithmetic, the frame is a binary ``substring``, and
+    the whole operator stays in whole-stage codegen. One row per
+    sampled frame: (doc_id, frame_idx, width, height, frame_md5).
+
+    The md5 is emitted instead of the frame bytes so the result is
+    oracle-hashable; production would emit the slice itself (same
+    plan, one expression less). Ragged/compressed codecs need the
+    decoder path (:func:`sample_frames`) — which this operator
+    cross-checks in pytest.
+    """
+    plane = (F.col("width") * F.col("height")).cast("long")
+    n_frames = (F.length("payload").cast("long") / plane).cast("long")
+    idx = F.when(
+        n_frames > 0,
+        F.sequence(F.lit(0).cast("long"), n_frames - 1, F.lit(every_k)),
+    ).otherwise(F.expr("array()").cast("array<long>"))
+    return (
+        media.filter(F.col("media_type") == "video")
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            "payload",
+            plane.alias("plane"),
+            F.explode(idx).alias("frame_idx"),
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            "width",
+            "height",
+            F.md5(
+                F.expr("substring(payload, frame_idx * plane + 1, plane)")
+            ).alias("frame_md5"),
+        )
+    )
+
+
+def sample_frames_planar_sql(
+    every_k: int = 4,
+    width_sql: str = "(n_chars % 64) + 16",
+    height_sql: str = "(n_chars % 48) + 16",
+) -> str:
+    """DuckDB twin over the synthetic media table (payload = UTF-8 of
+    ``text``; the fixture is ASCII-only so VARCHAR substr ≡ binary
+    substring and md5(VARCHAR) hashes the same bytes — asserted in
+    pytest). ``width_sql``/``height_sql`` must mirror whatever the
+    Spark side put in the media relation's width/height columns."""
+    return f"""
+SELECT doc_id, frame_idx, width, height,
+       md5(substr(text, CAST(frame_idx * plane + 1 AS BIGINT),
+                  CAST(plane AS BIGINT))) AS frame_md5
+FROM (
+  SELECT doc_id, text,
+         CAST({width_sql} AS INT) AS width,
+         CAST({height_sql} AS INT) AS height,
+         CAST(({width_sql}) * ({height_sql}) AS BIGINT) AS plane,
+         unnest(generate_series(0,
+           CAST(length(text) // (({width_sql}) * ({height_sql}))
+                AS BIGINT) - 1,
+           {every_k})) AS frame_idx
+  FROM documents
+  WHERE doc_id % 3 = 2
+)
+"""
+
+
+def sample_frames(
+    media: DataFrame, every_k: int = 4, decoder="fake"
+) -> DataFrame:
+    """Decoder-path frame sampling (mapInPandas, row-EXPANDING batch
+    shape): decode each video payload, slice it into width×height
+    planes, keep every k-th. This is the path real codecs plug into
+    via ``register_decoder`` (a real decoder returns the decoded
+    sample buffer; the plane slicing below is unchanged). On the fake
+    decoder it must agree frame-for-frame with
+    :func:`sample_frames_planar` — the pytest parity gate."""
+    fn = decoder if callable(decoder) else DECODERS[decoder]
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_doc, out_idx, out_w, out_h, out_frame = [], [], [], [], []
+            for doc, mt, payload, w, h in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"],
+                pdf["width"], pdf["height"],
+            ):
+                if mt != "video":
+                    continue
+                arr = fn(payload, mt)
+                plane = int(w) * int(h)
+                n = arr.size // plane if plane else 0
+                for i in range(0, n, every_k):
+                    out_doc.append(doc)
+                    out_idx.append(i)
+                    out_w.append(int(w))
+                    out_h.append(int(h))
+                    out_frame.append(
+                        arr[i * plane : (i + 1) * plane].tobytes()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int64"),
+                    "width": pd.Series(out_w, dtype="int32"),
+                    "height": pd.Series(out_h, dtype="int32"),
+                    "frame": pd.Series(out_frame, dtype=object),
+                }
+            )
+
+    return media.mapInPandas(
+        gen,
+        "doc_id long, frame_idx long, width int, height int, frame binary",
+    )
+
+
+def resize_media(
+    media: DataFrame, out_w: int, out_h: int, decoder="fake"
+) -> DataFrame:
+    """Nearest-neighbor resize of each image/video-first-frame to
+    (out_w, out_h) — the preprocessing step before a vision encoder.
+    Vectorized: the decode is per row (ragged), but the resample is a
+    single numpy fancy-index gather; no Python pixel loops. Output
+    (doc_id, media_type, out_w, out_h, resized binary, px_sum)."""
+    fn = decoder if callable(decoder) else DECODERS[decoder]
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # precomputable per (w, h): the gather index grid
+        grids: dict[tuple[int, int], np.ndarray] = {}
+        for pdf in it:
+            docs, mts, blobs, sums = [], [], [], []
+            for doc, mt, payload, w, h in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"],
+                pdf["width"], pdf["height"],
+            ):
+                if mt == "audio":
+                    continue
+                w, h = int(w), int(h)
+                plane = w * h
+                arr = fn(payload, mt)
+                if arr.size < plane:  # pad short payloads (fake decode)
+                    arr = np.pad(arr, (0, plane - arr.size))
+                img = arr[:plane].reshape(h, w)
+                g = grids.get((w, h))
+                if g is None:
+                    ys = (np.arange(out_h) * h) // out_h
+                    xs = (np.arange(out_w) * w) // out_w
+                    g = grids[(w, h)] = (ys[:, None], xs[None, :])
+                small = img[g]
+                docs.append(doc)
+                mts.append(mt)
+                blobs.append(small.tobytes())
+                sums.append(int(small.sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(docs, dtype="int64"),
+                    "media_type": pd.Series(mts, dtype=object),
+                    "out_w": pd.Series([out_w] * len(docs), dtype="int32"),
+                    "out_h": pd.Series([out_h] * len(docs), dtype="int32"),
+                    "resized": pd.Series(blobs, dtype=object),
+                    "px_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(
+        gen,
+        "doc_id long, media_type string, out_w int, out_h int, "
+        "resized binary, px_sum long",
+    )

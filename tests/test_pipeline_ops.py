@@ -234,3 +234,54 @@ def test_decoder_registry_swaps(spark, docs):
     for k, v in swapped.items():
         assert v <= default[k] // 2 + 20_000  # halved bytes sum ~half
         assert v < default[k]
+
+
+def test_frame_sampling_decoder_path_matches_codegen_path(spark):
+    """The mapInPandas decoder path (real-codec plug point) must agree
+    frame-for-frame with the pure-codegen substring path on the fake
+    planar data."""
+    import hashlib
+
+    from pyspark.sql import functions as SF
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    m = multimodal.media_table(docs).withColumn(
+        "width", (SF.pmod("doc_id", SF.lit(13)) + 4).cast("int")
+    ).withColumn(
+        "height", (SF.pmod("doc_id", SF.lit(7)) + 3).cast("int")
+    )
+    jvm = {
+        (r["doc_id"], r["frame_idx"]): r["frame_md5"]
+        for r in multimodal.sample_frames_planar(m, every_k=4).collect()
+    }
+    py = {
+        (r["doc_id"], r["frame_idx"]): hashlib.md5(bytes(r["frame"])).hexdigest()
+        for r in multimodal.sample_frames(m, every_k=4).collect()
+    }
+    assert jvm and py == jvm
+
+
+def test_resize_media_nearest_neighbor(spark):
+    import numpy as np
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(30)
+    m = multimodal.media_table(docs)
+    out = {r["doc_id"]: r for r in multimodal.resize_media(m, 8, 6).collect()}
+    src = {r["doc_id"]: r for r in m.collect()}
+    assert out  # image + video rows survive, audio dropped
+    for did, r in out.items():
+        s = src[did]
+        assert s["media_type"] != "audio"
+        w, h = s["width"], s["height"]
+        arr = np.frombuffer(bytes(s["payload"]), dtype=np.uint8)
+        plane = w * h
+        if arr.size < plane:
+            arr = np.pad(arr, (0, plane - arr.size))
+        img = arr[:plane].reshape(h, w)
+        ys = (np.arange(6) * h) // 6
+        xs = (np.arange(8) * w) // 8
+        want = img[ys[:, None], xs[None, :]]
+        got = np.frombuffer(bytes(r["resized"]), dtype=np.uint8).reshape(6, 8)
+        assert (got == want).all()
+        assert r["px_sum"] == int(want.sum())
+    assert all(s["media_type"] == "audio" for d, s in src.items() if d not in out)
