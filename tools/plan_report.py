@@ -444,6 +444,47 @@ def main() -> None:
         ],
     ))
 
+    from pyreshaper_spark.operators.correlate import autocorr_moments
+    from pyreshaper_spark.operators.multimodal import (
+        media_table,
+        sample_frames_planar,
+    )
+    from pyreshaper_spark.operators.rollup import (
+        bucket_histogram,
+        histogram_quantile,
+    )
+
+    p_acf = plan_of(autocorr_moments(tier1h, (3600, 7200)))
+    p_hq = plan_of(
+        histogram_quantile(bucket_histogram(seq, 3600, 50), 50, 9, 10)
+    )
+    docs_mm = spark.read.parquet(f"{sf}/documents.parquet")
+    p_fs = plan_of(sample_frames_planar(media_table(docs_mm), every_k=4))
+    sections.append((
+        "ACF, histogram quantile, frame sampling",
+        "\n".join([
+            "--- autocorr_moments(1h tier, 2 lags) ---", p_acf[:2000],
+            "--- histogram_quantile(hist_1h, p90) ---", p_hq[:2000],
+            "--- sample_frames_planar ---", p_fs[:1200],
+        ]),
+        [
+            ("acf: ONE equi-join serves every lag (no join per lag, "
+             "no cartesian; formatted mode lists each node twice)",
+             p_acf.count("SortMergeJoin") + p_acf.count("BroadcastHashJoin")
+             + p_acf.count("ShuffledHashJoin") <= 2
+             and no_cartesian(p_acf)),
+            ("acf: tokens pruned from the tier scan",
+             "tokens" not in p_acf.split("ReadSchema")[1].split("\n")[0]
+             if "ReadSchema" in p_acf else False),
+            ("hist quantile: windows + argmin agg only — no join, no "
+             "cartesian",
+             "Join" not in p_hq and no_cartesian(p_hq)),
+            ("frame sampling: pure codegen — no Python evals "
+             "(ArrowEvalPython/BatchEvalPython absent), single generate",
+             "EvalPython" not in p_fs and "Generate" in p_fs),
+        ],
+    ))
+
     out = ["# PLANS — physical-plan verification (auto-generated by "
            "tools/plan_report.py)\n"]
     all_ok = True
