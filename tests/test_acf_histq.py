@@ -87,3 +87,82 @@ def test_histogram_quantile_against_sorted_data(spark):
         true = sorted(data)[rank - 1]
         assert r["q_bin_lo"] <= val <= r["q_bin_lo"] + 50
         assert (true // 50) * 50 == r["q_bin_lo"], (q_num, q_den)
+
+
+def test_histogram_quantile_property_random_multisets(spark):
+    """Hypothesis sweep: on any multiset, the chosen bin is exactly the
+    bin of the ceil(q·n)-th smallest value, and the interpolated value
+    stays inside that bin — for several q."""
+    import math
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    vals = st.lists(
+        st.integers(min_value=0, max_value=499), min_size=1, max_size=60
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(data=vals)
+    def run(data):
+        from collections import Counter
+
+        bins = Counter((v // 50) * 50 for v in data)
+        hist = spark.createDataFrame(
+            [("s", 0, b, c) for b, c in bins.items()],
+            "source string, bucket_s long, bin_lo long, cnt long",
+        )
+        srt = sorted(data)
+        for q_num, q_den in ((1, 4), (1, 2), (9, 10), (1, 1)):
+            r = histogram_quantile(hist, 50, q_num, q_den).collect()[0]
+            rank = max(1, math.ceil(q_num / q_den * len(data)))
+            true_bin = (srt[rank - 1] // 50) * 50
+            assert r["q_bin_lo"] == true_bin, (data, q_num, q_den)
+            val = Fraction(r["hq_num"], r["hq_den"])
+            assert true_bin <= val <= true_bin + 50
+
+    run()
+
+
+def test_counter_rate_telescoping_property(spark):
+    """On any series: sum(increase) telescopes — it equals
+    last − first + (sum of pre-reset values' drops recovered), i.e.
+    reconstructing the true total increase of a counter with restarts:
+    Σ increase = Σ (v_i − v_{i−1} when monotone, else v_i)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyreshaper_spark.operators.gapfill import counter_rate
+
+    series = st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=2, max_size=30
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(vals=series)
+    def run(vals):
+        tier = spark.createDataFrame(
+            [("s", i * 600, v) for i, v in enumerate(vals)],
+            "source string, bucket_s long, sum_n_tok long",
+        )
+        rows = sorted(
+            counter_rate(tier).collect(), key=lambda r: r["bucket_s"]
+        )
+        want = sum(
+            v if v < p else v - p for p, v in zip(vals, vals[1:])
+        )
+        got = sum(r["increase"] for r in rows if r["increase"] is not None)
+        assert got == want
+        assert rows[0]["increase"] is None
+        resets = [r["reset"] for r in rows[1:]]
+        assert resets == [v < p for p, v in zip(vals, vals[1:])]
+
+    run()
