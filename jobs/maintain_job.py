@@ -1,0 +1,129 @@
+"""spark-submit entry point for table maintenance and mutations.
+
+One operational CLI for everything that changes a finished run after
+the fact — the ``rewrite_data_files`` / ``expire_snapshots`` /
+``DELETE`` / ``MERGE`` face of the engine::
+
+    cd /root/repo && zip -qr /tmp/engine.zip pyreshaper_spark
+    spark-submit --master local[32] --py-files /tmp/engine.zip \
+        jobs/maintain_job.py --config run.json --checkpoint ckpt.json \
+        delete --doc-ids d1 d2 d3            # right to be forgotten
+    ... restate --doc-ids d1 d2              # in-place input corrections
+    ... compact --table tier_1m --sort-by bucket_s   # sorted rewrite
+    ... expire --table tier_1m --keep-last 2         # reclaim snapshots
+    ... changes --table tier_1m --from-snapshot 3    # CDC changelog
+
+``delete``/``restate`` read doc ids from ``--doc-ids`` or one-per-line
+from ``--doc-ids-file`` (compliance batches arrive as files).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+
+def _ids(args) -> list[str]:
+    ids = list(args.doc_ids or [])
+    if args.doc_ids_file:
+        with open(args.doc_ids_file) as f:
+            ids.extend(line.strip() for line in f if line.strip())
+    if not ids:
+        raise SystemExit("no doc ids given (--doc-ids or --doc-ids-file)")
+    return ids
+
+
+def main(argv: list[str] | None = None) -> dict:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True, help="RunConfig JSON path")
+    ap.add_argument("--checkpoint", required=True)
+    sub = ap.add_subparsers(dest="op", required=True)
+
+    for name in ("delete", "restate"):
+        p = sub.add_parser(name)
+        p.add_argument("--doc-ids", nargs="*", default=None)
+        p.add_argument("--doc-ids-file", default=None)
+
+    p = sub.add_parser("compact")
+    p.add_argument("--table", required=True)
+    p.add_argument("--partition-by", nargs="*", default=())
+    p.add_argument("--sort-by", nargs="*", default=())
+    p.add_argument("--stats-cols", nargs="*", default=())
+    p.add_argument("--target-file-mb", type=int, default=128)
+    p.add_argument("--min-files", type=int, default=2)
+
+    p = sub.add_parser("expire")
+    p.add_argument("--table", required=True)
+    p.add_argument("--keep-last", type=int, default=1)
+
+    p = sub.add_parser("changes")
+    p.add_argument("--table", required=True)
+    p.add_argument("--from-snapshot", type=int, required=True)
+    p.add_argument("--to-snapshot", type=int, default=None)
+    p.add_argument("--keep-carryovers", action="store_true")
+
+    args = ap.parse_args(argv)
+
+    from pyreshaper_spark.config import RunConfig
+    from pyreshaper_spark.sources.iceberglite import IcebergLite
+
+    cfg = RunConfig.read(args.config)
+    spark = (
+        SparkSession.builder.appName(f"pyreshaper-maintain-{args.op}")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    cat = IcebergLite(cfg.output_path)
+
+    if args.op in ("delete", "restate"):
+        from pyreshaper_spark.plans.delete import delete_docs, restate_docs
+
+        fn = delete_docs if args.op == "delete" else restate_docs
+        report = fn(spark, cfg, args.checkpoint, _ids(args))
+        out = {"op": args.op, **{
+            k: v for k, v in report.items() if k != "snapshot_ids"
+        }, "tables_committed": sorted(report.get("snapshot_ids", {}))}
+    elif args.op == "compact":
+        sid = cat.compact(
+            spark,
+            args.table,
+            partition_by=tuple(args.partition_by),
+            target_file_bytes=args.target_file_mb << 20,
+            min_files=args.min_files,
+            stats_cols=tuple(args.stats_cols),
+            sort_by=tuple(args.sort_by),
+        )
+        out = {"op": "compact", "table": args.table, "snapshot_id": sid}
+    elif args.op == "expire":
+        n = cat.expire_snapshots(args.table, keep_last=args.keep_last)
+        out = {"op": "expire", "table": args.table, "files_deleted": n}
+    else:  # changes
+        ch = cat.read_changes(
+            spark,
+            args.table,
+            from_snapshot_id=args.from_snapshot,
+            to_snapshot_id=args.to_snapshot,
+            eliminate_carryovers=not args.keep_carryovers,
+        )
+        from pyspark.sql import functions as F
+
+        counts = {
+            r["_change_type"]: r["n"]
+            for r in ch.groupBy("_change_type")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        out = {"op": "changes", "table": args.table, "rows": counts}
+    print("MAINTAIN " + json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -160,6 +160,15 @@ def restate_docs(
     sources or buckets is removed where it was and added where it now
     belongs. Everything downstream is the shared repair walk of
     :func:`delete_docs` with ``current`` = the full corrected input.
+
+    Interplay with :func:`delete_docs`: restatement treats the CURRENT
+    INPUT as truth, so a doc previously deleted from the tables but
+    still present in the input will be re-added wherever a restated
+    doc shares its chunk or bucket. Compliance deletions must
+    therefore also remove the rows from the input table (or be
+    re-applied after a restatement touching their neighborhoods) —
+    the same rule real Iceberg deployments follow when a table is
+    rebuildable from upstream data.
     """
     cat, ckpt, nsalt = _load_run("restate_docs", spark, cfg, checkpoint_path)
     ids = _resolve_ids(spark, doc_ids)

@@ -363,3 +363,64 @@ def test_maintenance_compacts_append_cycles(spark, tmp_path):
     }
     assert dec_after == dec_before
     assert {tuple(r) for r in cat.read(spark, "tier_1m").collect()} == tier_before
+
+
+def test_maintain_job_cli(spark, tmp_path):
+    """Every maintenance op through the spark-submit CLI surface:
+    delete, restate (no-op ids), compact, changes, expire."""
+    from jobs.maintain_job import main as maintain
+    from jobs.make_config import main as mkcfg
+    from pyreshaper_spark.fixtures import sequences_df
+    from pyreshaper_spark.plans.pipeline import run_pipeline
+    from pyreshaper_spark.config import RunConfig
+    from pyreshaper_spark.sources.iceberglite import IcebergLite
+
+    seq = sequences_df(spark, "/root/testdata/sf0.001").limit(300).cache()
+    inp = str(tmp_path / "seq")
+    seq.write.parquet(inp)
+    cfg_p = str(tmp_path / "run.json")
+    mkcfg([
+        "--input", inp, "--output", str(tmp_path / "out"),
+        "--tiers", "1m:60", "10m:600", "--nsalt", "2", "-o", cfg_p,
+    ])
+    ck = str(tmp_path / "ck.json")
+    run_pipeline(spark, RunConfig.read(cfg_p), ck)
+    cat = IcebergLite(str(tmp_path / "out"))
+    base_sid = cat.current_snapshot_id("tier_1m")
+
+    victims = [r["doc_id"] for r in seq.limit(2).collect()]
+    out = maintain([
+        "--config", cfg_p, "--checkpoint", ck, "delete",
+        "--doc-ids", *victims,
+    ])
+    assert out["deleted_rows"] == 2 and "tier_1m" in out["tables_committed"]
+
+    # restate ids whose input didn't change → exact no-op semantics
+    ids_file = tmp_path / "ids.txt"
+    ids_file.write_text("\n".join(
+        r["doc_id"] for r in seq.limit(5).collect() if r["doc_id"] not in victims
+    ))
+    out = maintain([
+        "--config", cfg_p, "--checkpoint", ck, "restate",
+        "--doc-ids-file", str(ids_file),
+    ])
+    assert out["restated_positions"] >= 1
+
+    out = maintain([
+        "--config", cfg_p, "--checkpoint", ck, "compact",
+        "--table", "tier_1m", "--min-files", "1",
+        "--sort-by", "bucket_s", "--stats-cols", "bucket_s",
+    ])
+    assert out["snapshot_id"] is not None
+
+    out = maintain([
+        "--config", cfg_p, "--checkpoint", ck, "changes",
+        "--table", "tier_1m", "--from-snapshot", str(base_sid),
+    ])
+    assert set(out["rows"]) <= {"insert", "delete"} and out["rows"]
+
+    out = maintain([
+        "--config", cfg_p, "--checkpoint", ck, "expire",
+        "--table", "tier_1m", "--keep-last", "1",
+    ])
+    assert out["files_deleted"] >= 0
