@@ -398,6 +398,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_ivf_kmeans"] = lambda s, d: KM.ivf_kmeans_topk(
         _emb(s, d), k=8, n_iter=2, n_queries=10, topk=5, nprobe=2
     )
+    # SemDeDup: cluster-then-verify semantic near-dup (within-cluster
+    # exact cosine threshold; same 2/5 threshold as emb_near_dup)
+    q["semdedup_pairs"] = lambda s, d: KM.semdedup_pairs(
+        _emb(s, d), k=8, n_iter=2, num=2, den=5
+    )
     # -- multimodal ---------------------------------------------------
     q["mm_meta"] = lambda s, d: multimodal.media_meta(_docs(s, d))
     # frame sampling over fixed-size planes is pure codegen (binary
@@ -1116,6 +1121,9 @@ FROM tier t JOIN meta m USING (source)
     o["ann_ivf_kmeans"] = ivf_kmeans_topk_sql(
         k=8, n_iter=2, n_queries=10, topk=5, nprobe=2
     )
+    from pyreshaper_spark.operators.kmeans import semdedup_pairs_sql
+
+    o["semdedup_pairs"] = semdedup_pairs_sql(k=8, n_iter=2, num=2, den=5)
     o["ann_ivf_probe"] = similarity.ivf_probe_topk_sql()
     o["ann_lsh_pairs"] = similarity.lsh_bucket_pairs_sql()
     o["emb_near_dup"] = similarity.cosine_near_dups_sql(num=2, den=5)

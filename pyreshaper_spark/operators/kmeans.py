@@ -269,3 +269,76 @@ SELECT query_id, neighbor_id, dot, rank FROM (
   FROM cand)
 WHERE rank <= {topk}
 """
+
+
+def semdedup_pairs(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    num: int = 2,
+    den: int = 5,
+    dim: int = DIM,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): semantic near-dup pairs found by
+    clustering first and comparing WITHIN clusters only — the recipe
+    that made embedding dedup tractable on LAION/web corpora. Here the
+    cluster step is the exact-integer k-means above and the comparison
+    is the engine's exact cosine threshold (dot²·den² ≥ num²·|a|²·|b|²
+    in decimal(38,0), no sqrt) — so unlike the paper's float pipeline,
+    results are deterministic and oracle-hashable.
+
+    Scale shape: the candidate join is an equi-join on the cluster id
+    (per-cluster O(|cluster|²) pair fan-out — the SemDeDup trade: k
+    controls bucket width exactly like the LSH band knobs); nothing is
+    O(N²). Complements `cosine_near_dups` (banded hyperplane LSH):
+    LSH bounds by random projection agreement, SemDeDup by learned
+    density — on clustered data the trained quantizer wastes fewer
+    comparisons.
+
+    Output (vec_a, vec_b, cluster, dot).
+    """
+    lists, _ = lloyd(emb, k, n_iter, dim)
+    a = lists.select(
+        F.col("vec_id").alias("vec_a"), "cluster", F.col("q").alias("qa")
+    )
+    b = lists.select(
+        F.col("vec_id").alias("vec_b"), "cluster", F.col("q").alias("qb")
+    )
+    n2a = _dot(F.col("qa"), F.col("qa"))
+    n2b = _dot(F.col("qb"), F.col("qb"))
+    d38 = "decimal(38,0)"
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("dot", _dot(F.col("qa"), F.col("qb")))
+        .withColumn("na2", n2a)
+        .withColumn("nb2", n2b)
+    )
+    return pairs.filter(
+        (F.col("dot") > 0)
+        & (
+            F.col("dot").cast(d38) * F.col("dot").cast(d38)
+            * F.lit(den * den)
+            >= F.col("na2").cast(d38) * F.col("nb2").cast(d38)
+            * F.lit(num * num)
+        )
+    ).select("vec_a", "vec_b", "cluster", "dot")
+
+
+def semdedup_pairs_sql(
+    k: int = 8, n_iter: int = 2, num: int = 2, den: int = 5,
+    dim: int = DIM,
+) -> str:
+    dot = _DOT_SQL.format(x="a.q", y="b.q")
+    n2a = _DOT_SQL.format(x="a.q", y="a.q")
+    n2b = _DOT_SQL.format(x="b.q", y="b.q")
+    return f"""
+WITH {_lloyd_ctes(k, n_iter, dim)}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(a.cluster AS BIGINT) AS cluster, {dot} AS dot
+FROM a{n_iter} a JOIN a{n_iter} b
+  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+WHERE {dot} > 0
+  AND CAST({dot} AS HUGEINT) * CAST({dot} AS HUGEINT) * {den * den}
+      >= CAST({n2a} AS HUGEINT) * CAST({n2b} AS HUGEINT) * {num * num}
+"""

@@ -114,3 +114,22 @@ def test_ivf_kmeans_ranks_are_dense_per_query(spark, emb):
     assert set(per_q) == set(range(10))
     for ranks in per_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_semdedup_recall_vs_brute_force(spark, emb):
+    """Within-cluster pairs must be a SUBSET of the brute-force pairs
+    (exact threshold on both sides) with nontrivial recall at k=8."""
+    from pyreshaper_spark.operators.kmeans import semdedup_pairs
+    from pyreshaper_spark.operators.similarity import cosine_near_dups_exact
+
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in cosine_near_dups_exact(emb, num=2, den=5).collect()
+    }
+    sem = {
+        (r["vec_a"], r["vec_b"])
+        for r in semdedup_pairs(emb, k=8, n_iter=2, num=2, den=5).collect()
+    }
+    assert sem <= exact
+    if exact:
+        assert len(sem) / len(exact) >= 0.3
