@@ -437,6 +437,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["mix_sources"] = lambda s, d: SMP.mix_sources(
         _docs(s, d), _QUOTAS
     ).select(*_SCOLS, "mix_rank")
+    # token-budget mixture (mix weights in TOKENS, the real LLM knob)
+    _BUDGETS = {"src0": 5000, "src1": 1500, "src3": 800}
+    q["mix_token_budget"] = lambda s, d: SMP.mix_token_budget(
+        _seq(s, d).select(
+            "doc_id", "source", F.col("n_tok").cast("long").alias("n_tok")
+        ),
+        _BUDGETS,
+    ).select("doc_id", "source", "n_tok", "mix_rank", "cum_tok")
+
+    # corpus filter verdict: the keep/drop decision a data pipeline
+    # actually materializes — quality ∧ ¬rarity ∧ ¬PII in one row
+    def _q_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.text import pii_scan, quality_score
+        from pyreshaper_spark.operators.vocab import doc_rarity
+
+        docs = _docs(spark, sf_dir)
+        sid = F.col("doc_id").cast("string").alias("doc_id")
+        qual = quality_score(docs).select(sid, "ok")
+        rare = doc_rarity(_md_seq(spark, sf_dir), max_df=2).select(
+            "doc_id", "rare_heavy"
+        )
+        pii = pii_scan(docs).select(sid, "has_pii")
+        return (
+            qual.join(rare, "doc_id")
+            .join(pii, "doc_id")
+            .withColumn(
+                "keep",
+                (F.col("ok") == 1)
+                & ~F.col("rare_heavy")
+                & ~F.col("has_pii"),
+            )
+        )
+
+    q["filter_verdict"] = _q_verdict
 
     # -- rolling window aggregate over the 10m tier -------------------
     def _q_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1142,6 +1176,37 @@ FROM tier t JOIN meta m USING (source)
     )
     o["split_assign"] = SMP.split_assign_sql(val_bp=1000, test_bp=1000)
     o["mix_sources"] = SMP.mix_sources_sql({"src0": 10, "src1": 5, "src2": 20})
+    o["mix_token_budget"] = (
+        f"WITH {seq_cte('base')},\n"
+        "seqs AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, source, "
+        "CAST(n_tok AS BIGINT) AS n_tok FROM sequences)\n"
+        + SMP.mix_token_budget_sql(
+            {"src0": 5000, "src1": 1500, "src3": 800}, "seqs"
+        )
+    )
+    from pyreshaper_spark.operators.vocab import seqs_cte as _seqs_cte
+
+    o["filter_verdict"] = f"""
+WITH {_seqs_cte(_V)},
+tokstream AS (SELECT doc_id, unnest(tokens) AS token FROM seqs),
+dfx AS (SELECT token, count(DISTINCT doc_id) AS df
+        FROM tokstream GROUP BY 1),
+rare AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS BIGINT) * 10
+           >= count(*) * 1 AS rare_heavy
+  FROM tokstream JOIN dfx USING (token)
+  GROUP BY 1
+),
+qual AS ({text.quality_score_sql()}),
+pii AS ({text.pii_scan_sql()})
+SELECT CAST(qual.doc_id AS VARCHAR) AS doc_id, qual.ok,
+       rare.rare_heavy, pii.has_pii,
+       (qual.ok = 1 AND NOT rare.rare_heavy AND NOT pii.has_pii) AS keep
+FROM qual
+JOIN rare ON rare.doc_id = CAST(qual.doc_id AS VARCHAR)
+JOIN pii  ON pii.doc_id = qual.doc_id
+"""
     # bad_rows: doc_id/source nullability is the only contract clause
     # expressible over the oracle CTE (its n_tok/tokens are consistent
     # by construction, as are Spark's — both sides count 0 for those)

@@ -155,3 +155,64 @@ SELECT {cols}, mix_rank FROM (
 WHERE (CASE {cases} ELSE NULL END) IS NOT NULL
   AND mix_rank <= (CASE {cases} ELSE NULL END)
 """
+
+
+def mix_token_budget(
+    seq: DataFrame, budgets: dict[str, int]
+) -> DataFrame:
+    """Token-budget data mixture — the op real LLM data mixes actually
+    run (mixture weights are specified in TOKENS, not documents): per
+    source, take documents in deterministic hash order until the
+    cumulative token count first reaches the source's budget. The
+    boundary doc that crosses the budget is INCLUDED (budgets are
+    floors, matching "sample at least B tokens"); sources without a
+    budget are dropped.
+
+    Same single (source) shuffle + one window as :func:`mix_sources`
+    — the cumulative sum rides the same sort. Output adds ``cum_tok``
+    (running total including this doc) and ``mix_rank``.
+    """
+    w = Window.partitionBy("source").orderBy(
+        _rate_col(), F.col("doc_id").cast("string")
+    )
+    budget = F.lit(None).cast("long")
+    for src, b in sorted(budgets.items()):
+        budget = F.when(F.col("source") == src, F.lit(b)).otherwise(budget)
+    cum = F.sum("n_tok").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        seq.withColumn("mix_rank", F.row_number().over(w))
+        .withColumn("cum_tok", cum.cast("long"))
+        .withColumn("_budget", budget)
+        .filter(
+            F.col("_budget").isNotNull()
+            & (F.col("cum_tok") - F.col("n_tok") < F.col("_budget"))
+        )
+        .drop("_budget")
+    )
+
+
+def mix_token_budget_sql(
+    budgets: dict[str, int], relation: str = "seqs"
+) -> str:
+    """DuckDB twin over a `seqs(doc_id, source, n_tok)` relation."""
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {b}" for s, b in sorted(budgets.items())
+    )
+    return f"""
+SELECT doc_id, source, n_tok, mix_rank, cum_tok FROM (
+  SELECT doc_id, source, n_tok,
+         row_number() OVER w AS mix_rank,
+         CAST(sum(n_tok) OVER (
+           PARTITION BY source
+           ORDER BY {_rate_sql()}, CAST(doc_id AS VARCHAR)
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_tok
+  FROM {relation}
+  WINDOW w AS (PARTITION BY source
+               ORDER BY {_rate_sql()}, CAST(doc_id AS VARCHAR))
+)
+WHERE (CASE {cases} ELSE NULL END) IS NOT NULL
+  AND cum_tok - n_tok < (CASE {cases} ELSE NULL END)
+"""

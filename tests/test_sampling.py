@@ -63,3 +63,29 @@ def test_sampling_matches_duckdb_oracle(docs, ddb):
     ]
     for df, sql in pairs:
         assert rows_set(df) == ddb_rows_set(ddb, sql, df.columns)
+
+
+def test_mix_token_budget_floors_and_determinism(spark):
+    from pyreshaper_spark.operators.sampling import mix_token_budget
+
+    seq = spark.createDataFrame(
+        [(f"d{i}", "s0" if i % 2 else "s1", 100 + i) for i in range(40)],
+        "doc_id string, source string, n_tok long",
+    )
+    out = mix_token_budget(seq, {"s0": 450, "s1": 250}).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # budget is a floor: total tokens >= budget, and removing the
+    # boundary doc would drop below it
+    for src, budget in (("s0", 450), ("s1", 250)):
+        rows = sorted(by_src[src], key=lambda r: r["mix_rank"])
+        total = sum(r["n_tok"] for r in rows)
+        assert total >= budget
+        assert total - rows[-1]["n_tok"] < budget
+        assert rows[-1]["cum_tok"] == total
+        assert [r["mix_rank"] for r in rows] == list(range(1, len(rows) + 1))
+    # unbudgeted sources are dropped; rerun is byte-identical
+    assert set(by_src) == {"s0", "s1"}
+    again = mix_token_budget(seq, {"s0": 450, "s1": 250}).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
