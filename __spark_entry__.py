@@ -472,6 +472,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["filter_verdict"] = _q_verdict
 
+    # exact two-proportion A/B test over the event stream
+    def _q_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.funnel import ab_test
+
+        return ab_test(_events(spark, sf_dir), ("purchase", "signup"))
+
+    q["events_ab_test"] = _q_ab
+
     # -- rolling window aggregate over the 10m tier -------------------
     def _q_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyreshaper_spark.operators.gapfill import rolling_agg
@@ -1078,6 +1086,7 @@ SELECT source, count(*) AS n_docs FROM sequences GROUP BY 1
     o["events_funnel"] = FN.funnel_sql()
     o["events_cohorts"] = FN.cohort_retention_sql()
     o["events_type_pivot"] = FN.type_pivot_sql()
+    o["events_ab_test"] = FN.ab_test_sql(("purchase", "signup"))
 
     from pyreshaper_spark.operators.asof import asof_join_sql, topk_per_series_sql
 

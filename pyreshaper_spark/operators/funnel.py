@@ -26,6 +26,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyreshaper_spark.functions.xhash import h32, h32_sql
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 US_PER_S = 1_000_000
@@ -196,4 +198,136 @@ SELECT (epoch_us(ts) // {width_s * US_PER_S}) * {width_s} AS bucket_s,
        {cols}
 FROM events
 GROUP BY 1
+"""
+
+
+def ab_test(
+    events: DataFrame,
+    goal_types: Sequence[str],
+    z_num: int = 196,
+    z_den: int = 100,
+) -> DataFrame:
+    """Exact two-proportion A/B test over the event stream — the
+    experiment readout of product analytics. Users are assigned to
+    variants A/B by the same deterministic md5-hash split as
+    ``sampling.split_assign`` (assignment never changes as data
+    grows); a user CONVERTS on a goal if they emitted that event type
+    at least once. Per goal: exposed counts (n_a, n_b), conversions
+    (c_a, c_b), and a ``significant`` flag testing |z| ≥ z_num/z_den
+    (default 1.96, the 95% two-sided bound) with the z-test cleared of
+    all division/sqrt:
+
+        z² = (c_a·n_b − c_b·n_a)² · N / (n_a·n_b·C·(N−C))
+        significant ⇔ (c_a·n_b − c_b·n_a)²·N·z_den²
+                       ≥ z_num²·C·(N−C)·n_a·n_b
+
+    computed in decimal(38,0) (DuckDB HUGEINT) — exact booleans, hence
+    oracle-hashable where float z-scores are not. Inputs are cast from
+    decimal(18,0), so exactness holds to ~3e8 users per variant; a
+    planet-scale experiment switches to the float finisher, the flag
+    math is unchanged.
+
+    Shape: one distinct-user collapse (partial+final agg over
+    (user, converted-goal set)), one hash agg to counts per variant —
+    never a per-event shuffle; the goal list is a tiny constant.
+    Degenerate edges (C = 0 or C = N: pooled variance 0) are
+    not-significant by construction (both sides 0 → ≥ holds only if
+    the difference is also 0 — we AND in C>0 and C<N explicitly).
+    """
+    variant = F.when(
+        F.pmod(h32(F.col("user_id").cast("string")), F.lit(2)) == 0, "A"
+    ).otherwise("B")
+    per_user = (
+        events.select(F.col("user_id"), "event_type")
+        .groupBy("user_id")
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("event_type") == g, 1).otherwise(0)
+                ).alias(f"g_{i}")
+                for i, g in enumerate(goal_types)
+            ]
+        )
+        .withColumn("variant", variant)
+    )
+    counts = per_user.groupBy("variant").agg(
+        F.count("*").alias("n"),
+        *[F.sum(f"g_{i}").alias(f"c_{i}") for i in range(len(goal_types))],
+    )
+    a = counts.filter(F.col("variant") == "A").alias("a")
+    b = counts.filter(F.col("variant") == "B").alias("b")
+    pair = a.crossJoin(b)  # 1 × 1 rows
+    d18, d38 = "decimal(18,0)", "decimal(38,0)"
+    rows = []
+    for i, g in enumerate(goal_types):
+        na, nb = F.col("a.n").cast(d18), F.col("b.n").cast(d18)
+        ca, cb = F.col(f"a.c_{i}").cast(d18), F.col(f"b.c_{i}").cast(d18)
+        # every operand widened to decimal(38,0) before multiplying:
+        # Spark caps product PRECISION at 38, so values stay exact
+        # while they fit 38 digits (~1e7 users/variant for this chain;
+        # DuckDB HUGEINT has the same 128-bit envelope)
+        big = (ca * nb - cb * na).cast(d38)
+        n_tot = (na + nb).cast(d38)
+        c_tot = (ca + cb).cast(d38)
+        lhs = big * big * n_tot * F.lit(z_den * z_den).cast(d38)
+        rhs = (
+            F.lit(z_num * z_num).cast(d38)
+            * c_tot
+            * (n_tot - c_tot).cast(d38)
+            * na.cast(d38)
+            * nb.cast(d38)
+        )
+        rows.append(
+            pair.select(
+                F.lit(g).alias("goal"),
+                F.col("a.n").cast("long").alias("n_a"),
+                F.col("b.n").cast("long").alias("n_b"),
+                F.col(f"a.c_{i}").cast("long").alias("c_a"),
+                F.col(f"b.c_{i}").cast("long").alias("c_b"),
+                (
+                    (c_tot > 0) & (c_tot < n_tot) & (lhs >= rhs)
+                ).alias("significant"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def ab_test_sql(
+    goal_types: Sequence[str], z_num: int = 196, z_den: int = 100
+) -> str:
+    """DuckDB twin of :func:`ab_test` over the `events` view."""
+    goals = ", ".join(f"'{g}'" for g in goal_types)
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         CASE WHEN ({h32_sql('CAST(user_id AS VARCHAR)')}) % 2 = 0
+              THEN 'A' ELSE 'B' END AS variant,
+         g.goal,
+         max(CASE WHEN event_type = g.goal THEN 1 ELSE 0 END) AS conv
+  FROM events CROSS JOIN (SELECT unnest([{goals}]) AS goal) g
+  GROUP BY 1, 2, 3
+),
+counts AS (
+  SELECT goal, variant, count(*) AS n, sum(conv) AS c
+  FROM per_user GROUP BY 1, 2
+),
+pair AS (
+  SELECT a.goal,
+         a.n AS n_a, b.n AS n_b,
+         CAST(a.c AS BIGINT) AS c_a, CAST(b.c AS BIGINT) AS c_b
+  FROM counts a JOIN counts b ON a.goal = b.goal
+  WHERE a.variant = 'A' AND b.variant = 'B'
+)
+SELECT goal, n_a, n_b, c_a, c_b,
+       (c_a + c_b > 0 AND c_a + c_b < n_a + n_b
+        AND (CAST(c_a AS HUGEINT)*n_b - CAST(c_b AS HUGEINT)*n_a)
+          * (CAST(c_a AS HUGEINT)*n_b - CAST(c_b AS HUGEINT)*n_a)
+          * (n_a + n_b) * {z_den * z_den}
+            >= CAST({z_num * z_num} AS HUGEINT)
+               * (c_a + c_b) * ((n_a + n_b) - (c_a + c_b))
+               * n_a * n_b) AS significant
+FROM pair
 """

@@ -82,3 +82,51 @@ def test_type_pivot_counts(spark):
     assert (got[b0]["n_view"], got[b0]["n_click"], got[b0]["n_error"],
             got[b0]["n_purchase"], got[b0]["n_signup"]) == (2, 1, 0, 0, 0)
     assert got[b1]["n_error"] == 1 and b1 - b0 == 3600
+
+
+def test_ab_test_flag_matches_float_z(spark):
+    """The cross-multiplied significance flag must equal the float
+    two-proportion z-test on constructed variants, including the
+    degenerate edges (no conversions anywhere / everyone converts)."""
+    import math
+
+    from pyreshaper_spark.functions.xhash import MINHASH_PERMS  # noqa: F401
+    from pyreshaper_spark.operators.funnel import ab_test
+
+    # find user ids for each variant (same md5 split as the operator)
+    import hashlib
+
+    def variant(u):
+        h = int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16)
+        return "A" if h % 2 == 0 else "B"
+
+    a_users = [u for u in range(200) if variant(u) == "A"][:50]
+    b_users = [u for u in range(200) if variant(u) == "B"][:50]
+
+    def mk(c_a, c_b, goal):
+        rows = []
+        for i, u in enumerate(a_users):
+            rows.append((u, goal if i < c_a else "noise"))
+        for i, u in enumerate(b_users):
+            rows.append((u, goal if i < c_b else "noise"))
+        return spark.createDataFrame(rows, "user_id long, event_type string")
+
+    cases = [(40, 10), (30, 25), (0, 0), (50, 50), (50, 0), (26, 24)]
+    for c_a, c_b in cases:
+        out = {
+            r["goal"]: r
+            for r in ab_test(mk(c_a, c_b, "buy"), ("buy",)).collect()
+        }["buy"]
+        assert (out["n_a"], out["n_b"]) == (50, 50)
+        assert (out["c_a"], out["c_b"]) == (c_a, c_b)
+        n_a = n_b = 50
+        C, N = c_a + c_b, n_a + n_b
+        if C == 0 or C == N:
+            want = False
+        else:
+            p = C / N
+            z = (c_a / n_a - c_b / n_b) / math.sqrt(
+                p * (1 - p) * (1 / n_a + 1 / n_b)
+            )
+            want = abs(z) >= 1.96
+        assert out["significant"] == want, (c_a, c_b)
