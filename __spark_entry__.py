@@ -480,6 +480,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_ab_test"] = _q_ab
 
+    # OLAP CUBE: per-cell + margins + grand total in one Expand agg
+    def _q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.rollup import tier_cube
+
+        return tier_cube(_seq(spark, sf_dir), 3600)
+
+    q["tier_1h_cube"] = _q_cube
+
     # -- rolling window aggregate over the 10m tier -------------------
     def _q_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyreshaper_spark.operators.gapfill import rolling_agg
@@ -1087,6 +1095,9 @@ SELECT source, count(*) AS n_docs FROM sequences GROUP BY 1
     o["events_cohorts"] = FN.cohort_retention_sql()
     o["events_type_pivot"] = FN.type_pivot_sql()
     o["events_ab_test"] = FN.ab_test_sql(("purchase", "signup"))
+    from pyreshaper_spark.operators.rollup import tier_cube_sql
+
+    o["tier_1h_cube"] = f"WITH {seq_cte('base')}\n" + tier_cube_sql(3600)
 
     from pyreshaper_spark.operators.asof import asof_join_sql, topk_per_series_sql
 

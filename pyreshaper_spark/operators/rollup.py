@@ -763,3 +763,45 @@ FROM (
 )
 WHERE rn = 1
 """
+
+
+def tier_cube(seq: DataFrame, width_s: int) -> DataFrame:
+    """Multi-dimensional rollup via CUBE(source, bucket): per-cell,
+    per-source-total, per-bucket-total, and grand-total rows in ONE
+    aggregation — the OLAP dashboard shape ("this hour by source, with
+    margins"). Catalyst plans CUBE as a single Expand + hash agg: each
+    input row fans into its 4 grouping-set replicas BEFORE the
+    map-side partial agg, so shuffle volume is O(4 × occupied cells),
+    never 4 scans. ``gid`` is the grouping bitmask (0 = detail cell,
+    1 = bucket margin, 2 = source margin, 3 = grand total) — the same
+    convention in Spark ``grouping_id()`` and DuckDB
+    ``GROUPING(source, bucket_s)``, so rows hash-compare even where
+    margin rows hold NULL keys."""
+    return (
+        seq.select("source", bucket_col(width_s), "n_tok")
+        .cube("source", "bucket_s")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").cast("long").alias("cnt"),
+            F.sum("n_tok").cast("long").alias("sum_n_tok"),
+        )
+        .select(
+            "source",
+            F.col("bucket_s").cast("long").alias("bucket_s"),
+            "gid", "cnt", "sum_n_tok",
+        )
+    )
+
+
+def tier_cube_sql(width_s: int) -> str:
+    """DuckDB twin of :func:`tier_cube` over the `sequences` CTE."""
+    return f"""
+SELECT source,
+       bucket_s,
+       CAST(GROUPING(source, bucket_s) AS BIGINT) AS gid,
+       count(*)                                   AS cnt,
+       CAST(sum(n_tok) AS BIGINT)                 AS sum_n_tok
+FROM (SELECT source, (event_s // {width_s}) * {width_s} AS bucket_s, n_tok
+      FROM sequences)
+GROUP BY CUBE(source, bucket_s)
+"""

@@ -493,6 +493,73 @@ class IcebergLite:
         kept = [f for f in snap["files"] if f["path"] not in rewritten]
         return self._commit(name, kept + new, "rewrite")
 
+    def zorder_compact(
+        self,
+        spark: SparkSession,
+        name: str,
+        zorder_by: tuple[str, str],
+        partition_by: tuple[str, ...] = (),
+        target_file_bytes: int = 128 << 20,
+        min_files: int = 1,
+        stats_cols: tuple[str, ...] = (),
+    ) -> int | None:
+        """Z-ORDER rewrite — Databricks ``OPTIMIZE ... ZORDER BY`` /
+        Iceberg's z-order `rewrite_data_files` strategy for TWO-column
+        clustering: a linear sort gives perfect pruning on its leading
+        column and none on the second; bit-interleaving both columns'
+        grid positions into one key makes every file cover a small
+        RECTANGLE of the (a, b) value space, so min/max stats prune on
+        BOTH dimensions (asserted against the linear sort in pytest).
+
+        Each column is normalized to a 16-bit grid against its observed
+        min/max (one tiny scalar aggregate), then the 32-bit Morton key
+        is pure codegen (32 shift/mask terms); the rewrite itself is
+        :meth:`compact`'s range-partition+sort on the derived key.
+        """
+        a, b = zorder_by
+        snap = self._snapshot(name, None)
+        if len(snap["files"]) < min_files:
+            return None
+        df = self._df_for_files(spark, name, snap["files"])
+        lo_a, hi_a, lo_b, hi_b = df.agg(
+            F.min(a), F.max(a), F.min(b), F.max(b)
+        ).collect()[0]
+        grid = 0xFFFF
+
+        def g(col: str, lo, hi) -> F.Column:
+            span = int(hi) - int(lo)
+            if span <= 0:
+                return F.lit(0).cast("long")
+            return (
+                (F.col(col).cast("long") - F.lit(int(lo))) * grid / span
+            ).cast("long")
+        ga, gb = g(a, lo_a, hi_a), g(b, lo_b, hi_b)
+        zkey = F.lit(0).cast("long")
+        for i in range(16):
+            bit_a = F.shiftright(ga, i).bitwiseAND(F.lit(1))
+            bit_b = F.shiftright(gb, i).bitwiseAND(F.lit(1))
+            zkey = (
+                zkey
+                + F.shiftleft(bit_a, 2 * i + 1)
+                + F.shiftleft(bit_b, 2 * i)
+            )
+        import math
+
+        data = self._data(name)
+        total = sum(
+            os.path.getsize(os.path.join(data, f["path"]))
+            for f in snap["files"]
+        )
+        n = max(1, math.ceil(total / target_file_bytes))
+        out = (
+            df.withColumn("_zkey", zkey)
+            .repartitionByRange(n, *partition_by, "_zkey")
+            .sortWithinPartitions(*partition_by, "_zkey")
+            .drop("_zkey")
+        )
+        new = self._write_data(name, out, partition_by, stats_cols)
+        return self._commit(name, new, "rewrite")
+
     def expire_snapshots(self, name: str, keep_last: int = 1) -> int:
         """Expire all but the newest ``keep_last`` snapshots and delete
         data files no longer referenced by any retained snapshot —

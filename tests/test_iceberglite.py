@@ -286,3 +286,51 @@ def test_sorted_compaction_enables_stats_pruning(spark, cat):
     assert sorted(got.collect()) == sorted(want.collect())
     # lossless: full read unchanged
     assert cat.read(spark, "t").count() == 60
+
+
+def test_zorder_compaction_prunes_both_dimensions(spark, cat):
+    """Z-order clustering must beat a linear sort on 2-D box
+    predicates: the linear layout prunes only on its leading column,
+    the Morton layout prunes on both."""
+    rows = [
+        ("s", (i * 37) % 1000, (i * 613) % 997, i) for i in range(800)
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, x long, y long, cnt long"
+    ).repartition(4)
+    for t in ("lin", "zord"):
+        cat.append(t, df, stats_cols=("x", "y"))
+
+    cat.compact(
+        spark, "lin", target_file_bytes=512, min_files=1,
+        stats_cols=("x", "y"), sort_by=("x",),
+    )
+    cat.zorder_compact(
+        spark, "zord", ("x", "y"), target_file_bytes=512,
+        stats_cols=("x", "y"),
+    )
+
+    def overlap(st):  # 2-D box [100,300] × [700,750] — narrow in y,
+        # where the x-sorted layout has NO clustering at all
+        return (
+            st["x"][0] <= 300 and st["x"][1] >= 100
+            and st["y"][0] <= 750 and st["y"][1] >= 700
+        )
+
+    def frac(t):
+        fs = cat._snapshot(t, None)["files"]
+        assert len(fs) > 4, (t, len(fs))
+        return sum(1 for f in fs if overlap(f["stats"])) / len(fs)
+
+    assert frac("zord") < frac("lin")
+    # pruned read is still exact
+    import pyspark.sql.functions as SF
+
+    got = cat.read(spark, "zord", stats_filter=overlap).filter(
+        SF.col("x").between(100, 300) & SF.col("y").between(700, 750)
+    )
+    want = df.filter(
+        SF.col("x").between(100, 300) & SF.col("y").between(700, 750)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert cat.read(spark, "zord").count() == 800
