@@ -116,10 +116,18 @@ class IcebergLite:
 
     def _commit(self, name: str, files: list[dict], op: str) -> int:
         """Atomically append a snapshot referencing ``files`` (full live set)."""
+        import time
+
         log = self._read_log(name)
         sid = log["current"] + 1
         log["snapshots"].append(
-            {"id": sid, "parent": log["current"], "op": op, "files": files}
+            {
+                "id": sid,
+                "parent": log["current"],
+                "op": op,
+                "ts": time.time(),
+                "files": files,
+            }
         )
         log["current"] = sid
         p = self._log_path(name)
@@ -132,6 +140,20 @@ class IcebergLite:
 
     def snapshots(self, name: str) -> list[dict]:
         return self._read_log(name)["snapshots"]
+
+    def snapshot_as_of(self, name: str, ts: float) -> int:
+        """Iceberg ``FOR TIMESTAMP AS OF``: the id of the last snapshot
+        committed at or before wall-clock ``ts`` (epoch seconds).
+        Raises if the table did not exist yet. Snapshots written before
+        commit timestamps were recorded (no ``ts`` field) are treated
+        as infinitely old — still reachable by any later ts."""
+        best = 0
+        for s in self._read_log(name)["snapshots"]:
+            if s.get("ts", 0.0) <= ts:
+                best = s["id"]
+        if best == 0:
+            raise SnapshotNotFound(f"{name}: no snapshot at or before {ts}")
+        return best
 
     def current_snapshot_id(self, name: str) -> int:
         return self._read_log(name)["current"]

@@ -334,3 +334,21 @@ def test_zorder_compaction_prunes_both_dimensions(spark, cat):
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     assert cat.read(spark, "zord").count() == 800
+
+
+def test_time_travel_by_timestamp(spark, cat):
+    import time
+
+    import pyspark.sql.functions as SF  # noqa: F401
+
+    cat.append("t", _df(spark, [("a", 0, 1)]))
+    t_mid = time.time()
+    time.sleep(0.02)
+    cat.append("t", _df(spark, [("b", 60, 2)]))
+    sid = cat.snapshot_as_of("t", t_mid)
+    assert sid == 1
+    assert cat.read(spark, "t", snapshot_id=sid).count() == 1
+    # a timestamp after the last commit resolves to the current snapshot
+    assert cat.snapshot_as_of("t", time.time()) == 2
+    with pytest.raises(SnapshotNotFound):
+        cat.snapshot_as_of("t", 0.0)
