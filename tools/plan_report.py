@@ -485,6 +485,38 @@ def main() -> None:
         ],
     ))
 
+    from pyreshaper_spark.operators.rollup import tier_cube
+    from pyreshaper_spark.operators.sampling import mix_token_budget
+
+    p_cube = plan_of(tier_cube(seq, 3600))
+    p_mix = plan_of(
+        mix_token_budget(
+            seq.select("doc_id", "source", F.col("n_tok").cast("long")
+                       .alias("n_tok")),
+            {"src0": 5000},
+        )
+    )
+    sections.append((
+        "CUBE rollup, token-budget mixture",
+        "\n".join([
+            "--- tier_cube(1h) ---", p_cube[:2000],
+            "--- mix_token_budget ---", p_mix[:1400],
+        ]),
+        [
+            ("cube: single Expand feeding partial+final hash agg — one "
+             "aggregation serves all four grouping sets",
+             "Expand" in p_cube and p_cube.count("HashAggregate") >= 2
+             and no_cartesian(p_cube)),
+            ("cube: tokens pruned from the scan",
+             "tokens" not in p_cube.split("ReadSchema")[1].split("\n")[0]
+             if "ReadSchema" in p_cube else False),
+            ("mixture: rank + running token sum ride ONE source-keyed "
+             "exchange (two Window frames, zero extra shuffles), no join",
+             p_mix.count("hashpartitioning(source") == 1
+             and "Join" not in p_mix),
+        ],
+    ))
+
     out = ["# PLANS — physical-plan verification (auto-generated by "
            "tools/plan_report.py)\n"]
     all_ok = True
