@@ -195,3 +195,35 @@ def test_ndv_approx_error_bounded(seq):
     for r in bucket_ndv_approx(seq, 3600, rsd=0.02).collect():
         e = exact[(r.source, r.bucket_s)]
         assert abs(r.ndv_n_tok - e) <= max(2, 0.06 * e), (r.source, r.bucket_s)
+
+
+def test_tier_cube_margins_telescope(seq):
+    """CUBE margins are sums of their detail cells: per-source margin,
+    per-bucket margin, and the grand total must all reproduce the
+    detail layer exactly (gid bitmask: 0 detail, 1 bucket margin,
+    2 source margin, 3 grand total)."""
+    from collections import defaultdict
+
+    from pyreshaper_spark.operators.rollup import tier_cube
+
+    rows = tier_cube(seq, 3600).collect()
+    by_gid = defaultdict(list)
+    for r in rows:
+        by_gid[r["gid"]].append(r)
+    detail = by_gid[0]
+    src_sum, bkt_sum = defaultdict(int), defaultdict(int)
+    tot = 0
+    for r in detail:
+        src_sum[r["source"]] += r["sum_n_tok"]
+        bkt_sum[r["bucket_s"]] += r["sum_n_tok"]
+        tot += r["sum_n_tok"]
+    assert {r["source"]: r["sum_n_tok"] for r in by_gid[1]} == dict(src_sum)
+    assert {r["bucket_s"]: r["sum_n_tok"] for r in by_gid[2]} == dict(bkt_sum)
+    (grand,) = by_gid[3]
+    assert grand["sum_n_tok"] == tot
+    assert grand["source"] is None and grand["bucket_s"] is None
+    # margin rows carry NULL keys only on the aggregated dimension
+    assert all(r["bucket_s"] is None and r["source"] is not None
+               for r in by_gid[1])
+    assert all(r["source"] is None and r["bucket_s"] is not None
+               for r in by_gid[2])
