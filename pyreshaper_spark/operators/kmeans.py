@@ -208,7 +208,7 @@ def _assign_cte(src: str, cents: str) -> str:
 def _update_cte(asg: str, dim: int) -> str:
     return f"""(
   SELECT cluster AS cid, list(v ORDER BY d) AS c FROM (
-    SELECT cluster, d, sum(q[d]) // count(*) AS v
+    SELECT cluster, d, CAST(sum(q[d]) // count(*) AS BIGINT) AS v
     FROM {asg} CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS d)
     GROUP BY 1, 2
   ) GROUP BY 1

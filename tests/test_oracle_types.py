@@ -1,0 +1,40 @@
+"""Plan-time type sweep over every oracle SQL.
+
+DuckDB ``sum(BIGINT)`` yields HUGEINT, which pandas/Arrow materializes as
+float64 — breaking the driver's hash canonicalization against Spark's
+BIGINT even when every value is identical (round-1 ``events_sessions``,
+round-2 ``kmeans_assign``). This test binds (plans, without executing)
+every ``oracle_sql()`` entry and asserts no HUGEINT reaches an output
+column, so the artifact class can never recur silently.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as ent
+from tests.conftest import SF_SMOKE, TABLES
+
+
+def test_no_hugeint_in_oracle_outputs():
+    con = duckdb.connect()
+    import os
+
+    for t in TABLES:
+        p = f"{SF_SMOKE}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    offenders = {}
+    for name, sql in ent.oracle_sql().items():
+        rel = con.sql(sql)  # binds + plans only; no execution
+        bad = [
+            f"{col}:{typ}"
+            for col, typ in zip(rel.columns, rel.types)
+            if "HUGEINT" in str(typ).upper()
+        ]
+        if bad:
+            offenders[name] = bad
+    con.close()
+    assert not offenders, f"HUGEINT reaches oracle output columns: {offenders}"
