@@ -29,7 +29,6 @@ from pyreshaper_spark.operators.encode import (  # noqa: E402
     encode_series_table,
 )
 from pyreshaper_spark.operators.gapfill import gapfill, gapfill_locf  # noqa: E402
-from pyreshaper_spark.operators.rollup import rollup_all_tiers  # noqa: E402
 from pyreshaper_spark.operators.transpose import transpose_to_series  # noqa: E402
 
 TIER_WIDTHS = [60, 600, 3600, 86400]
@@ -40,9 +39,53 @@ def _utc(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+# Memo for the base relations shared across queries(). The driver runs
+# many queries() entries against one SparkSession at one sf_dir; without
+# this, ~20 entries each re-derive the sequences table (md5 hashing over
+# documents) and re-cascade the tiers from raw. Keyed on the session's
+# applicationId so a restarted session never serves stale cached plans.
+_MEMO: dict = {}
+
+
+def _cached(spark: SparkSession, key: tuple, make) -> DataFrame:
+    k = (spark.sparkContext.applicationId, *key)
+    df = _MEMO.get(k)
+    if df is None:
+        df = make().cache()
+        _MEMO[k] = df
+    return df
+
+
 def _seq(spark: SparkSession, sf_dir: str, variant: str = "base") -> DataFrame:
     _utc(spark)
-    return sequences_df(spark, sf_dir, variant=variant)
+    return _cached(
+        spark,
+        ("seq", sf_dir, variant),
+        lambda: sequences_df(spark, sf_dir, variant=variant),
+    )
+
+
+def _tiers(
+    spark: SparkSession, sf_dir: str, variant: str = "base"
+) -> dict[int, DataFrame]:
+    """Cached full tier cascade (each tier cached; cascade from cached
+    predecessors, never from raw twice)."""
+    seq = _seq(spark, sf_dir, variant)
+    out: dict[int, DataFrame] = {}
+    prev: DataFrame | None = None
+    for w in TIER_WIDTHS:
+        from pyreshaper_spark.operators.rollup import (
+            rollup_cascade,
+            rollup_tier0,
+        )
+
+        src = seq if prev is None else prev
+        fn = (lambda s=src, w=w, first=prev is None: (
+            rollup_tier0(s, w) if first else rollup_cascade(s, w)
+        ))
+        prev = _cached(spark, ("tier", sf_dir, variant, w), fn)
+        out[w] = prev
+    return out
 
 
 def _norm_tier(df: DataFrame) -> DataFrame:
@@ -59,8 +102,7 @@ def _norm_tier(df: DataFrame) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: cascade all four retention tiers on sf0.001, return 1h."""
-    seq = _seq(spark, "/root/testdata/sf0.001")
-    tiers = rollup_all_tiers(seq, TIER_WIDTHS)
+    tiers = _tiers(spark, "/root/testdata/sf0.001")
     return _norm_tier(tiers[3600])
 
 
@@ -70,15 +112,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _q_tier(width: int) -> Callable[[SparkSession, str], DataFrame]:
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        seq = _seq(spark, sf_dir)
-        return _norm_tier(rollup_all_tiers(seq, TIER_WIDTHS)[width])
+        return _norm_tier(_tiers(spark, sf_dir)[width])
 
     return q
 
 
 def _q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    seq = _seq(spark, sf_dir, variant="gappy")
-    tier = rollup_all_tiers(seq, [60, 600])[600]
+    tier = _tiers(spark, sf_dir, variant="gappy")[600]
     out = gapfill(tier, 600)
     return out.select(
         "source",
@@ -92,8 +132,7 @@ def _q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyreshaper_spark.operators.gapfill import interpolate
 
-    seq = _seq(spark, sf_dir, variant="gappy")
-    tier = rollup_all_tiers(seq, [60, 600])[600]
+    tier = _tiers(spark, sf_dir, variant="gappy")[600]
     out = interpolate(gapfill(tier, 600))
     return out.select(
         "source",
@@ -107,8 +146,7 @@ def _q_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    seq = _seq(spark, sf_dir, variant="gappy")
-    tier = rollup_all_tiers(seq, [60, 600])[600]
+    tier = _tiers(spark, sf_dir, variant="gappy")[600]
     out = gapfill_locf(tier, 600)
     return out.select(
         "source",
@@ -148,12 +186,20 @@ def _q_series_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _cached(
+        spark,
+        ("docs", sf_dir),
+        lambda: spark.read.parquet(f"{sf_dir}/documents.parquet"),
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _cached(
+        spark,
+        ("emb", sf_dir),
+        lambda: spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+    )
 
 
 def _md_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -162,12 +208,16 @@ def _md_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyreshaper_spark.fixtures import VOCAB_SIZE
     from pyreshaper_spark.functions.xhash import h32, words_col
 
-    return _docs(spark, sf_dir).select(
-        F.col("doc_id").cast("string").alias("doc_id"),
-        F.transform(
-            words_col(),
-            lambda w: F.pmod(h32(w), F.lit(VOCAB_SIZE)).cast("int"),
-        ).alias("tokens"),
+    return _cached(
+        spark,
+        ("md_tokens", sf_dir),
+        lambda: _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.transform(
+                words_col(),
+                lambda w: F.pmod(h32(w), F.lit(VOCAB_SIZE)).cast("int"),
+            ).alias("tokens"),
+        ),
     )
 
 
@@ -179,14 +229,36 @@ def _md_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyreshaper_spark.fixtures import VOCAB_SIZE
     from pyreshaper_spark.functions.xhash import h32, words_col
 
-    return _docs(spark, sf_dir).select(
-        F.col("doc_id").cast("string").alias("doc_id"),
-        "source",
-        F.transform(
-            words_col(),
-            lambda w: F.pmod(h32(w), F.lit(VOCAB_SIZE)).cast("int"),
-        ).alias("tokens"),
+    return _cached(
+        spark,
+        ("md_seq", sf_dir),
+        lambda: _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            "source",
+            F.transform(
+                words_col(),
+                lambda w: F.pmod(h32(w), F.lit(VOCAB_SIZE)).cast("int"),
+            ).alias("tokens"),
+        ),
     )
+
+
+#: Names the round-2 driver correctness sweep already verified green.
+_R02_CHECKED = frozenset({
+    "ann_ivf_kmeans", "ann_ivf_probe", "ann_lsh_pairs", "ann_topk_cosine",
+    "ann_topk_dot", "asof_10m_1h", "contamination_3g", "dedup_components",
+    "dedup_exact", "dedup_minhash_bucketcap", "dedup_minhash_capped",
+    "dedup_minhash_lsh", "dedup_ngram_capped", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_survivors", "emb_near_dup", "events_cohorts",
+    "events_funnel", "events_in_sessions", "events_props",
+    "events_rollup_5m", "events_sessions", "events_type_pivot",
+    "fingerprint", "gapfill_10m", "interp_10m", "kmeans_assign", "lang_id",
+    "locf_10m", "mm_frame_sample", "mm_meta", "pack_assign_2k", "pii_scan",
+    "quality_score", "semdedup_pairs", "seqdup_crossdoc", "seqdup_intradoc",
+    "series_fidelity", "series_fidelity_skew", "source_counts",
+    "text_stats", "tier_10m", "tier_1d", "tier_1h", "tier_1h_retention",
+    "tier_1h_skew", "tier_1h_with_meta", "tier_1m", "topk_buckets",
+})
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -221,8 +293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["series_fidelity_skew"] = _q_fidelity_skew
 
     def _q_tier_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
-        seq = _seq(spark, sf_dir, variant="skew")
-        return _norm_tier(rollup_all_tiers(seq, TIER_WIDTHS)[3600])
+        return _norm_tier(_tiers(spark, sf_dir, variant="skew")[3600])
 
     q["tier_1h_skew"] = _q_tier_skew
     # -- retention (keep newest 24 one-hour buckets) ------------------
@@ -230,7 +301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pyreshaper_spark.operators.rollup import apply_retention
 
         seq = _seq(spark, sf_dir)
-        tier = rollup_all_tiers(seq, TIER_WIDTHS)[3600]
+        tier = _tiers(spark, sf_dir)[3600]
         return _norm_tier(apply_retention(tier, 3600, 24))
 
     q["tier_1h_retention"] = _q_retention
@@ -240,7 +311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pyreshaper_spark.operators.asof import asof_join
 
         seq = _seq(spark, sf_dir)
-        tiers = rollup_all_tiers(seq, TIER_WIDTHS)
+        tiers = _tiers(spark, sf_dir)
         left = _norm_tier(tiers[600]).select("source", "bucket_s", "cnt")
         right = _norm_tier(tiers[3600]).select(
             "source", "bucket_s", "sum_n_tok"
@@ -251,15 +322,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pyreshaper_spark.operators.asof import topk_per_series
 
         seq = _seq(spark, sf_dir)
-        return topk_per_series(_norm_tier(rollup_all_tiers(seq, TIER_WIDTHS)[600]))
+        return topk_per_series(_norm_tier(_tiers(spark, sf_dir)[600]))
 
     q["asof_10m_1h"] = _q_asof
     q["topk_buckets"] = _q_topk
 
+    # forward direction + tolerance: next 1h rollup at or after each
+    # 10m bucket, nulled beyond 1h distance (pandas merge_asof surface)
+    def _q_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.asof import asof_join
+
+        tiers = _tiers(spark, sf_dir)
+        left = _norm_tier(tiers[600]).select("source", "bucket_s", "cnt")
+        right = _norm_tier(tiers[3600]).select(
+            "source", "bucket_s", "sum_n_tok"
+        )
+        return asof_join(
+            left, right, ("sum_n_tok",),
+            direction="forward", tolerance_s=3600,
+        )
+
+    q["asof_fwd_tol"] = _q_asof_fwd
+
+    # inter-arrival cadence stats + CUSUM changepoint
+    def _q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.gapfill import interarrival
+
+        return interarrival(_seq(spark, sf_dir), 3600)
+
+    q["interarrival_1h"] = _q_interarrival
+
+    def _q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.gapfill import cusum_detect
+
+        tier = _tiers(spark, sf_dir)[3600]
+        return cusum_detect(
+            tier.select(
+                "source",
+                F.col("bucket_s").cast("long").alias("bucket_s"),
+                F.col("sum_n_tok").cast("long").alias("sum_n_tok"),
+            ),
+            h=100,
+        )
+
+    q["cusum_1h"] = _q_cusum
+
     # -- metadata replication (broadcast join; once-file analog off) --
     def _q_tier_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq = _seq(spark, sf_dir)
-        tier = _norm_tier(rollup_all_tiers(seq, TIER_WIDTHS)[3600])
+        tier = _norm_tier(_tiers(spark, sf_dir)[3600])
         meta = seq.groupBy("source").agg(
             F.count("*").cast("long").alias("src_n_docs"),
             F.sum("n_tok").cast("long").alias("src_total_tok"),
@@ -389,6 +500,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["emb_near_dup"] = lambda s, d: similarity.cosine_near_dups(
         _emb(s, d), num=2, den=5
     )
+    # bucket-width cap variant: (band, band_bits) buckets wider than the
+    # cap dropped BEFORE the self-join — bounds pair fan-out ≤ cap² even
+    # on a boilerplate-dense semantic cluster (mirrors
+    # dedup_minhash_bucketcap)
+    q["emb_near_dup_bucketcap"] = lambda s, d: similarity.cosine_near_dups(
+        _emb(s, d), num=2, den=5, max_bucket=40
+    )
     # trained coarse quantizer (exact-integer Lloyd) + IVF probe
     from pyreshaper_spark.operators import kmeans as KM
 
@@ -492,7 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _q_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyreshaper_spark.operators.gapfill import rolling_agg
 
-        tier = rollup_all_tiers(_seq(spark, sf_dir), TIER_WIDTHS)[600]
+        tier = _tiers(spark, sf_dir)[600]
         r = rolling_agg(tier, k=6)
         return r.select(
             "source", "bucket_s",
@@ -508,7 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _q_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyreshaper_spark.operators.gapfill import rate_delta
 
-        tier = rollup_all_tiers(_seq(spark, sf_dir), TIER_WIDTHS)[600]
+        tier = _tiers(spark, sf_dir)[600]
         return rate_delta(
             tier.select(
                 "source", "bucket_s",
@@ -522,7 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _q_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyreshaper_spark.operators.rollup import bucket_trend
 
-        tier = rollup_all_tiers(_seq(spark, sf_dir), TIER_WIDTHS)[3600]
+        tier = _tiers(spark, sf_dir)[3600]
         return bucket_trend(
             tier.select(
                 "source", "bucket_s",
@@ -639,8 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _q_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyreshaper_spark.operators.gapfill import time_weighted
 
-        seq = _seq(spark, sf_dir, variant="gappy")
-        tier = rollup_all_tiers(seq, [60, 600])[600]
+        tier = _tiers(spark, sf_dir, variant="gappy")[600]
         return time_weighted(tier, 600, 3600)
 
     q["twa_1h"] = _q_twa
@@ -649,8 +766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _q_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyreshaper_spark.operators.gapfill import detect_gaps
 
-        seq = _seq(spark, sf_dir, variant="gappy")
-        tier = rollup_all_tiers(seq, [60, 600])[600]
+        tier = _tiers(spark, sf_dir, variant="gappy")[600]
         return detect_gaps(tier, 600)
 
     q["gaps_10m"] = _q_gaps
@@ -677,7 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _q_cum(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyreshaper_spark.operators.rollup import cumulative_tier
 
-        tier = rollup_all_tiers(_seq(spark, sf_dir), TIER_WIDTHS)[3600]
+        tier = _tiers(spark, sf_dir)[3600]
         return cumulative_tier(tier)
 
     q["cum_1h"] = _q_cum
@@ -721,7 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyreshaper_spark.operators.gapfill import counter_rate
 
-        tier = rollup_all_tiers(_seq(spark, sf_dir), TIER_WIDTHS)[600]
+        tier = _tiers(spark, sf_dir)[600]
         return counter_rate(
             tier.select(
                 "source", "bucket_s",
@@ -737,8 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyreshaper_spark.operators.correlate import autocorr_moments
 
-        seq = _seq(spark, sf_dir, variant="gappy")
-        tier = rollup_all_tiers(seq, [60, 600])[600]
+        tier = _tiers(spark, sf_dir, variant="gappy")[600]
         filled = gapfill_locf(tier, 600).select(
             "source", "bucket_s",
             F.col("sum_n_tok_locf").cast("long").alias("sum_n_tok_locf"),
@@ -782,7 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyreshaper_spark.operators.gapfill import ewma_binary
 
-        tier = rollup_all_tiers(_seq(spark, sf_dir), TIER_WIDTHS)[600]
+        tier = _tiers(spark, sf_dir)[600]
         return ewma_binary(
             tier.select(
                 "source", "bucket_s",
@@ -797,7 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyreshaper_spark.operators.gapfill import anomaly_zflag
 
-        tier = rollup_all_tiers(_seq(spark, sf_dir), TIER_WIDTHS)[600]
+        tier = _tiers(spark, sf_dir)[600]
         return anomaly_zflag(
             tier.select(
                 "source", "bucket_s",
@@ -815,8 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyreshaper_spark.operators.gapfill import seasonal_diff
 
-        seq = _seq(spark, sf_dir, variant="gappy")
-        tier = rollup_all_tiers(seq, [60, 600])[600]
+        tier = _tiers(spark, sf_dir, variant="gappy")[600]
         filled = gapfill_locf(tier, 600).select(
             "source", "bucket_s",
             F.col("sum_n_tok_locf").cast("long").alias("sum_n_tok_locf"),
@@ -846,7 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyreshaper_spark.operators.correlate import source_corr_moments
 
-        tier = rollup_all_tiers(_seq(spark, sf_dir), TIER_WIDTHS)[3600]
+        tier = _tiers(spark, sf_dir)[3600]
         return source_corr_moments(_norm_tier(tier))
 
     q["src_corr_1h"] = _q_corr
@@ -855,7 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _q_corr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyreshaper_spark.operators.correlate import source_corr_moments
 
-        tier = rollup_all_tiers(_seq(spark, sf_dir), TIER_WIDTHS)[3600]
+        tier = _tiers(spark, sf_dir)[3600]
         return source_corr_moments(_norm_tier(tier), lag_s=3600)
 
     q["src_corr_1h_lag1"] = _q_corr_lag
@@ -925,6 +1039,119 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_dedup"] = _q_streaming_dedup
 
+    # -- stateful streaming ops, run to completion over static input --
+    # (availableNow) so their emitted rows get FULL value-hash oracles:
+    # lastseen's final upsert table ≡ a batch groupBy; rate/sessions
+    # emit exactly the CLOSED buckets/sessions, i.e. the batch operator
+    # minus each key's final (still-open) bucket/session.
+    def _q_streaming_lastseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+
+        from pyreshaper_spark.streaming.lastseen import streaming_lastseen
+
+        base = tempfile.mkdtemp(prefix="stream_ls_")
+        src = os.path.join(base, "src")
+        _seq(spark, sf_dir).select("source", "event_s").write.parquet(src)
+        table: dict[str, tuple] = {}
+
+        def upsert(batch_df, _epoch):
+            for r in batch_df.collect():
+                table[r["source"]] = (r["n_rows"], r["first_s"], r["last_s"])
+
+        stream = spark.readStream.schema(
+            "source string, event_s long"
+        ).parquet(src)
+        sq = (
+            streaming_lastseen(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(upsert)
+            .option("checkpointLocation", os.path.join(base, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination(300)
+        return spark.createDataFrame(
+            [(s, *v) for s, v in sorted(table.items())],
+            "source string, n_rows long, first_s long, last_s long",
+        )
+
+    q["streaming_lastseen"] = _q_streaming_lastseen
+
+    def _q_streaming_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+
+        from pyreshaper_spark.streaming.rate import streaming_rate
+
+        base = tempfile.mkdtemp(prefix="stream_rt_")
+        src = os.path.join(base, "src")
+        # one sorted file → one in-order availableNow batch (the
+        # operator's documented contract; late/multi-batch behavior is
+        # state-machine unit-tested)
+        (
+            _seq(spark, sf_dir)
+            .select("source", "event_s", "n_tok")
+            .orderBy("event_s")
+            .coalesce(1)
+            .write.parquet(src)
+        )
+        rows: list = []
+
+        def sink(batch_df, _epoch):
+            rows.extend(batch_df.collect())
+
+        stream = spark.readStream.schema(
+            "source string, event_s long, n_tok long"
+        ).parquet(src)
+        sq = (
+            streaming_rate(stream, 600)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(base, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination(300)
+        return spark.createDataFrame(
+            rows,
+            "source string, bucket_s long, value long, increase long, "
+            "reset boolean, late_rows long",
+        )
+
+    q["streaming_rate"] = _q_streaming_rate
+
+    def _q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+
+        from pyreshaper_spark.streaming.sessions import streaming_sessionize
+
+        base = tempfile.mkdtemp(prefix="stream_ss_")
+        src = os.path.join(base, "src")
+        _events(spark, sf_dir).select(
+            "user_id", "ts", "event_id"
+        ).write.parquet(src)
+        out = os.path.join(base, "out")
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long"
+        ).parquet(src)
+        sq = (
+            streaming_sessionize(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(base, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination(300)
+        return spark.read.parquet(out).select(
+            "user_id", "session_idx", "n_events", "first_ep", "last_ep"
+        )
+
+    q["streaming_sessions"] = _q_streaming_sessions
+
     # -- validation + metrics accounting (previously pytest-only) -----
     def _q_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyreshaper_spark.operators.validate import validate_report
@@ -954,6 +1181,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["metrics_by_source"] = _q_metrics
+
+    # Order: entries the round-2 driver sweep did NOT reach come FIRST,
+    # so a time-boxed correctness sweep covers the so-far-unverified
+    # surface before re-verifying known-green queries.
+    q = {
+        **{k: v for k, v in q.items() if k not in _R02_CHECKED},
+        **{k: v for k, v in q.items() if k in _R02_CHECKED},
+    }
     return q
 
 
@@ -1108,6 +1343,28 @@ SELECT source, count(*) AS n_docs FROM sequences GROUP BY 1
         + asof_join_sql("t10", "t1h", ("sum_n_tok",),
                         ("source", "bucket_s", "cnt"))
     )
+    o["asof_fwd_tol"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"t10 AS (SELECT source, bucket_s, cnt FROM ({_TIER_AGG.format(w=600)})),\n"
+        f"t1h AS (SELECT source, bucket_s, sum_n_tok FROM ({_TIER_AGG.format(w=3600)}))\n"
+        + asof_join_sql("t10", "t1h", ("sum_n_tok",),
+                        ("source", "bucket_s", "cnt"),
+                        direction="forward", tolerance_s=3600)
+    )
+    from pyreshaper_spark.operators.gapfill import (
+        cusum_detect_sql,
+        interarrival_sql,
+    )
+
+    o["interarrival_1h"] = (
+        f"WITH {seq_cte('base')}\n" + interarrival_sql(3600)
+    )
+    o["cusum_1h"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"t1h AS (SELECT source, bucket_s, sum_n_tok "
+        f"FROM ({_TIER_AGG.format(w=3600)}))\n"
+        + cusum_detect_sql("t1h", h=100)
+    )
     o["topk_buckets"] = (
         f"WITH {seq_cte('base')},\n"
         f"t10 AS ({_TIER_AGG.format(w=600)})\n"
@@ -1181,6 +1438,9 @@ FROM tier t JOIN meta m USING (source)
     o["ann_ivf_probe"] = similarity.ivf_probe_topk_sql()
     o["ann_lsh_pairs"] = similarity.lsh_bucket_pairs_sql()
     o["emb_near_dup"] = similarity.cosine_near_dups_sql(num=2, den=5)
+    o["emb_near_dup_bucketcap"] = similarity.cosine_near_dups_sql(
+        num=2, den=5, max_bucket=40
+    )
     o["mm_meta"] = multimodal.media_meta_sql()
     o["mm_frame_sample"] = multimodal.sample_frames_planar_sql(
         every_k=4,
@@ -1392,4 +1652,65 @@ FROM documents
             "count(*)", "CAST(count(*) AS BIGINT)"
         )
     )
+    # lastseen's final upsert table ≡ one batch groupBy over the input
+    o["streaming_lastseen"] = f"""
+WITH {seq_cte('base')}
+SELECT source, count(*) AS n_rows,
+       CAST(min(event_s) AS BIGINT) AS first_s,
+       CAST(max(event_s) AS BIGINT) AS last_s
+FROM sequences GROUP BY 1
+"""
+    # rate emits exactly the CLOSED buckets: batch counter_rate over
+    # tier-0(10m) minus each source's final (still-open) bucket; one
+    # in-order batch → late_rows = 0
+    o["streaming_rate"] = f"""
+WITH {seq_cte('base')},
+t10 AS (SELECT source, bucket_s, sum_n_tok FROM ({_TIER_AGG.format(w=600)})),
+cr AS (
+  SELECT source, bucket_s,
+         CAST(sum_n_tok AS BIGINT) AS value,
+         CAST(CASE WHEN lag(sum_n_tok) OVER w IS NULL THEN NULL
+                   WHEN sum_n_tok < lag(sum_n_tok) OVER w THEN sum_n_tok
+                   ELSE sum_n_tok - lag(sum_n_tok) OVER w END AS BIGINT)
+           AS increase,
+         (lag(sum_n_tok) OVER w IS NOT NULL
+          AND sum_n_tok < lag(sum_n_tok) OVER w) AS reset
+  FROM t10 WINDOW w AS (PARTITION BY source ORDER BY bucket_s)
+),
+last AS (SELECT source, max(bucket_s) AS mb FROM t10 GROUP BY 1)
+SELECT cr.source, cr.bucket_s, cr.value, cr.increase, cr.reset,
+       CAST(0 AS BIGINT) AS late_rows
+FROM cr JOIN last ON cr.source = last.source
+WHERE cr.bucket_s < last.mb
+"""
+    # sessions emits exactly the CLOSED sessions: batch sessionization
+    # minus each user's final (still-open) session
+    from pyreshaper_spark.operators.events import SESSION_GAP_S
+
+    gap = SESSION_GAP_S
+    o["streaming_sessions"] = f"""
+WITH e AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events
+),
+marked AS (
+  SELECT *,
+    CASE WHEN lag(ep) OVER w IS NULL
+              OR ep - lag(ep) OVER w > {gap} THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)
+),
+sess AS (
+  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ep, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+  FROM marked
+),
+s AS (
+  SELECT user_id, session_idx, count(*) AS n_events,
+         min(ep) AS first_ep, max(ep) AS last_ep
+  FROM sess GROUP BY 1, 2
+)
+SELECT s.user_id, s.session_idx, s.n_events, s.first_ep, s.last_ep
+FROM s JOIN (SELECT user_id, max(session_idx) AS mx FROM s GROUP BY 1) m
+  ON s.user_id = m.user_id
+WHERE s.session_idx < m.mx
+"""
     return o

@@ -25,44 +25,74 @@ def asof_join(
     value_cols: tuple[str, ...],
     key: str = "source",
     time_col: str = "bucket_s",
+    direction: str = "backward",
+    tolerance_s: int | None = None,
 ) -> DataFrame:
     """Left rows + latest right ``value_cols`` as of each left time.
 
     ``left`` keeps all its columns; right values arrive as
-    ``asof_<col>`` (null when no right row precedes).
+    ``asof_<col>`` (null when no right row matches).
+
+    ``direction``: "backward" (default — most recent right row with
+    ``t_r <= t``, the TimescaleDB/kdb default) or "forward" (earliest
+    right row with ``t_r >= t`` — pandas ``merge_asof`` direction).
+    ``tolerance_s``: maximum |t - t_r|; a match farther away than this
+    yields nulls (pandas ``merge_asof(tolerance=...)``).
 
     All left columns ride THROUGH the union (right rows carry nulls), so
     the result needs no join back onto ``left`` — one shuffle total, and
     duplicate (key, time) rows on the left each keep exactly one output
-    row (the old join-back produced k×k rows for k duplicates)."""
+    row (the old join-back produced k×k rows for k duplicates). The
+    forward direction is the same window over the REVERSED time order;
+    tolerance rides as one extra carried column (the matched right
+    time), masked in the final projection — no extra shuffle for
+    either option."""
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     payload = [c for c in left.columns if c not in (key, time_col)]
     l_tag = left.select(
         key, time_col, F.lit(1).alias("_tag"), *payload,
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"asof_{c}")
           for c in value_cols],
+        F.lit(None).cast(right.schema[time_col].dataType).alias("_asof_t"),
     )
     r_tag = right.select(
         key, time_col, F.lit(0).alias("_tag"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in payload],
         *[F.col(c).alias(f"asof_{c}") for c in value_cols],
+        F.col(time_col).alias("_asof_t"),
     )
     u = l_tag.unionByName(r_tag)
     # right rows sort BEFORE left rows at equal time (tag 0 < 1), so a
-    # same-bucket right row is visible to the left row — asof <=
+    # same-bucket right row is visible to the left row — asof <= / >=
+    order = (
+        [F.col(time_col).asc(), F.col("_tag").asc()]
+        if direction == "backward"
+        else [F.col(time_col).desc(), F.col("_tag").asc()]
+    )
     w = (
         Window.partitionBy(key)
-        .orderBy(time_col, "_tag")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        u.select(
-            key, time_col, "_tag", *payload,
-            *[F.last(f"asof_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+    carried = ["_asof_t", *[f"asof_{c}" for c in value_cols]]
+    picked = u.select(
+        key, time_col, "_tag", *payload,
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+    ).filter(F.col("_tag") == 1)
+    if tolerance_s is not None:
+        in_tol = (
+            F.col("_asof_t").isNotNull()
+            & (F.abs(F.col(time_col) - F.col("_asof_t")) <= tolerance_s)
+        )
+        picked = picked.select(
+            key, time_col, *payload,
+            *[F.when(in_tol, F.col(f"asof_{c}")).alias(f"asof_{c}")
               for c in value_cols],
         )
-        .filter(F.col("_tag") == 1)
-        .select(*left.columns, *[f"asof_{c}" for c in value_cols])
+    return picked.select(
+        *left.columns, *[f"asof_{c}" for c in value_cols]
     )
 
 
@@ -73,16 +103,29 @@ def asof_join_sql(
     left_cols: tuple[str, ...],
     key: str = "source",
     time_col: str = "bucket_s",
+    direction: str = "backward",
+    tolerance_s: int | None = None,
 ) -> str:
     """DuckDB rendering using native ASOF LEFT JOIN over two relations
-    (names of CTEs the caller has defined)."""
-    vals = ", ".join(f"r.{c} AS asof_{c}" for c in value_cols)
+    (names of CTEs the caller has defined). DuckDB's ASOF picks the
+    nearest match for either inequality direction; tolerance is a CASE
+    mask over the matched right time, mirroring the Spark operator."""
+    op = ">=" if direction == "backward" else "<="
+    if tolerance_s is None:
+        vals = ", ".join(f"r.{c} AS asof_{c}" for c in value_cols)
+    else:
+        vals = ", ".join(
+            f"CASE WHEN r.{time_col} IS NOT NULL AND "
+            f"abs(l.{time_col} - r.{time_col}) <= {tolerance_s} "
+            f"THEN r.{c} END AS asof_{c}"
+            for c in value_cols
+        )
     lcols = ", ".join(f"l.{c}" for c in left_cols)
     return f"""
 SELECT {lcols}, {vals}
 FROM {left_cte} l
 ASOF LEFT JOIN {right_cte} r
-  ON l.{key} = r.{key} AND l.{time_col} >= r.{time_col}
+  ON l.{key} = r.{key} AND l.{time_col} {op} r.{time_col}
 """
 
 

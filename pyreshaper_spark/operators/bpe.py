@@ -26,7 +26,7 @@ from __future__ import annotations
 from collections import Counter
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: end-of-word marker glued to a word's last symbol (Sennrich-style).
@@ -47,11 +47,12 @@ def word_counts(docs: DataFrame, max_words: int | None = None) -> DataFrame:
         .agg(F.count("*").cast("long").alias("cnt"))
     )
     if max_words is not None:
-        w = Window.orderBy(F.col("cnt").desc(), F.col("word").asc())
-        wc = (
-            wc.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= max_words)
-            .drop("rnk")
+        # orderBy().limit(K) plans as TakeOrderedAndProject — each
+        # partition keeps its local top-K and the driver merges — where
+        # a row_number() over a global Window would funnel the whole
+        # vocabulary through ONE partition
+        wc = wc.orderBy(F.col("cnt").desc(), F.col("word").asc()).limit(
+            max_words
         )
     return wc
 

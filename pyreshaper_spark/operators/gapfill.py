@@ -675,3 +675,147 @@ SELECT source,
 FROM sequences
 GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# Inter-arrival stats — feed-cadence monitoring over raw event times
+# --------------------------------------------------------------------------
+
+def interarrival(seq: DataFrame, width_s: int) -> DataFrame:
+    """Per-(source, bucket) statistics of the gaps between consecutive
+    events of that source: (n_gaps, sum_dt_s, min_dt_s, max_dt_s) — the
+    cadence-health complement of :func:`detect_gaps` (which watches tier
+    buckets; this watches raw arrival spacing). A gap is attributed to
+    the bucket of its LATER event.
+
+    One lag window over (source, event_s) + one hash aggregate — the
+    same two-exchange shape as :func:`rate_delta`. Deterministic under
+    timestamp ties: the consecutive-difference multiset of a sorted
+    sequence is invariant under permutations of equal elements, so tie
+    order cannot change any output value.
+    """
+    w = Window.partitionBy("source").orderBy("event_s")
+    dt = (F.col("event_s") - F.lag("event_s").over(w)).alias("dt")
+    bucket = ((F.col("event_s") / width_s).cast("long") * width_s).alias(
+        "bucket_s"
+    )
+    gaps = seq.select("source", bucket, dt).filter(F.col("dt").isNotNull())
+    return gaps.groupBy("source", "bucket_s").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum("dt").cast("long").alias("sum_dt_s"),
+        F.min("dt").cast("long").alias("min_dt_s"),
+        F.max("dt").cast("long").alias("max_dt_s"),
+    )
+
+
+def interarrival_sql(width_s: int) -> str:
+    """DuckDB twin of :func:`interarrival` over the `sequences` view."""
+    return f"""
+SELECT source,
+       CAST((event_s // {width_s}) * {width_s} AS BIGINT) AS bucket_s,
+       count(*)                                AS n_gaps,
+       CAST(sum(dt) AS BIGINT)                 AS sum_dt_s,
+       CAST(min(dt) AS BIGINT)                 AS min_dt_s,
+       CAST(max(dt) AS BIGINT)                 AS max_dt_s
+FROM (
+  SELECT source, event_s,
+         event_s - lag(event_s) OVER (PARTITION BY source ORDER BY event_s)
+           AS dt
+  FROM sequences
+) WHERE dt IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# CUSUM changepoint — Page's one-sided CUSUM as exact window arithmetic
+# --------------------------------------------------------------------------
+
+def cusum_detect(
+    tier: DataFrame, h: int, value_col: str = "sum_n_tok"
+) -> DataFrame:
+    """Page's one-sided (upward) CUSUM per source over bucket time, as
+    EXACT integer window arithmetic.
+
+    The textbook recursion S_t = max(0, S_{t-1} + (x_t − μ)) is not a
+    plain window — but it telescopes: with C_t = Σ_{j≤t}(x_j − μ) and
+    C_0 = 0, S_t = C_t − min_{0≤j≤t} C_j (the empty prefix IS a valid
+    minimum — dropping it breaks the first excursion). Scaling through by n (the series length)
+    keeps everything integer: with T = Σ x and d'_t = n·x_t − T,
+    S'_t = n·S_t = C'_t − min C'. The changepoint flag is
+    S'_t > n·h, i.e. cumulative excess over the series mean exceeds
+    ``h`` value-units.
+
+    Three window families (full-partition n/T, running sum, running
+    min) all share ONE (source)-keyed sort — a single exchange, no
+    joins, no iteration; the same plan shape at 10^12 rows.
+
+    Output (source, bucket_s, value, cusum_num, n, flag) with
+    S_t = cusum_num / n.
+    """
+    wfull = (
+        Window.partitionBy("source")
+        .orderBy("bucket_s")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wrun = (
+        Window.partitionBy("source")
+        .orderBy("bucket_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v = F.col(value_col).cast("long")
+    n = F.count("*").over(wfull).cast("long")
+    total = F.sum(value_col).over(wfull).cast("long")
+    stats = tier.select(
+        "source",
+        F.col("bucket_s").cast("long").alias("bucket_s"),
+        v.alias("value"),
+        n.alias("n"),
+        (F.sum(v).over(wrun) * n - F.count("*").over(wrun) * total)
+        .cast("long")
+        .alias("c_num"),
+    )
+    wrun2 = (
+        Window.partitionBy("source")
+        .orderBy("bucket_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return stats.select(
+        "source",
+        "bucket_s",
+        "value",
+        (F.col("c_num")
+         - F.least(F.lit(0).cast("long"), F.min("c_num").over(wrun2)))
+        .cast("long")
+        .alias("cusum_num"),
+        "n",
+    ).withColumn("flag", F.col("cusum_num") > F.col("n") * h)
+
+
+def cusum_detect_sql(
+    relation: str, h: int, value_col: str = "sum_n_tok"
+) -> str:
+    """DuckDB twin of :func:`cusum_detect` over a named tier relation."""
+    return f"""
+SELECT source, bucket_s, value,
+       CAST(c_num - least(CAST(0 AS BIGINT), min(c_num) OVER wrun)
+            AS BIGINT) AS cusum_num,
+       n,
+       (c_num - least(CAST(0 AS BIGINT), min(c_num) OVER wrun)) > n * {h}
+         AS flag
+FROM (
+  SELECT source,
+         CAST(bucket_s AS BIGINT)   AS bucket_s,
+         CAST({value_col} AS BIGINT) AS value,
+         CAST(count(*) OVER wfull AS BIGINT) AS n,
+         CAST(sum({value_col}) OVER wrun0 * count(*) OVER wfull
+              - count(*) OVER wrun0 * sum({value_col}) OVER wfull
+              AS BIGINT) AS c_num
+  FROM {relation}
+  WINDOW wfull AS (PARTITION BY source),
+         wrun0 AS (PARTITION BY source ORDER BY bucket_s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+WINDOW wrun AS (PARTITION BY source ORDER BY bucket_s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""

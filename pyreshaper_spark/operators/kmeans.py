@@ -278,6 +278,7 @@ def semdedup_pairs(
     num: int = 2,
     den: int = 5,
     dim: int = DIM,
+    max_cluster: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., 2023): semantic near-dup pairs found by
     clustering first and comparing WITHIN clusters only — the recipe
@@ -296,8 +297,16 @@ def semdedup_pairs(
     comparisons.
 
     Output (vec_a, vec_b, cluster, dot).
+
+    ``max_cluster`` (opt-in): drop clusters wider than the cap before
+    the self-join — the same boundedness knob as the LSH paths' bucket
+    cap, for corpora where k alone cannot break a dense cluster.
     """
     lists, _ = lloyd(emb, k, n_iter, dim)
+    if max_cluster is not None:
+        from pyreshaper_spark.operators.similarity import _cap_buckets
+
+        lists = _cap_buckets(lists, ["cluster"], max_cluster)
     a = lists.select(
         F.col("vec_id").alias("vec_a"), "cluster", F.col("q").alias("qa")
     )

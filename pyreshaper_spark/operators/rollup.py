@@ -249,9 +249,11 @@ def ohlc_finish(tier: DataFrame) -> DataFrame:
     return tier.select(
         "source",
         F.col("bucket_s").cast("long").alias("bucket_s"),
-        (o / OHLC_PACK).cast("long").alias("open_s"),
+        # shiftright, NOT `/`: float division of a packed key near
+        # 2^53 can round the seconds component up by one
+        F.shiftright(o, 31).alias("open_s"),
         (o % OHLC_PACK).cast("long").alias("open_n_tok"),
-        (c / OHLC_PACK).cast("long").alias("close_s"),
+        F.shiftright(c, 31).alias("close_s"),
         (c % OHLC_PACK).cast("long").alias("close_n_tok"),
         F.col("lo").cast("long").alias("min_n_tok"),
         F.col("hi").cast("long").alias("max_n_tok"),
@@ -502,14 +504,16 @@ def m4_finish(tier: DataFrame) -> DataFrame:
     return tier.select(
         "source",
         F.col("bucket_s").cast("long").alias("bucket_s"),
-        (fk / OHLC_PACK).cast("long").alias("first_s"),
+        # shiftright, NOT `/`: float division of a packed key near
+        # 2^53 can round the unpacked component up by one
+        F.shiftright(fk, 31).alias("first_s"),
         (fk % OHLC_PACK).cast("long").alias("first_v"),
-        (lk / OHLC_PACK).cast("long").alias("last_s"),
+        F.shiftright(lk, 31).alias("last_s"),
         (lk % OHLC_PACK).cast("long").alias("last_v"),
         (bk % OHLC_PACK).cast("long").alias("min_s"),
-        (bk / OHLC_PACK).cast("long").alias("min_v"),
+        F.shiftright(bk, 31).alias("min_v"),
         (tk % OHLC_PACK).cast("long").alias("max_s"),
-        (tk / OHLC_PACK).cast("long").alias("max_v"),
+        F.shiftright(tk, 31).alias("max_v"),
     )
 
 

@@ -229,10 +229,15 @@ def lsh_buckets(
     return q.select("vec_id", bucket.alias("bucket"))
 
 
-def lsh_bucket_pairs(emb: DataFrame, dim: int = 64) -> DataFrame:
+def lsh_bucket_pairs(
+    emb: DataFrame, dim: int = 64, max_bucket: int | None = None
+) -> DataFrame:
     """Candidate pairs sharing an LSH bucket, re-ranked by exact dot.
-    Output (vec_a, vec_b, bucket, dot)."""
+    Output (vec_a, vec_b, bucket, dot). ``max_bucket`` caps bucket width
+    before the self-join (see ``_cap_buckets``)."""
     b = lsh_buckets(emb, dim)
+    if max_bucket is not None:
+        b = _cap_buckets(b, ["bucket"], max_bucket)
     q = quantized(emb)
     a_side = b.join(q, "vec_id").select(
         F.col("vec_id").alias("vec_a"), "bucket", F.col("q").alias("qa")
@@ -409,8 +414,28 @@ def _banded_buckets(emb: DataFrame, dim: int = 64) -> DataFrame:
     return out
 
 
+def _cap_buckets(df: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
+    """Drop members of (keys) buckets wider than ``max_bucket`` BEFORE a
+    self-join — the same boundedness knob as ``dedup.lsh_candidate_pairs
+    (max_bucket=...)``: one window count on the join key (AQE coalesces
+    the exchange with the join's), so per-bucket pair fan-out is
+    ≤ max_bucket² even on a boilerplate-dense semantic cluster."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("bucket_n", F.count("*").over(w))
+        .filter(F.col("bucket_n") <= max_bucket)
+        .drop("bucket_n")
+    )
+
+
 def cosine_near_dups(
-    emb: DataFrame, num: int = 9, den: int = 10, dim: int = 64
+    emb: DataFrame,
+    num: int = 9,
+    den: int = 10,
+    dim: int = 64,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs with cos ≥ num/den.
 
@@ -420,8 +445,15 @@ def cosine_near_dups(
     sqrt) then keeps true near-dups only. Same banding in the oracle
     SQL, so results are deterministic and hash-comparable; recall vs
     the brute-force baseline is covered by ``cosine_near_dups_exact``
-    + the recall pytest. Output (vec_a, vec_b, dot) integers."""
+    + the recall pytest. Output (vec_a, vec_b, dot) integers.
+
+    ``max_bucket`` (opt-in, own oracle query): cap the width of a
+    (band, band_bits) bucket before the self-join — without it one
+    dense semantic cluster of B boilerplate embeddings fans out O(B²)
+    candidate pairs."""
     banded = _banded_buckets(emb, dim)
+    if max_bucket is not None:
+        banded = _cap_buckets(banded, ["band", "band_bits"], max_bucket)
     cand = (
         banded.alias("a")
         .join(
@@ -488,7 +520,12 @@ def cosine_near_dups_exact(
     ).select("vec_a", "vec_b", "dot")
 
 
-def cosine_near_dups_sql(num: int = 9, den: int = 10, dim: int = 64) -> str:
+def cosine_near_dups_sql(
+    num: int = 9,
+    den: int = 10,
+    dim: int = 64,
+    max_bucket: int | None = None,
+) -> str:
     planes = plane_matrix(dim, N_PLANES)
     terms = []
     for j, signs in enumerate(planes):
@@ -514,8 +551,14 @@ def cosine_near_dups_sql(num: int = 9, den: int = 10, dim: int = 64) -> str:
 WITH q AS ({QUANT_SQL}),
 qn AS (SELECT vec_id, q, {dot.format(x="q", y="q")} AS n2 FROM q),
 bk AS (SELECT vec_id, {bucket} AS bucket FROM q),
-banded AS (
+banded_all AS (
 {band_rows}
+),
+banded AS (
+  SELECT vec_id, band, band_bits FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, band_bits) AS bucket_n
+    FROM banded_all
+  ) WHERE bucket_n <= {max_bucket if max_bucket is not None else 'bucket_n'}
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b

@@ -46,15 +46,35 @@ def with_salt(seq: DataFrame, nsalt: int) -> DataFrame:
     )
 
 
-def suggest_nsalt(seq: DataFrame, target_chunk_rows: int = 250_000) -> int:
+def suggest_nsalt(
+    seq: DataFrame,
+    target_chunk_rows: int = 250_000,
+    sample_denom: int | None = None,
+) -> int:
     """Size-aware salt count — the `WeightBalanced` analog [U:
     partition.py :: WeightBalanced]: pick nsalt so the HOTTEST source
-    splits into chunks of ≈ ``target_chunk_rows``. One tiny aggregate;
-    returns at least 1 and rounds up to a power of two (stable chunk
-    identities as data grows ~2×)."""
+    splits into chunks of ≈ ``target_chunk_rows``. Returns at least 1
+    and rounds up to a power of two (stable chunk identities as data
+    grows ~2×).
+
+    ``sample_denom``: estimate the hottest source from a deterministic
+    1/denom hash sample instead of a full scan — at 10^12 rows the
+    exact pre-pass costs a whole extra read of the corpus for a number
+    that only needs to be right within 2× (the power-of-two rounding
+    absorbs estimation error). ``None`` keeps the exact count (small
+    inputs / tests). The sample is hash-of-doc_id-based, so the
+    estimate is reproducible, and it scales counts back up by denom."""
+    counted = seq
+    scale = 1
+    if sample_denom is not None and sample_denom > 1:
+        counted = seq.filter(
+            F.pmod(F.xxhash64(F.col("doc_id"), F.lit(41)), sample_denom) == 0
+        )
+        scale = sample_denom
     hottest = (
-        seq.groupBy("source").count().agg(F.max("count")).collect()[0][0] or 0
-    )
+        counted.groupBy("source").count().agg(F.max("count")).collect()[0][0]
+        or 0
+    ) * scale
     need = max(1, -(-int(hottest) // target_chunk_rows))
     p = 1
     while p < need:

@@ -21,12 +21,13 @@ the corpus:
   :meth:`IcebergLite.replace_rows`: files that cannot hold an affected
   chunk (manifest ``source`` stats) are carried by reference.
 * **tiers** — a victim at event time t invalidates exactly one bucket
-  per tier width. Affected tier-0 buckets are re-aggregated from the
-  remaining raw rows of those buckets only; affected cascade buckets
-  re-aggregate the already-repaired finer tier. Untouched buckets of
-  affected sources ride along unchanged (modulo refreshed metadata
-  replication columns); untouched sources keep their hive partitions
-  (``overwrite_partitions``) — their files are not rewritten.
+  per tier width. Affected buckets at EVERY tier are re-aggregated
+  from the remaining raw rows of those buckets only (never from a
+  finer tier, whose live rows may be retention-pruned). Untouched
+  buckets of affected sources ride along unchanged (modulo refreshed
+  metadata replication columns); untouched sources keep their hive
+  partitions (``overwrite_partitions``) — their files are not
+  rewritten.
 * **meta_source / metrics** — O(sources) / O(chunks) rebuilds.
 
 At a 10^12-row deployment the raw-side reads here prune to the
@@ -50,7 +51,6 @@ from pyreshaper_spark.config import RunConfig
 from pyreshaper_spark.operators.encode import encode_series_table
 from pyreshaper_spark.operators.rollup import (
     ANALYTIC_FAMILIES,
-    rollup_cascade,
     rollup_tier0,
 )
 from pyreshaper_spark.operators.transpose import (
@@ -65,6 +65,22 @@ from pyreshaper_spark.sources.iceberglite import IcebergLite
 def _bucket(width_s: int) -> F.Column:
     return ((F.col("event_s") / width_s).cast("long") * width_s).alias(
         "bucket_s"
+    )
+
+
+def victim_bucket_fix(
+    rem_src: DataFrame, bad: DataFrame, tier0_fn, width_s: int
+) -> DataFrame:
+    """Recompute exactly the victim buckets of one tier from remaining
+    raw rows: broadcast semi-join on (source, bucket) prunes the scan to
+    the affected buckets, then tier0_fn re-aggregates at this tier's
+    width. The repair walk uses this for EVERY tier (plan-gated in
+    tools/plan_report.py §15)."""
+    return tier0_fn(
+        rem_src.withColumn("bucket_s", _bucket(width_s))
+        .join(F.broadcast(bad), ["source", "bucket_s"], "left_semi")
+        .drop("bucket_s"),
+        width_s,
     )
 
 
@@ -312,11 +328,20 @@ def _repair_run(
         )
         return sid
 
-    def _repair_tables(tier0_fn, cascade_fn, table_of, with_meta: bool) -> None:
+    def _repair_tables(tier0_fn, table_of, with_meta: bool) -> None:
         """Shared repair walk for the main tiers and each analytic
-        family: fix affected buckets at tier 0 from remaining raw rows,
-        then each coarser tier from the repaired finer one."""
-        prev_repaired: DataFrame | None = None  # affected-source rows
+        family: fix EVERY tier's affected buckets directly from the
+        remaining raw rows of those buckets (tier0_fn at that tier's
+        width — exact at any width by aggregate associativity).
+
+        Deliberately NOT a cascade from the repaired finer tier: if a
+        finer tier has a retention policy, its live rows (and hence the
+        repaired union) are pruned, and a coarse victim bucket whose
+        fine buckets aged out would repair from partial data — the same
+        divergence class the pipeline's append path guards against.
+        Cost stays bounded by the victim buckets (partition filter +
+        broadcast bucket semi-join prune the raw scan)."""
+        rem_src = remaining.filter(F.col("source").isin(affected_sources))
         for tier in cfg.tiers:
             tname = table_of(tier)
             w = tier.width_s
@@ -325,40 +350,18 @@ def _repair_run(
                 spark,
                 tname,
                 partition_filter=lambda p: p.get("source") in src_set,
+                # a retention-pruned tier may hold ZERO live rows for an
+                # affected source — that's an empty repair base, not an
+                # error
+                allow_empty=True,
             )
             meta_cols = [c for c in old.columns if c.startswith("src_")]
-            if prev_repaired is None:
-                rem_src = remaining.filter(
-                    F.col("source").isin(affected_sources)
-                )
-                fixed = tier0_fn(
-                    rem_src.withColumn("bucket_s", _bucket(w))
-                    .join(F.broadcast(bad), ["source", "bucket_s"], "left_semi")
-                    .drop("bucket_s"),
-                    w,
-                )
-            else:
-                fixed = cascade_fn(
-                    prev_repaired.withColumn(
-                        "cb", (F.col("bucket_s") / w).cast("long") * w
-                    )
-                    .join(
-                        F.broadcast(
-                            bad.select("source", F.col("bucket_s").alias("cb"))
-                        ),
-                        ["source", "cb"],
-                        "left_semi",
-                    )
-                    .drop("cb"),
-                    w,
-                )
+            fixed = victim_bucket_fix(rem_src, bad, tier0_fn, w)
             untouched_buckets = old.drop(*meta_cols).join(
                 F.broadcast(bad), ["source", "bucket_s"], "left_anti"
             )
-            # NOTE: the next tier cascades from the UN-pruned repair
-            # (prev_repaired below), matching the pipeline's
-            # prune-after-cascade ordering; the retention filter applies
-            # only to what gets written
+            # the retention filter below applies only to what gets
+            # WRITTEN; the filled tables build from the pre-filter union
             repaired = untouched_buckets.unionByName(fixed)
             written = repaired
             if tier.retention_buckets is not None:
@@ -380,7 +383,6 @@ def _repair_run(
             else:
                 out = written
             report["snapshot_ids"][tname] = _replace_sources(tname, out)
-            prev_repaired = repaired
 
             fname = f"{tname}_filled"
             if cat.exists(fname):
@@ -393,14 +395,14 @@ def _repair_run(
                 )
 
     _repair_tables(
-        rollup_tier0, rollup_cascade,
+        rollup_tier0,
         lambda t: f"tier_{t.name}",
         with_meta=not cfg.meta_once,
     )
     for fam in cfg.analytics:
-        tier0_fn, cascade_fn = ANALYTIC_FAMILIES[fam]
+        tier0_fn, _cascade_fn = ANALYTIC_FAMILIES[fam]
         _repair_tables(
-            tier0_fn, cascade_fn, lambda t, fam=fam: f"{fam}_{t.name}",
+            tier0_fn, lambda t, fam=fam: f"{fam}_{t.name}",
             with_meta=False,
         )
 

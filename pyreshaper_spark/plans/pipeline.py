@@ -247,7 +247,12 @@ def run_pipeline(
         # nsalt pinned in the checkpoint on first resolution: a resume
         # or append with grown input (or cfg.nsalt=0 auto) must keep the
         # (source, salt) identities of already-committed chunks
-        nsalt = ckpt.nsalt or cfg.nsalt or suggest_nsalt(seq)
+        # auto mode sizes the salt from a 1% hash sample — the exact
+        # count would be a full extra pass over the corpus for a number
+        # the power-of-two rounding only needs within 2×
+        nsalt = ckpt.nsalt or cfg.nsalt or suggest_nsalt(
+            seq, sample_denom=100
+        )
         ckpt.nsalt = nsalt
         # append cycle: encode exactly the PINNED pending set (a file
         # arriving mid-cycle must wait for the next cycle, or tiers and
@@ -357,33 +362,48 @@ def run_pipeline(
         return PipelineResult(snapshot_ids, run, skipped, step_wall)
 
     # ---- tier cascade -------------------------------------------------
+    # Append cycles build EVERY tier as (pinned base ∪ delta-at-width)
+    # merged — count/sum/min/max compose associatively, so cascading
+    # the pending-file delta up the widths and merging each level into
+    # its own pinned base is exactly cascade-from-unpruned-history.
+    # Cascade tiers deliberately do NOT read the live finer tier: if
+    # that tier has a retention policy its live table is pruned, and
+    # rebuilding from it would silently drop coarse history older than
+    # the finer tier's retention window (diverging from a from-scratch
+    # run). The delta chain shares ONE scan of the pending files: the
+    # tier-0 delta (O(buckets) rows) is cached and coarser deltas
+    # re-aggregate it.
+    delta_tiers: list[DataFrame] = []
+    if delta is not None:
+        delta_tiers.append(
+            rollup_tier0(delta, cfg.tiers[0].width_s).cache()
+        )
+        for t in cfg.tiers[1:]:
+            delta_tiers.append(rollup_cascade(delta_tiers[-1], t.width_s))
+
     prev_table: str | None = None
     for i, tier in enumerate(cfg.tiers):
         tname = f"tier_{tier.name}"
 
-        def _tier(tier=tier, prev_table=prev_table, tname=tname):
-            if prev_table is None:
-                # tier 0: full rollup, or (append cycle) a delta rollup
-                # of the pending files merged into the pinned base —
-                # count/sum/min/max compose associatively, so the merge
-                # is one tiny re-aggregation over O(tier rows)
-                df = rollup_tier0(
-                    seq if delta is None else delta, tier.width_s
-                )
-                if delta is not None:
-                    base = _tier_base(tname, list(df.columns))
-                    if base is not None:
-                        df = base.unionByName(df).groupBy(
-                            "source", "bucket_s"
-                        ).agg(
-                            F.sum("cnt").alias("cnt"),
-                            F.sum("sum_n_tok").alias("sum_n_tok"),
-                            F.min("min_n_tok").alias("min_n_tok"),
-                            F.max("max_n_tok").alias("max_n_tok"),
-                        )
+        def _tier(i=i, tier=tier, prev_table=prev_table, tname=tname):
+            if delta is not None:
+                df = delta_tiers[i]
+                base = _tier_base(tname, list(df.columns))
+                if base is not None:
+                    df = base.unionByName(df).groupBy(
+                        "source", "bucket_s"
+                    ).agg(
+                        F.sum("cnt").alias("cnt"),
+                        F.sum("sum_n_tok").alias("sum_n_tok"),
+                        F.min("min_n_tok").alias("min_n_tok"),
+                        F.max("max_n_tok").alias("max_n_tok"),
+                    )
+            elif prev_table is None:
+                df = rollup_tier0(seq, tier.width_s)
             else:
-                # cascade tiers re-aggregate the tier below, which this
-                # cycle just merged — incremental cost by construction
+                # cascade tiers re-aggregate the UN-pruned tier below
+                # (retention runs after the whole cascade) — exact,
+                # never a raw-data rescan
                 df = rollup_cascade(
                     cat.read(spark, prev_table), tier.width_s
                 )

@@ -114,21 +114,28 @@ class IcebergLite:
         with open(p) as f:
             return json.load(f)
 
-    def _commit(self, name: str, files: list[dict], op: str) -> int:
-        """Atomically append a snapshot referencing ``files`` (full live set)."""
+    def _commit(
+        self, name: str, files: list[dict], op: str, schema: str | None = None
+    ) -> int:
+        """Atomically append a snapshot referencing ``files`` (full live set).
+
+        ``schema`` (Spark schema JSON) is recorded per snapshot — like
+        Iceberg's per-snapshot schema — so readers can type an EMPTY
+        snapshot (e.g. a fully-pruned table's changelog)."""
         import time
 
         log = self._read_log(name)
         sid = log["current"] + 1
-        log["snapshots"].append(
-            {
-                "id": sid,
-                "parent": log["current"],
-                "op": op,
-                "ts": time.time(),
-                "files": files,
-            }
-        )
+        snap = {
+            "id": sid,
+            "parent": log["current"],
+            "op": op,
+            "ts": time.time(),
+            "files": files,
+        }
+        if schema is not None:
+            snap["schema"] = schema
+        log["snapshots"].append(snap)
         log["current"] = sid
         p = self._log_path(name)
         os.makedirs(os.path.dirname(p), exist_ok=True)
@@ -217,7 +224,7 @@ class IcebergLite:
     ) -> int:
         new = self._write_data(name, df, partition_by, stats_cols, options)
         live = self._snapshot(name, None)["files"] + new
-        return self._commit(name, live, "append")
+        return self._commit(name, live, "append", df.schema.json())
 
     def overwrite(
         self,
@@ -228,7 +235,7 @@ class IcebergLite:
         options: dict | None = None,
     ) -> int:
         new = self._write_data(name, df, partition_by, stats_cols, options)
-        return self._commit(name, new, "overwrite")
+        return self._commit(name, new, "overwrite", df.schema.json())
 
     def overwrite_partitions(
         self, name: str, df: DataFrame, keys: tuple[str, ...]
@@ -242,7 +249,9 @@ class IcebergLite:
             for f in self._snapshot(name, None)["files"]
             if tuple(sorted(f["partition"].items())) not in replaced
         ]
-        return self._commit(name, kept + new, "overwrite_partitions")
+        return self._commit(
+            name, kept + new, "overwrite_partitions", df.schema.json()
+        )
 
     # -- reads -----------------------------------------------------------
     def read(
@@ -252,6 +261,7 @@ class IcebergLite:
         snapshot_id: int | None = None,
         partition_filter: Callable[[dict[str, str]], bool] | None = None,
         stats_filter: Callable[[dict[str, list]], bool] | None = None,
+        allow_empty: bool = False,
     ) -> DataFrame:
         """Read a snapshot (time travel via ``snapshot_id``).
 
@@ -261,6 +271,12 @@ class IcebergLite:
         ``basePath`` so hive partition columns are recovered, then
         unioned by name — commit count is small, file count is what
         scales, so the union stays cheap.
+
+        ``allow_empty``: when the snapshot has no (surviving) files,
+        return an EMPTY DataFrame typed from the recorded snapshot
+        schema instead of raising — for callers where "filter pruned
+        everything" is a legitimate state (e.g. repairing a source all
+        of whose rows aged out of a retention-pruned tier).
         """
         snap = self._snapshot(name, snapshot_id)
         files = snap["files"]
@@ -274,6 +290,13 @@ class IcebergLite:
                 if not f.get("stats") or stats_filter(f["stats"])
             ]
         if not files:
+            schema_json = snap.get("schema")
+            if allow_empty and schema_json is not None:
+                from pyspark.sql.types import StructType
+
+                return spark.createDataFrame(
+                    [], StructType.fromJson(json.loads(schema_json))
+                )
             raise SnapshotNotFound(
                 f"{name}@{snap.get('id')}: no files (empty snapshot or "
                 "filter pruned everything)"
@@ -348,13 +371,39 @@ class IcebergLite:
         ]
         tag = F.lit("insert")
         if not added and not removed:
-            if not to_snap["files"]:
-                raise SnapshotNotFound(f"{name}: empty table, no changes")
-            return (
-                self._df_for_files(spark, name, to_snap["files"])
-                .limit(0)
-                .withColumn("_change_type", tag)
-            )
+            # no file changes → EMPTY changelog (an incremental consumer
+            # polling an idle — or fully-pruned — table must get zero
+            # rows, never an exception). Type it from the to-snapshot's
+            # files if any, else from the recorded snapshot schema, else
+            # from any snapshot in the log that still has files.
+            if to_snap["files"]:
+                return (
+                    self._df_for_files(spark, name, to_snap["files"])
+                    .limit(0)
+                    .withColumn("_change_type", tag)
+                )
+            schema_json = to_snap.get("schema")
+            if schema_json is None:
+                for s in reversed(self._read_log(name)["snapshots"]):
+                    if s.get("schema") or s["files"]:
+                        if s.get("schema"):
+                            schema_json = s["schema"]
+                        else:
+                            return (
+                                self._df_for_files(spark, name, s["files"])
+                                .limit(0)
+                                .withColumn("_change_type", tag)
+                            )
+                        break
+            if schema_json is None:
+                raise SnapshotNotFound(
+                    f"{name}: empty table with no recorded schema"
+                )
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame(
+                [], StructType.fromJson(json.loads(schema_json))
+            ).withColumn("_change_type", tag)
         ins = self._df_for_files(spark, name, added) if added else None
         dels = self._df_for_files(spark, name, removed) if removed else None
         if (
@@ -443,7 +492,7 @@ class IcebergLite:
         for p in parts[1:]:
             df = df.unionByName(p)
         new = self._write_data(name, df, partition_by, stats_cols, options)
-        sid = self._commit(name, untouched + new, "replace")
+        sid = self._commit(name, untouched + new, "replace", df.schema.json())
         return sid, len(cand), len(untouched)
 
     # -- maintenance -----------------------------------------------------
@@ -513,7 +562,7 @@ class IcebergLite:
         new = self._write_data(name, df, partition_by, stats_cols)
         rewritten = {f["path"] for f in rewrite}
         kept = [f for f in snap["files"] if f["path"] not in rewritten]
-        return self._commit(name, kept + new, "rewrite")
+        return self._commit(name, kept + new, "rewrite", df.schema.json())
 
     def zorder_compact(
         self,
@@ -580,7 +629,7 @@ class IcebergLite:
             .drop("_zkey")
         )
         new = self._write_data(name, out, partition_by, stats_cols)
-        return self._commit(name, new, "rewrite")
+        return self._commit(name, new, "rewrite", out.schema.json())
 
     def expire_snapshots(self, name: str, keep_last: int = 1) -> int:
         """Expire all but the newest ``keep_last`` snapshots and delete
@@ -590,6 +639,10 @@ class IcebergLite:
         tmp+``os.replace`` as a commit; file deletion happens only
         AFTER the new log is durable (a crash in between leaves
         harmless orphans, never a broken snapshot)."""
+        if keep_last < 1:
+            # keep_last=0 would slice to the FULL list ([-0:]) and
+            # expire nothing — reject instead of silently no-opping
+            raise ValueError("expire_snapshots: keep_last must be >= 1")
         log = self._read_log(name)
         if len(log["snapshots"]) <= keep_last:
             return 0

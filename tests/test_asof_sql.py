@@ -76,3 +76,31 @@ def test_register_views(spark, tmp_path):
         "SELECT count(*) c FROM tier_1m JOIN meta_source USING (source)"
     ).collect()[0]["c"]
     assert n > 0
+
+
+def test_asof_forward_and_tolerance(spark):
+    from pyreshaper_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 100, 1), ("a", 250, 2), ("a", 900, 3)],
+        "source string, bucket_s long, cnt long",
+    )
+    right = spark.createDataFrame(
+        [("a", 200, 10), ("a", 300, 20)],
+        "source string, bucket_s long, v long",
+    )
+    fwd = {
+        r["bucket_s"]: r["asof_v"]
+        for r in asof_join(
+            left, right, ("v",), direction="forward"
+        ).collect()
+    }
+    assert fwd == {100: 10, 250: 20, 900: None}
+    back_tol = {
+        r["bucket_s"]: r["asof_v"]
+        for r in asof_join(
+            left, right, ("v",), tolerance_s=100
+        ).collect()
+    }
+    # 100: nothing before; 250: 200 within 100s; 900: 300 too far → null
+    assert back_tol == {100: None, 250: 10, 900: None}

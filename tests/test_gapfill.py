@@ -130,3 +130,58 @@ def test_detect_gaps_matches_gapfill_filled_count(spark):
     )
     n_filled = gapfill(tier, 600).filter("filled").count()
     assert n_missing == n_filled
+
+
+def test_cusum_equals_naive_recursion(spark):
+    """The window formulation S_t = C_t - min_{j<=t} C_j must equal
+    Page's recursion S_t = max(0, S_{t-1} + (x_t - mean)) exactly
+    (scaled by n to stay integer), on irregular pseudo-random series."""
+    import random
+
+    from pyreshaper_spark.operators.gapfill import cusum_detect
+
+    rng = random.Random(11)
+    rows = []
+    for s in range(3):
+        t = 0
+        for _ in range(rng.randint(5, 40)):
+            t += rng.randint(1, 5) * 600
+            rows.append((f"s{s}", t, rng.randint(0, 1000)))
+    df = spark.createDataFrame(
+        rows, "source string, bucket_s long, sum_n_tok long"
+    )
+    got = {
+        (r["source"], r["bucket_s"]): (r["cusum_num"], r["n"], r["flag"])
+        for r in cusum_detect(df, h=100).collect()
+    }
+    by_src: dict[str, list] = {}
+    for s, b, v in rows:
+        by_src.setdefault(s, []).append((b, v))
+    for s, pts in by_src.items():
+        pts.sort()
+        n = len(pts)
+        total = sum(v for _, v in pts)
+        s_num = 0
+        for b, v in pts:
+            s_num = max(0, s_num + (n * v - total))  # n·S_t
+            assert got[(s, b)] == (s_num, n, s_num > n * 100), (s, b)
+
+
+def test_interarrival_tie_and_bucket_attribution(spark):
+    from pyreshaper_spark.operators.gapfill import interarrival
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 10), ("a", 70), ("a", 130), ("b", 5)],
+        "source string, event_s long",
+    )
+    got = {
+        (r["source"], r["bucket_s"]):
+            (r["n_gaps"], r["sum_dt_s"], r["min_dt_s"], r["max_dt_s"])
+        for r in interarrival(df, 60).collect()
+    }
+    # gaps: (10,10)->0 @bucket0, (10,70)->60 @bucket60, (70,130)->60 @bucket120
+    assert got == {
+        ("a", 0): (1, 0, 0, 0),
+        ("a", 60): (1, 60, 60, 60),
+        ("a", 120): (1, 60, 60, 60),
+    }

@@ -185,3 +185,43 @@ def test_delete_refuses_midcycle(spark, tmp_path):
     c.save(ck)
     with pytest.raises(RuntimeError, match="append cycle"):
         delete_docs(spark, cfg, ck, ["0"])
+
+
+def test_delete_with_retention_on_fine_tier_repairs_coarse_from_raw(
+    spark, tmp_path
+):
+    """A finer tier with a retention policy is pruned; a delete touching
+    a coarse bucket whose fine buckets aged out must still repair that
+    coarse bucket correctly (from raw remaining rows, never from the
+    pruned finer tier). Every tier must equal a from-scratch run with
+    the same retention config on the filtered input."""
+    seq = sequences_df(spark, SF)
+    full_p = str(tmp_path / "seq_full")
+    seq.write.parquet(full_p)
+    tiers = (
+        TierSpec("1m", 60, retention_buckets=30),
+        TierSpec("10m", 600),
+    )
+    cfg = _cfg(full_p, str(tmp_path / "out"), tiers=tiers, analytics=())
+    run_pipeline(spark, cfg, str(tmp_path / "ck.json"))
+
+    # victims: oldest docs of one source — their 1m buckets are already
+    # aged out of the pruned fine tier, but their 10m buckets live on
+    src = sorted(r[0] for r in seq.select("source").distinct().collect())[1]
+    victims = [
+        r["doc_id"]
+        for r in seq.filter(F.col("source") == src)
+        .orderBy("event_s").limit(5).collect()
+    ]
+    delete_docs(spark, cfg, str(tmp_path / "ck.json"), victims)
+
+    filt_p = str(tmp_path / "seq_filt")
+    seq.filter(~F.col("doc_id").isin(victims)).write.parquet(filt_p)
+    ref_cfg = _cfg(
+        filt_p, str(tmp_path / "ref_out"), tiers=tiers, analytics=()
+    )
+    run_pipeline(spark, ref_cfg, str(tmp_path / "ref_ck.json"))
+
+    cat, ref = IcebergLite(cfg.output_path), IcebergLite(ref_cfg.output_path)
+    for t in ("tier_1m", "tier_10m", "tier_10m_filled"):
+        assert _rows(cat.read(spark, t)) == _rows(ref.read(spark, t)), t

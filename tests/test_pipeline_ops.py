@@ -182,6 +182,58 @@ def test_cosine_near_dup_lsh_recall(spark, emb):
         assert len(lsh & exact) / len(exact) >= 0.5
 
 
+def test_cosine_near_dup_bucket_cap_bounds_fanout(spark, emb):
+    """max_bucket drops over-wide (band, band_bits) buckets BEFORE the
+    self-join: capped pairs are a subset of uncapped, and a tiny cap on
+    a dense fixture provably removes pairs (the knob actually binds)."""
+    uncapped = {(x["vec_a"], x["vec_b"]) for x in
+                similarity.cosine_near_dups(emb, num=2, den=5).collect()}
+    capped = {(x["vec_a"], x["vec_b"]) for x in
+              similarity.cosine_near_dups(
+                  emb, num=2, den=5, max_bucket=10
+              ).collect()}
+    assert capped <= uncapped
+    assert len(capped) < len(uncapped)
+
+
+def test_cosine_near_dup_recall_near_threshold(spark):
+    """Adversarial fixture: pairs engineered to sit just ABOVE the 9/10
+    threshold (cos 0.92). The exact-threshold filter must keep every
+    above pair and reject the just-below (cos 0.86) ones; banded LSH
+    must clear a recall floor on exactly these hard pairs."""
+    import math
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    above, below = [], []
+    vid = 0
+    for i in range(30):
+        v = rng.normal(size=64)
+        v /= np.linalg.norm(v)
+        o = rng.normal(size=64)
+        o -= o.dot(v) * v
+        o /= np.linalg.norm(o)
+        for cos_t, reg in ((0.92, above), (0.86, below)):
+            w = cos_t * v + math.sqrt(1 - cos_t * cos_t) * o
+            rows.append((vid, [float(x) for x in v]))
+            rows.append((vid + 1, [float(x) for x in w]))
+            reg.append((vid, vid + 1))
+            vid += 2
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    exact = {(x["vec_a"], x["vec_b"]) for x in
+             similarity.cosine_near_dups_exact(emb, num=9, den=10).collect()}
+    assert set(above) <= exact
+    assert not (set(below) & exact)
+    lsh = {(x["vec_a"], x["vec_b"]) for x in
+           similarity.cosine_near_dups(emb, num=9, den=10).collect()}
+    assert lsh <= exact
+    hit = len(lsh & set(above)) / len(above)
+    assert hit >= 0.6, f"near-threshold LSH recall {hit}"
+
+
 # ---- multimodal ---------------------------------------------------------
 
 def test_media_table_and_features(docs):

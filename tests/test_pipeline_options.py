@@ -424,3 +424,72 @@ def test_maintain_job_cli(spark, tmp_path):
         "--table", "tier_1m", "--keep-last", "1",
     ])
     assert out["files_deleted"] >= 0
+
+
+def test_append_retention_on_fine_tier_keeps_coarse_history(spark, tmp_path):
+    """ADVICE r2 (medium): retention on a NON-coarsest tier must not bleed
+    into coarser tiers across append cycles. The fine tier is pruned to a
+    short window each cycle; the coarse tier must still carry FULL history,
+    exactly matching a from-scratch run on the complete input."""
+    from pyreshaper_spark.operators.rollup import rollup_cascade, rollup_tier0
+
+    seq = sequences_df(spark, SF)
+    part = F.abs(F.xxhash64(F.col("doc_id").cast("string"))) % 2
+    p = str(tmp_path / "seq")
+    seq.filter(part == 0).write.parquet(p)
+    tiers = (
+        TierSpec("1m", 60, retention_buckets=30),  # fine tier pruned hard
+        TierSpec("10m", 600),                      # coarse: keep everything
+    )
+    cfg = RunConfig(
+        input_path=p, output_path=str(tmp_path / "out"),
+        tiers=tiers, nsalt=2, num_series_partitions=4,
+        write_mode="append",
+    )
+    ck = str(tmp_path / "ck.json")
+    run_pipeline(spark, cfg, ck)  # cycle 1 (prunes tier_1m at the end)
+    seq.filter(part == 1).write.mode("append").parquet(p)
+    run_pipeline(spark, cfg, ck)  # cycle 2 must NOT rebuild 10m from pruned 1m
+
+    cat = IcebergLite(cfg.output_path)
+    got = {
+        (r["source"], r["bucket_s"], r["cnt"], r["sum_n_tok"])
+        for r in cat.read(spark, "tier_10m").collect()
+    }
+    want = {
+        (r["source"], r["bucket_s"], r["cnt"], r["sum_n_tok"])
+        for r in rollup_cascade(rollup_tier0(seq, 60), 600).collect()
+    }
+    assert got == want  # full coarse history, bit-exact vs from-scratch
+
+
+def test_expire_snapshots_rejects_keep_last_zero(spark, tmp_path):
+    cat = IcebergLite(str(tmp_path / "t"))
+    cat.overwrite("x", spark.range(3))
+    with pytest.raises(ValueError, match="keep_last"):
+        cat.expire_snapshots("x", keep_last=0)
+
+
+def test_read_changes_empty_table_returns_empty_changelog(spark, tmp_path):
+    """ADVICE r2 (low): polling an idle or fully-pruned table yields an
+    EMPTY typed changelog, not SnapshotNotFound."""
+    cat = IcebergLite(str(tmp_path / "t"))
+    df = spark.range(5).withColumnRenamed("id", "k")
+    s1 = cat.overwrite("x", df)
+    s2 = cat.overwrite("x", df.limit(0))  # table now empty
+    ch = cat.read_changes(spark, "x", s2, s2)  # no changes, empty to-snap
+    assert ch.count() == 0
+    assert set(ch.columns) == {"k", "_change_type"}
+
+
+def test_suggest_nsalt_sampled_estimate(spark):
+    """The 1% hash-sample estimate lands within one power-of-two step of
+    the exact suggestion on a skewed input (the rounding absorbs
+    sampling error); tiny samples degrade to nsalt=1, never crash."""
+    from pyreshaper_spark.operators.transpose import suggest_nsalt
+
+    sk = sequences_df(spark, SF, variant="skew")
+    exact = suggest_nsalt(sk, target_chunk_rows=20)
+    est = suggest_nsalt(sk, target_chunk_rows=20, sample_denom=10)
+    assert est in (exact // 2, exact, exact * 2)
+    assert suggest_nsalt(sk, target_chunk_rows=20, sample_denom=10**9) == 1

@@ -227,3 +227,25 @@ def test_tier_cube_margins_telescope(seq):
                for r in by_gid[1])
     assert all(r["source"] is None and r["bucket_s"] is not None
                for r in by_gid[2])
+
+
+def test_ohlc_m4_unpack_exact_past_2_53(spark):
+    """ADVICE r2 (low): unpacking event_s*2^31+n_tok with float `/`
+    rounds the seconds component up by one once the key exceeds 2^53
+    and n_tok is within ~256 of 2^31. shiftright must be exact."""
+    from pyreshaper_spark.operators.rollup import (
+        m4_finish, ohlc_finish, rollup_m4, rollup_ohlc,
+    )
+
+    ev, nt = 5_000_000, (1 << 31) - 1  # key ≈ 1.07e16 > 2^53
+    df = spark.createDataFrame(
+        [("s", ev, nt), ("s", ev + 1, nt)],
+        "source string, event_s long, n_tok long",
+    )
+    o = ohlc_finish(rollup_ohlc(df, 3600)).collect()[0]
+    assert (o["open_s"], o["open_n_tok"]) == (ev, nt)
+    assert (o["close_s"], o["close_n_tok"]) == (ev + 1, nt)
+    m = m4_finish(rollup_m4(df, 3600)).collect()[0]
+    assert (m["first_s"], m["first_v"]) == (ev, nt)
+    assert (m["last_s"], m["last_v"]) == (ev + 1, nt)
+    assert m["min_v"] == nt and m["max_v"] == nt

@@ -517,6 +517,73 @@ def main() -> None:
         ],
     ))
 
+    # 15. delete/restate repair shapes + embedding-LSH bucket cap
+    from pyreshaper_spark.operators.encode import decode_series_table
+    from pyreshaper_spark.operators.rollup import rollup_tier0
+    from pyreshaper_spark.operators.similarity import cosine_near_dups
+    from pyreshaper_spark.operators.transpose import with_salt
+    from pyreshaper_spark.plans.delete import victim_bucket_fix
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    p_capemb = plan_of(cosine_near_dups(emb, num=2, den=5, max_bucket=40))
+
+    ids = spark.createDataFrame([("d1",), ("d2",)], "doc_id string")
+    victims = (
+        with_salt(seq.join(F.broadcast(ids), "doc_id", "left_semi"), 4)
+        .select("doc_id", "source", "salt", "event_s")
+    )
+    bad = victims.select(
+        "source",
+        ((F.col("event_s") / 600).cast("long") * 600).alias("bucket_s"),
+    ).distinct()
+    rem = seq.join(F.broadcast(ids), "doc_id", "left_anti")
+    p_fix = plan_of(victim_bucket_fix(rem, bad, rollup_tier0, 600))
+
+    # restate's victim-chunk decode: chunks named by series_enc metadata
+    # doc_ids, decode bounded to those chunks via broadcast semi-joins
+    enc_tbl = encode_series_table(
+        transpose_to_series(seq, nsalt=4, num_partitions=8, pack=True)
+    )
+    old_chunks = (
+        enc_tbl.select("source", "salt", F.explode("doc_ids").alias("doc_id"))
+        .join(F.broadcast(ids), "doc_id", "left_semi")
+        .select("source", "salt")
+        .distinct()
+    )
+    p_dec = plan_of(
+        decode_series_table(
+            enc_tbl.join(
+                F.broadcast(old_chunks), ["source", "salt"], "left_semi"
+            )
+        )
+    )
+    sections.append((
+        "Repair path (delete/restate) + embedding-LSH bucket cap",
+        "\n".join([
+            "--- cosine_near_dups(max_bucket=40) ---", p_capemb[:2400],
+            "--- victim_bucket_fix(10m tier) ---", p_fix[:2000],
+            "--- restate victim-chunk decode ---", p_dec[:2000],
+        ]),
+        [
+            ("emb bucket cap is a pre-join window count on the band key",
+             "Window" in p_capemb and "bucket_n" in p_capemb),
+            ("emb capped path: equi-joins only, no cartesian",
+             no_cartesian(p_capemb)),
+            ("tier fix: victim-bucket probe is a BROADCAST semi-join "
+             "(scan side prunable, never shuffled by the victim list)",
+             "BroadcastHashJoin" in p_fix and "LeftSemi" in p_fix),
+            ("tier fix: tokens pruned from the raw scan",
+             "tokens" not in p_fix.split("ReadSchema")[1].split("\n")[0]
+             if "ReadSchema" in p_fix else False),
+            ("tier fix: partial+final hash agg over the pruned rows",
+             p_fix.count("HashAggregate") >= 2),
+            ("victim-chunk decode: chunk probe is broadcast semi-join; "
+             "no cartesian anywhere",
+             p_dec.count("LeftSemi") >= 2 and "BroadcastHashJoin" in p_dec
+             and no_cartesian(p_dec)),
+        ],
+    ))
+
     out = ["# PLANS — physical-plan verification (auto-generated by "
            "tools/plan_report.py)\n"]
     all_ok = True
