@@ -584,6 +584,47 @@ def main() -> None:
         ],
     ))
 
+    # 16. round-3 analytics: asof forward+tolerance, inter-arrival, CUSUM
+    from pyreshaper_spark.operators.asof import asof_join
+    from pyreshaper_spark.operators.gapfill import cusum_detect, interarrival
+
+    t10 = rollup_all_tiers(seq, [600])[600].select(
+        "source", F.col("bucket_s").cast("long").alias("bucket_s"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+    t1h_c = rollup_all_tiers(seq, [3600])[3600].select(
+        "source", F.col("bucket_s").cast("long").alias("bucket_s"),
+        F.col("sum_n_tok").cast("long").alias("sum_n_tok"),
+    )
+    p_asof = plan_of(
+        asof_join(t10, t1h_c, ("sum_n_tok",),
+                  direction="forward", tolerance_s=3600)
+    )
+    p_ia = plan_of(interarrival(seq, 3600))
+    p_cusum = plan_of(cusum_detect(t1h_c, h=100))
+    sections.append((
+        "As-of forward+tolerance, inter-arrival, CUSUM",
+        "\n".join([
+            "--- asof_join(forward, tolerance) ---", p_asof[:2000],
+            "--- interarrival(1h) ---", p_ia[:1600],
+            "--- cusum_detect(1h) ---", p_cusum[:1600],
+        ]),
+        [
+            ("asof fwd+tol: union-sort-window — NO join at all, one "
+             "window family",
+             "Join" not in p_asof and "Window" in p_asof),
+            ("interarrival: tokens pruned from the raw scan",
+             "tokens" not in p_ia.split("ReadSchema")[1].split("\n")[0]
+             if "ReadSchema" in p_ia else False),
+            ("interarrival: one lag window + partial/final hash agg",
+             "Window" in p_ia and p_ia.count("HashAggregate") >= 2),
+            ("cusum: windows only — no join, no cartesian, ONE "
+             "source-keyed exchange",
+             "Join" not in p_cusum and no_cartesian(p_cusum)
+             and p_cusum.count("hashpartitioning(source") <= 2),
+        ],
+    ))
+
     out = ["# PLANS — physical-plan verification (auto-generated by "
            "tools/plan_report.py)\n"]
     all_ok = True
