@@ -447,6 +447,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_components"] = _q_dedup_components
 
+    def _q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Near-dup cluster-size histogram — the dedup-health dashboard
+        number (how much of the corpus sits in giant boilerplate
+        clusters)."""
+        from pyreshaper_spark.operators.cluster import components_with_size
+
+        pairs = dedup.verified_near_dups(_docs(spark, sf_dir), max_df=200)
+        comp = components_with_size(pairs)
+        return (
+            comp.groupBy("csize")
+            .agg(F.count("*").cast("long").alias("n_docs"))
+            .select(F.col("csize").cast("long").alias("csize"), "n_docs")
+        )
+
+    q["dedup_cluster_sizes"] = _q_cluster_sizes
+
     def _q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyreshaper_spark.operators.cluster import survivor_flags
 
@@ -546,6 +562,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sample_30pct"] = lambda s, d: SMP.hash_sample(
         _docs(s, d), 3000
     ).select(*_SCOLS)
+    q["sample_k_per_source"] = lambda s, d: SMP.sample_k_per_source(
+        _docs(s, d), 15
+    )
+    q["doc_len_deciles"] = lambda s, d: SMP.doc_len_deciles(_docs(s, d))
     q["stratified_sample"] = lambda s, d: SMP.stratified_sample(
         _docs(s, d), _STRATA, default_bp=5000
     ).select(*_SCOLS)
@@ -770,6 +790,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return detect_gaps(tier, 600)
 
     q["gaps_10m"] = _q_gaps
+
+    def _q_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.gapfill import uptime_islands
+
+        tier = _tiers(spark, sf_dir, variant="gappy")[600]
+        return uptime_islands(tier, 600)
+
+    q["uptime_islands_10m"] = _q_islands
+
+    def _q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.gapfill import rolling_median
+
+        tier = _tiers(spark, sf_dir, variant="gappy")[600]
+        return rolling_median(
+            tier.select(
+                "source",
+                F.col("bucket_s").cast("long").alias("bucket_s"),
+                F.col("sum_n_tok").cast("long").alias("sum_n_tok"),
+            ),
+            k=6,
+        )
+
+    q["rolling_median_10m"] = _q_rolling_median
+
+    def _q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.rollup import bucket_moments
+
+        return bucket_moments(_seq(spark, sf_dir), 3600)
+
+    q["tier_1h_moments"] = _q_moments
+
+    def _q_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.rollup import slo_burn
+
+        tier = _tiers(spark, sf_dir)[3600]
+        return slo_burn(
+            tier.select(
+                "source",
+                F.col("bucket_s").cast("long").alias("bucket_s"),
+                F.col("sum_n_tok").cast("long").alias("sum_n_tok"),
+            ),
+            coarse_w=86400, threshold=80,
+        )
+
+    q["slo_burn_1d"] = _q_slo
 
     # -- M4 downsample (cascaded 1m→10m→1h; first/last/min/max POINTS) -
     def _q_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1309,6 +1374,26 @@ SELECT source, count(*) AS n_docs FROM sequences GROUP BY 1
     )
     o["twa_1h"] = _GAPPY_T10 + time_weighted_sql("t10", 600, 3600)
     o["gaps_10m"] = _GAPPY_T10 + detect_gaps_sql("t10", 600)
+    from pyreshaper_spark.operators.gapfill import (
+        rolling_median_sql,
+        uptime_islands_sql,
+    )
+    from pyreshaper_spark.operators.rollup import (
+        bucket_moments_sql,
+        slo_burn_sql,
+    )
+
+    o["uptime_islands_10m"] = _GAPPY_T10 + uptime_islands_sql("t10", 600)
+    o["rolling_median_10m"] = _GAPPY_T10 + rolling_median_sql("t10", 6)
+    o["tier_1h_moments"] = (
+        f"WITH {seq_cte('base')}\n" + bucket_moments_sql(3600)
+    )
+    o["slo_burn_1d"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"t1h AS (SELECT source, bucket_s, sum_n_tok "
+        f"FROM ({_TIER_AGG.format(w=3600)}))\n"
+        + slo_burn_sql("t1h", 86400, 80)
+    )
     o["tier_1h_retention"] = (
         f"WITH {seq_cte('base')},\n"
         f"tier AS ({_TIER_AGG.format(w=3600)})\n"
@@ -1400,6 +1485,11 @@ FROM tier t JOIN meta m USING (source)
 
     _PAIRS_SQL = dedup.minhash_lsh_sql(max_df=200)
     o["dedup_components"] = components_sql(_PAIRS_SQL)
+    o["dedup_cluster_sizes"] = (
+        "SELECT csize, count(*) AS n_docs FROM (\n"
+        + components_sql(_PAIRS_SQL)
+        + "\n) GROUP BY 1"
+    )
     o["dedup_survivors"] = survivor_flags_sql(_PAIRS_SQL)
     from pyreshaper_spark.operators.contamination import (
         split_contamination_sql,
@@ -1451,6 +1541,8 @@ FROM tier t JOIN meta m USING (source)
     from pyreshaper_spark.operators import sampling as SMP
 
     o["sample_30pct"] = SMP.hash_sample_sql(3000)
+    o["sample_k_per_source"] = SMP.sample_k_per_source_sql(15)
+    o["doc_len_deciles"] = SMP.doc_len_deciles_sql()
     o["stratified_sample"] = SMP.stratified_sample_sql(
         {"src0": 10000, "src1": 2500}, default_bp=5000
     )

@@ -819,3 +819,117 @@ FROM (
 WINDOW wrun AS (PARTITION BY source ORDER BY bucket_s
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
+
+
+# --------------------------------------------------------------------------
+# Uptime islands — contiguous presence runs (gaps-and-islands)
+# --------------------------------------------------------------------------
+
+def uptime_islands(tier: DataFrame, width_s: int) -> DataFrame:
+    """Contiguous uptime intervals per source — the presence twin of
+    :func:`detect_gaps`: one row per maximal run of consecutive buckets,
+    (source, island, up_start, up_end exclusive, n_buckets). The classic
+    gaps-and-islands shape: a lag window marks run starts, a running sum
+    numbers the islands, one hash agg collapses them — two window
+    families + the agg on ONE source-keyed exchange."""
+    w = Window.partitionBy("source").orderBy("bucket_s")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = tier.select(
+        "source",
+        F.col("bucket_s").cast("long").alias("bucket_s"),
+        F.when(
+            (F.col("bucket_s") - F.lag("bucket_s").over(w)) <= width_s,
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("new_island"),
+    ).select(
+        "source", "bucket_s",
+        F.sum("new_island").over(wrun).cast("long").alias("island"),
+    )
+    return marked.groupBy("source", "island").agg(
+        F.min("bucket_s").cast("long").alias("up_start"),
+        (F.max("bucket_s") + width_s).cast("long").alias("up_end"),
+        F.count("*").cast("long").alias("n_buckets"),
+    )
+
+
+def uptime_islands_sql(relation: str, width_s: int) -> str:
+    """DuckDB twin of :func:`uptime_islands` over a named relation."""
+    return f"""
+SELECT source, island,
+       CAST(min(bucket_s) AS BIGINT)              AS up_start,
+       CAST(max(bucket_s) + {width_s} AS BIGINT)  AS up_end,
+       count(*)                                   AS n_buckets
+FROM (
+  SELECT source, bucket_s,
+         CAST(sum(new_island) OVER (PARTITION BY source ORDER BY bucket_s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS island
+  FROM (
+    SELECT source, bucket_s,
+           CASE WHEN bucket_s - lag(bucket_s)
+                       OVER (PARTITION BY source ORDER BY bucket_s)
+                       <= {width_s}
+                THEN 0 ELSE 1 END AS new_island
+    FROM {relation}
+  )
+)
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Rolling median — exact integer order statistics over a trailing window
+# --------------------------------------------------------------------------
+
+def rolling_median(
+    tier: DataFrame, k: int, value_col: str = "sum_n_tok"
+) -> DataFrame:
+    """Median of the last ``k`` buckets per source as EXACT integer
+    order statistics: (med_lo, med_hi) are the two middle values of the
+    trailing window's sorted contents (equal when the window holds an
+    odd count); the true median is their midpoint — consumers divide,
+    the engine never emits a float. collect_list over a rows frame +
+    sort_array keeps it integer-exact and engine-portable; the window
+    is k-bounded so the per-row sort is O(k log k), not a scale hazard.
+    """
+    w = (
+        Window.partitionBy("source")
+        .orderBy("bucket_s")
+        .rowsBetween(-(k - 1), Window.currentRow)
+    )
+    vals = F.sort_array(F.collect_list(value_col).over(w))
+    n = F.size(vals)
+    # 1-indexed middle positions: lo = ceil(n/2), hi = floor(n/2) + 1
+    lo = F.element_at(vals, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(vals, (n / 2).cast("int") + 1)
+    return tier.select(
+        "source",
+        F.col("bucket_s").cast("long").alias("bucket_s"),
+        F.col(value_col).cast("long").alias(value_col),
+        lo.cast("long").alias("med_lo"),
+        hi.cast("long").alias("med_hi"),
+        n.cast("long").alias("win_n"),
+    )
+
+
+def rolling_median_sql(
+    relation: str, k: int, value_col: str = "sum_n_tok"
+) -> str:
+    """DuckDB twin of :func:`rolling_median` over a named relation."""
+    return f"""
+SELECT source,
+       CAST(bucket_s AS BIGINT)        AS bucket_s,
+       CAST({value_col} AS BIGINT)     AS {value_col},
+       CAST(vals[CAST((len(vals) + 1) // 2 AS INT)] AS BIGINT) AS med_lo,
+       CAST(vals[CAST(len(vals) // 2 AS INT) + 1]   AS BIGINT) AS med_hi,
+       CAST(len(vals) AS BIGINT)       AS win_n
+FROM (
+  SELECT source, bucket_s, {value_col},
+         list_sort(list({value_col}) OVER (
+             PARTITION BY source ORDER BY bucket_s
+             ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW)) AS vals
+  FROM {relation}
+)
+"""

@@ -575,6 +575,28 @@ def cumulative_tier(tier: DataFrame) -> DataFrame:
 #: append-cycle merge is simply cascade(base ∪ delta, same_width) —
 #: re-bucketing at the same width is the identity, so one re-aggregation
 #: over O(tier rows) merges a delta exactly.
+def moments_cascade(prev: DataFrame, width_s: int) -> DataFrame:
+    """Coarser moments tier from a finer one — power sums add, so the
+    cascade is one exact decimal re-aggregation (same associativity
+    argument as the count/sum/min/max tiers)."""
+    return (
+        prev.select(
+            "source",
+            ((F.col("bucket_s") / width_s).cast("long") * width_s)
+            .alias("bucket_s"),
+            "n", "s1", "s2", "s3", "s4",
+        )
+        .groupBy("source", "bucket_s")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("s1").cast("decimal(38,0)").alias("s1"),
+            F.sum("s2").cast("decimal(38,0)").alias("s2"),
+            F.sum("s3").cast("decimal(38,0)").alias("s3"),
+            F.sum("s4").cast("decimal(38,0)").alias("s4"),
+        )
+    )
+
+
 ANALYTIC_FAMILIES: dict = {
     "ohlc": (rollup_ohlc, ohlc_cascade),
     "m4": (rollup_m4, m4_cascade),
@@ -584,6 +606,8 @@ ANALYTIC_FAMILIES: dict = {
         lambda prev, w: histogram_cascade(prev, w, 50),
     ),
 }
+# "moments" is registered at the end of the module (bucket_moments is
+# defined below the registry).
 
 
 def cumulative_sql(relation: str) -> str:
@@ -809,3 +833,123 @@ FROM (SELECT source, (event_s // {width_s}) * {width_s} AS bucket_s, n_tok
       FROM sequences)
 GROUP BY CUBE(source, bucket_s)
 """
+
+
+# --------------------------------------------------------------------------
+# Distribution moments — exact power sums per bucket (skew/kurtosis inputs)
+# --------------------------------------------------------------------------
+
+def bucket_moments(seq: DataFrame, width_s: int) -> DataFrame:
+    """Exact raw power sums of n_tok per (source, bucket): n, Σx, Σx²,
+    Σx³, Σx⁴ as decimal(38,0) — the sufficient statistics for variance,
+    skewness and kurtosis (float finishers are a driver-side division;
+    the engine ships only exact integers, so the rollup is mergeable
+    AND oracle-hashable). One partial+final hash agg, same plan shape
+    as tier-0. n_tok < 2³¹ ⇒ x⁴ < 2¹²⁴… bounded by decimal(38) for the
+    documented n_tok ≤ ~3·10⁹ domain? No: decimal(38) holds ~10³⁸ and
+    x⁴ ≤ (2³¹)⁴ ≈ 2·10³⁷ — inside by construction; sums add log₂(rows)
+    bits, guarded by the fixture domain (n_tok ≤ 10⁵ in practice keeps
+    Σx⁴ ≤ 10²⁶ even at 10¹² rows/bucket)."""
+    x = F.col("n_tok").cast("decimal(38,0)")
+    return (
+        seq.select("source", bucket_col(width_s), "n_tok")
+        .groupBy("source", "bucket_s")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(x).cast("decimal(38,0)").alias("s1"),
+            F.sum(x * x).cast("decimal(38,0)").alias("s2"),
+            F.sum(x * x * x).cast("decimal(38,0)").alias("s3"),
+            F.sum(x * x * x * x).cast("decimal(38,0)").alias("s4"),
+        )
+    )
+
+
+def bucket_moments_sql(width_s: int) -> str:
+    """DuckDB twin of :func:`bucket_moments` over the sequences CTE."""
+    x = "CAST(n_tok AS DECIMAL(38,0))"
+    return f"""
+SELECT source,
+       (event_s // {width_s}) * {width_s}              AS bucket_s,
+       count(*)                                        AS n,
+       CAST(sum({x}) AS DECIMAL(38,0))                 AS s1,
+       CAST(sum({x} * {x}) AS DECIMAL(38,0))           AS s2,
+       CAST(sum({x} * {x} * {x}) AS DECIMAL(38,0))     AS s3,
+       CAST(sum({x} * {x} * {x} * {x}) AS DECIMAL(38,0)) AS s4
+FROM sequences
+GROUP BY 1, 2
+"""
+
+
+def moments_finish(mom: DataFrame) -> DataFrame:
+    """Float skewness/kurtosis from the exact power sums (pytest-only —
+    one projection, no shuffle)."""
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    s3 = F.col("s3").cast("double")
+    s4 = F.col("s4").cast("double")
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    m3 = s3 / n - 3 * mean * s2 / n + 2 * mean * mean * mean
+    m4 = (
+        s4 / n
+        - 4 * mean * s3 / n
+        + 6 * mean * mean * s2 / n
+        - 3 * mean * mean * mean * mean
+    )
+    return mom.select(
+        "source", "bucket_s", "n",
+        mean.alias("mean"),
+        m2.alias("var"),
+        F.when(m2 > 0, m3 / F.pow(F.sqrt(m2), 3)).alias("skew"),
+        F.when(m2 > 0, m4 / (m2 * m2) - 3).alias("excess_kurtosis"),
+    )
+
+
+# --------------------------------------------------------------------------
+# SLO burn — threshold-violation share per coarse bucket
+# --------------------------------------------------------------------------
+
+def slo_burn(
+    tier: DataFrame,
+    coarse_w: int,
+    threshold: int,
+    value_col: str = "sum_n_tok",
+) -> DataFrame:
+    """Error-budget burn per (source, coarse bucket): how many fine
+    buckets violated ``value > threshold``, out of how many present —
+    the SRE burn-rate primitive (violation share as the exact pair
+    (n_bad, n_buckets); burn rate vs an SLO target is a driver-side
+    division). One conditional hash agg over the fine tier — never a
+    raw-data rescan."""
+    b = (F.col("bucket_s") / coarse_w).cast("long") * coarse_w
+    bad = (F.col(value_col) > threshold).cast("long")
+    return (
+        tier.select("source", b.alias("cb"), bad.alias("bad"), value_col)
+        .groupBy("source", F.col("cb").alias("bucket_s"))
+        .agg(
+            F.sum("bad").cast("long").alias("n_bad"),
+            F.count("*").cast("long").alias("n_buckets"),
+            F.max(value_col).cast("long").alias("worst"),
+        )
+    )
+
+
+def slo_burn_sql(
+    relation: str, coarse_w: int, threshold: int,
+    value_col: str = "sum_n_tok",
+) -> str:
+    """DuckDB twin of :func:`slo_burn` over a named fine-tier relation."""
+    return f"""
+SELECT source,
+       CAST((bucket_s // {coarse_w}) * {coarse_w} AS BIGINT) AS bucket_s,
+       CAST(sum(CASE WHEN {value_col} > {threshold} THEN 1 ELSE 0 END)
+            AS BIGINT)                                       AS n_bad,
+       count(*)                                              AS n_buckets,
+       CAST(max({value_col}) AS BIGINT)                      AS worst
+FROM {relation}
+GROUP BY 1, 2
+"""
+
+
+ANALYTIC_FAMILIES["moments"] = (bucket_moments, moments_cascade)

@@ -216,3 +216,77 @@ SELECT doc_id, source, n_tok, mix_rank, cum_tok FROM (
 WHERE (CASE {cases} ELSE NULL END) IS NOT NULL
   AND cum_tok - n_tok < (CASE {cases} ELSE NULL END)
 """
+
+
+def sample_k_per_source(docs: DataFrame, k: int) -> DataFrame:
+    """Deterministic uniform-ish sample of AT MOST ``k`` docs per
+    source: rank docs inside each source by (hash, doc_id) and keep
+    rank ≤ k — the reservoir-sample shape that is rerun-stable and
+    layout-independent (df.sample is neither). Spark 4 pushes the
+    rank ≤ k predicate below the window exchange (WindowGroupLimit),
+    so each map task forwards at most k rows per source — the plan a
+    10^12-row per-group sample needs. Output (doc_id, source, n_chars,
+    rk)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        _rate_col(), F.col("doc_id").cast("string")
+    )
+    return (
+        docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def sample_k_per_source_sql(k: int) -> str:
+    return f"""
+SELECT doc_id, source, n_chars, rk FROM (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(row_number() OVER (
+             PARTITION BY source
+             ORDER BY {_rate_sql()}, CAST(doc_id AS VARCHAR)
+         ) AS BIGINT) AS rk
+  FROM documents
+) WHERE rk <= {k}
+"""
+
+
+def doc_len_deciles(docs: DataFrame) -> DataFrame:
+    """Corpus length-decile assignment: which tenth of the (n_chars,
+    doc_id)-ordered corpus each doc falls in — the input to
+    length-balanced mixture sampling. ntile is deterministic here
+    because the ordering is a total order (doc_id tiebreak).
+
+    Scale note: ntile is a GLOBAL window (single-partition sort of
+    doc-id-sized rows). The 10^12-row path replaces it with a two-pass
+    quantile-boundary broadcast (approx_percentile → range filter);
+    this exact form is the oracle for that path and the right tool
+    through ~10^8 docs."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        F.col("n_chars").cast("long"), F.col("doc_id").cast("string")
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.ntile(10).over(w).cast("long").alias("len_decile"),
+    )
+
+
+def doc_len_deciles_sql() -> str:
+    return """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(ntile(10) OVER (
+           ORDER BY CAST(n_chars AS BIGINT), CAST(doc_id AS VARCHAR)
+       ) AS BIGINT) AS len_decile
+FROM documents
+"""

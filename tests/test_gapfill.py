@@ -185,3 +185,64 @@ def test_interarrival_tie_and_bucket_attribution(spark):
         ("a", 60): (1, 60, 60, 60),
         ("a", 120): (1, 60, 60, 60),
     }
+
+
+def test_rolling_median_order_stats(spark):
+    import random
+
+    from pyreshaper_spark.operators.gapfill import rolling_median
+
+    rng = random.Random(5)
+    rows = [("s", 600 * i, rng.randint(0, 100)) for i in range(25)]
+    df = spark.createDataFrame(
+        rows, "source string, bucket_s long, sum_n_tok long"
+    )
+    got = {
+        r["bucket_s"]: (r["med_lo"], r["med_hi"], r["win_n"])
+        for r in rolling_median(df, k=6).collect()
+    }
+    vals = [v for _, _, v in rows]
+    for i, (_, b, _) in enumerate(rows):
+        win = sorted(vals[max(0, i - 5): i + 1])
+        n = len(win)
+        lo, hi = win[(n + 1) // 2 - 1], win[n // 2]
+        assert got[b] == (lo, hi, n), b
+
+
+def test_uptime_islands_complement_detect_gaps(spark):
+    """Islands and gap runs are complements: every island's end+gap
+    aligns with detect_gaps, and islands exactly cover the present
+    buckets."""
+    from pyreshaper_spark.operators.gapfill import detect_gaps, uptime_islands
+
+    rows = [("a", b) for b in (0, 600, 1200, 3000, 3600, 9000)]
+    df = spark.createDataFrame(rows, "source string, bucket_s long")
+    df = df.withColumn("sum_n_tok", F.lit(1))
+    isl = sorted(
+        (r["up_start"], r["up_end"], r["n_buckets"])
+        for r in uptime_islands(df, 600).collect()
+    )
+    assert isl == [(0, 1800, 3), (3000, 4200, 2), (9000, 9600, 1)]
+    gaps = sorted(
+        (r["gap_start"], r["gap_end"])
+        for r in detect_gaps(df, 600).collect()
+    )
+    assert gaps == [(1800, 3000), (4200, 9000)]
+
+
+def test_slo_burn_counts(spark):
+    from pyreshaper_spark.operators.rollup import slo_burn
+
+    df = spark.createDataFrame(
+        [("a", 0, 50), ("a", 3600, 90), ("a", 90000, 99), ("b", 0, 10)],
+        "source string, bucket_s long, sum_n_tok long",
+    )
+    got = {
+        (r["source"], r["bucket_s"]): (r["n_bad"], r["n_buckets"], r["worst"])
+        for r in slo_burn(df, 86400, 80).collect()
+    }
+    assert got == {
+        ("a", 0): (1, 2, 90),
+        ("a", 86400): (1, 1, 99),
+        ("b", 0): (0, 1, 10),
+    }

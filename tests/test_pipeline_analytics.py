@@ -120,3 +120,43 @@ def test_bad_family_name_rejected(tmp_path):
             input_path="x", output_path=str(tmp_path), tiers=TIERS,
             analytics=("nope",),
         ).validate()
+
+
+def test_moments_family_cascade_and_append_merge(spark, seq_path, tmp_path):
+    """'moments' as a pipeline analytic family: fresh-run tables equal
+    the direct operator at every tier (cascade exactness of power sums),
+    and a two-cycle append run converges to the same tables."""
+    from pyreshaper_spark.operators.rollup import bucket_moments
+
+    seq = sequences_df(spark, SF)
+    cfg = RunConfig(
+        input_path=seq_path, output_path=str(tmp_path / "out"),
+        tiers=TIERS, nsalt=2, num_series_partitions=4,
+        analytics=("moments",),
+    )
+    run_pipeline(spark, cfg, str(tmp_path / "ck.json"))
+    cat = IcebergLite(cfg.output_path)
+    cols = ["source", "bucket_s", "n", "s1", "s2", "s3", "s4"]
+    for t in TIERS:
+        got = _set(cat.read(spark, f"moments_{t.name}").select(*cols))
+        want = _set(bucket_moments(seq, t.width_s).select(*cols))
+        assert got == want, t.name
+
+    # append: half the files first, the rest in cycle 2
+    part = F.abs(F.xxhash64(F.col("doc_id").cast("string"))) % 2
+    p = str(tmp_path / "inc")
+    seq.filter(part == 0).write.parquet(p)
+    cfg2 = RunConfig(
+        input_path=p, output_path=str(tmp_path / "out2"),
+        tiers=TIERS, nsalt=2, num_series_partitions=4,
+        analytics=("moments",), write_mode="append",
+    )
+    ck2 = str(tmp_path / "ck2.json")
+    run_pipeline(spark, cfg2, ck2)
+    seq.filter(part == 1).write.mode("append").parquet(p)
+    run_pipeline(spark, cfg2, ck2)
+    cat2 = IcebergLite(cfg2.output_path)
+    for t in TIERS:
+        got = _set(cat2.read(spark, f"moments_{t.name}").select(*cols))
+        want = _set(bucket_moments(seq, t.width_s).select(*cols))
+        assert got == want, f"append {t.name}"

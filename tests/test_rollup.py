@@ -249,3 +249,28 @@ def test_ohlc_m4_unpack_exact_past_2_53(spark):
     assert (m["first_s"], m["first_v"]) == (ev, nt)
     assert (m["last_s"], m["last_v"]) == (ev + 1, nt)
     assert m["min_v"] == nt and m["max_v"] == nt
+
+
+def test_moments_finish_matches_numpy(spark):
+    import numpy as np
+
+    from pyreshaper_spark.operators.rollup import (
+        bucket_moments, moments_finish,
+    )
+
+    vals = [3, 7, 7, 11, 42, 5, 9, 13, 2, 8]
+    df = spark.createDataFrame(
+        [("s", 10 + i, v) for i, v in enumerate(vals)],
+        "source string, event_s long, n_tok long",
+    )
+    out = moments_finish(bucket_moments(df, 3600)).collect()[0]
+    a = np.array(vals, dtype=float)
+    m = a.mean()
+    m2 = ((a - m) ** 2).mean()
+    m3 = ((a - m) ** 3).mean()
+    m4 = ((a - m) ** 4).mean()
+    assert out["n"] == len(vals)
+    assert abs(out["mean"] - m) < 1e-9
+    assert abs(out["var"] - m2) < 1e-6
+    assert abs(out["skew"] - m3 / m2 ** 1.5) < 1e-9
+    assert abs(out["excess_kurtosis"] - (m4 / m2 ** 2 - 3)) < 1e-9
