@@ -44,7 +44,7 @@ def build_spark(cpus: int):
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -97,10 +97,10 @@ def run_bench(sf_dir: str, cpus: int, repeat: int = 1) -> dict:
         return tiers, pts, time.perf_counter() - t0
 
     # Min over PASSES timed executions per query: run-to-run spread on
-    # this shared VM is ±20%, and min-of-k is the standard noise floor
-    # (3 passes: the floor typically appears on pass 2-3 after page
-    # cache + JIT settle; costs ~3 s extra at sf0.1).
-    passes = int(os.environ.get("SPARK_GRAFT_PASSES", "3"))
+    # this shared VM is ±15-20%, and min-of-k is the standard noise
+    # floor (5 passes: the floor typically appears on pass 2-4 after
+    # page cache + JIT settle; costs ~5 s extra at sf0.1).
+    passes = int(os.environ.get("SPARK_GRAFT_PASSES", "5"))
 
     warm_tiers, _, _ = run_cascade()
     for w in widths:

@@ -12,6 +12,8 @@ the fact — the ``rewrite_data_files`` / ``expire_snapshots`` /
     ... compact --table tier_1m --sort-by bucket_s   # sorted rewrite
     ... expire --table tier_1m --keep-last 2         # reclaim snapshots
     ... changes --table tier_1m --from-snapshot 3    # CDC changelog
+    ... refresh --from-snapshot 3                    # CDC-driven refresh
+                                                     # (iceberglite input)
 
 ``delete``/``restate`` read doc ids from ``--doc-ids`` or one-per-line
 from ``--doc-ids-file`` (compliance batches arrive as files).
@@ -68,6 +70,10 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--to-snapshot", type=int, default=None)
     p.add_argument("--keep-carryovers", action="store_true")
 
+    p = sub.add_parser("refresh")
+    p.add_argument("--from-snapshot", type=int, required=True)
+    p.add_argument("--to-snapshot", type=int, default=None)
+
     args = ap.parse_args(argv)
 
     from pyreshaper_spark.config import RunConfig
@@ -88,6 +94,17 @@ def main(argv: list[str] | None = None) -> dict:
         fn = delete_docs if args.op == "delete" else restate_docs
         report = fn(spark, cfg, args.checkpoint, _ids(args))
         out = {"op": args.op, **{
+            k: v for k, v in report.items() if k != "snapshot_ids"
+        }, "tables_committed": sorted(report.get("snapshot_ids", {}))}
+    elif args.op == "refresh":
+        from pyreshaper_spark.plans.delete import refresh_from_changes
+
+        report = refresh_from_changes(
+            spark, cfg, args.checkpoint,
+            from_snapshot_id=args.from_snapshot,
+            to_snapshot_id=args.to_snapshot,
+        )
+        out = {"op": "refresh", **{
             k: v for k, v in report.items() if k != "snapshot_ids"
         }, "tables_committed": sorted(report.get("snapshot_ids", {}))}
     elif args.op == "compact":

@@ -423,3 +423,48 @@ def _repair_run(
                 f"repair fidelity violated: {bad_rows} rows differ"
             )
         report["fidelity_checked"] = True
+
+
+def refresh_from_changes(
+    spark: SparkSession,
+    cfg: RunConfig,
+    checkpoint_path: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+) -> dict:
+    """CDC-driven incremental refresh — the continuous-aggregate
+    invalidation engine: the pipeline input lives in an IcebergLite
+    table (``cfg.input_format == "iceberglite"``); given the input
+    snapshot the tables were last built from, read the changelog
+    (:meth:`IcebergLite.read_changes`), derive the set of doc_ids whose
+    rows were inserted, deleted, or rewritten, and restate exactly
+    those docs. Every data product converges to a from-scratch run on
+    the current input at cost O(changed docs' chunks + buckets) — the
+    TimescaleDB ``refresh_continuous_aggregate``-on-invalidation analog,
+    built on the same snapshot/changelog substrate as the rest of the
+    maintenance surface.
+
+    Returns the :func:`restate_docs` report plus ``changed_docs`` (0 →
+    no-op: an empty changelog never touches a table).
+    """
+    if cfg.input_format != "iceberglite":
+        raise ValueError(
+            "refresh_from_changes requires cfg.input_format='iceberglite' "
+            f"(input must be a snapshot-versioned table), got "
+            f"{cfg.input_format!r}"
+        )
+    root, table = cfg.input_path.split("::")[:2]
+    cat_in = IcebergLite(root)
+    changes = cat_in.read_changes(
+        spark, table, from_snapshot_id, to_snapshot_id
+    )
+    ids = changes.select(
+        F.col("doc_id").cast("string").alias("doc_id")
+    ).distinct()
+    n_changed = ids.count()
+    if n_changed == 0:
+        return {"changed_docs": 0, "restated_positions": 0,
+                "snapshot_ids": {}}
+    report = restate_docs(spark, cfg, checkpoint_path, ids)
+    report["changed_docs"] = n_changed
+    return report

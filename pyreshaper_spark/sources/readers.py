@@ -92,11 +92,35 @@ def read_sequences_csv(
     )
 
 
+def read_sequences_iceberglite(spark: SparkSession, path: str) -> DataFrame:
+    """Input that LIVES in an IcebergLite table — the north rule's
+    "Iceberg table of pre-tokenized training sequences" as the actual
+    upstream, enabling snapshot-pinned reads and CDC-driven refresh
+    (plans.delete.refresh_from_changes). ``path`` is
+    ``<catalog_root>::<table>`` (optionally ``::<snapshot_id>``);
+    reading via the catalog sees exactly the LIVE snapshot's files,
+    never dead files awaiting expiry."""
+    from pyreshaper_spark.sources.iceberglite import IcebergLite
+
+    parts = path.split("::")
+    if len(parts) not in (2, 3):
+        raise ValueError(
+            "iceberglite input path must be '<root>::<table>' or "
+            f"'<root>::<table>::<snapshot_id>', got {path!r}"
+        )
+    root, table = parts[0], parts[1]
+    snap = int(parts[2]) if len(parts) == 3 else None
+    df = IcebergLite(root).read(spark, table, snapshot_id=snap)
+    return df.select(*[c for c in _COLS if c in df.columns],
+                     *[c for c in df.columns if c not in _COLS])
+
+
 READERS = {
     "parquet": read_sequences_parquet,
     "orc": read_sequences_orc,
     "json": read_sequences_json,
     "csv": read_sequences_csv,
+    "iceberglite": read_sequences_iceberglite,
 }
 
 

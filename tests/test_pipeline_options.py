@@ -493,3 +493,51 @@ def test_suggest_nsalt_sampled_estimate(spark):
     est = suggest_nsalt(sk, target_chunk_rows=20, sample_denom=10)
     assert est in (exact // 2, exact, exact * 2)
     assert suggest_nsalt(sk, target_chunk_rows=20, sample_denom=10**9) == 1
+
+
+def test_maintain_job_cli_refresh(spark, tmp_path):
+    """The refresh subcommand: iceberglite-table input, an input upsert
+    commit, CLI refresh between snapshots converges the tier tables."""
+    from jobs.maintain_job import main as maintain
+    from pyreshaper_spark.operators.rollup import rollup_tier0
+    from pyreshaper_spark.plans.pipeline import run_pipeline
+
+    seq = sequences_df(spark, SF).limit(200).cache()
+    cols = ["doc_id", "tokens", "n_tok", "source", "event_s"]
+    in_root = str(tmp_path / "in_cat")
+    cat_in = IcebergLite(in_root)
+    s1 = cat_in.overwrite("seq", seq.select(*cols))
+
+    cfg = RunConfig(
+        input_path=f"{in_root}::seq", output_path=str(tmp_path / "out"),
+        tiers=TIERS, nsalt=2, num_series_partitions=4,
+        input_format="iceberglite",
+    )
+    cfg_p = str(tmp_path / "run.json")
+    cfg.write(cfg_p)
+    ck = str(tmp_path / "ck.json")
+    run_pipeline(spark, cfg, ck)
+
+    victims = [r["doc_id"] for r in seq.limit(2).collect()]
+    keys = spark.createDataFrame([(d,) for d in victims], "doc_id string")
+    cat_in.replace_rows(spark, "seq", keys=keys, key_cols=("doc_id",))
+
+    out = maintain([
+        "--config", cfg_p, "--checkpoint", ck, "refresh",
+        "--from-snapshot", str(s1),
+    ])
+    assert out["changed_docs"] == 2
+
+    cat = IcebergLite(cfg.output_path)
+    live = cat_in.read(spark, "seq")
+    got = {
+        (r["source"], r["bucket_s"], r["cnt"])
+        for r in cat.read(spark, "tier_1m").collect()
+    }
+    want = {
+        (r["source"], r["bucket_s"], r["cnt"])
+        for r in rollup_tier0(
+            live.withColumn("event_s", F.col("event_s")), 60
+        ).collect()
+    }
+    assert got == want

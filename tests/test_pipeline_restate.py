@@ -176,3 +176,82 @@ def test_unchanged_restate_is_lossless(spark, tmp_path):
         _rows(decode_series_table(cat.read(spark, "series_enc")))
         == dec_before
     )
+
+
+def test_refresh_from_changes_cdc(spark, tmp_path):
+    """CDC-driven refresh: the pipeline input lives in an IcebergLite
+    table; after an upsert + delete + append commit to the input, a
+    refresh between the two input snapshots converges every table to a
+    from-scratch run on the new input — and an empty changelog is a
+    no-op that commits nothing."""
+    from pyreshaper_spark.plans.delete import refresh_from_changes
+
+    seq = sequences_df(spark, SF)
+    in_root = str(tmp_path / "in_cat")
+    cat_in = IcebergLite(in_root)
+    cols = ["doc_id", "tokens", "n_tok", "source", "event_s"]
+    s1 = cat_in.overwrite("seq", seq.select(*cols))
+
+    cfg = _cfg(
+        f"{in_root}::seq", str(tmp_path / "out"),
+        input_format="iceberglite",
+    )
+    ck = str(tmp_path / "ck.json")
+    run_pipeline(spark, cfg, ck)
+
+    # mutate the input: delete 3 docs, rewrite 2 (shifted event time,
+    # different tokens), insert 2 brand-new docs — one atomic commit
+    docs = sorted(r["doc_id"] for r in seq.select("doc_id").collect())
+    gone, edited = docs[:3], docs[3:5]
+    new_rows = spark.createDataFrame(
+        [("new_a", [1, 2, 3], 3, "src0", 1704067200 + 123),
+         ("new_b", [9, 9], 2, "src1", 1704067200 + 456)],
+        "doc_id string, tokens array<int>, n_tok int, source string, "
+        "event_s long",
+    )
+    edited_rows = (
+        seq.filter(F.col("doc_id").isin(edited))
+        .select(*cols)
+        .withColumn("event_s", F.col("event_s") + 7200)
+        .withColumn("tokens", F.slice("tokens", 1, 2))
+        .withColumn("n_tok", F.least(F.col("n_tok"), F.lit(2)))
+    )
+    keys = spark.createDataFrame(
+        [(d,) for d in gone + edited], "doc_id string"
+    )
+    cat_in.replace_rows(
+        spark, "seq", keys=keys, key_cols=("doc_id",),
+        replacement=edited_rows.unionByName(
+            new_rows.select(*edited_rows.columns)
+        ),
+    )
+
+    rep = refresh_from_changes(spark, cfg, ck, from_snapshot_id=s1)
+    assert rep["changed_docs"] == 7  # 3 gone + 2 edited + 2 new
+
+    # from-scratch reference on the live input
+    ref_cfg = _cfg(
+        f"{in_root}::seq", str(tmp_path / "ref_out"),
+        input_format="iceberglite",
+    )
+    run_pipeline(spark, ref_cfg, str(tmp_path / "ref_ck.json"))
+    cat = IcebergLite(cfg.output_path)
+    ref = IcebergLite(ref_cfg.output_path)
+    from pyreshaper_spark.operators.encode import decode_series_table
+
+    for t in ("tier_1m", "tier_10m", "tier_1h", "meta_source"):
+        assert _rows(cat.read(spark, t)) == _rows(ref.read(spark, t)), t
+    got = _rows(
+        decode_series_table(cat.read(spark, "series_enc"))
+        .select("doc_id", "tokens", "event_s")
+    )
+    want = _rows(
+        decode_series_table(ref.read(spark, "series_enc"))
+        .select("doc_id", "tokens", "event_s")
+    )
+    assert got == want
+
+    # empty changelog → no-op
+    cur = cat_in.current_snapshot_id("seq")
+    rep2 = refresh_from_changes(spark, cfg, ck, from_snapshot_id=cur)
+    assert rep2["changed_docs"] == 0 and rep2["snapshot_ids"] == {}
