@@ -246,3 +246,41 @@ def test_slo_burn_counts(spark):
         ("a", 86400): (1, 1, 99),
         ("b", 0): (0, 1, 10),
     }
+
+
+def test_uptime_islands_property(spark):
+    """Property: islands partition the present buckets — every present
+    bucket falls in exactly one island, islands are maximal (no two
+    adjacent islands touch), and n_buckets sums to the bucket count."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyreshaper_spark.operators.gapfill import uptime_islands
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.sets(st.integers(min_value=0, max_value=60), min_size=1,
+                max_size=30)
+    )
+    def check(buckets):
+        rows = [("s", 600 * b) for b in sorted(buckets)]
+        df = spark.createDataFrame(rows, "source string, bucket_s long")
+        isl = sorted(
+            (r["up_start"], r["up_end"], r["n_buckets"])
+            for r in uptime_islands(df, 600).collect()
+        )
+        assert sum(n for _, _, n in isl) == len(buckets)
+        covered = set()
+        prev_end = None
+        for start, end, n in isl:
+            assert end - start == 600 * n  # islands are gap-free runs
+            run = set(range(start, end, 600))
+            assert run <= {600 * b for b in buckets}
+            assert not (run & covered)
+            covered |= run
+            if prev_end is not None:
+                assert start > prev_end  # maximality: a gap separates
+            prev_end = end
+        assert covered == {600 * b for b in buckets}
+
+    check()

@@ -622,6 +622,15 @@ def main() -> None:
              "source-keyed exchange",
              "Join" not in p_cusum and no_cartesian(p_cusum)
              and p_cusum.count("hashpartitioning(source") <= 2),
+            ("k-per-source sample: rank predicate pushed below the "
+             "window exchange (WindowGroupLimit — each map task "
+             "forwards ≤k rows per source)",
+             "WindowGroupLimit" in plan_of(
+                 __import__(
+                     "pyreshaper_spark.operators.sampling",
+                     fromlist=["sample_k_per_source"],
+                 ).sample_k_per_source(docs_mm, 15)
+             )),
         ],
     ))
 
