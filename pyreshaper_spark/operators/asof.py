@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -50,18 +51,30 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
     payload = [c for c in left.columns if c not in (key, time_col)]
+    # The matched right ROW is carried as ONE struct (time + values),
+    # never as independent per-column last(ignorenulls) streams: with
+    # per-column carries a NULL value in the matched row silently falls
+    # back to an OLDER row's value — breaking as-of row semantics (the
+    # DuckDB/pandas answer is "the matched row's value, NULL included")
+    # and, with tolerance, mixing a value from outside the window with
+    # a matched time inside it. The struct itself is non-null on every
+    # right row, so last(ignorenulls) skips exactly the left rows.
+    row_fields = [F.col(time_col).alias("_asof_t"),
+                  *[F.col(c).alias(f"asof_{c}") for c in value_cols]]
+    row_type = T.StructType(
+        [T.StructField("_asof_t", right.schema[time_col].dataType)]
+        + [T.StructField(f"asof_{c}", right.schema[c].dataType)
+           for c in value_cols]
+    )
     l_tag = left.select(
         key, time_col, F.lit(1).alias("_tag"), *payload,
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"asof_{c}")
-          for c in value_cols],
-        F.lit(None).cast(right.schema[time_col].dataType).alias("_asof_t"),
+        F.lit(None).cast(row_type).alias("_asof_row"),
     )
     r_tag = right.select(
         key, time_col, F.lit(0).alias("_tag"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in payload],
-        *[F.col(c).alias(f"asof_{c}") for c in value_cols],
-        F.col(time_col).alias("_asof_t"),
+        F.struct(*row_fields).alias("_asof_row"),
     )
     u = l_tag.unionByName(r_tag)
     # right rows sort BEFORE left rows at equal time (tag 0 < 1), so a
@@ -76,23 +89,20 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = ["_asof_t", *[f"asof_{c}" for c in value_cols]]
     picked = u.select(
         key, time_col, "_tag", *payload,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+        F.last("_asof_row", ignorenulls=True).over(w).alias("_asof_row"),
     ).filter(F.col("_tag") == 1)
+    matched = F.col("_asof_row")
     if tolerance_s is not None:
         in_tol = (
-            F.col("_asof_t").isNotNull()
-            & (F.abs(F.col(time_col) - F.col("_asof_t")) <= tolerance_s)
+            matched.isNotNull()
+            & (F.abs(F.col(time_col) - matched["_asof_t"]) <= tolerance_s)
         )
-        picked = picked.select(
-            key, time_col, *payload,
-            *[F.when(in_tol, F.col(f"asof_{c}")).alias(f"asof_{c}")
-              for c in value_cols],
-        )
+        matched = F.when(in_tol, matched)
     return picked.select(
-        *left.columns, *[f"asof_{c}" for c in value_cols]
+        *left.columns,
+        *[matched[f"asof_{c}"].alias(f"asof_{c}") for c in value_cols],
     )
 
 

@@ -142,17 +142,13 @@ def lsh_candidate_pairs(
     for x in bands[1:]:
         banded = banded.unionByName(x)
     if max_bucket is not None:
-        # window count per bucket, keep members of buckets ≤ cap; one
-        # extra shuffle on the same (band, band_key) the join needs —
-        # AQE coalesces the exchanges
-        from pyspark.sql import Window
+        # shared pre-join bucket cap (one window count on the same
+        # (band, band_key) the join shuffles on — AQE coalesces the
+        # exchanges); one implementation for the MinHash and
+        # hyperplane-LSH families so cap semantics cannot drift
+        from pyreshaper_spark.operators.similarity import _cap_buckets
 
-        w = Window.partitionBy("band", "band_key")
-        banded = (
-            banded.withColumn("bucket_n", F.count("*").over(w))
-            .filter(F.col("bucket_n") <= max_bucket)
-            .drop("bucket_n")
-        )
+        banded = _cap_buckets(banded, ["band", "band_key"], max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

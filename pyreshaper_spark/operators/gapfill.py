@@ -775,17 +775,12 @@ def cusum_detect(
         .cast("long")
         .alias("c_num"),
     )
-    wrun2 = (
-        Window.partitionBy("source")
-        .orderBy("bucket_s")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     return stats.select(
         "source",
         "bucket_s",
         "value",
         (F.col("c_num")
-         - F.least(F.lit(0).cast("long"), F.min("c_num").over(wrun2)))
+         - F.least(F.lit(0).cast("long"), F.min("c_num").over(wrun)))
         .cast("long")
         .alias("cusum_num"),
         "n",

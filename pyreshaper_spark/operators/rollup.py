@@ -575,11 +575,28 @@ def cumulative_tier(tier: DataFrame) -> DataFrame:
 #: append-cycle merge is simply cascade(base ∪ delta, same_width) —
 #: re-bucketing at the same width is the identity, so one re-aggregation
 #: over O(tier rows) merges a delta exactly.
+def _moments_overflow_guard(mom: DataFrame) -> DataFrame:
+    """Fail LOUDLY when a power sum overflows decimal(38,0). Spark's
+    non-ANSI decimal sum returns NULL on overflow while the DuckDB
+    oracle errors — a silent NULL s4 would be a wrong rollup. n_tok are
+    non-negative integers, so x ≤ x⁴ (pointwise, x=0 or x≥1) ⇒ s4 is
+    the first sum to overflow; guarding it covers s1..s3. O(buckets)
+    projection, no extra shuffle."""
+    s4 = F.when(
+        (F.col("n") > 0) & F.col("s4").isNull(),
+        F.raise_error(
+            "bucket_moments: sum(n_tok^4) overflowed decimal(38,0) — "
+            "the bucket's rows*max(n_tok)^4 must stay below 10^38"
+        ),
+    ).otherwise(F.col("s4")).alias("s4")
+    return mom.select("source", "bucket_s", "n", "s1", "s2", "s3", s4)
+
+
 def moments_cascade(prev: DataFrame, width_s: int) -> DataFrame:
     """Coarser moments tier from a finer one — power sums add, so the
     cascade is one exact decimal re-aggregation (same associativity
     argument as the count/sum/min/max tiers)."""
-    return (
+    return _moments_overflow_guard(
         prev.select(
             "source",
             ((F.col("bucket_s") / width_s).cast("long") * width_s)
@@ -845,13 +862,14 @@ def bucket_moments(seq: DataFrame, width_s: int) -> DataFrame:
     skewness and kurtosis (float finishers are a driver-side division;
     the engine ships only exact integers, so the rollup is mergeable
     AND oracle-hashable). One partial+final hash agg, same plan shape
-    as tier-0. n_tok < 2³¹ ⇒ x⁴ < 2¹²⁴… bounded by decimal(38) for the
-    documented n_tok ≤ ~3·10⁹ domain? No: decimal(38) holds ~10³⁸ and
-    x⁴ ≤ (2³¹)⁴ ≈ 2·10³⁷ — inside by construction; sums add log₂(rows)
-    bits, guarded by the fixture domain (n_tok ≤ 10⁵ in practice keeps
-    Σx⁴ ≤ 10²⁶ even at 10¹² rows/bucket)."""
+    as tier-0. Domain: a single x⁴ ≤ (2³¹)⁴ ≈ 2·10³⁷ fits decimal(38),
+    but the SUM overflows once rows·max(x)⁴ exceeds 10³⁸ (e.g. 5+ rows
+    near 2³¹) — and Spark's non-ANSI decimal sum would return NULL
+    silently where the DuckDB oracle errors. :func:`_moments_overflow_guard`
+    turns that into a loud raise_error, so out-of-domain data fails the
+    job in both engines instead of shipping a NULL rollup."""
     x = F.col("n_tok").cast("decimal(38,0)")
-    return (
+    return _moments_overflow_guard(
         seq.select("source", bucket_col(width_s), "n_tok")
         .groupBy("source", "bucket_s")
         .agg(

@@ -42,6 +42,7 @@ a bucket already aged out cannot be resurrected by a delete.
 
 from __future__ import annotations
 
+import dataclasses
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -325,6 +326,9 @@ def _repair_run(
             replacement=out,
             partition_filter=lambda p: p.get("source") in src_set,
             partition_by=("source",),
+            # keep per-file bucket_s stats on the rewritten files so
+            # read_tier's time-range pruning survives a repair commit
+            stats_cols=("bucket_s",),
         )
         return sid
 
@@ -453,11 +457,29 @@ def refresh_from_changes(
             f"(input must be a snapshot-versioned table), got "
             f"{cfg.input_format!r}"
         )
-    root, table = cfg.input_path.split("::")[:2]
+    # The restate must read EXACTLY the snapshot the changelog ends at,
+    # or the tables converge to neither endpoint: a stale ::pin in
+    # input_path would restate changed docs to their OLD content (and
+    # treat post-pin inserts as deletions), while to_snapshot older than
+    # the current snapshot would apply the 5→6 id set to snapshot-7
+    # content. So resolve to_snapshot (default: current), reject a
+    # conflicting pin, and pin the restate's input to that snapshot.
+    parts = cfg.input_path.split("::")
+    root, table = parts[0], parts[1]
+    pin = int(parts[2]) if len(parts) > 2 and parts[2] else None
     cat_in = IcebergLite(root)
-    changes = cat_in.read_changes(
-        spark, table, from_snapshot_id, to_snapshot_id
+    to_sid = (
+        to_snapshot_id if to_snapshot_id is not None
+        else cat_in.current_snapshot_id(table)
     )
+    if pin is not None and pin != to_sid:
+        raise ValueError(
+            f"refresh_from_changes: input_path pins snapshot {pin} but the "
+            f"refresh targets snapshot {to_sid} — drop the pin (or pin the "
+            "refresh target) so the restate reads the snapshot the "
+            "changelog ends at"
+        )
+    changes = cat_in.read_changes(spark, table, from_snapshot_id, to_sid)
     ids = changes.select(
         F.col("doc_id").cast("string").alias("doc_id")
     ).distinct()
@@ -465,6 +487,10 @@ def refresh_from_changes(
     if n_changed == 0:
         return {"changed_docs": 0, "restated_positions": 0,
                 "snapshot_ids": {}}
-    report = restate_docs(spark, cfg, checkpoint_path, ids)
+    cfg_at = dataclasses.replace(
+        cfg, input_path=f"{root}::{table}::{to_sid}"
+    )
+    report = restate_docs(spark, cfg_at, checkpoint_path, ids)
     report["changed_docs"] = n_changed
+    report["input_snapshot_id"] = to_sid
     return report

@@ -389,7 +389,15 @@ def run_pipeline(
             if delta is not None:
                 df = delta_tiers[i]
                 base = _tier_base(tname, list(df.columns))
-                if base is not None:
+                if base is None:
+                    # tier added to cfg.tiers between append cycles (no
+                    # pinned base exists): a delta-only commit would
+                    # silently truncate the tier to the pending files'
+                    # buckets. Backfill once from the FULL raw input —
+                    # the exact from-scratch answer at any width — and
+                    # let later cycles pin and merge it incrementally.
+                    df = rollup_tier0(seq, tier.width_s)
+                else:
                     df = base.unionByName(df).groupBy(
                         "source", "bucket_s"
                     ).agg(
@@ -463,7 +471,13 @@ def run_pipeline(
                     )
                     if delta is not None:
                         base = _tier_base(aname, list(df.columns))
-                        if base is not None:
+                        if base is None:
+                            # family enabled between append cycles: no
+                            # pinned base — backfill from the full raw
+                            # input instead of committing a truncated
+                            # delta-only table (same rule as the tiers)
+                            df = tier0_fn(seq, tier.width_s)
+                        else:
                             df = cascade_fn(
                                 base.unionByName(df), tier.width_s
                             )
@@ -492,7 +506,11 @@ def run_pipeline(
             pruned = apply_retention(
                 cat.read(spark, tname), tier.width_s, tier.retention_buckets
             )
-            snapshot_ids[rname] = cat.overwrite(tname, pruned, ("source",))
+            # stats_cols: a retention commit must not strip the per-file
+            # bucket_s stats that read_tier's time-range pruning needs
+            snapshot_ids[rname] = cat.overwrite(
+                tname, pruned, ("source",), stats_cols=("bucket_s",)
+            )
 
         if commit_step(rname, _retention):
             return PipelineResult(snapshot_ids, run, skipped, step_wall)

@@ -104,3 +104,43 @@ def test_asof_forward_and_tolerance(spark):
     }
     # 100: nothing before; 250: 200 within 100s; 900: 300 too far → null
     assert back_tol == {100: None, 250: 10, 900: None}
+
+
+def test_asof_join_null_right_values_row_semantics(spark):
+    """As-of is ROW semantics: the value comes from the matched right
+    row even when that value is NULL — it must never fall back to an
+    older row's non-null value (DuckDB native ASOF / pandas merge_asof
+    behavior). Regression for per-column last(ignorenulls) carries."""
+    left = spark.createDataFrame(
+        [("a", 110), ("a", 60)], "source string, bucket_s long",
+    )
+    right = spark.createDataFrame(
+        [("a", 50, 7), ("a", 100, None)],
+        "source string, bucket_s long, v long",
+    )
+    got = {
+        r["bucket_s"]: r["asof_v"]
+        for r in asof_join(left, right, ("v",)).collect()
+    }
+    # 110 matches the t=100 row whose v is NULL → NULL, not 7
+    assert got == {60: 7, 110: None}
+    # tolerance: matched time in-window but its value NULL stays NULL;
+    # the out-of-window older value must never leak in
+    tol = {
+        r["bucket_s"]: r["asof_v"]
+        for r in asof_join(left, right, ("v",), tolerance_s=20).collect()
+    }
+    assert tol == {60: 7, 110: None}
+
+
+def test_asof_join_multi_value_cols_same_row(spark):
+    """All carried value columns come from the SAME matched row."""
+    left = spark.createDataFrame(
+        [("a", 110)], "source string, bucket_s long",
+    )
+    right = spark.createDataFrame(
+        [("a", 50, 7, None), ("a", 100, None, 9)],
+        "source string, bucket_s long, v long, u long",
+    )
+    r = asof_join(left, right, ("v", "u")).collect()[0]
+    assert (r["asof_v"], r["asof_u"]) == (None, 9)

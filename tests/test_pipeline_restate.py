@@ -251,7 +251,25 @@ def test_refresh_from_changes_cdc(spark, tmp_path):
     )
     assert got == want
 
-    # empty changelog → no-op
+    # the refresh reports which input snapshot it converged to
     cur = cat_in.current_snapshot_id("seq")
+    assert rep["input_snapshot_id"] == cur
+
+    # empty changelog → no-op
     rep2 = refresh_from_changes(spark, cfg, ck, from_snapshot_id=cur)
     assert rep2["changed_docs"] == 0 and rep2["snapshot_ids"] == {}
+
+    # a stale ::pin in input_path must be rejected, not silently
+    # ignored — the restate would read the pinned (old) snapshot and
+    # converge the tables to neither endpoint
+    import dataclasses as _dc
+    import pytest as _pytest
+
+    pinned_cfg = _dc.replace(cfg, input_path=f"{in_root}::seq::{s1}")
+    with _pytest.raises(ValueError, match="pins snapshot"):
+        refresh_from_changes(spark, pinned_cfg, ck, from_snapshot_id=s1)
+    # ... while a pin that MATCHES the refresh target is fine (no-op
+    # here: from == to yields an empty changelog)
+    ok_cfg = _dc.replace(cfg, input_path=f"{in_root}::seq::{cur}")
+    rep3 = refresh_from_changes(spark, ok_cfg, ck, from_snapshot_id=cur)
+    assert rep3["changed_docs"] == 0

@@ -274,3 +274,40 @@ def test_moments_finish_matches_numpy(spark):
     assert abs(out["var"] - m2) < 1e-6
     assert abs(out["skew"] - m3 / m2 ** 1.5) < 1e-9
     assert abs(out["excess_kurtosis"] - (m4 / m2 ** 2 - 3)) < 1e-9
+
+
+def test_bucket_moments_overflow_is_loud(spark):
+    """Σx⁴ past decimal(38,0) must raise (like the DuckDB oracle), not
+    ship a silent NULL rollup. Under Spark 4's ANSI default the sum
+    itself throws ARITHMETIC_OVERFLOW; with ANSI off the sum nulls and
+    the _moments_overflow_guard raise fires instead — either way the
+    job fails loudly. 6 rows of n_tok near 2³¹ → Σx⁴ ≈ 1.3e38 > 10³⁸-1."""
+    import pytest
+    from pyspark.errors import PySparkException
+
+    from pyreshaper_spark.operators.rollup import bucket_moments
+
+    nt = (1 << 31) - 1
+    bad = spark.createDataFrame(
+        [("s", 100 + i, nt) for i in range(6)],
+        "source string, event_s long, n_tok long",
+    )
+    with pytest.raises(
+        PySparkException, match="overflowed decimal|ARITHMETIC_OVERFLOW"
+    ):
+        bucket_moments(bad, 3600).collect()
+    # the guard path itself (ANSI off): sum nulls → raise_error fires
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with pytest.raises(PySparkException, match="overflowed decimal"):
+            bucket_moments(bad, 3600).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    # 4 rows stay inside 10³⁸ — still exact, no raise
+    ok = spark.createDataFrame(
+        [("s", 100 + i, nt) for i in range(4)],
+        "source string, event_s long, n_tok long",
+    )
+    row = bucket_moments(ok, 3600).collect()[0]
+    assert int(row["s4"]) == 4 * nt ** 4
