@@ -836,6 +836,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["slo_burn_1d"] = _q_slo
 
+    def _q_multiburn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """SRE fast+slow multi-window burn-rate alert over the 1h tier."""
+        from pyreshaper_spark.operators.rollup import slo_multiburn
+
+        return slo_multiburn(
+            _tiers(spark, sf_dir)[3600], width_s=3600, threshold=60,
+            short_s=6 * 3600, long_s=24 * 3600, short_min=2, long_min=4,
+        )
+
+    q["slo_multiburn_1h"] = _q_multiburn
+
+    def _q_ltob(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """LTOB viz downsample: one perceptually-dominant 10m point
+        per (source, hour)."""
+        from pyreshaper_spark.operators.rollup import ltob_downsample
+
+        return ltob_downsample(_tiers(spark, sf_dir)[600], coarse_w=3600)
+
+    q["ltob_1h"] = _q_ltob
+
+    def _q_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.rollup import bucket_mode
+
+        return bucket_mode(_seq(spark, sf_dir), 3600)
+
+    q["bucket_mode_1h"] = _q_mode
+
+    def _q_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.rollup import source_share
+
+        return source_share(_tiers(spark, sf_dir)[86400])
+
+    q["source_share_1d"] = _q_share
+
     # -- M4 downsample (cascaded 1m→10m→1h; first/last/min/max POINTS) -
     def _q_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Spark side CASCADES the M4 corners through finer tiers while
@@ -897,6 +931,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["token_zipf"] = lambda s, d: VB.token_zipf(
         VB.token_stream(_docs(s, d))
     )
+    q["token_gini_1h"] = lambda s, d: VB.token_gini(
+        VB.token_stream(_docs(s, d)), 3600
+    )
+    # Gopher-style duplicate-trigram repetition needs token ORDER
+    q["doc_rep3"] = lambda s, d: VB.doc_ngram_repetition(_md_seq(s, d), n=3)
 
     # PromQL increase with counter-reset correction over the 10m tier
     def _q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1430,6 +1469,37 @@ SELECT source, count(*) AS n_docs FROM sequences GROUP BY 1
         f"FROM ({_TIER_AGG.format(w=3600)}))\n"
         + slo_burn_sql("t1h", 86400, 80)
     )
+    from pyreshaper_spark.operators.rollup import (
+        bucket_mode_sql,
+        ltob_downsample_sql,
+        slo_multiburn_sql,
+        source_share_sql,
+    )
+
+    o["slo_multiburn_1h"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"t1h AS (SELECT source, bucket_s, sum_n_tok "
+        f"FROM ({_TIER_AGG.format(w=3600)}))\n"
+        + slo_multiburn_sql(
+            "t1h", width_s=3600, threshold=60,
+            short_s=6 * 3600, long_s=24 * 3600, short_min=2, long_min=4,
+        )
+    )
+    o["ltob_1h"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"t10m AS (SELECT source, bucket_s, sum_n_tok "
+        f"FROM ({_TIER_AGG.format(w=600)}))\n"
+        + ltob_downsample_sql("t10m", 3600)
+    )
+    o["bucket_mode_1h"] = (
+        f"WITH {seq_cte('base')}\n" + bucket_mode_sql(3600)
+    )
+    o["source_share_1d"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"t1d AS (SELECT source, bucket_s, sum_n_tok "
+        f"FROM ({_TIER_AGG.format(w=86400)}))\n"
+        + source_share_sql("t1d")
+    )
     o["tier_1h_retention"] = (
         f"WITH {seq_cte('base')},\n"
         f"tier AS ({_TIER_AGG.format(w=3600)})\n"
@@ -1704,6 +1774,15 @@ FROM filled
     from pyreshaper_spark.operators.vocab import token_zipf_sql
 
     o["token_zipf"] = f"WITH {token_cte()}\n" + token_zipf_sql()
+    from pyreshaper_spark.operators.vocab import (
+        doc_ngram_repetition_sql,
+        token_gini_sql,
+    )
+
+    o["token_gini_1h"] = f"WITH {token_cte()}\n" + token_gini_sql(3600)
+    o["doc_rep3"] = (
+        f"WITH {seqs_cte(_V)}" + doc_ngram_repetition_sql(3, _V)
+    )
     o["rate_resets_10m"] = (
         f"WITH {seq_cte('base')},\n"
         f"t10 AS (SELECT source, bucket_s, sum_n_tok "

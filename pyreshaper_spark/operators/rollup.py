@@ -953,6 +953,262 @@ def slo_burn(
     )
 
 
+def slo_multiburn(
+    tier: DataFrame,
+    width_s: int,
+    threshold: int,
+    short_s: int = 6 * 3600,
+    long_s: int = 24 * 3600,
+    short_min: int = 4,
+    long_min: int = 8,
+    value_col: str = "sum_n_tok",
+) -> DataFrame:
+    """Multi-window burn-rate alert over a tier — the Google-SRE
+    "fast AND slow window both burning" pager rule that suppresses
+    one-off spikes without missing sustained burns. A bucket alerts iff
+    it violates ``value > threshold`` AND the trailing ``short_s``
+    window holds ≥ ``short_min`` violations AND the trailing ``long_s``
+    window holds ≥ ``long_min``.
+
+    Both trailing counts are RANGE frames on the epoch-second bucket
+    key (missing buckets shrink the count — absence is not a
+    violation), so the three window families share ONE (source)-keyed
+    sort: a single exchange, exact integers end to end, the same plan
+    at 10^12 rows.
+    """
+    bad = (F.col(value_col) > threshold).cast("long")
+    base = tier.select(
+        "source",
+        F.col("bucket_s").cast("long").alias("bucket_s"),
+        F.col(value_col).cast("long").alias(value_col),
+        bad.alias("bad"),
+    )
+
+    def _trail(span_s: int):
+        return (
+            Window.partitionBy("source")
+            .orderBy("bucket_s")
+            .rangeBetween(-(span_s - width_s), 0)
+        )
+
+    out = base.select(
+        "source", "bucket_s", value_col, "bad",
+        F.sum("bad").over(_trail(short_s)).cast("long").alias("bad_short"),
+        F.sum("bad").over(_trail(long_s)).cast("long").alias("bad_long"),
+    )
+    return out.select(
+        "source", "bucket_s", value_col, "bad", "bad_short", "bad_long",
+        (
+            (F.col("bad") == 1)
+            & (F.col("bad_short") >= short_min)
+            & (F.col("bad_long") >= long_min)
+        ).alias("alert"),
+    )
+
+
+def slo_multiburn_sql(
+    relation: str,
+    width_s: int,
+    threshold: int,
+    short_s: int = 6 * 3600,
+    long_s: int = 24 * 3600,
+    short_min: int = 4,
+    long_min: int = 8,
+    value_col: str = "sum_n_tok",
+) -> str:
+    """DuckDB twin of :func:`slo_multiburn` over a named tier relation."""
+    return f"""
+SELECT source, bucket_s, {value_col}, bad, bad_short, bad_long,
+       (bad = 1 AND bad_short >= {short_min} AND bad_long >= {long_min})
+           AS alert
+FROM (
+  SELECT source,
+         CAST(bucket_s AS BIGINT)    AS bucket_s,
+         CAST({value_col} AS BIGINT) AS {value_col},
+         bad,
+         CAST(sum(bad) OVER (PARTITION BY source ORDER BY bucket_s
+              RANGE BETWEEN {short_s - width_s} PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS bad_short,
+         CAST(sum(bad) OVER (PARTITION BY source ORDER BY bucket_s
+              RANGE BETWEEN {long_s - width_s} PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS bad_long
+  FROM (SELECT source, bucket_s, {value_col},
+               CAST({value_col} > {threshold} AS BIGINT) AS bad
+        FROM {relation})
+)
+"""
+
+
+def ltob_downsample(
+    tier: DataFrame, coarse_w: int, value_col: str = "sum_n_tok"
+) -> DataFrame:
+    """Largest-Triangle-One-Bucket viz downsample: one representative
+    point per (source, coarse bucket) — the point whose triangle with
+    its immediate time-neighbors has the largest area (Steinarsson's
+    LTOB; the M4 family's perceptual cousin — keeps the visually
+    dominant point instead of the four extremes).
+
+    area2 = |(x₋−x₊)(y−y₋) − (x₋−x)(y₊−y₋)| (twice the triangle area,
+    exact int64 — no floats). Series edges (no neighbor) get area −1 so
+    an interior point always wins; a bucket holding ONLY an edge point
+    still emits it. Tie-break: earliest point. One (source)-keyed sort
+    for lag/lead, one (source, coarse)-keyed top-1 window — tiny tier
+    input, never raw data.
+    """
+    w = Window.partitionBy("source").orderBy("bucket_s")
+    x = F.col("bucket_s").cast("long")
+    y = F.col(value_col).cast("long")
+    pts = tier.select(
+        "source", x.alias("x"), y.alias("y"),
+        F.lag("bucket_s").over(w).cast("long").alias("xp"),
+        F.lag(value_col).over(w).cast("long").alias("yp"),
+        F.lead("bucket_s").over(w).cast("long").alias("xn"),
+        F.lead(value_col).over(w).cast("long").alias("yn"),
+    )
+    area2 = F.when(
+        F.col("xp").isNotNull() & F.col("xn").isNotNull(),
+        F.abs(
+            (F.col("xp") - F.col("xn")) * (F.col("y") - F.col("yp"))
+            - (F.col("xp") - F.col("x")) * (F.col("yn") - F.col("yp"))
+        ),
+    ).otherwise(F.lit(-1)).cast("long")
+    scored = pts.select(
+        "source",
+        ((F.col("x") / coarse_w).cast("long") * coarse_w).alias("bucket_s"),
+        F.col("x").alias("sel_s"),
+        F.col("y").alias("sel_v"),
+        area2.alias("area2"),
+    )
+    wtop = Window.partitionBy("source", "bucket_s").orderBy(
+        F.col("area2").desc(), F.col("sel_s").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def ltob_downsample_sql(
+    relation: str, coarse_w: int, value_col: str = "sum_n_tok"
+) -> str:
+    """DuckDB twin of :func:`ltob_downsample` over a named tier relation."""
+    return f"""
+SELECT source, bucket_s, sel_s, sel_v, area2
+FROM (
+  SELECT source,
+         (x // {coarse_w}) * {coarse_w} AS bucket_s,
+         x AS sel_s, y AS sel_v, area2,
+         row_number() OVER (
+           PARTITION BY source, (x // {coarse_w})
+           ORDER BY area2 DESC, x ASC) AS rn
+  FROM (
+    SELECT source, x, y,
+           CASE WHEN xp IS NOT NULL AND xn IS NOT NULL
+                THEN abs((xp - xn) * (y - yp) - (xp - x) * (yn - yp))
+                ELSE -1 END AS area2
+    FROM (
+      SELECT source,
+             CAST(bucket_s AS BIGINT)    AS x,
+             CAST({value_col} AS BIGINT) AS y,
+             CAST(lag(bucket_s)  OVER sw AS BIGINT) AS xp,
+             CAST(lag({value_col})  OVER sw AS BIGINT) AS yp,
+             CAST(lead(bucket_s) OVER sw AS BIGINT) AS xn,
+             CAST(lead({value_col}) OVER sw AS BIGINT) AS yn
+      FROM {relation}
+      WINDOW sw AS (PARTITION BY source ORDER BY bucket_s)
+    )
+  )
+)
+WHERE rn = 1
+"""
+
+
+def bucket_mode(
+    seq: DataFrame, width_s: int, value_col: str = "n_tok"
+) -> DataFrame:
+    """Modal value per (source, bucket) — the most frequent ``n_tok``
+    with a deterministic smallest-value tie-break (engine-portable,
+    unlike a hash-agg ``mode()``). Two stages, both partial-agg
+    friendly: occurrence counts keyed (source, bucket, value) — output
+    bounded by distinct values per bucket — then a per-bucket top-1
+    window over those counts."""
+    counts = (
+        seq.select("source", bucket_col(width_s), value_col)
+        .groupBy("source", "bucket_s", value_col)
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("source", "bucket_s").orderBy(
+        F.col("cnt").desc(), F.col(value_col).asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("bucket_s").cast("long").alias("bucket_s"),
+            F.col(value_col).cast("long").alias("mode_val"),
+            F.col("cnt").cast("long").alias("mode_cnt"),
+        )
+    )
+
+
+def bucket_mode_sql(width_s: int, value_col: str = "n_tok") -> str:
+    """DuckDB twin of :func:`bucket_mode` over the sequences CTE."""
+    return f"""
+SELECT source, bucket_s,
+       CAST({value_col} AS BIGINT) AS mode_val,
+       cnt                         AS mode_cnt
+FROM (
+  SELECT source, bucket_s, {value_col}, cnt,
+         row_number() OVER (PARTITION BY source, bucket_s
+                            ORDER BY cnt DESC, {value_col} ASC) AS rn
+  FROM (SELECT source,
+               (event_s // {width_s}) * {width_s} AS bucket_s,
+               {value_col},
+               count(*) AS cnt
+        FROM sequences GROUP BY 1, 2, 3)
+)
+WHERE rn = 1
+"""
+
+
+def source_share(tier: DataFrame, value_col: str = "sum_n_tok") -> DataFrame:
+    """Each source's share of every bucket's total — the mixture
+    dashboard face ("which sources dominate this day?"). Share ships as
+    the exact integer pair (value, bucket_total) plus a deterministic
+    rank (value desc, source asc); the float division is the reader's.
+    One window exchange keyed on bucket_s — rows are |sources × coarse
+    buckets|, tiny at any corpus size."""
+    wb = Window.partitionBy("bucket_s")
+    wr = Window.partitionBy("bucket_s").orderBy(
+        F.col(value_col).desc(), F.col("source").asc()
+    )
+    return tier.select(
+        "source",
+        F.col("bucket_s").cast("long").alias("bucket_s"),
+        F.col(value_col).cast("long").alias(value_col),
+    ).select(
+        "source", "bucket_s", value_col,
+        F.sum(value_col).over(wb).cast("long").alias("bucket_total"),
+        F.row_number().over(wr).cast("long").alias("rank"),
+    )
+
+
+def source_share_sql(relation: str, value_col: str = "sum_n_tok") -> str:
+    """DuckDB twin of :func:`source_share` over a named tier relation."""
+    return f"""
+SELECT source,
+       CAST(bucket_s AS BIGINT)    AS bucket_s,
+       CAST({value_col} AS BIGINT) AS {value_col},
+       CAST(sum({value_col}) OVER (PARTITION BY bucket_s) AS BIGINT)
+           AS bucket_total,
+       CAST(row_number() OVER (PARTITION BY bucket_s
+            ORDER BY {value_col} DESC, source ASC) AS BIGINT) AS rank
+FROM {relation}
+"""
+
+
 def slo_burn_sql(
     relation: str, coarse_w: int, threshold: int,
     value_col: str = "sum_n_tok",

@@ -615,3 +615,137 @@ SELECT source, cms_row, cms_bucket, count(*) AS cnt
 FROM ({cells})
 GROUP BY 1, 2, 3
 """
+
+
+def token_gini(tok: DataFrame, width_s: int) -> DataFrame:
+    """Token-distribution inequality per (source, bucket) as an exact
+    integer Gini numerator — the repetitiveness monitor (a bucket whose
+    tokens concentrate on a few types is boilerplate/spam-like; a flat
+    distribution is organic text).
+
+    With per-type counts c₁ ≤ … ≤ c_k (rank r by count asc, token asc)
+    the Gini coefficient is G = (2·Σ r·c_r − (k+1)·n) / (k·n); the
+    engine ships the exact integers (n_occ, n_types, gini_num =
+    2·Σ r·c_r − (k+1)·n) and the float face is the reader's division —
+    same discipline as the moments/share families. Stage 1 collapses
+    the exploded stream map-side (bounded by the vocabulary); stage 2
+    is one rank window + hash agg over type counts — O(sources ×
+    buckets × V) regardless of corpus size."""
+    counts = (
+        tok.select("source", bucket_col(width_s, "event_s"), "token")
+        .groupBy("source", "bucket_s", "token")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w = Window.partitionBy("source", "bucket_s").orderBy(
+        F.col("c").asc(), F.col("token").asc()
+    )
+    ranked = counts.withColumn("r", F.row_number().over(w).cast("long"))
+    return (
+        ranked.groupBy("source", F.col("bucket_s").cast("long").alias("bucket_s"))
+        .agg(
+            F.sum("c").cast("long").alias("n_occ"),
+            F.count("*").cast("long").alias("n_types"),
+            F.sum(F.col("r") * F.col("c")).cast("long").alias("rc_sum"),
+        )
+        .select(
+            "source", "bucket_s", "n_occ", "n_types",
+            (2 * F.col("rc_sum") - (F.col("n_types") + 1) * F.col("n_occ"))
+            .cast("long").alias("gini_num"),
+        )
+    )
+
+
+def token_gini_sql(width_s: int) -> str:
+    """DuckDB twin of :func:`token_gini` over the `tok` CTE."""
+    return f"""
+SELECT source, bucket_s,
+       CAST(n_occ AS BIGINT)   AS n_occ,
+       CAST(n_types AS BIGINT) AS n_types,
+       CAST(2 * rc_sum - (n_types + 1) * n_occ AS BIGINT) AS gini_num
+FROM (
+  SELECT source, bucket_s,
+         sum(c)     AS n_occ,
+         count(*)   AS n_types,
+         sum(r * c) AS rc_sum
+  FROM (
+    SELECT source, bucket_s, c,
+           row_number() OVER (PARTITION BY source, bucket_s
+                              ORDER BY c ASC, token ASC) AS r
+    FROM (SELECT source,
+                 (event_s // {width_s}) * {width_s} AS bucket_s,
+                 token, count(*) AS c
+          FROM tok GROUP BY 1, 2, 3)
+  )
+  GROUP BY 1, 2
+)
+"""
+
+
+def doc_ngram_repetition(
+    seq: DataFrame, n: int = 3, vocab_size: int = VOCAB_SIZE
+) -> DataFrame:
+    """Per-document duplicate-n-gram statistics — the Gopher/C4-style
+    repetition quality rule on token streams: a document whose n-grams
+    repeat heavily is boilerplate (dup_frac = 1 − n_types/n_ngrams; the
+    engine ships the exact pair plus the hottest n-gram's count, floats
+    are the reader's).
+
+    Each doc contributes max(len−n+1, 0) packed int64 keys
+    (Σ tokenᵢ·Vⁿ⁻¹⁻ⁱ — V=50257, n=3 peaks at ~1.3·10¹⁴, safely int64);
+    the (doc_id, ngram) count collapses map-side within each doc's
+    partition, so shuffle volume is bounded by distinct n-grams per
+    doc. Docs shorter than n tokens emit no row (no n-grams exist) —
+    identical in the oracle."""
+    if n < 2 or vocab_size ** (n - 1) > (1 << 62) // vocab_size:
+        raise ValueError("n must be ≥2 and V^n must fit int64")
+    toks = F.col("tokens")
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+
+    def _pack(i):
+        acc = F.element_at(toks, i).cast("long")
+        for j in range(1, n):
+            acc = acc * vocab_size + F.element_at(toks, i + j).cast("long")
+        return acc
+
+    grams = seq.select(
+        "doc_id", F.explode(F.transform(idx, _pack)).alias("g")
+    )
+    return (
+        grams.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_ngrams"),
+            F.count("*").cast("long").alias("n_types"),
+            F.max("c").cast("long").alias("max_cnt"),
+        )
+    )
+
+
+def doc_ngram_repetition_sql(
+    n: int = 3, vocab_size: int = VOCAB_SIZE
+) -> str:
+    """DuckDB twin of :func:`doc_ngram_repetition` over the `seqs` CTE
+    (md5-derived token arrays — :func:`seqs_cte`)."""
+    pack = "CAST(tokens[i] AS BIGINT)"
+    for j in range(1, n):
+        pack = f"({pack} * {vocab_size} + CAST(tokens[i + {j}] AS BIGINT))"
+    return f"""
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT)   AS n_ngrams,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(max(c) AS BIGINT)   AS max_cnt
+FROM (
+  SELECT doc_id, g, count(*) AS c
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(tokens) - {n - 1}, 0)),
+             i -> {pack})) AS g
+    FROM seqs)
+  GROUP BY 1, 2
+)
+GROUP BY 1
+"""

@@ -311,3 +311,82 @@ def test_bucket_moments_overflow_is_loud(spark):
     )
     row = bucket_moments(ok, 3600).collect()[0]
     assert int(row["s4"]) == 4 * nt ** 4
+
+
+def test_slo_multiburn_fast_and_slow_windows(spark):
+    """Alert fires only when BOTH trailing windows are burning: an
+    isolated violation never alerts; a sustained run does. Buckets are
+    RANGE (time) frames, so missing buckets shrink the counts."""
+    from pyreshaper_spark.operators.rollup import slo_multiburn
+
+    w = 3600
+    rows = (
+        # src a: lone spike at hour 3 — must not alert
+        [("a", i * w, 100 if i == 3 else 10) for i in range(30)]
+        # src b: hours 10..19 all violate — alerts once windows fill
+        + [("b", i * w, 100 if 10 <= i < 20 else 10) for i in range(30)]
+    )
+    tier = spark.createDataFrame(
+        rows, "source string, bucket_s long, sum_n_tok long"
+    )
+    out = slo_multiburn(
+        tier, width_s=w, threshold=50,
+        short_s=6 * w, long_s=24 * w, short_min=3, long_min=5,
+    ).collect()
+    alerts = {(r["source"], r["bucket_s"] // w) for r in out if r["alert"]}
+    assert not any(s == "a" for s, _ in alerts)
+    # b: bad_short ≥3 from hour 12; bad_long ≥5 from hour 14 → alerts 14..19
+    assert alerts == {("b", h) for h in range(14, 20)}
+    for r in out:  # alert ⊆ bad, and short count never exceeds long
+        if r["alert"]:
+            assert r["bad"] == 1
+        assert r["bad_short"] <= r["bad_long"]
+
+
+def test_ltob_downsample_picks_largest_triangle(spark):
+    from pyreshaper_spark.operators.rollup import ltob_downsample
+
+    # one source, hour bucket 0: EVENLY spaced 10m points, flat at 10
+    # with a spike at 1200 — the spike's triangle dominates (uneven
+    # spacing would let a long x-gap beat it; that is correct LTOB too,
+    # but even spacing isolates the "visually dominant point" property)
+    tier = spark.createDataFrame(
+        [("s", 0, 10), ("s", 600, 10), ("s", 1200, 99), ("s", 1800, 10),
+         ("s", 2400, 10), ("s", 3000, 10), ("s", 3600, 10), ("s", 4200, 11)],
+        "source string, bucket_s long, sum_n_tok long",
+    )
+    got = {
+        r["bucket_s"]: (r["sel_s"], r["sel_v"], r["area2"])
+        for r in ltob_downsample(tier, 3600).collect()
+    }
+    assert got[0][0] == 1200 and got[0][1] == 99 and got[0][2] > 0
+    # bucket 3600 holds the series tail: 3600 is interior, 4200 an edge
+    assert got[3600][0] == 3600
+
+
+def test_bucket_mode_deterministic_tiebreak(spark):
+    from pyreshaper_spark.operators.rollup import bucket_mode
+
+    seq = spark.createDataFrame(
+        [("s", 10, 7), ("s", 20, 7), ("s", 30, 3), ("s", 40, 3),
+         ("s", 50, 9)],
+        "source string, event_s long, n_tok long",
+    )
+    r = bucket_mode(seq, 3600).collect()[0]
+    # 7 and 3 tie at count 2 → smallest value wins
+    assert (r["mode_val"], r["mode_cnt"]) == (3, 2)
+
+
+def test_source_share_totals_and_ranks(spark):
+    from pyreshaper_spark.operators.rollup import source_share
+
+    tier = spark.createDataFrame(
+        [("a", 0, 30), ("b", 0, 60), ("c", 0, 10), ("a", 86400, 5)],
+        "source string, bucket_s long, sum_n_tok long",
+    )
+    rows = source_share(tier).collect()
+    day0 = {r["source"]: r for r in rows if r["bucket_s"] == 0}
+    assert all(r["bucket_total"] == 100 for r in day0.values())
+    assert [day0[s]["rank"] for s in ("b", "a", "c")] == [1, 2, 3]
+    d1 = [r for r in rows if r["bucket_s"] == 86400][0]
+    assert (d1["bucket_total"], d1["rank"]) == (5, 1)

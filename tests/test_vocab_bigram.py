@@ -129,3 +129,34 @@ def test_counter_rate_reset_correction(spark):
     # 25 → 5 is a reset: increase = new value, not -20
     assert got[1200]["increase"] == 5 and got[1200]["reset"]
     assert got[2400]["increase"] == 2 and got[2400]["dt_s"] == 1200
+
+
+def test_token_gini_hand_case(spark):
+    """gini_num = Σ(2r−k−1)c over counts ranked asc: counts (1,9) →
+    8 (G=0.4); uniform counts → 0 (G=0)."""
+    from pyreshaper_spark.operators.vocab import token_gini
+
+    tok = spark.createDataFrame(
+        # bucket 0: token 5 ×9, token 3 ×1 → skewed
+        [("s", 10, 5)] * 9 + [("s", 20, 3)]
+        # bucket 3600: tokens 1,2 ×2 each → uniform
+        + [("s", 3700, 1), ("s", 3800, 1), ("s", 3900, 2), ("s", 3950, 2)],
+        "source string, event_s long, token long",
+    )
+    got = {r["bucket_s"]: r for r in token_gini(tok, 3600).collect()}
+    assert (got[0]["n_occ"], got[0]["n_types"], got[0]["gini_num"]) == (10, 2, 8)
+    assert got[3600]["gini_num"] == 0
+
+
+def test_doc_ngram_repetition_hand_case(spark):
+    from pyreshaper_spark.operators.vocab import doc_ngram_repetition
+
+    seq = spark.createDataFrame(
+        [("d1", "s", [1, 2, 1, 2, 1]),   # trigrams 121,212,121 → dup
+         ("d2", "s", [1, 2, 3, 4]),      # all distinct
+         ("d3", "s", [1, 2])],           # too short → no row
+        "doc_id string, source string, tokens array<int>",
+    )
+    got = {r["doc_id"]: (r["n_ngrams"], r["n_types"], r["max_cnt"])
+           for r in doc_ngram_repetition(seq, n=3).collect()}
+    assert got == {"d1": (3, 2, 2), "d2": (2, 2, 1)}

@@ -634,6 +634,54 @@ def main() -> None:
         ],
     ))
 
+    # 17. round-3 analytics batch 2: multiburn / LTOB / mode / gini
+    from pyreshaper_spark.operators.rollup import (
+        bucket_mode,
+        ltob_downsample,
+        slo_multiburn,
+        source_share,
+    )
+    from pyreshaper_spark.operators.vocab import explode_tokens, token_gini
+
+    t10v = rollup_all_tiers(seq, [600])[600].select(
+        "source", F.col("bucket_s").cast("long").alias("bucket_s"),
+        F.col("sum_n_tok").cast("long").alias("sum_n_tok"),
+    )
+    p_mb = plan_of(slo_multiburn(t1h_c, 3600, 60, short_min=2, long_min=4))
+    p_ltob = plan_of(ltob_downsample(t10v, 3600))
+    p_mode = plan_of(bucket_mode(seq, 3600))
+    p_gini = plan_of(token_gini(explode_tokens(seq), 3600))
+    p_share = plan_of(source_share(t1h_c))
+    sections.append((
+        "Multi-window burn alert, LTOB downsample, mode, Gini, share",
+        "\n".join([
+            "--- slo_multiburn(1h) ---", p_mb[:1600],
+            "--- ltob_downsample(10m→1h) ---", p_ltob[:1600],
+            "--- bucket_mode(1h) ---", p_mode[:1200],
+            "--- token_gini(1h) ---", p_gini[:1200],
+            "--- source_share ---", p_share[:800],
+        ]),
+        [
+            ("multiburn: both RANGE frames share ONE source-keyed sort "
+             "on top of the tier agg — ≤2 key exchanges total, no join",
+             "Join" not in p_mb
+             and p_mb.count("hashpartitioning(source") <= 2),
+            ("ltob: lag/lead sort + per-bucket top-1 over the tier agg "
+             "— ≤3 key exchanges, no join",
+             "Join" not in p_ltob
+             and p_ltob.count("hashpartitioning(source") <= 3),
+            ("mode: partial+final hash agg collapses values BEFORE the "
+             "top-1 window (shuffle bounded by distinct values)",
+             p_mode.count("HashAggregate") >= 2 and "Window" in p_mode),
+            ("gini: exploded stream collapses map-side (partial agg "
+             "below the first exchange), rank window + final agg above",
+             p_gini.count("HashAggregate") >= 4 and "Window" in p_gini
+             and no_cartesian(p_gini)),
+            ("share: one bucket-keyed window exchange, no join",
+             "Join" not in p_share),
+        ],
+    ))
+
     out = ["# PLANS — physical-plan verification (auto-generated by "
            "tools/plan_report.py)\n"]
     all_ok = True
