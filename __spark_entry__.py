@@ -870,6 +870,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["source_share_1d"] = _q_share
 
+    def _q_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Grid-bucketed interval join: label every sequence row with
+        the hot-hours incident window (islands of 1h buckets with
+        sum_n_tok > 60) containing its event — an EQUI-join plan, never
+        a nested-loop range join."""
+        from pyreshaper_spark.operators.gapfill import uptime_islands
+        from pyreshaper_spark.operators.interval import interval_join
+
+        hot = _tiers(spark, sf_dir)[3600].filter(F.col("sum_n_tok") > 60)
+        wins = uptime_islands(hot, 3600).select(
+            "source",
+            F.col("up_start").alias("start_s"),
+            F.col("up_end").alias("end_s"),
+        )
+        return interval_join(
+            _seq(spark, sf_dir).select("doc_id", "source", "event_s"),
+            wins, grid_w=3600,
+        ).select("doc_id", "source", "event_s", "start_s", "end_s")
+
+    q["interval_label_1h"] = _q_interval
+
     # -- M4 downsample (cascaded 1m→10m→1h; first/last/min/max POINTS) -
     def _q_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Spark side CASCADES the M4 corners through finer tiers while
@@ -1499,6 +1520,19 @@ SELECT source, count(*) AS n_docs FROM sequences GROUP BY 1
         f"t1d AS (SELECT source, bucket_s, sum_n_tok "
         f"FROM ({_TIER_AGG.format(w=86400)}))\n"
         + source_share_sql("t1d")
+    )
+    from pyreshaper_spark.operators.gapfill import uptime_islands_sql
+    from pyreshaper_spark.operators.interval import interval_join_sql
+
+    o["interval_label_1h"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"hot AS (SELECT source, bucket_s "
+        f"FROM ({_TIER_AGG.format(w=3600)}) WHERE sum_n_tok > 60),\n"
+        f"wins AS (SELECT source, up_start AS start_s, up_end AS end_s "
+        f"FROM ({uptime_islands_sql('hot', 3600)}))\n"
+        + interval_join_sql(
+            "sequences", "wins", ("doc_id", "source", "event_s")
+        )
     )
     o["tier_1h_retention"] = (
         f"WITH {seq_cte('base')},\n"

@@ -682,6 +682,34 @@ def main() -> None:
         ],
     ))
 
+    # 18. interval (range) join — grid-bucketed equi-join
+    from pyreshaper_spark.operators.gapfill import uptime_islands
+    from pyreshaper_spark.operators.interval import interval_join
+
+    wins = uptime_islands(
+        t1h_c.filter(F.col("sum_n_tok") > 60), 3600
+    ).select(
+        "source", F.col("up_start").alias("start_s"),
+        F.col("up_end").alias("end_s"),
+    )
+    p_iv = plan_of(
+        interval_join(seq.select("doc_id", "source", "event_s"), wins, 3600)
+    )
+    sections.append((
+        "Interval join (grid-bucketed equi-join)",
+        p_iv,
+        [
+            ("equi-join on (source, cell) — no nested-loop, no "
+             "cartesian (the naive range predicate's plan)",
+             no_cartesian(p_iv) and "NestedLoop" not in p_iv
+             and "Join" in p_iv),
+            ("fact-side scan pruned to the join columns (tokens never "
+             "read)",
+             "tokens" not in p_iv.split("ReadSchema")[1].split("\n")[0]
+             if "ReadSchema" in p_iv else False),
+        ],
+    ))
+
     out = ["# PLANS — physical-plan verification (auto-generated by "
            "tools/plan_report.py)\n"]
     all_ok = True
