@@ -133,6 +133,63 @@ def test_asof_join_null_right_values_row_semantics(spark):
     assert tol == {60: 7, 110: None}
 
 
+def test_asof_join_property_vs_bruteforce(spark):
+    """Fuzz asof_join against a brute-force reference: for every left
+    row the matched right row is the nearest in the direction (ties on
+    time resolved to ANY right row at that time is not allowed — the
+    operator must take the value from the matched row, and at equal
+    times the window's last right row in (time, tag) order is the max
+    time ≤ t, which the reference reproduces by taking the LAST right
+    row at the matched time in input order after a stable sort)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    row = st.tuples(
+        st.integers(min_value=0, max_value=40),          # time
+        st.one_of(st.none(), st.integers(0, 9)),          # value
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(st.integers(0, 40), min_size=1, max_size=12),  # left ts
+        st.lists(row, min_size=1, max_size=12),                  # right
+        st.sampled_from(["backward", "forward"]),
+        st.sampled_from([None, 5, 15]),
+    )
+    def check(lts, rrows, direction, tol):
+        # unique right times: at duplicate times the window picks the
+        # last-sorted right row — dedup keeps semantics deterministic
+        rmap = {}
+        for t, v in rrows:
+            rmap[t] = v
+        rs = sorted(rmap.items())
+        left = spark.createDataFrame(
+            [("k", t) for t in lts], "source string, bucket_s long"
+        )
+        right = spark.createDataFrame(
+            [("k", t, v) for t, v in rs],
+            "source string, bucket_s long, v long",
+        )
+        got = {}
+        for r in asof_join(
+            left, right, ("v",), direction=direction, tolerance_s=tol
+        ).collect():
+            got.setdefault(r["bucket_s"], r["asof_v"])
+        for t in lts:
+            if direction == "backward":
+                cand = [(rt, rv) for rt, rv in rs if rt <= t]
+                match = max(cand) if cand else None
+            else:
+                cand = [(rt, rv) for rt, rv in rs if rt >= t]
+                match = min(cand) if cand else None
+            want = None
+            if match is not None and (tol is None or abs(t - match[0]) <= tol):
+                want = match[1]
+            assert got[t] == want, (t, direction, tol, rs)
+
+    check()
+
+
 def test_asof_join_multi_value_cols_same_row(spark):
     """All carried value columns come from the SAME matched row."""
     left = spark.createDataFrame(
