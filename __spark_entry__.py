@@ -876,7 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sum_n_tok > 60) containing its event — an EQUI-join plan, never
         a nested-loop range join."""
         from pyreshaper_spark.operators.gapfill import uptime_islands
-        from pyreshaper_spark.operators.interval import interval_join
+        from pyreshaper_spark.operators.rangejoin import interval_join
 
         hot = _tiers(spark, sf_dir)[3600].filter(F.col("sum_n_tok") > 60)
         wins = uptime_islands(hot, 3600).select(
@@ -886,7 +886,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return interval_join(
             _seq(spark, sf_dir).select("doc_id", "source", "event_s"),
-            wins, grid_w=3600,
+            wins, key="source", point_ts="event_s",
+            start_col="start_s", end_col="end_s", chunk_s=3600,
+            end_exclusive=True,
         ).select("doc_id", "source", "event_s", "start_s", "end_s")
 
     q["interval_label_1h"] = _q_interval
@@ -1522,7 +1524,7 @@ SELECT source, count(*) AS n_docs FROM sequences GROUP BY 1
         + source_share_sql("t1d")
     )
     from pyreshaper_spark.operators.gapfill import uptime_islands_sql
-    from pyreshaper_spark.operators.interval import interval_join_sql
+    from pyreshaper_spark.operators.rangejoin import interval_join_sql
 
     o["interval_label_1h"] = (
         f"WITH {seq_cte('base')},\n"

@@ -33,35 +33,64 @@ def interval_join(
     start_col: str,
     end_col: str,
     chunk_s: int,
+    end_exclusive: bool = False,
 ) -> DataFrame:
     """Join point rows onto interval rows where
-    ``points[point_ts] ∈ [start_col, end_col]`` (inclusive bounds,
-    integer epoch seconds) and the ``key`` columns match.
+    ``points[point_ts] ∈ [start_col, end_col]`` (integer epoch
+    seconds; the end bound is inclusive by default —
+    ``end_exclusive=True`` gives the half-open ``[start, end)`` shape
+    that tier-bucket windows use) and the ``key`` columns match.
 
     Output: one row per matching (point, interval) pair carrying all
     columns of both inputs (interval columns win name clashes — rename
     upstream if both sides share non-key column names).
     """
+    end_chunk = F.col(end_col) - 1 if end_exclusive else F.col(end_col)
     iv = intervals.withColumn(
         "_chunk",
         F.explode(
             F.sequence(
                 (F.col(start_col) / chunk_s).cast("long"),
-                (F.col(end_col) / chunk_s).cast("long"),
+                (end_chunk / chunk_s).cast("long"),
             )
         ),
     )
     pts = points.withColumn(
         "_chunk", (F.col(point_ts) / chunk_s).cast("long")
     )
+    upper = (
+        F.col(point_ts) < F.col(end_col)
+        if end_exclusive
+        else F.col(point_ts) <= F.col(end_col)
+    )
     return (
         pts.join(iv, [key, "_chunk"])
-        .filter(
-            (F.col(point_ts) >= F.col(start_col))
-            & (F.col(point_ts) <= F.col(end_col))
-        )
+        .filter((F.col(point_ts) >= F.col(start_col)) & upper)
         .drop("_chunk")
     )
+
+
+def interval_join_sql(
+    left_cte: str,
+    windows_cte: str,
+    left_cols: tuple[str, ...],
+    time_col: str = "event_s",
+    key: str = "source",
+) -> str:
+    """DuckDB twin for the half-open window shape — a direct range
+    join (DuckDB's IEJoin handles the non-equi predicate natively; the
+    chunk trick is Spark-side physics, not semantics)."""
+    lcols = ", ".join(f"l.{c}" for c in left_cols)
+    return f"""
+SELECT {lcols},
+       CAST(w.start_s AS BIGINT) AS start_s,
+       CAST(w.end_s AS BIGINT)   AS end_s
+FROM {left_cte} l
+JOIN {windows_cte} w
+  ON l.{key} = w.{key}
+ AND l.{time_col} >= w.start_s
+ AND l.{time_col} <  w.end_s
+"""
 
 
 def events_in_sessions(events: DataFrame, gap_s: int | None = None,

@@ -1,10 +1,12 @@
-"""Grid-bucketed interval join — semantics + the equi-join plan shape."""
+"""Chunk-bucketed interval join (rangejoin.interval_join) — half-open
+window semantics + the equi-join plan shape. The inclusive-end default
+is covered by test_events.py::events_in_sessions."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from pyreshaper_spark.operators.interval import interval_join
+from pyreshaper_spark.operators.rangejoin import interval_join
 
 
 def _wins(spark, rows):
@@ -19,25 +21,42 @@ def _facts(spark, rows):
     )
 
 
-def test_interval_join_semantics(spark):
+def _join(facts, wins, chunk_s=3600):
+    return interval_join(
+        facts, wins, key="source", point_ts="event_s",
+        start_col="start_s", end_col="end_s", chunk_s=chunk_s,
+        end_exclusive=True,
+    )
+
+
+def test_interval_join_halfopen_semantics(spark):
     wins = _wins(spark, [
-        ("a", 1000, 5000),     # spans grid cells 0 and 1 at grid_w=3600
-        ("a", 7200, 7260),     # sub-cell window
+        ("a", 1000, 5000),     # spans chunks 0 and 1 at chunk_s=3600
+        ("a", 7200, 7260),     # sub-chunk window
         ("b", 1000, 5000),     # other key — must not cross-match
     ])
     facts = _facts(spark, [
         ("d1", "a", 1000),     # start inclusive
-        ("d2", "a", 4999),     # last second (and in cell 1 ≠ start's cell)
+        ("d2", "a", 4999),     # last second (and in chunk 1 ≠ start's)
         ("d3", "a", 5000),     # end exclusive → no match
-        ("d4", "a", 7259),     # inside the sub-cell window
+        ("d4", "a", 7259),     # inside the sub-chunk window
         ("d5", "a", 999),      # before any window
         ("d6", "c", 2000),     # key with no windows
     ])
     got = {
         (r["doc_id"], r["start_s"])
-        for r in interval_join(facts, wins, grid_w=3600).collect()
+        for r in _join(facts, wins).collect()
     }
     assert got == {("d1", 1000), ("d2", 1000), ("d4", 7200)}
+
+
+def test_interval_join_chunk_aligned_exclusive_end(spark):
+    """An exclusive end ON a chunk boundary must not explode the window
+    into the next chunk (end-1 drives the chunk range)."""
+    wins = _wins(spark, [("a", 0, 3600)])
+    facts = _facts(spark, [("d", "a", 3600), ("e", "a", 3599)])
+    got = {r["doc_id"] for r in _join(facts, wins).collect()}
+    assert got == {"e"}
 
 
 def test_interval_join_overlapping_windows_emit_pairs(spark):
@@ -45,29 +64,29 @@ def test_interval_join_overlapping_windows_emit_pairs(spark):
     per window."""
     wins = _wins(spark, [("a", 0, 100), ("a", 50, 150)])
     facts = _facts(spark, [("d", "a", 60)])
-    rows = interval_join(facts, wins, grid_w=60).collect()
+    rows = _join(facts, wins, chunk_s=60).collect()
     assert sorted(r["start_s"] for r in rows) == [0, 50]
 
 
 def test_interval_join_plans_as_equi_join(spark):
-    """The point of the grid trick: the physical plan must be a hash /
-    sort-merge EQUI join — never BroadcastNestedLoopJoin or a cartesian
-    product (what the naive BETWEEN predicate would plan as)."""
+    """The point of the chunk trick: the physical plan must be a hash /
+    sort-merge EQUI join on (key, chunk) — never the nested loop the
+    naive keyless range predicate plans as."""
     wins = _wins(spark, [("a", 0, 7200)])
     facts = _facts(spark, [("d", "a", 60)])
     plan = (
-        interval_join(facts, wins, grid_w=3600)
+        _join(facts, wins)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Join" in plan  # an actual (equi) join is present
-    # the join keys must include the grid cell, not the source alone —
+    # the join keys must include the chunk, not the source alone —
     # that is what bounds per-row comparisons to windows overlapping
-    # the row's cell (source-only keys = per-key O(rows × windows))
-    assert "_cell" in plan.split("Join")[1].split("\n")[0]
+    # the row's chunk (source-only keys = per-key O(rows × windows))
+    assert "_chunk" in plan.split("Join")[1].split("\n")[0]
     # and a KEYLESS range predicate really does degrade to a nested
-    # loop — the shape the grid join exists to avoid
+    # loop — the shape the chunk join exists to avoid
     naive = (
         facts.join(
             wins,

@@ -682,9 +682,9 @@ def main() -> None:
         ],
     ))
 
-    # 18. interval (range) join — grid-bucketed equi-join
+    # 18. interval (range) join — chunk-bucketed equi-join
     from pyreshaper_spark.operators.gapfill import uptime_islands
-    from pyreshaper_spark.operators.interval import interval_join
+    from pyreshaper_spark.operators.rangejoin import interval_join
 
     wins = uptime_islands(
         t1h_c.filter(F.col("sum_n_tok") > 60), 3600
@@ -693,7 +693,12 @@ def main() -> None:
         F.col("up_end").alias("end_s"),
     )
     p_iv = plan_of(
-        interval_join(seq.select("doc_id", "source", "event_s"), wins, 3600)
+        interval_join(
+            seq.select("doc_id", "source", "event_s"), wins,
+            key="source", point_ts="event_s",
+            start_col="start_s", end_col="end_s", chunk_s=3600,
+            end_exclusive=True,
+        )
     )
     sections.append((
         "Interval join (grid-bucketed equi-join)",
