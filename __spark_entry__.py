@@ -893,6 +893,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["interval_label_1h"] = _q_interval
 
+    def _q_streaming_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Stream-static interval labeling run to completion
+        (availableNow): facts stream in and are labeled against the
+        STATIC hot-hours windows — stateless stream-static equi-join,
+        so the final table must equal the batch interval join, which
+        IS the oracle (same SQL as interval_label_1h)."""
+        import os
+        import tempfile
+
+        from pyreshaper_spark.operators.gapfill import uptime_islands
+        from pyreshaper_spark.sources.iceberglite import IcebergLite
+        from pyreshaper_spark.streaming.label import (
+            LABEL_TABLE,
+            start_label_stream,
+        )
+
+        hot = _tiers(spark, sf_dir)[3600].filter(F.col("sum_n_tok") > 60)
+        wins = uptime_islands(hot, 3600).select(
+            "source",
+            F.col("up_start").alias("start_s"),
+            F.col("up_end").alias("end_s"),
+        )
+        base = tempfile.mkdtemp(prefix="stream_label_")
+        seq_path = os.path.join(base, "seq")
+        _seq(spark, sf_dir).select(
+            "doc_id", "tokens", "n_tok", "source", "event_s"
+        ).write.parquet(seq_path)
+        sq = start_label_stream(
+            spark, seq_path, wins, os.path.join(base, "out"),
+            os.path.join(base, "ck"),
+        )
+        sq.awaitTermination(300)
+        t = IcebergLite(os.path.join(base, "out")).read(spark, LABEL_TABLE)
+        return t.select(
+            "doc_id", "source",
+            F.col("event_s").cast("long").alias("event_s"),
+            F.col("start_s").cast("long").alias("start_s"),
+            F.col("end_s").cast("long").alias("end_s"),
+        )
+
+    q["streaming_label"] = _q_streaming_label
+
     # -- M4 downsample (cascaded 1m→10m→1h; first/last/min/max POINTS) -
     def _q_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Spark side CASCADES the M4 corners through finer tiers while
@@ -1526,7 +1568,7 @@ SELECT source, count(*) AS n_docs FROM sequences GROUP BY 1
     from pyreshaper_spark.operators.gapfill import uptime_islands_sql
     from pyreshaper_spark.operators.rangejoin import interval_join_sql
 
-    o["interval_label_1h"] = (
+    _INTERVAL_LABEL_SQL = (
         f"WITH {seq_cte('base')},\n"
         f"hot AS (SELECT source, bucket_s "
         f"FROM ({_TIER_AGG.format(w=3600)}) WHERE sum_n_tok > 60),\n"
@@ -1536,6 +1578,10 @@ SELECT source, count(*) AS n_docs FROM sequences GROUP BY 1
             "sequences", "wins", ("doc_id", "source", "event_s")
         )
     )
+    o["interval_label_1h"] = _INTERVAL_LABEL_SQL
+    # streaming stream-static labeling over static input ≡ the batch
+    # interval join — the identical relation is the oracle
+    o["streaming_label"] = _INTERVAL_LABEL_SQL
     o["tier_1h_retention"] = (
         f"WITH {seq_cte('base')},\n"
         f"tier AS ({_TIER_AGG.format(w=3600)})\n"
