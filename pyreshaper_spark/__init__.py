@@ -11,7 +11,7 @@ table of pre-tokenized training sequences:
 Capability map (reference → here; see SURVEY.md §2):
 
 * slice→series transpose          → ``operators.transpose`` (salted
-  ``repartitionByRange`` + ``sortWithinPartitions``)
+  ``repartition`` on the group key + ``sortWithinPartitions``)
 * per-variable output files       → per-``source`` series partitions
 * continuous aggregates           → ``operators.rollup`` (tier-0 agg +
   exact cascading re-aggregation)

@@ -14,7 +14,7 @@ variable [U: reshaper.py :: convert; netcdf4c deflate]. Here each
   the port-fidelity invariant decodes THROUGH this path.
 
 Execution shape (measured — see git history): the encoder consumes the
-series layout produced by ``transpose_to_series`` (range-partitioned on
+series layout produced by ``transpose_to_series`` (hash-partitioned on
 the group key, sorted within partitions) and runs as **one
 ``mapInArrow`` pass over contiguous group runs** — no ``groupBy``
 re-shuffle, no Arrow→pandas object conversion. Tokens cross the

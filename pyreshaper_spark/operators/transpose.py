@@ -7,10 +7,10 @@ ranks load-balanced over variables by byte size [U: partition.py ::
 WeightBalanced].
 
 Here the "variable" is ``source`` and the transpose is a single
-range-partitioned shuffle:
+hash-partitioned shuffle:
 
     salt = pmod(xxhash64(doc_id), NSALT)          # skew splitter
-    repartitionByRange(P, source, salt, event_s)  # series co-location
+    repartition(P, source, salt)                  # series co-location
     sortWithinPartitions(source, salt, event_s, doc_id)  # time order
 
 After this, every (source, salt) series chunk is contiguous and
@@ -21,9 +21,19 @@ partition-local.
 
 Why this scales:
 
-* ``repartitionByRange`` samples key ranges, so partition boundaries
-  adapt to the actual source/time distribution (the WeightBalanced
-  analog, but data-driven).
+* Hash partitioning on the group key needs NO pre-pass: Spark's
+  RangePartitioner would SAMPLE its input to place boundaries — and
+  on the encode path that input includes the pre-shuffle token-packing
+  stage, so range partitioning executes the pack over the corpus
+  TWICE (measured 1.45 s → 1.08 s on the sf0.1 encode leg from this
+  change alone; at 100 TB the sampling pass is a full extra read).
+* Row balance comes from the SALT, not the partitioner: nsalt is
+  sized so the hottest source splits into ~equal (source, salt)
+  groups (``suggest_nsalt``), giving groups ≫ partitions and bounded
+  balls-in-bins load for hash placement — the WeightBalanced analog.
+  ``strategy="range"`` remains for callers with few/unsalted,
+  wildly-unequal groups, where sampled boundaries are worth the extra
+  pass.
 * The salt splits a hot source across NSALT partitions —
   ``applyInPandas`` groups are NOT covered by AQE skew handling, so
   salting is mandatory, not optional [BASELINE.json:14].
@@ -83,7 +93,11 @@ def suggest_nsalt(
 
 
 def transpose_to_series(
-    seq: DataFrame, nsalt: int = 8, num_partitions: int = 32, pack: bool = False
+    seq: DataFrame,
+    nsalt: int = 8,
+    num_partitions: int = 32,
+    pack: bool = False,
+    strategy: str = "hash",
 ) -> DataFrame:
     """Reorganize row-per-doc slices into per-(source, salt) series layout.
 
@@ -96,20 +110,28 @@ def transpose_to_series(
     bytes and no list<int> serialization through the exchange — the
     encoder consumes either form. Use for the encode path; keep
     ``pack=False`` where downstream wants the tokens array itself.
+
+    ``strategy``: "hash" (default — one pass; salted groups are already
+    size-equalized, see module docstring) or "range" (sampled
+    boundaries: an extra pass over the input INCLUDING the pack stage,
+    for callers with few/unequal unsalted groups). Either way rows with
+    an identical (source, salt) land in ONE partition, so every series
+    chunk is whole and contiguous after the within-partition sort — the
+    encoder runs as a single mapInArrow pass with NO second shuffle.
     """
+    if strategy not in ("hash", "range"):
+        raise ValueError("strategy must be 'hash' or 'range'")
     if pack:
         from pyreshaper_spark.operators.encode import pack_series_payload
 
         seq = pack_series_payload(seq)
     salted = with_salt(seq, nsalt)
-    # Range-partition on the GROUP key only: rows with an identical
-    # (source, salt) always map to one partition (RangePartitioner
-    # assigns equal keys identically), so every series chunk is whole
-    # and contiguous after the within-partition sort — the encoder can
-    # then run as a single mapInArrow pass with NO second shuffle.
-    return salted.repartitionByRange(
-        num_partitions, "source", "salt"
-    ).sortWithinPartitions("source", "salt", "event_s", "doc_id")
+    parted = (
+        salted.repartition(num_partitions, "source", "salt")
+        if strategy == "hash"
+        else salted.repartitionByRange(num_partitions, "source", "salt")
+    )
+    return parted.sortWithinPartitions("source", "salt", "event_s", "doc_id")
 
 
 def series_table_writer(series: DataFrame, path: str, mode: str = "overwrite"):

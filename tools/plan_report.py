@@ -98,7 +98,10 @@ def main() -> None:
         [
             ("exactly one exchange (range repartition, no groupBy "
              f"re-shuffle) — found {n_exchange}", n_exchange == 1),
-            ("range partitioning on group key", "rangepartitioning" in p.lower()),
+            ("single hash partitioning on the group key (no range "
+             "SAMPLING pass — that would execute the pack stage twice)",
+             "hashpartitioning(source" in p
+             and "rangepartitioning" not in p.lower()),
             ("two Python stages (pack + encode), both Arrow",
              p.count("MapInArrow") // 2 == 2),
         ],
