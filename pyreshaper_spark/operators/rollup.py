@@ -61,6 +61,66 @@ def rollup_tier0(seq: DataFrame, width_s: int) -> DataFrame:
     )
 
 
+def head_aggregate(seq: DataFrame, width_s: int) -> DataFrame:
+    """Fused pipeline head: ONE raw scan feeds tier 0, validation, and
+    per-source metadata.
+
+    The pipeline's first three steps each need a full pass over the
+    input (validation counters, per-source metadata, tier-0 rollup) —
+    three scans of a 10^12-row table where one suffices, and at scale
+    the scan IS the cost. This aggregate carries, per (source,
+    bucket_s): the four tier-0 columns, the null/negative contract
+    violation count, and min/max ``event_s`` — so
+
+    * validation  = ``sum(bad_rows)``          (re-agg of this output),
+    * meta_source = group by ``source``        (re-agg of this output),
+    * tier 0      = project the tier columns   (identity),
+
+    all from one cached O(buckets)-row table. The doc_id uniqueness
+    check is NOT foldable into a grouped aggregate (per-group distinct
+    counts don't compose to a global distinct) — the pipeline runs it
+    as a concurrent doc_id-only scan instead (validate.check_doc_ids).
+
+    ReadSchema stays ``(source, n_tok, event_s)`` — identical to the
+    plain tier-0 scan; the bad-row condition deliberately checks only
+    columns this scan already reads (doc_id nulls belong to
+    check_doc_ids, which reads doc_id anyway).
+    """
+    bad = (
+        F.col("source").isNull()
+        | F.col("n_tok").isNull()
+        | (F.col("n_tok") < 0)
+    ).cast("long")
+    return (
+        seq.select(
+            "source", bucket_col(width_s), "n_tok", "event_s",
+            bad.alias("bad"),
+        )
+        .groupBy("source", "bucket_s")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("n_tok").alias("sum_n_tok"),
+            F.min("n_tok").alias("min_n_tok"),
+            F.max("n_tok").alias("max_n_tok"),
+            F.sum("bad").alias("bad_rows"),
+            F.min("event_s").alias("min_event_s"),
+            F.max("event_s").alias("max_event_s"),
+        )
+    )
+
+
+def meta_from_head(head: DataFrame) -> DataFrame:
+    """Per-source metadata derived from :func:`head_aggregate` output —
+    exact: ``sum(cnt) ≡ count(*)``, ``sum(sum_n_tok) ≡ sum(n_tok)``,
+    ``min(min_event_s) ≡ min(event_s)`` by associativity."""
+    return head.groupBy("source").agg(
+        F.sum("cnt").alias("n_docs"),
+        F.sum("sum_n_tok").alias("total_tok"),
+        F.min("min_event_s").alias("first_event_s"),
+        F.max("max_event_s").alias("last_event_s"),
+    )
+
+
 def rollup_cascade(prev_tier: DataFrame, width_s: int) -> DataFrame:
     """Tier k+1 from tier k — exact re-aggregation, no raw-data rescan."""
     return (

@@ -94,6 +94,36 @@ def validate_report(seq: DataFrame) -> DataFrame:
     )
 
 
+def check_doc_ids(seq: DataFrame) -> None:
+    """doc_id contract on a doc_id-only scan: non-null + globally unique.
+
+    The pipeline's fused head (rollup.head_aggregate) folds every other
+    validation counter into the tier-0 scan, but global uniqueness is
+    not a grouped aggregate — per-group distinct counts don't compose —
+    so it keeps its own pass. That pass reads EXACTLY one column
+    (doc_id), and the pipeline runs it in a second driver thread
+    concurrent with the head aggregate, so at N executors it adds no
+    serial wall time and at 10^12 rows it reads ~2% of the bytes.
+
+    Same hash fast path as :func:`validate_input`: all-distinct 64-bit
+    hashes PROVE all-distinct ids; only a collision (~n²/2⁶⁵) triggers
+    the exact string-distinct pass.
+    """
+    row = seq.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("doc_id").isNull().cast("long")).alias("null_ids"),
+        F.count_distinct(F.xxhash64("doc_id")).alias("n_hashes"),
+    ).collect()[0]
+    if row["null_ids"]:
+        raise ValidationError(f"{row['null_ids']} rows have null doc_id")
+    if row["n_hashes"] != row["n"]:
+        n_ids = seq.agg(F.count_distinct("doc_id").alias("x")).collect()[0]["x"]
+        if n_ids != row["n"]:
+            raise ValidationError(
+                f"{row['n'] - n_ids} duplicated doc_ids (overlapping slices)"
+            )
+
+
 def validate_input(seq: DataFrame, token_sizes: str = "scan") -> None:
     """Full input gate: schema, nulls, doc_id uniqueness.
 

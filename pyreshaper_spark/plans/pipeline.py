@@ -49,6 +49,13 @@ import threading
 import time
 from dataclasses import dataclass
 
+# InheritableThread, NOT threading.Thread, for every driver-side
+# concurrent Spark job: under py4j pinned-thread mode (PySpark default)
+# a plain thread's JVM call can deadlock against the main thread's
+# gateway connection (observed as an indefinite pre-submit hang on
+# local-cluster); InheritableThread is the supported primitive and also
+# propagates local properties / job groups.
+from pyspark import InheritableThread
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -57,7 +64,10 @@ from pyreshaper_spark.operators.encode import encode_series_table
 from pyreshaper_spark.operators.event_time import ensure_event_time
 from pyreshaper_spark.operators.gapfill import gapfill_locf
 from pyreshaper_spark.operators.rollup import (
+    AGG_COLS,
     apply_retention,
+    head_aggregate,
+    meta_from_head,
     rollup_cascade,
     rollup_tier0,
 )
@@ -65,7 +75,11 @@ from pyreshaper_spark.operators.transpose import (
     suggest_nsalt,
     transpose_to_series,
 )
-from pyreshaper_spark.operators.validate import validate_input
+from pyreshaper_spark.operators.validate import (
+    ValidationError,
+    check_doc_ids,
+    check_schema,
+)
 from pyreshaper_spark.plans.checkpoint import Checkpoint
 from pyreshaper_spark.sources.iceberglite import IcebergLite
 
@@ -116,6 +130,25 @@ def run_pipeline(
     ``stop_after`` stops cleanly after the named step's commit +
     checkpoint save — the kill-and-resume test hook.
     """
+    persisted: list[DataFrame] = []
+    try:
+        return _run_pipeline(spark, cfg, checkpoint_path, stop_after, persisted)
+    finally:
+        # the fused head aggregate (and the append-cycle tier-0 delta)
+        # are persisted across steps; release them on every exit path —
+        # long sessions (bench loops, multi-spec runs) would otherwise
+        # accumulate cached plans
+        for df in persisted:
+            df.unpersist()
+
+
+def _run_pipeline(
+    spark: SparkSession,
+    cfg: RunConfig,
+    checkpoint_path: str,
+    stop_after: str | None,
+    persisted: list[DataFrame],
+) -> PipelineResult:
     cfg.validate()
     cat = IcebergLite(cfg.output_path)
     if cfg.write_mode == "overwrite":
@@ -225,24 +258,50 @@ def run_pipeline(
             return None
         return cat.read(spark, tname, snapshot_id=sid).select(*cols)
 
-    # validate the data this run ingests: the full input on fresh /
-    # overwrite / resume runs, ONLY the pending files on an append cycle
-    # (a 10^12-row table is not rescanned per append; cross-batch doc_id
-    # uniqueness is enforced by the fidelity gate over the series table).
-    # token_sizes="defer": the n_tok==size(tokens) contract is enforced
-    # inside the encode pass (which reads every token buffer anyway) so
-    # this gate scans only the narrow columns — tokens (~95% of bytes)
-    # never enters the validation read
-    validate_input(seq if delta is None else delta, token_sizes="defer")
-    step_wall["validate"] = round(time.perf_counter() - t0, 3)
+    # ---- fused head: ONE raw scan feeds validate + meta + tier 0 ------
+    # The head of the pipeline used to be three serialized full scans of
+    # the input (validation counters, per-source metadata, tier-0
+    # rollup) — at 10^12 rows, three corpus reads where one suffices.
+    # head_aggregate folds all three into a single (source, bucket)
+    # aggregate (O(buckets) rows, cached); the only check that can't
+    # ride a grouped scan — global doc_id uniqueness — runs as a
+    # doc_id-only scan in a SECOND driver thread, concurrent with the
+    # head job, so it adds no serial wall time. Scope matches the old
+    # gate: the full input on fresh/overwrite/resume runs, ONLY the
+    # pending files on an append cycle (cross-batch doc_id uniqueness is
+    # enforced by the fidelity gate over the series table). The
+    # n_tok==size(tokens) contract stays deferred to the encode pass,
+    # which materializes every token buffer anyway — tokens (~95% of the
+    # bytes) never enters the validation/tier read.
+    src = seq if delta is None else delta
+    check_schema(src)
+    head = head_aggregate(src, cfg.tiers[0].width_s).persist()
+    persisted.append(head)
+
+    # Validation result shared with the encode thread: the encode stage
+    # runs CONCURRENTLY with validation (its data-file write is
+    # side-effect-free), but its atomic manifest commit waits on this
+    # event — "invalid input commits nothing" stays airtight while the
+    # head scan overlaps the encode stage's executor work.
+    validated = threading.Event()
+    val_err: list[BaseException] = []
+
+    def _validation_gate():
+        validated.wait()
+        if val_err:
+            raise ValidationError(
+                "series_enc commit aborted: input validation failed"
+            )
 
     # ---- salted transpose + encode (file-incremental, resumable) ------
-    # Defined (and, in overlap mode, STARTED) before the tier chain: the
-    # encode step only reads the input + series_enc lineage — it shares
-    # nothing with the tier/meta tables, so a second driver thread can
-    # run it as a concurrent Spark job and the tier chain's many small
-    # commits (driver-latency-bound, size-independent) hide behind the
-    # encode stage's executor work instead of adding serial wall time.
+    # Defined (and, in overlap mode, STARTED) before validation and the
+    # tier chain: the encode step only reads the input + series_enc
+    # lineage — it shares nothing with the tier/meta tables, so a second
+    # driver thread can run it as a concurrent Spark job; the validation
+    # scans and the tier chain's many small commits (driver-latency-
+    # bound, size-independent) hide behind the encode stage's executor
+    # work instead of adding serial wall time. Its commit is gated on
+    # the validation event above.
     def _encode():
         # nsalt pinned in the checkpoint on first resolution: a resume
         # or append with grown input (or cfg.nsalt=0 auto) must keep the
@@ -290,6 +349,11 @@ def run_pipeline(
         wkw = dict(
             stats_cols=("source",),
             options={"parquet.block.size": 32 * 1024 * 1024},
+            # pre-commit barrier: the expensive write proceeds in
+            # parallel with validation; the snapshot commit happens only
+            # after the input is proven valid (raises otherwise —
+            # orphaned data files, no table change)
+            gate=_validation_gate,
         )
         sid = (
             cat.append("series_enc", encoded, **wkw)
@@ -325,28 +389,46 @@ def run_pipeline(
             except BaseException as e:  # re-raised on join
                 enc_err.append(e)
 
-        # InheritableThread, NOT threading.Thread: under py4j pinned
-        # thread mode (PySpark default) a plain thread's JVM-call can
-        # deadlock against the main thread's gateway connection
-        # (observed as an indefinite pre-submit hang on local-cluster);
-        # InheritableThread is the supported driver-side concurrency
-        # primitive and also propagates local properties / job groups.
-        from pyspark import InheritableThread
-
         enc_thread = InheritableThread(
             target=_enc_bg, name="encode-overlap", daemon=True
         )
         enc_thread.start()
 
+    # ---- validation: fused head job + concurrent doc_id-only scan -----
+    # Runs while the encode stage computes. On ANY failure the event is
+    # still set (finally) so the encode thread's commit gate wakes up
+    # and aborts instead of blocking forever.
+    try:
+        id_err: list[BaseException] = []
+
+        def _ids():
+            try:
+                check_doc_ids(src)
+            except BaseException as e:  # re-raised below
+                id_err.append(e)
+
+        id_thread = InheritableThread(
+            target=_ids, name="validate-ids", daemon=True
+        )
+        id_thread.start()
+        bad = head.agg(F.sum("bad_rows")).collect()[0][0] or 0
+        if bad:
+            raise ValidationError(f"{bad} rows violate null/n_tok contract")
+        id_thread.join()
+        if id_err:
+            raise id_err[0]
+    except BaseException as e:
+        val_err.append(e)
+        raise
+    finally:
+        validated.set()
+    step_wall["validate"] = round(time.perf_counter() - t0, 3)
+
     # ---- once-file analog: per-source metadata, written once ----------
     def _meta():
-        src = seq if delta is None else delta
-        meta = src.groupBy("source").agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_tok").alias("total_tok"),
-            F.min("event_s").alias("first_event_s"),
-            F.max("event_s").alias("last_event_s"),
-        )
+        # re-aggregation of the cached head — no raw rescan (exact by
+        # associativity; see rollup.meta_from_head)
+        meta = meta_from_head(head)
         if delta is not None:
             base = _tier_base("meta_source", list(meta.columns))
             if base is not None:
@@ -375,9 +457,9 @@ def run_pipeline(
     # re-aggregate it.
     delta_tiers: list[DataFrame] = []
     if delta is not None:
-        delta_tiers.append(
-            rollup_tier0(delta, cfg.tiers[0].width_s).cache()
-        )
+        # tier-0 delta IS the (already cached) head projection — the
+        # pending files were scanned exactly once, in the head job
+        delta_tiers.append(head.select("source", "bucket_s", *AGG_COLS))
         for t in cfg.tiers[1:]:
             delta_tiers.append(rollup_cascade(delta_tiers[-1], t.width_s))
 
@@ -407,7 +489,10 @@ def run_pipeline(
                         F.max("max_n_tok").alias("max_n_tok"),
                     )
             elif prev_table is None:
-                df = rollup_tier0(seq, tier.width_s)
+                # fresh run: tier 0 is the cached head's projection —
+                # the scan+aggregate already happened in the validate
+                # step's head job
+                df = head.select("source", "bucket_s", *AGG_COLS)
             else:
                 # cascade tiers re-aggregate the UN-pruned tier below
                 # (retention runs after the whole cascade) — exact,

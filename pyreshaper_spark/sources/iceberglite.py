@@ -221,8 +221,17 @@ class IcebergLite:
         partition_by: tuple[str, ...] = (),
         stats_cols: tuple[str, ...] = (),
         options: dict | None = None,
+        gate=None,
     ) -> int:
         new = self._write_data(name, df, partition_by, stats_cols, options)
+        if gate is not None:
+            # barrier between the (expensive, side-effect-free) data-file
+            # write and the atomic manifest commit: a raising gate leaves
+            # orphan files but NO snapshot references them — the table is
+            # unchanged (the next write to this sid overwrites the dir).
+            # The pipeline uses this to overlap encode with validation
+            # while keeping "invalid input commits nothing" airtight.
+            gate()
         live = self._snapshot(name, None)["files"] + new
         return self._commit(name, live, "append", df.schema.json())
 
@@ -233,8 +242,11 @@ class IcebergLite:
         partition_by: tuple[str, ...] = (),
         stats_cols: tuple[str, ...] = (),
         options: dict | None = None,
+        gate=None,
     ) -> int:
         new = self._write_data(name, df, partition_by, stats_cols, options)
+        if gate is not None:
+            gate()  # see append(): pre-commit barrier, orphan-safe
         return self._commit(name, new, "overwrite", df.schema.json())
 
     def overwrite_partitions(

@@ -352,3 +352,26 @@ def test_time_travel_by_timestamp(spark, cat):
     assert cat.snapshot_as_of("t", time.time()) == 2
     with pytest.raises(SnapshotNotFound):
         cat.snapshot_as_of("t", 0.0)
+
+
+def test_commit_gate_blocks_snapshot_on_raise(spark, cat):
+    """The write→gate→commit split: a raising gate leaves the data
+    files orphaned and the table state UNCHANGED (append and overwrite
+    alike); a later successful write reuses the sid cleanly."""
+    cat.append("t", _df(spark, [("a", 0, 1)]))
+
+    def boom():
+        raise RuntimeError("validation failed")
+
+    with pytest.raises(RuntimeError, match="validation failed"):
+        cat.append("t", _df(spark, [("b", 60, 2)]), gate=boom)
+    with pytest.raises(RuntimeError, match="validation failed"):
+        cat.overwrite("t", _df(spark, [("c", 120, 3)]), gate=boom)
+    assert cat.current_snapshot_id("t") == 1
+    assert [r["source"] for r in cat.read(spark, "t").collect()] == ["a"]
+    # gate that passes: commit proceeds, and the retried sid's data dir
+    # (written by the failed attempts) is safely overwritten
+    calls = []
+    sid = cat.append("t", _df(spark, [("d", 180, 4)]), gate=lambda: calls.append(1))
+    assert sid == 2 and calls == [1]
+    assert sorted(r["source"] for r in cat.read(spark, "t").collect()) == ["a", "d"]

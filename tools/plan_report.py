@@ -73,6 +73,40 @@ def main() -> None:
         ],
     ))
 
+    # 1b. fused pipeline head — one scan for validate + meta + tier 0
+    from pyreshaper_spark.operators.rollup import head_aggregate
+
+    head = head_aggregate(seq, 60)
+    p = plan_of(head)
+    rs = p.split("ReadSchema")[1].split("\n")[0] if "ReadSchema" in p else ""
+    id_scan = seq.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("doc_id").isNull().cast("long")).alias("null_ids"),
+        F.count_distinct(F.xxhash64("doc_id")).alias("n_hashes"),
+    )
+    p_id = plan_of(id_scan)
+    rs_id = (
+        p_id.split("ReadSchema")[1].split("\n")[0]
+        if "ReadSchema" in p_id else ""
+    )
+    sections.append((
+        "Fused pipeline head (validate + meta + tier-0, one scan)",
+        p + "\n\n-- doc_id uniqueness scan (concurrent thread) --\n" + p_id,
+        [
+            ("head ReadSchema identical to plain tier-0 (no tokens, "
+             "no doc_id — validation counters ride free)",
+             bool(rs) and "tokens" not in rs and "doc_id" not in rs
+             and "n_tok" in rs and "event_s" in rs),
+            ("single scan: exactly one parquet Scan node",
+             p.count("Scan parquet") // 2 == 1),
+            ("partial+final hash aggregate",
+             p.count("HashAggregate") >= 2),
+            ("uniqueness scan reads ONLY doc_id",
+             bool(rs_id) and "doc_id" in rs_id and "tokens" not in rs_id
+             and "source" not in rs_id and "n_tok" not in rs_id),
+        ],
+    ))
+
     # 2. gap-fill + LOCF
     filled = gapfill_locf(tier0, 60)
     p = plan_of(filled)

@@ -99,7 +99,9 @@ def run_once(
         "--conf", "spark.sql.shuffle.partitions="
         + str(max(execs * CORES_PER_EXEC * 2, 8)),
         "--conf", "spark.sql.adaptive.enabled=true",
-        "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=65536",
+        # 131072 measured faster than 65536 on the encode leg (fewer
+        # Arrow batch boundaries per chunk; same finding as bench.py)
+        "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=131072",
         "--conf",
         "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version=2",
         "--conf", "spark.sql.session.timeZone=UTC",
