@@ -428,6 +428,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_bucketcap"] = lambda s, d: dedup.verified_near_dups(
         _docs(s, d), max_bucket=50
     )
+    # incremental ingest-batch dedup against a committed signature
+    # index: signatures computed ONLY for the "new" 30% split, probed
+    # against the index of the other 70% ∪ themselves — O(new batch)
+    # per ingest, old×old never revisited. Must equal the from-scratch
+    # pair list restricted to new-involving pairs (the oracle runs the
+    # same split from scratch).
+    def _q_dedup_incr(s, d):
+        from pyreshaper_spark.functions.xhash import h32
+
+        docs = _docs(s, d)
+        is_new = F.pmod(h32(F.col("doc_id").cast("string")), F.lit(10)) < 3
+        index = dedup.signature_index(docs.filter(~is_new))
+        return dedup.incremental_candidates(docs.filter(is_new), index)
+
+    q["dedup_minhash_incr"] = _q_dedup_incr
     q["dedup_simhash"] = lambda s, d: dedup.simhash_pairs(_docs(s, d))
     q["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
         _docs(s, d)
@@ -1663,6 +1678,11 @@ FROM tier t JOIN meta m USING (source)
     o["dedup_minhash_lsh"] = dedup.minhash_lsh_sql()
     o["dedup_minhash_capped"] = dedup.minhash_lsh_sql(max_df=200)
     o["dedup_minhash_bucketcap"] = dedup.minhash_lsh_sql(max_bucket=50)
+    from pyreshaper_spark.functions.xhash import h32_sql as _h32s
+
+    o["dedup_minhash_incr"] = dedup.incremental_minhash_sql(
+        f"({_h32s('CAST(doc_id AS VARCHAR)')} % 10) < 3"
+    )
     o["dedup_simhash"] = dedup.simhash_sql()
     o["dedup_ngram_jaccard"] = dedup.ngram_jaccard_sql()
     o["dedup_ngram_capped"] = dedup.ngram_jaccard_sql(max_df=200)

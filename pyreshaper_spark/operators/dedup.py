@@ -114,6 +114,117 @@ def minhash_signatures(docs: DataFrame, max_df: int | None = None) -> DataFrame:
     return dw.groupBy("doc_id").agg(*aggs)
 
 
+def _banded(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) rows — each doc appears N_BANDS times."""
+    bands = []
+    for b in range(N_BANDS):
+        cols = [f"sig_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        bands.append(
+            sigs.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.concat_ws("_", *cols).alias("band_key"),
+            )
+        )
+    banded = bands[0]
+    for x in bands[1:]:
+        banded = banded.unionByName(x)
+    return banded
+
+
+def signature_index(docs: DataFrame, max_df: int | None = None) -> DataFrame:
+    """The committed dedup index for incremental ingestion: banded
+    MinHash rows (doc_id, band, band_key), 4 small rows per doc.
+
+    Persist this table alongside the corpus; each ingest batch then
+    dedups against the whole history at O(new batch) cost — see
+    :func:`incremental_candidates`."""
+    return _banded(minhash_signatures(docs, max_df))
+
+
+def incremental_candidates(
+    new_docs: DataFrame, index: DataFrame, max_df: int | None = None
+) -> DataFrame:
+    """Near-dup candidates for an ingest batch against a committed
+    signature index — the 100 TB ingestion flow: signatures are
+    computed ONLY for the new batch, the join probes new-batch band
+    rows against (index ∪ new), and old×old pairs are never revisited.
+    Work per batch is O(new docs) + the equi-join probe; the historical
+    corpus is touched only through its 4-rows-per-doc index.
+
+    Output ≡ ``lsh_candidate_pairs`` over (old ∪ new) restricted to
+    pairs involving ≥1 new doc — the incremental-equals-from-scratch
+    property, asserted in tests and by the driver oracle. Pairs are
+    (doc_a < doc_b) canonical; ``n_bands`` counts distinct agreeing
+    bands (a new×new pair is seen from both orientations, so a plain
+    count would double it).
+
+    ``max_df`` caps are batch-local by design (hot-shingle frequency is
+    computed within the batch, matching what an online ingester can
+    know); leave it None for exact from-scratch parity.
+    """
+    nb = signature_index(new_docs, max_df)
+    allb = index.unionByName(nb)
+    a, b = nb.alias("a"), allb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+            F.col("a.band").alias("band"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count_distinct("band").alias("n_bands"))
+    )
+
+
+def incremental_minhash_sql(new_pred: str) -> str:
+    """DuckDB twin of index-build + :func:`incremental_candidates` over
+    the ``documents`` view, with ``new_pred`` (SQL over ``doc_id``)
+    selecting the new batch. Mirrors the Spark shape exactly: probe
+    side restricted to new docs, distinct-band count per canonical
+    pair."""
+    h = h32_sql("word")
+    sig_cols = ",\n         ".join(
+        f"min({perm_sql(i, 'h')}) AS sig_{i}" for i in range(N_PERM)
+    )
+    band_rows = []
+    for b in range(N_BANDS):
+        cols = [f"sig_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        key = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_rows.append(f"SELECT doc_id, {b} AS band, {key} AS band_key FROM sigs")
+    banded = "\nUNION ALL\n".join(band_rows)
+    return f"""
+WITH dw AS (
+  SELECT DISTINCT doc_id, word
+  FROM (SELECT doc_id, unnest({WORDS_SQL}) AS word FROM documents)
+),
+dh AS (SELECT doc_id, {h} AS h FROM dw),
+sigs AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM dh GROUP BY doc_id
+),
+banded AS (
+{banded}
+),
+newb AS (SELECT * FROM banded WHERE {new_pred})
+SELECT least(a.doc_id, b.doc_id) AS doc_a,
+       greatest(a.doc_id, b.doc_id) AS doc_b,
+       count(DISTINCT a.band) AS n_bands
+FROM newb a
+JOIN banded b
+  ON a.band = b.band AND a.band_key = b.band_key
+ AND a.doc_id <> b.doc_id
+GROUP BY 1, 2
+"""
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, max_bucket: int | None = None
 ) -> DataFrame:
@@ -128,19 +239,7 @@ def lsh_candidate_pairs(
     corpus; giant buckets are exact-dup work, which ``exact_dup_groups``
     handles at O(B). Opt-in (changes recall semantics) with its own
     oracle query."""
-    bands = []
-    for b in range(N_BANDS):
-        cols = [f"sig_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-        bands.append(
-            sigs.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.concat_ws("_", *cols).alias("band_key"),
-            )
-        )
-    banded = bands[0]
-    for x in bands[1:]:
-        banded = banded.unionByName(x)
+    banded = _banded(sigs)
     if max_bucket is not None:
         # shared pre-join bucket cap (one window count on the same
         # (band, band_key) the join shuffles on — AQE coalesces the

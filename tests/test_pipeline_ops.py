@@ -9,7 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from pyreshaper_spark.operators import dedup, multimodal, similarity, text
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_SMOKE, rows_set
 
 
 @pytest.fixture(scope="module")
@@ -380,3 +380,32 @@ def test_read_tier_prunes_files_from_manifest(spark, tmp_path):
 
     # empty prune is a typed empty result, not an exception
     assert read_tier(spark, cat, "tier_x", sources=["zzz"]).count() == 0
+
+
+def test_incremental_minhash_equals_from_scratch(spark, docs):
+    """Ingest-batch dedup against a committed signature index must
+    equal the from-scratch candidate list restricted to pairs that
+    involve at least one new doc — including through a parquet
+    round-trip of the index (the committed-table flow)."""
+    import tempfile
+
+    from pyreshaper_spark.functions.xhash import h32
+
+    is_new = F.pmod(h32(F.col("doc_id").cast("string")), F.lit(10)) < 3
+    old, new = docs.filter(~is_new), docs.filter(is_new)
+    assert new.count() > 0 and old.count() > 0
+
+    with tempfile.TemporaryDirectory() as tmp:
+        dedup.signature_index(old).write.parquet(f"{tmp}/idx")
+        index = spark.read.parquet(f"{tmp}/idx")
+        got = rows_set(dedup.incremental_candidates(new, index))
+
+    full = dedup.lsh_candidate_pairs(dedup.minhash_signatures(docs))
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    want = {
+        t
+        for t in rows_set(full)
+        if t[0] in {str(i) for i in new_ids}
+        or t[1] in {str(i) for i in new_ids}
+    }
+    assert got == want and len(got) > 0
