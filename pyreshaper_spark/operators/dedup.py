@@ -183,35 +183,43 @@ def incremental_candidates(
     )
 
 
+def _sig_cols_sql() -> str:
+    """Shared signature-column SQL (single source of truth for the
+    permutation list — the Spark-side analog is minhash_signatures)."""
+    return ",\n         ".join(
+        f"min({perm_sql(i, 'h')}) AS sig_{i}" for i in range(N_PERM)
+    )
+
+
+def _band_rows_sql() -> str:
+    """Shared banding SQL over a ``sigs`` CTE (analog of _banded)."""
+    band_rows = []
+    for b in range(N_BANDS):
+        cols = [f"sig_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        key = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_rows.append(f"SELECT doc_id, {b} AS band, {key} AS band_key FROM sigs")
+    return "\nUNION ALL\n".join(band_rows)
+
+
 def incremental_minhash_sql(new_pred: str) -> str:
     """DuckDB twin of index-build + :func:`incremental_candidates` over
     the ``documents`` view, with ``new_pred`` (SQL over ``doc_id``)
     selecting the new batch. Mirrors the Spark shape exactly: probe
     side restricted to new docs, distinct-band count per canonical
     pair."""
-    h = h32_sql("word")
-    sig_cols = ",\n         ".join(
-        f"min({perm_sql(i, 'h')}) AS sig_{i}" for i in range(N_PERM)
-    )
-    band_rows = []
-    for b in range(N_BANDS):
-        cols = [f"sig_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-        key = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
-        band_rows.append(f"SELECT doc_id, {b} AS band, {key} AS band_key FROM sigs")
-    banded = "\nUNION ALL\n".join(band_rows)
     return f"""
 WITH dw AS (
   SELECT DISTINCT doc_id, word
   FROM (SELECT doc_id, unnest({WORDS_SQL}) AS word FROM documents)
 ),
-dh AS (SELECT doc_id, {h} AS h FROM dw),
+dh AS (SELECT doc_id, {h32_sql("word")} AS h FROM dw),
 sigs AS (
   SELECT doc_id,
-         {sig_cols}
+         {_sig_cols_sql()}
   FROM dh GROUP BY doc_id
 ),
 banded AS (
-{banded}
+{_band_rows_sql()}
 ),
 newb AS (SELECT * FROM banded WHERE {new_pred})
 SELECT least(a.doc_id, b.doc_id) AS doc_a,
@@ -334,15 +342,8 @@ dwf AS (SELECT dw.doc_id, dw.word FROM dw JOIN kept USING (word))"""
         if max_df is not None
         else ",\ndwf AS (SELECT * FROM dw)"
     )
-    sig_cols = ",\n         ".join(
-        f"min({perm_sql(i, 'h')}) AS sig_{i}" for i in range(N_PERM)
-    )
-    band_rows = []
-    for b in range(N_BANDS):
-        cols = [f"sig_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-        key = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
-        band_rows.append(f"SELECT doc_id, {b} AS band, {key} AS band_key FROM sigs")
-    banded = "\nUNION ALL\n".join(band_rows)
+    sig_cols = _sig_cols_sql()
+    banded = _band_rows_sql()
     bucket_guard = (
         f""",
 banded AS (

@@ -379,12 +379,21 @@ def _run_pipeline(
         with lock:
             ckpt.mark_chunks(chunks)
 
+    ENC_GROUP = f"pyreshaper-encode-{ckpt.attempt}"
+    IDS_GROUP = f"pyreshaper-validate-ids-{ckpt.attempt}"
     enc_thread: threading.Thread | None = None
     enc_err: list[BaseException] = []
     if cfg.overlap and stop_after is None:
 
         def _enc_bg():
             try:
+                # own job group so a validation abort can CANCEL the
+                # in-flight write instead of letting a daemon thread
+                # keep streaming into the next snapshot's data dir
+                # (where a same-process retry would collide)
+                spark.sparkContext.setJobGroup(
+                    ENC_GROUP, "encode (overlapped)", True
+                )
                 commit_step("encode", _encode)
             except BaseException as e:  # re-raised on join
                 enc_err.append(e)
@@ -395,21 +404,26 @@ def _run_pipeline(
         enc_thread.start()
 
     # ---- validation: fused head job + concurrent doc_id-only scan -----
-    # Runs while the encode stage computes. On ANY failure the event is
-    # still set (finally) so the encode thread's commit gate wakes up
-    # and aborts instead of blocking forever.
+    # Runs while the encode stage computes. On ANY failure: set the
+    # event (so the commit gate wakes up and aborts instead of blocking
+    # forever), cancel both background job groups, and JOIN the threads
+    # before propagating — a failed run must not leave orphan Spark
+    # jobs writing into snapshot directories a retry would reuse.
+    id_err: list[BaseException] = []
+
+    def _ids():
+        try:
+            spark.sparkContext.setJobGroup(
+                IDS_GROUP, "doc_id uniqueness scan", True
+            )
+            check_doc_ids(src)
+        except BaseException as e:  # re-raised below
+            id_err.append(e)
+
+    id_thread = InheritableThread(
+        target=_ids, name="validate-ids", daemon=True
+    )
     try:
-        id_err: list[BaseException] = []
-
-        def _ids():
-            try:
-                check_doc_ids(src)
-            except BaseException as e:  # re-raised below
-                id_err.append(e)
-
-        id_thread = InheritableThread(
-            target=_ids, name="validate-ids", daemon=True
-        )
         id_thread.start()
         bad = head.agg(F.sum("bad_rows")).collect()[0][0] or 0
         if bad:
@@ -419,6 +433,14 @@ def _run_pipeline(
             raise id_err[0]
     except BaseException as e:
         val_err.append(e)
+        validated.set()  # unblock the commit gate BEFORE joining
+        for group, th in ((IDS_GROUP, id_thread), (ENC_GROUP, enc_thread)):
+            try:
+                spark.sparkContext.cancelJobGroup(group)
+            except Exception:
+                pass  # cancellation is best-effort; join is the barrier
+            if th is not None and th.is_alive():
+                th.join()
         raise
     finally:
         validated.set()

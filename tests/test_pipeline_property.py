@@ -64,7 +64,7 @@ def _ladder(rng: random.Random) -> list[TierSpec]:
     return [TierSpec(f"w{w}", w) for w in widths]
 
 
-@pytest.mark.parametrize("seed", [11, 23, 37, 59])
+@pytest.mark.parametrize("seed", [11, 22, 37, 58])
 def test_random_tier_ladders_match_direct_aggregation(
     spark, tmp_path, seed
 ):
