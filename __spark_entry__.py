@@ -1123,6 +1123,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["seasonal_10m"] = _q_seasonal
 
+    # -- seasonal-naive forecast skill (MASE components) ---------------
+    # the sanity floor for any forecasting on the rolled-up series:
+    # predict each 10m bucket of the gap-filled (LOCF) series with the
+    # same bucket one day earlier; exact-integer error sums vs the
+    # one-bucket naive. Runs on the FILLED series (every bucket exists,
+    # so the season ancestor always exists past day one) — on the
+    # sparse tier the fixture's hashed event lattice leaves no exact
+    # day-back ancestors and the readout is vacuous.
+    def _q_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.gapfill import snaive_eval
+
+        tier = _tiers(spark, sf_dir, variant="gappy")[600]
+        filled = gapfill_locf(tier, 600).select(
+            "source", "bucket_s",
+            F.col("sum_n_tok_locf").cast("long").alias("sum_n_tok_locf"),
+        )
+        return snaive_eval(
+            filled, 600, season_buckets=144, value_col="sum_n_tok_locf"
+        )
+
+    q["snaive_10m"] = _q_snaive
+
     # -- mergeable HLL sketch cascade (production NDV path) -----------
     # Estimates are Datasketches-specific → rows-only driver check; the
     # cascade≡direct-sketch identity and error bounds live in pytest.
@@ -1839,6 +1861,21 @@ FROM sequences GROUP BY 1
         f"tier AS (SELECT source, bucket_s, sum_n_tok "
         f"FROM ({_TIER_AGG.format(w=600)}))\n"
         + anomaly_zflag_sql("tier", k=6, z_num=2, z_den=1)
+    )
+    from pyreshaper_spark.operators.gapfill import snaive_eval_sql
+
+    _LOCF_CTE = """, locf AS (
+SELECT source, bucket_s,
+       CAST(last_value(sum_n_tok IGNORE NULLS) OVER (
+         PARTITION BY source ORDER BY bucket_s
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS sum_n_tok_locf
+FROM filled
+)
+"""
+    o["snaive_10m"] = (
+        _GAPFILL_CTES + _LOCF_CTE
+        + snaive_eval_sql("locf", 600, 144, value_col="sum_n_tok_locf")
     )
     o["seasonal_10m"] = (
         _GAPFILL_CTES

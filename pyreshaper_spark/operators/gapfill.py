@@ -562,6 +562,83 @@ LEFT JOIN {relation} p
 """
 
 
+def snaive_eval(
+    tier: DataFrame, width_s: int, season_buckets: int,
+    value_col: str = "sum_n_tok",
+) -> DataFrame:
+    """Seasonal-naive forecast-skill readout per source — the standard
+    sanity floor for any forecasting on the rolled-up series: predict
+    each bucket with the value one season earlier, and report the
+    exact-integer MASE components against the one-bucket naive:
+
+        MASE = (abs_err_sum / n_eval) / (naive1_err_sum / n_naive1)
+
+    (left to the consumer so no float leaves the engine). Both
+    comparison points are bucket-keyed self-joins (gaps must not shift
+    them — same rule as :func:`seasonal_diff`), equi-joins on the
+    tier's own keys, one source-keyed aggregate. Buckets without the
+    required ancestor are excluded identically in both engines.
+    """
+    v = F.col(value_col).cast("long")
+
+    def shifted(off_buckets: int, alias: str) -> DataFrame:
+        return tier.select(
+            "source",
+            (F.col("bucket_s") + off_buckets * width_s)
+            .cast("long").alias("bucket_s"),
+            v.alias(alias),
+        )
+
+    cur = tier.select(
+        "source", F.col("bucket_s").cast("long").alias("bucket_s"),
+        v.alias("actual"),
+    )
+    season = cur.join(shifted(season_buckets, "pred"), ["source", "bucket_s"])
+    naive1 = cur.join(shifted(1, "prev1"), ["source", "bucket_s"])
+    s = season.groupBy("source").agg(
+        F.count("*").alias("n_eval"),
+        F.sum(F.abs(F.col("actual") - F.col("pred"))).alias("abs_err_sum"),
+        F.max(F.abs(F.col("actual") - F.col("pred"))).alias("abs_err_max"),
+    )
+    n1 = naive1.groupBy("source").agg(
+        F.count("*").alias("n_naive1"),
+        F.sum(F.abs(F.col("actual") - F.col("prev1"))).alias("naive1_err_sum"),
+    )
+    return s.join(n1, "source")
+
+
+def snaive_eval_sql(
+    relation: str, width_s: int, season_buckets: int,
+    value_col: str = "sum_n_tok",
+) -> str:
+    """DuckDB twin of :func:`snaive_eval` over a named tier relation."""
+    return f"""
+SELECT s.source, s.n_eval, s.abs_err_sum, s.abs_err_max,
+       n.n_naive1, n.naive1_err_sum
+FROM (
+  SELECT c.source, count(*) AS n_eval,
+         CAST(sum(abs(c.{value_col} - p.{value_col})) AS BIGINT)
+           AS abs_err_sum,
+         CAST(max(abs(c.{value_col} - p.{value_col})) AS BIGINT)
+           AS abs_err_max
+  FROM {relation} c
+  JOIN {relation} p
+    ON c.source = p.source
+   AND c.bucket_s = p.bucket_s + {season_buckets * width_s}
+  GROUP BY 1
+) s
+JOIN (
+  SELECT c.source, count(*) AS n_naive1,
+         CAST(sum(abs(c.{value_col} - p.{value_col})) AS BIGINT)
+           AS naive1_err_sum
+  FROM {relation} c
+  JOIN {relation} p
+    ON c.source = p.source AND c.bucket_s = p.bucket_s + {width_s}
+  GROUP BY 1
+) n USING (source)
+"""
+
+
 # --------------------------------------------------------------------------
 # Exponential smoothing — exact binary-weight EWMA over the last k buckets
 # --------------------------------------------------------------------------

@@ -284,3 +284,19 @@ def test_uptime_islands_property(spark):
         assert covered == {600 * b for b in buckets}
 
     check()
+
+
+def test_snaive_eval_hand_computed(spark):
+    """Forecast-skill components on a 4-bucket, season=2 series:
+    actual [10, 13, 11, 20] → season preds for b2,b3 = [10, 13]
+    (|err| 1, 7); naive-1 preds for b1..b3 = [10, 13, 11]
+    (|err| 3, 2, 9)."""
+    from pyreshaper_spark.operators.gapfill import snaive_eval
+
+    tier = spark.createDataFrame(
+        [("s", 0, 10), ("s", 60, 13), ("s", 120, 11), ("s", 180, 20)],
+        "source string, bucket_s long, sum_n_tok long",
+    )
+    r = snaive_eval(tier, 60, season_buckets=2).collect()[0]
+    assert (r["n_eval"], r["abs_err_sum"], r["abs_err_max"]) == (2, 8, 7)
+    assert (r["n_naive1"], r["naive1_err_sum"]) == (3, 14)
