@@ -198,6 +198,31 @@ def main() -> None:
         ],
     ))
 
+    # 5b. incremental ingest-batch dedup — the probe must be an
+    # equi-join on (band, band_key): the historical corpus is touched
+    # only through its 4-rows-per-doc index, never via a cross join
+    from pyreshaper_spark.operators.dedup import (
+        incremental_candidates,
+        signature_index,
+    )
+
+    idx = signature_index(docs.limit(300))
+    p_incr = plan_of(incremental_candidates(docs.limit(100), idx))
+    sections.append((
+        "Incremental dedup (ingest batch vs committed index)",
+        p_incr[:2600],
+        [
+            ("no cartesian / nested-loop join", no_cartesian(p_incr)),
+            ("probe is an equi-join on the band bucket key",
+             "band_key" in p_incr
+             and ("SortMergeJoin [band" in p_incr
+                  or "BroadcastHashJoin [band" in p_incr
+                  or ("HashJoin" in p_incr and "band" in p_incr))),
+            ("canonical pair aggregate (distinct-band count)",
+             "doc_a" in p_incr and "doc_b" in p_incr),
+        ],
+    ))
+
     # 6. bucket-capped LSH + tier analytics (round-2 additions)
     from pyreshaper_spark.operators.gapfill import rate_delta
     from pyreshaper_spark.operators.rollup import bucket_percentiles
