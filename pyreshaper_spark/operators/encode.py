@@ -86,28 +86,50 @@ def pack_tokens_u16(tokens: np.ndarray) -> bytes:
     return tokens.astype("<u2").tobytes()
 
 
-def unpack_tokens_u16(payload: bytes) -> np.ndarray:
-    return np.frombuffer(payload, dtype="<u2").astype(np.int32)
-
-
-#: token-payload codec flags (first byte of tok_payload)
+#: token-payload codec flags (first byte of tok_payload):
+#: bit 0 = zlib-deflated, bit 1 = 32-bit element width. Token ids are
+#: array<int32> in the input contract, so vocabularies beyond 65,535
+#: (any modern BPE tokenizer) MUST be representable: streams whose ids
+#: all fit in 16 bits pack at half width (the common fixture/legacy
+#: case), wider streams pack as u32 — chosen per chunk, flagged here.
 _TOK_RAW, _TOK_ZLIB = b"\x00", b"\x01"
+_TOK_RAW32, _TOK_ZLIB32 = b"\x02", b"\x03"
 
 
-def wrap_tok_payload(raw_u16: bytes) -> bytes:
+def wrap_tok_payload(raw: bytes, width: int = 2) -> bytes:
     """Flag-byte token payload: zlib-deflate when it actually helps
     (token streams over natural text repeat heavily; random-id streams
-    don't — the flag keeps the worst case at +1 byte)."""
-    z = zlib.compress(raw_u16, 6)
-    if len(z) < len(raw_u16):
-        return _TOK_ZLIB + z
-    return _TOK_RAW + raw_u16
+    don't — the flag keeps the worst case at +1 byte). ``width`` is the
+    element width of ``raw`` (2 or 4 bytes per token id)."""
+    raw_flag = _TOK_RAW if width == 2 else _TOK_RAW32
+    zl_flag = _TOK_ZLIB if width == 2 else _TOK_ZLIB32
+    z = zlib.compress(raw, 6)
+    if len(z) < len(raw):
+        return zl_flag + z
+    return raw_flag + raw
 
 
-def unwrap_tok_payload(payload: bytes) -> bytes:
-    if payload[:1] == _TOK_ZLIB:
-        return zlib.decompress(payload[1:])
-    return payload[1:]
+def unwrap_tok_payload(payload: bytes) -> tuple[bytes, int]:
+    """Inverse of :func:`wrap_tok_payload` → (raw bytes, element width)."""
+    flag = payload[0]
+    raw = zlib.decompress(payload[1:]) if flag & 1 else payload[1:]
+    return raw, (4 if flag & 2 else 2)
+
+
+def unpack_tokens(payload: bytes) -> np.ndarray:
+    """Wrapped token payload → int32 id stream (width from the flag)."""
+    raw, width = unwrap_tok_payload(payload)
+    return np.frombuffer(raw, dtype=f"<u{width}").astype(np.int32)
+
+
+def _tok_width(flat: np.ndarray) -> int:
+    """Per-batch packing width for an id stream: 2 when every id fits
+    u16, else 4. Negative ids are a contract violation either way."""
+    if flat.size == 0:
+        return 2
+    if int(flat.min()) < 0:
+        raise ValueError("negative token id")
+    return 2 if int(flat.max()) <= 0xFFFF else 4
 
 
 def _pack_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -120,8 +142,7 @@ def _pack_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     for b in it:
         tok = b.column("tokens")
         flat = tok.flatten().to_numpy(zero_copy_only=False)
-        if flat.size and (flat.min() < 0 or flat.max() > 0xFFFF):
-            raise ValueError("token id out of uint16 range")
+        width = _tok_width(flat)
         lens = pc.list_value_length(tok).to_numpy(zero_copy_only=False)
         # deferred input contract (validate_input(token_sizes="defer")):
         # tokens are in memory here anyway — enforce n_tok == len(tokens)
@@ -135,8 +156,8 @@ def _pack_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
                     "(null tokens count as a mismatch)"
                 )
         off = np.zeros(len(lens) + 1, dtype=np.int32)
-        np.cumsum(lens * 2, out=off[1:])
-        data = flat.astype("<u2").tobytes()
+        np.cumsum(lens * width, out=off[1:])
+        data = flat.astype(f"<u{width}").tobytes()
         binarr = pa.BinaryArray.from_buffers(
             pa.binary(), len(lens), [None, pa.py_buffer(off), pa.py_buffer(data)]
         )
@@ -148,17 +169,23 @@ def _pack_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
             else:
                 cols.append(b.column(name))
                 names.append(name)
+        # per-row element width: the shuffle interleaves rows packed by
+        # different upstream batches, so the width must ride each row
+        cols.append(pa.array(np.full(len(lens), width, dtype=np.int8)))
+        names.append("tok_w")
         yield pa.RecordBatch.from_arrays(cols, names=names)
 
 
 def pack_series_payload(seq: DataFrame) -> DataFrame:
-    """tokens → tok_bin for the encode path (see _pack_batches)."""
+    """tokens → tok_bin (+ per-row tok_w width) for the encode path
+    (see _pack_batches)."""
     fields = []
     for f in seq.schema.fields:
         if f.name == "tokens":
             fields.append("tok_bin binary")
         else:
             fields.append(f"{f.name} {f.dataType.simpleString()}")
+    fields.append("tok_w tinyint")
     return seq.mapInArrow(_pack_batches, ", ".join(fields))
 
 
@@ -182,8 +209,8 @@ class _GroupBuf:
     """Accumulates one (source, salt) run that may span record batches."""
 
     __slots__ = (
-        "source", "salt", "ts", "vals", "toks", "docs", "files", "n",
-        "tok_bytes",
+        "source", "salt", "ts", "vals", "toks", "tok_widths", "docs",
+        "files", "n", "tok_bytes",
     )
 
     def __init__(self, source: str, salt: int):
@@ -193,25 +220,40 @@ class _GroupBuf:
         self.ts: list[np.ndarray] = []
         self.vals: list[np.ndarray] = []
         self.toks: list[np.ndarray] = []
+        self.tok_widths: list[int] = []  # element width per segment
         self.docs: list[pa.Array] = []
         self.files: set[str] = set()
 
     def encode(self, partition_id: int) -> dict:
         t0 = time.perf_counter()
         ts = np.concatenate(self.ts)
-        vals = np.concatenate(self.vals).astype(np.float64)
+        vals_i = np.concatenate(self.vals)
+        vals = vals_i.astype(np.float64)
         enc = G.encode_series(ts, vals)
-        # self.toks holds raw u16-LE byte segments (either pre-packed
-        # tok_bin slices or list<int> runs packed at append time)
-        tok_payload = wrap_tok_payload(
-            np.concatenate(self.toks).tobytes() if self.toks else b""
-        )
+        # self.toks holds raw LE byte segments (pre-packed tok_bin
+        # slices or list<int> runs packed at append time), each with an
+        # element width in tok_widths. A chunk's payload is single-width
+        # (flagged): all-u16 stays u16, otherwise u16 segments are
+        # upconverted to the u32 stream — per chunk, so one big-vocab
+        # source never widens the rest of the corpus.
+        if any(w == 4 for w in self.tok_widths):
+            width = 4
+            parts = [
+                seg if w == 4 else
+                np.frombuffer(seg.tobytes(), "<u2").astype("<u4").view(np.uint8)
+                for seg, w in zip(self.toks, self.tok_widths)
+            ]
+            raw = np.concatenate(parts).tobytes() if parts else b""
+        else:
+            width = 2
+            raw = np.concatenate(self.toks).tobytes() if self.toks else b""
+        tok_payload = wrap_tok_payload(raw, width)
         docs = pa.concat_arrays([a.cast(pa.string()) for a in self.docs])
         # raw side of the ratio = pre-compression bytes: int64 ts + f64
-        # vals + the original int32 tokens (tok_bytes counts the u16
-        # packing, ×2 restores the source width) — NOT the wrapped
-        # payload, which would shrink "raw" whenever zlib engages
-        raw_bytes = int(ts.nbytes + vals.nbytes + self.tok_bytes * 2)
+        # vals + the original int32 tokens (4 bytes × token count,
+        # independent of the packed width) — NOT the wrapped payload,
+        # which would shrink "raw" whenever zlib engages
+        raw_bytes = int(ts.nbytes + vals.nbytes + int(vals_i.sum()) * 4)
         enc_bytes = int(
             len(enc.ts_payload) + len(enc.val_payload) + len(tok_payload) + 24
         )
@@ -226,7 +268,7 @@ class _GroupBuf:
             "wall_ms": (time.perf_counter() - t0) * 1e3,
             "partition_id": partition_id,
             "files": sorted(self.files),
-            "n_tok_per_doc": np.concatenate(self.vals).astype(np.int32),
+            "n_tok_per_doc": vals_i.astype(np.int32),
         }
 
 
@@ -303,12 +345,17 @@ def _encode_partition(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
                 tb.offset : tb.offset + len(tb) + 1
             ].astype(np.int64)
             tdata = np.frombuffer(bufs[2], np.uint8)
+            # per-row element width: post-shuffle batches interleave
+            # rows packed by different upstream batches
+            if b.schema.get_field_index("tok_w") >= 0:
+                tokw = b.column("tok_w").to_numpy(zero_copy_only=False)
+            else:  # legacy pre-packed input without widths: all u16
+                tokw = np.full(len(tb), 2, dtype=np.int8)
         else:
             tok_col = b.column("tokens")
             flat = tok_col.flatten().to_numpy(zero_copy_only=False)
-            if flat.size and (flat.min() < 0 or flat.max() > 0xFFFF):
-                raise ValueError("token id out of uint16 range")
-            tdata = flat.astype("<u2").view(np.uint8)
+            width = _tok_width(flat)
+            tdata = flat.astype(f"<u{width}").view(np.uint8)
             lens = pc.list_value_length(tok_col).to_numpy(zero_copy_only=False)
             # deferred input contract (see _pack_batches): unpacked path
             bad = int((lens != ntok).sum())
@@ -317,7 +364,8 @@ def _encode_partition(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
                     f"{bad} rows violate n_tok == size(tokens)"
                 )
             toff = np.zeros(len(lens) + 1, dtype=np.int64)
-            np.cumsum(lens * 2, out=toff[1:])
+            np.cumsum(lens * width, out=toff[1:])
+            tokw = np.full(len(lens), width, dtype=np.int8)
         doc_col = b.column("doc_id")
         has_files = b.schema.get_field_index("input_file") >= 0
         file_col = b.column("input_file") if has_files else None
@@ -344,7 +392,14 @@ def _encode_partition(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
                 take = m - s
                 buf.ts.append(ev[s:m].astype(np.int64, copy=False))
                 buf.vals.append(ntok[s:m])
-                buf.toks.append(tdata[toff[s] : toff[m]])
+                # split [s, m) into constant-width runs (all-u16 data is
+                # one run — the loop body runs once); byte slicing uses
+                # the binary array's own offsets, width-agnostic
+                w_change = np.flatnonzero(tokw[s + 1 : m] != tokw[s : m - 1])
+                bounds = np.concatenate(([s], w_change + s + 1, [m]))
+                for a, z in zip(bounds[:-1], bounds[1:]):
+                    buf.toks.append(tdata[toff[a] : toff[z]])
+                    buf.tok_widths.append(int(tokw[a]))
                 buf.docs.append(doc_col.slice(s, take))
                 if has_files:
                     # per-slice attribution: only files feeding THIS
@@ -376,6 +431,8 @@ def encode_series_table(series: DataFrame) -> DataFrame:
     """
     tok_col = "tok_bin" if "tok_bin" in series.columns else "tokens"
     cols = ["source", "salt", "event_s", "n_tok", "doc_id", tok_col]
+    if tok_col == "tok_bin" and "tok_w" in series.columns:
+        cols.append("tok_w")
     if "input_file" in series.columns:
         cols.append("input_file")
     return series.select(*cols).mapInArrow(_encode_partition, ENCODED_SCHEMA)
@@ -401,7 +458,7 @@ def _decode_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
             n = int(n_col[i])
             ts = G.decode_timestamps(n, int(first_ts[i]), ts_pay[i].as_py())
             vals = G.decode_values(n, int(fvb[i]), val_pay[i].as_py())
-            toks = unpack_tokens_u16(unwrap_tok_payload(tok_pay[i].as_py()))
+            toks = unpack_tokens(tok_pay[i].as_py())
             ntk = (
                 doc_ntoks_col.slice(i, 1)
                 .flatten()

@@ -152,3 +152,91 @@ def test_chunk_cap_splits_large_groups(spark):
     dec = decode_series_table(enc)
     assert dec.count() == n
     assert dec.agg(F.sum("event_s")).collect()[0][0] == n * (n - 1) // 2
+
+
+def _wide_input(spark, n=40):
+    """Rows mixing u16-range and wide (BPE-vocab / int32-max) token ids
+    within ONE source — the same chunk must carry both."""
+    rows = [
+        (
+            f"w{i}",
+            [i, 70_000 + i, 2**31 - 1 - i] if i % 2 else [i, i + 1, i + 2],
+            3,
+            "wide_src",
+            1_600_000_000 + i * 60,
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "doc_id string, tokens array<int>, n_tok int, source string, "
+        "event_s long",
+    )
+
+
+@pytest.mark.parametrize("pack", [True, False])
+def test_wide_vocab_tokens_roundtrip(spark, pack):
+    """Token ids beyond uint16 (any modern tokenizer's vocabulary, up
+    to int32 max) must round-trip bit-exactly — the chunk payload
+    upgrades to the 32-bit stream instead of rejecting the corpus."""
+    seq = _wide_input(spark)
+    dec = decode_series_table(
+        encode_series_table(
+            transpose_to_series(seq, nsalt=2, num_partitions=2, pack=pack)
+        )
+    )
+    j = seq.alias("a").join(dec.alias("b"), "doc_id", "full_outer")
+    bad = j.filter(
+        F.col("a.tokens").isNull()
+        | F.col("b.tokens").isNull()
+        | (F.col("a.tokens") != F.col("b.tokens"))
+        | (F.col("a.event_s") != F.col("b.event_s"))
+    )
+    assert bad.count() == 0
+
+
+def test_mixed_width_batches_roundtrip(spark):
+    """Force tiny Arrow batches so the pre-shuffle pack emits BOTH u16
+    and u32 rows for one (source, salt) — the chunk assembler must
+    splice mixed-width runs into a single flagged payload."""
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        seq = _wide_input(spark)
+        series = transpose_to_series(seq, nsalt=1, num_partitions=1, pack=True)
+        enc = encode_series_table(series).cache()
+        flags = {r["tok_payload"][0] for r in enc.collect()}
+        assert flags & {2, 3}, f"expected a 32-bit payload flag, got {flags}"
+        dec = decode_series_table(enc)
+        got = {
+            (r["doc_id"], tuple(r["tokens"])) for r in dec.collect()
+        }
+        want = {
+            (r["doc_id"], tuple(r["tokens"])) for r in seq.collect()
+        }
+        assert got == want
+        enc.unpersist()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_small_vocab_stays_u16(spark, seq):
+    """Fixture-scale ids must keep the half-width payload (flag 0/1) —
+    the wide path is pay-for-what-you-use."""
+    enc = encode_series_table(
+        transpose_to_series(seq, nsalt=2, num_partitions=4, pack=True)
+    )
+    flags = {r["tok_payload"][0] for r in enc.select("tok_payload").collect()}
+    assert flags <= {0, 1}, flags
+
+
+def test_negative_token_rejected(spark):
+    seq = _wide_input(spark).withColumn(
+        "tokens", F.array(F.lit(-1), F.lit(2), F.lit(3))
+    )
+    for pack in (True, False):
+        enc = encode_series_table(
+            transpose_to_series(seq, nsalt=1, num_partitions=1, pack=pack)
+        )
+        with pytest.raises(Exception, match="negative token id"):
+            enc.count()
