@@ -1145,6 +1145,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["snaive_10m"] = _q_snaive
 
+    # -- tier routing: serve a 30m chart from the 10m tier ------------
+    # pick_tier routes the request to the coarsest dividing tier (600),
+    # rollup_cascade re-aggregates — exact by associativity, so the
+    # oracle is the DIRECT 30m rollup from raw.
+    def _q_read30(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.rollup import (
+            pick_tier,
+            rollup_cascade,
+        )
+
+        w = pick_tier(TIER_WIDTHS, 1800)
+        assert w == 600
+        return _norm_tier(rollup_cascade(_tiers(spark, sf_dir)[w], 1800))
+
+    q["rollup_read_30m"] = _q_read30
+
+    # -- real-time continuous aggregate --------------------------------
+    # Materialize up to a deliberately NON-hour-aligned high-water mark,
+    # merge the raw tail on the fly (rollup.realtime_merge) — the bucket
+    # straddling the mark carries partial aggregates from BOTH legs, and
+    # the result must equal the plain 1h rollup of the whole input
+    # (which is the oracle). The catalog-integrated face (pending-file
+    # tail from encode lineage) is sql.read_rollup, tested in pytest.
+    def _q_realtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.config import EPOCH0
+        from pyreshaper_spark.operators.rollup import (
+            realtime_merge,
+            rollup_tier0,
+        )
+
+        hw = EPOCH0 + 5 * 86400 + 1800
+        seq = _seq(spark, sf_dir)
+        mat = rollup_tier0(seq.filter(F.col("event_s") < hw), 3600)
+        return _norm_tier(
+            realtime_merge(mat, seq.filter(F.col("event_s") >= hw), 3600)
+        )
+
+    q["realtime_1h"] = _q_realtime
+
     # -- mergeable HLL sketch cascade (production NDV path) -----------
     # Estimates are Datasketches-specific → rows-only driver check; the
     # cascade≡direct-sketch identity and error bounds live in pytest.
@@ -1876,6 +1915,15 @@ FROM filled
     o["snaive_10m"] = (
         _GAPFILL_CTES + _LOCF_CTE
         + snaive_eval_sql("locf", 600, 144, value_col="sum_n_tok_locf")
+    )
+    # tier routing / real-time merge are exact re-groupings of the same
+    # raw rows, so both oracles are the DIRECT rollup at the requested
+    # width — the Spark side takes the routed / split-and-merged path.
+    o["rollup_read_30m"] = (
+        f"WITH {seq_cte('base')}\n{_TIER_AGG.format(w=1800)}"
+    )
+    o["realtime_1h"] = (
+        f"WITH {seq_cte('base')}\n{_TIER_AGG.format(w=3600)}"
     )
     o["seasonal_10m"] = (
         _GAPFILL_CTES

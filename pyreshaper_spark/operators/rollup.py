@@ -160,6 +160,52 @@ def apply_retention(
     )
 
 
+def pick_tier(widths: list[int], requested_s: int) -> int:
+    """Tier routing: the coarsest materialized tier whose width divides
+    the requested bucket width.
+
+    Reading that tier and re-aggregating (:func:`rollup_cascade`) is
+    exact by associativity and touches the fewest rows — the
+    dashboard-query planner's tier selection (a 45-minute chart reads
+    the 1m tier only if no 5m/15m tier exists). Raises if no tier
+    divides the request: silently falling back to raw would turn a
+    O(buckets) read into a 10^12-row scan.
+    """
+    fits = [w for w in widths if w <= requested_s and requested_s % w == 0]
+    if not fits:
+        raise ValueError(
+            f"no materialized tier divides requested width {requested_s}s "
+            f"(tiers: {sorted(widths)}); aggregate from raw explicitly"
+        )
+    return max(fits)
+
+
+def realtime_merge(
+    materialized: DataFrame, tail: DataFrame, width_s: int
+) -> DataFrame:
+    """Real-time continuous aggregate: committed tier rows ∪ a tier-0
+    aggregate of the not-yet-materialized raw tail.
+
+    The TimescaleDB real-time-aggregate shape: queries see fresh data
+    without waiting for the next materialization cycle. Exact by
+    associativity — the bucket straddling the materialization
+    high-water mark carries partial aggregates from BOTH legs and the
+    merge re-combines them; the result is bit-identical to a
+    from-scratch rollup of (materialized's input ∪ tail).
+
+    Scale shape: ``materialized`` is O(buckets); the tail aggregate is
+    a partial+final hash agg over only the new rows; the merge is one
+    re-aggregation of their union. Per query cost O(new data) +
+    O(buckets), never a raw-history rescan.
+    """
+    cols = ["source", "bucket_s", *AGG_COLS]
+    fresh = rollup_tier0(tail, width_s)
+    return rollup_cascade(
+        materialized.select(*cols).unionByName(fresh.select(*cols)),
+        width_s,
+    )
+
+
 def bucket_percentiles(seq: DataFrame, width_s: int) -> DataFrame:
     """Exact p25/p50/p75 of ``n_tok`` per (source, bucket) — the
     latency-style distribution rollup monitoring stacks keep next to

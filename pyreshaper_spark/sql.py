@@ -42,6 +42,78 @@ def register_views(
     return names
 
 
+def read_rollup(
+    spark: SparkSession,
+    cfg: RunConfig,
+    width_s: int,
+    sources: list[str] | None = None,
+    t_min: int | None = None,
+    t_max: int | None = None,
+    realtime: bool = False,
+):
+    """Tier-routed rollup read — the query-planner face of the cascade.
+
+    Picks the coarsest committed tier whose width divides ``width_s``
+    (:func:`operators.rollup.pick_tier`), reads it pruned
+    (:func:`read_tier` — manifest partition/stats pruning), and
+    re-aggregates to the requested width (exact by associativity). A
+    45-minute chart over a 1m/5m/1h ladder reads the 5m tier, never
+    raw.
+
+    ``realtime=True`` is the TimescaleDB real-time-continuous-aggregate
+    analog: rows of the raw input not yet ingested (files absent from
+    the encode lineage's ``input_files`` — the same pending-file set an
+    append cycle would process) are aggregated on the fly and merged
+    into the materialized read, so queries see data that arrived after
+    the last pipeline run without rescanning history. Cost is
+    O(buckets) + O(new rows). Caveats: the materialized leg reflects
+    any retention pruning already applied (pass ``t_min`` inside the
+    retention window), and the pending-file list is broadcast —
+    O(input files), the same bound the append cycle accepts.
+
+    ``t_min``/``t_max`` must be ``width_s``-aligned so tier-bucket
+    pruning and output buckets agree.
+    """
+    from pyspark.sql import functions as F
+
+    from pyreshaper_spark.operators.rollup import (
+        pick_tier,
+        realtime_merge,
+        rollup_cascade,
+    )
+
+    for b in (t_min, t_max):
+        if b is not None and b % width_s:
+            raise ValueError(f"t_min/t_max must be multiples of {width_s}")
+    cat = IcebergLite(cfg.output_path)
+    names = {t.width_s: t.name for t in cfg.tiers}
+    w = pick_tier(list(names), width_s)
+    mat = rollup_cascade(
+        read_tier(spark, cat, f"tier_{names[w]}", sources, t_min, t_max),
+        width_s,
+    )
+    if not realtime:
+        return mat
+
+    from pyreshaper_spark.plans.pipeline import _load_input
+
+    seq = _load_input(spark, cfg)
+    if cat.exists("series_enc"):
+        done = (
+            cat.read(spark, "series_enc")
+            .select(F.explode("input_files").alias("input_file"))
+            .distinct()
+        )
+        seq = seq.join(F.broadcast(done), "input_file", "left_anti")
+    if sources is not None:
+        seq = seq.filter(F.col("source").isin(list(sources)))
+    if t_min is not None:
+        seq = seq.filter(F.col("event_s") >= t_min)
+    if t_max is not None:
+        seq = seq.filter(F.col("event_s") < t_max)
+    return realtime_merge(mat, seq, width_s)
+
+
 def read_tier(
     spark: SparkSession,
     cat: IcebergLite,
