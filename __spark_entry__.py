@@ -1016,6 +1016,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # Gopher-style duplicate-trigram repetition needs token ORDER
     q["doc_rep3"] = lambda s, d: VB.doc_ngram_repetition(_md_seq(s, d), n=3)
+    # bigram-LM fluency proxy (exact-integer bitlen log-probs)
+    q["doc_lm_score"] = lambda s, d: VB.doc_lm_score(_md_seq(s, d))
+    # Gopher top-2-gram dominance (zero-shuffle sorted-run scan)
+    q["doc_top2gram"] = lambda s, d: VB.top_bigram_share(_md_seq(s, d))
 
     # PromQL increase with counter-reset correction over the 10m tier
     def _q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1969,6 +1973,15 @@ FROM filled
     o["token_gini_1h"] = f"WITH {token_cte()}\n" + token_gini_sql(3600)
     o["doc_rep3"] = (
         f"WITH {seqs_cte(_V)}" + doc_ngram_repetition_sql(3, _V)
+    )
+    from pyreshaper_spark.operators.vocab import (
+        doc_lm_score_sql,
+        top_bigram_share_sql,
+    )
+
+    o["doc_lm_score"] = f"WITH {seqs_cte(_V)}," + doc_lm_score_sql(_V)
+    o["doc_top2gram"] = (
+        f"WITH {seqs_cte(_V)}," + top_bigram_share_sql(_V)
     )
     o["rate_resets_10m"] = (
         f"WITH {seq_cte('base')},\n"

@@ -459,6 +459,160 @@ GROUP BY 1
 """
 
 
+def doc_lm_score(seq: DataFrame, vocab_size: int = VOCAB_SIZE) -> DataFrame:
+    """Bigram-LM fluency score per doc — the KenLM-style quality filter
+    of training-data pipelines, kept EXACT-integer so both engines hash
+    identically: instead of float log-probabilities, each bigram
+    contributes ``bitlen(corpus count)`` (= ``floor(log2 c) + 1``,
+    computed as ``length(bin(c))`` in both Spark and DuckDB).
+
+    Output (doc_id, n_bg, sum_bits, min_c, avg_mbits): ``sum_bits`` is
+    the integer log-likelihood proxy, ``avg_mbits`` its per-bigram mean
+    in millibits (``sum_bits*1000 div n_bg``), ``min_c`` the rarest
+    bigram's corpus count (a doc whose every bigram is common scores
+    high; mojibake and shuffled text score low). Docs with fewer than
+    two tokens contribute no bigrams and are absent.
+
+    Scale shape: the count table is a partial+final hash agg bounded by
+    distinct bigram TYPES (never corpus size — each input partition
+    collapses map-side); the join back onto the doc stream is a plain
+    equi-join on the packed ``t1·V + t2`` BIGINT key (the count table
+    can approach V² rows, too big to assume broadcastable); the final
+    per-doc agg groups doc-local rows.
+    """
+    toks = F.col("tokens")
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    bg = F.transform(
+        idx,
+        lambda i: F.element_at(toks, i).cast("long") * vocab_size
+        + F.element_at(toks, i + 1).cast("long"),
+    )
+    stream = seq.select("doc_id", F.explode(bg).alias("bg"))
+    counts = stream.groupBy("bg").agg(F.count("*").alias("c_xy"))
+    return (
+        stream.join(counts, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bg"),
+            F.sum(F.length(F.bin("c_xy"))).cast("long").alias("sum_bits"),
+            F.min("c_xy").cast("long").alias("min_c"),
+        )
+        .withColumn("avg_mbits", F.expr("sum_bits * 1000 div n_bg"))
+    )
+
+
+def doc_lm_score_sql(vocab_size: int = VOCAB_SIZE) -> str:
+    """DuckDB twin of :func:`doc_lm_score` over a `seqs(doc_id, tokens)`
+    CTE."""
+    return f"""
+stream AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(tokens) - 1, 0)),
+           i -> CAST(tokens[i] AS BIGINT) * {vocab_size}
+                + CAST(tokens[i + 1] AS BIGINT))) AS bg
+  FROM seqs
+),
+cnts AS (SELECT bg, count(*) AS c_xy FROM stream GROUP BY 1)
+SELECT doc_id,
+       count(*)                                   AS n_bg,
+       CAST(sum(length(bin(c_xy))) AS BIGINT)     AS sum_bits,
+       CAST(min(c_xy) AS BIGINT)                  AS min_c,
+       CAST(sum(length(bin(c_xy))) AS BIGINT) * 1000 // count(*)
+                                                  AS avg_mbits
+FROM stream JOIN cnts USING (bg)
+GROUP BY 1
+"""
+
+
+def top_bigram_share(
+    seq: DataFrame, vocab_size: int = VOCAB_SIZE, num: int = 2, den: int = 10
+) -> DataFrame:
+    """Gopher-style top-2-gram dominance per doc: how much of the
+    document its single most frequent word bigram occupies (the
+    repetition rule next to ``doc_ngram_repetition``'s duplicate-
+    trigram fraction; Gopher measures the char fraction, this the
+    bigram-occurrence fraction).
+
+    ZERO-shuffle: the doc's packed bigram array is sorted in place
+    (``sort_array``) and the longest equal-value run found with one
+    higher-order ``aggregate`` — a pure codegen projection, no explode
+    and no per-doc re-aggregation. At 10^12 docs this is the map-only
+    shape you want; the DuckDB oracle takes the conventional
+    unnest+group-by route and must agree.
+
+    Output (doc_id, n_bg, top_cnt, rep_heavy): ``rep_heavy`` is the
+    exact threshold ``top_cnt/n_bg ≥ num/den``. Docs with fewer than
+    two tokens have no bigrams and are absent.
+    """
+    toks = F.col("tokens")
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    bg = F.sort_array(
+        F.transform(
+            idx,
+            lambda i: F.element_at(toks, i).cast("long") * vocab_size
+            + F.element_at(toks, i + 1).cast("long"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    acc0 = F.struct(
+        F.lit(-1).cast("long").alias("prev"),
+        zero.alias("run"),
+        zero.alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top = F.aggregate(bg, acc0, step)["best"]
+    return (
+        seq.select(
+            "doc_id",
+            F.size(bg).cast("long").alias("n_bg"),
+            top.alias("top_cnt"),
+        )
+        .filter(F.col("n_bg") >= 1)
+        .withColumn(
+            "rep_heavy",
+            F.col("top_cnt") * F.lit(den) >= F.col("n_bg") * F.lit(num),
+        )
+    )
+
+
+def top_bigram_share_sql(
+    vocab_size: int = VOCAB_SIZE, num: int = 2, den: int = 10
+) -> str:
+    """DuckDB twin of :func:`top_bigram_share` over a
+    `seqs(doc_id, tokens)` CTE — conventional unnest + group-by."""
+    return f"""
+stream AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(tokens) - 1, 0)),
+           i -> CAST(tokens[i] AS BIGINT) * {vocab_size}
+                + CAST(tokens[i + 1] AS BIGINT))) AS bg
+  FROM seqs
+),
+per AS (SELECT doc_id, bg, count(*) AS c FROM stream GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_bg,
+       CAST(max(c) AS BIGINT) AS top_cnt,
+       CAST(max(c) AS BIGINT) * {den}
+         >= CAST(sum(c) AS BIGINT) * {num} AS rep_heavy
+FROM per GROUP BY 1
+"""
+
+
 def token_zipf(tok: DataFrame) -> DataFrame:
     """Frequency-rank curve of the token distribution — the Zipf view
     a corpus-health dashboard plots (a healthy natural-language corpus

@@ -160,3 +160,44 @@ def test_doc_ngram_repetition_hand_case(spark):
     got = {r["doc_id"]: (r["n_ngrams"], r["n_types"], r["max_cnt"])
            for r in doc_ngram_repetition(seq, n=3).collect()}
     assert got == {"d1": (3, 2, 2), "d2": (2, 2, 1)}
+
+
+def test_doc_lm_score_hand_case(spark):
+    """Corpus bigram counts: (1,2) appears 3× (d1 twice, d2 once),
+    (2,1) once. bitlen(3)=2, bitlen(1)=1 → d1 sum_bits 2+1+2=5,
+    avg 5000 div 3 = 1666; d2 sum_bits 2; d3 has no bigrams."""
+    from pyreshaper_spark.operators.vocab import doc_lm_score
+
+    seq = spark.createDataFrame(
+        [("d1", "s", [1, 2, 1, 2]),
+         ("d2", "s", [1, 2]),
+         ("d3", "s", [7])],
+        "doc_id string, source string, tokens array<int>",
+    )
+    got = {
+        r["doc_id"]: (r["n_bg"], r["sum_bits"], r["min_c"], r["avg_mbits"])
+        for r in doc_lm_score(seq).collect()
+    }
+    assert got == {"d1": (3, 5, 1, 1666), "d2": (1, 2, 3, 2000)}
+
+
+def test_top_bigram_share_hand_case_and_no_shuffle(spark):
+    from pyreshaper_spark.operators.vocab import top_bigram_share
+
+    seq = spark.createDataFrame(
+        [("d1", "s", [1, 2, 1, 2, 1]),   # bigrams 12,21,12,21 → top 2
+         ("d2", "s", [3, 4, 5, 6]),      # 34,45,56 → top 1, share 1/3
+         ("d3", "s", [9])],              # no bigrams → absent
+        "doc_id string, source string, tokens array<int>",
+    )
+    df = top_bigram_share(seq, num=1, den=2)
+    got = {
+        r["doc_id"]: (r["n_bg"], r["top_cnt"], r["rep_heavy"])
+        for r in df.collect()
+    }
+    assert got == {"d1": (4, 2, True), "d2": (3, 1, False)}
+    # the whole operator is one codegen projection — no exchange, no
+    # explode-induced aggregation
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "HashAggregate" not in plan
