@@ -367,6 +367,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cusum_1h"] = _q_cusum
 
+    # -- level-shift changepoint (two adjacent k-bucket windows) -------
+    def _q_levelshift(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.gapfill import level_shift
+
+        tier = _tiers(spark, sf_dir)[3600]
+        return level_shift(
+            tier.select(
+                "source",
+                F.col("bucket_s").cast("long").alias("bucket_s"),
+                F.col("sum_n_tok").cast("long").alias("sum_n_tok"),
+            ),
+            k=6, thresh=40,
+        )
+
+    q["levelshift_1h"] = _q_levelshift
+
     # -- metadata replication (broadcast join; once-file analog off) --
     def _q_tier_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq = _seq(spark, sf_dir)
@@ -1717,6 +1733,14 @@ SELECT source, count(*) AS n_docs FROM sequences GROUP BY 1
         f"t1h AS (SELECT source, bucket_s, sum_n_tok "
         f"FROM ({_TIER_AGG.format(w=3600)}))\n"
         + cusum_detect_sql("t1h", h=100)
+    )
+    from pyreshaper_spark.operators.gapfill import level_shift_sql
+
+    o["levelshift_1h"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"t1h AS (SELECT source, bucket_s, sum_n_tok "
+        f"FROM ({_TIER_AGG.format(w=3600)}))\n"
+        + level_shift_sql("t1h", k=6, thresh=40)
     )
     o["topk_buckets"] = (
         f"WITH {seq_cte('base')},\n"

@@ -893,6 +893,71 @@ WINDOW wrun AS (PARTITION BY source ORDER BY bucket_s
 """
 
 
+def level_shift(
+    tier: DataFrame, k: int, thresh: int, value_col: str = "sum_n_tok"
+) -> DataFrame:
+    """Level-shift changepoint detector — the step-change complement to
+    :func:`cusum_detect` (CUSUM accumulates drift from a GLOBAL mean;
+    this flags an abrupt jump between two adjacent local windows, the
+    classic edge filter of changepoint pipelines).
+
+    Per source ordered by bucket time, compare the mean of the ``k``
+    buckets BEFORE each point against the mean of the ``k`` buckets
+    FROM it: flag where ``|mean_post − mean_pre| ≥ thresh``, kept
+    exact-integer by cross-multiplication
+    (``|post_sum·n_pre − pre_sum·n_post| ≥ thresh·n_pre·n_post``).
+    Edge points whose windows are not full never flag (a half-window
+    mean is noise, and the asymmetric counts would bias the compare).
+
+    Both frames ride ONE source-keyed sort — a single exchange, the
+    same plan at 10^12 buckets. Output (source, bucket_s, pre_sum,
+    post_sum, n_pre, n_post, shift_flag).
+    """
+    w = Window.partitionBy("source").orderBy("bucket_s")
+    wpre = w.rowsBetween(-k, -1)
+    wpost = w.rowsBetween(Window.currentRow, k - 1)
+    v = F.col(value_col).cast("long")
+    out = tier.select(
+        "source",
+        F.col("bucket_s").cast("long").alias("bucket_s"),
+        F.coalesce(F.sum(v).over(wpre), F.lit(0)).cast("long").alias("pre_sum"),
+        F.sum(v).over(wpost).cast("long").alias("post_sum"),
+        F.count(v).over(wpre).cast("long").alias("n_pre"),
+        F.count(v).over(wpost).cast("long").alias("n_post"),
+    )
+    full = (F.col("n_pre") == k) & (F.col("n_post") == k)
+    jump = F.abs(
+        F.col("post_sum") * F.col("n_pre")
+        - F.col("pre_sum") * F.col("n_post")
+    ) >= F.lit(thresh) * F.col("n_pre") * F.col("n_post")
+    return out.withColumn("shift_flag", full & jump)
+
+
+def level_shift_sql(
+    relation: str, k: int, thresh: int, value_col: str = "sum_n_tok"
+) -> str:
+    """DuckDB twin of :func:`level_shift` over a named tier relation."""
+    return f"""
+SELECT source, bucket_s, pre_sum, post_sum, n_pre, n_post,
+       n_pre = {k} AND n_post = {k}
+       AND abs(post_sum * n_pre - pre_sum * n_post)
+           >= CAST({thresh} AS BIGINT) * n_pre * n_post AS shift_flag
+FROM (
+  SELECT source,
+         CAST(bucket_s AS BIGINT) AS bucket_s,
+         CAST(coalesce(sum({value_col}) OVER wpre, 0) AS BIGINT) AS pre_sum,
+         CAST(sum({value_col}) OVER wpost AS BIGINT)             AS post_sum,
+         CAST(count({value_col}) OVER wpre AS BIGINT)            AS n_pre,
+         CAST(count({value_col}) OVER wpost AS BIGINT)           AS n_post
+  FROM {relation}
+  WINDOW wpre AS (PARTITION BY source ORDER BY bucket_s
+                  ROWS BETWEEN {k} PRECEDING AND 1 PRECEDING),
+         wpost AS (PARTITION BY source ORDER BY bucket_s
+                   ROWS BETWEEN CURRENT ROW AND {k - 1} FOLLOWING)
+)
+"""
+
+
 # --------------------------------------------------------------------------
 # Uptime islands — contiguous presence runs (gaps-and-islands)
 # --------------------------------------------------------------------------

@@ -300,3 +300,21 @@ def test_snaive_eval_hand_computed(spark):
     r = snaive_eval(tier, 60, season_buckets=2).collect()[0]
     assert (r["n_eval"], r["abs_err_sum"], r["abs_err_max"]) == (2, 8, 7)
     assert (r["n_naive1"], r["naive1_err_sum"]) == (3, 14)
+
+
+def test_level_shift_flags_exactly_the_step(spark):
+    """A clean 10→50 step at bucket 6 with k=3, thresh=30: only the
+    boundary point sees full windows whose means differ by ≥30 (pre
+    10, post 50); one bucket either side the windows straddle the step
+    and dilute below threshold; edges never flag (partial windows)."""
+    from pyreshaper_spark.operators.gapfill import level_shift
+
+    rows = [("s", b, 10 if b < 6 else 50) for b in range(12)]
+    tier = spark.createDataFrame(
+        rows, "source string, bucket_s long, sum_n_tok long"
+    )
+    got = {
+        r["bucket_s"]: r["shift_flag"]
+        for r in level_shift(tier, k=3, thresh=30).collect()
+    }
+    assert got == {b: (b == 6) for b in range(12)}
