@@ -563,6 +563,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_ivf_kmeans"] = lambda s, d: KM.ivf_kmeans_topk(
         _emb(s, d), k=8, n_iter=2, n_queries=10, topk=5, nprobe=2
     )
+    # cluster-balanced diversity sample (≤k vectors per trained cluster)
+    q["emb_cluster_sample"] = lambda s, d: KM.cluster_sample(
+        _emb(s, d), k=8, n_iter=2, per_cluster=5
+    )
     # SemDeDup: cluster-then-verify semantic near-dup (within-cluster
     # exact cosine threshold; same 2/5 threshold as emb_near_dup)
     q["semdedup_pairs"] = lambda s, d: KM.semdedup_pairs(
@@ -1816,6 +1820,11 @@ FROM tier t JOIN meta m USING (source)
     )
 
     o["kmeans_assign"] = kmeans_assign_sql(k=8, n_iter=2)
+    from pyreshaper_spark.operators.kmeans import cluster_sample_sql
+
+    o["emb_cluster_sample"] = cluster_sample_sql(
+        k=8, n_iter=2, per_cluster=5
+    )
     o["ann_ivf_kmeans"] = ivf_kmeans_topk_sql(
         k=8, n_iter=2, n_queries=10, topk=5, nprobe=2
     )

@@ -125,6 +125,42 @@ def kmeans_assign(
     )
 
 
+def cluster_sample(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    per_cluster: int = 5,
+    dim: int = DIM,
+) -> DataFrame:
+    """Cluster-balanced diversity sample — the embedding-space analog
+    of stratified sampling: k-means the corpus, then keep at most
+    ``per_cluster`` vectors per cluster by deterministic hash rank
+    (``sample_k_per_source``'s reservoir shape, keyed on the trained
+    cluster instead of the source column). This is the "take a small
+    but REPRESENTATIVE subset" step of data-curation pipelines —
+    a uniform sample over-draws dense regions; this caps each semantic
+    region at the same budget.
+
+    Scale shape: the Lloyd train is the module's broadcast-assign loop
+    (at 100 TB you train on a ``hash_sample`` — same operator); the
+    per-cluster cap is one window whose rank ≤ k predicate pushes below
+    the exchange (WindowGroupLimit), so each map task forwards at most
+    ``per_cluster`` rows per cluster. Output (vec_id, cluster, rk).
+    """
+    from pyreshaper_spark.functions.xhash import h32
+
+    a = kmeans_assign(emb, k, n_iter, dim)
+    w = Window.partitionBy("cluster").orderBy(
+        F.pmod(h32(F.col("vec_id").cast("string")), F.lit(10_000)),
+        F.col("vec_id"),
+    )
+    return (
+        a.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= per_cluster)
+        .select("vec_id", "cluster", "rk")
+    )
+
+
 def ivf_kmeans_topk(
     emb: DataFrame,
     k: int = 8,
@@ -233,6 +269,26 @@ def kmeans_assign_sql(k: int = 8, n_iter: int = 2, dim: int = DIM) -> str:
     return f"""
 WITH {_lloyd_ctes(k, n_iter, dim)}
 SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, d2 FROM a{n_iter}
+"""
+
+
+def cluster_sample_sql(
+    k: int = 8, n_iter: int = 2, per_cluster: int = 5, dim: int = DIM
+) -> str:
+    """DuckDB twin of :func:`cluster_sample`."""
+    from pyreshaper_spark.functions.xhash import h32_sql
+
+    h = h32_sql("CAST(vec_id AS VARCHAR)")
+    return f"""
+WITH {_lloyd_ctes(k, n_iter, dim)}
+SELECT vec_id, cluster, rk FROM (
+  SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+         CAST(row_number() OVER (
+             PARTITION BY cluster
+             ORDER BY ({h}) % 10000, vec_id
+         ) AS BIGINT) AS rk
+  FROM a{n_iter}
+) WHERE rk <= {per_cluster}
 """
 
 

@@ -133,3 +133,28 @@ def test_semdedup_recall_vs_brute_force(spark, emb):
     assert sem <= exact
     if exact:
         assert len(sem) / len(exact) >= 0.3
+
+
+def test_cluster_sample_cap_subset_and_group_limit(spark):
+    """≤ per_cluster rows per cluster; sampled rows keep their
+    kmeans_assign cluster; the rank ≤ k predicate pushes below the
+    window exchange (WindowGroupLimit)."""
+    from collections import Counter
+
+    from pyreshaper_spark.operators.kmeans import (
+        cluster_sample,
+        kmeans_assign,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = cluster_sample(emb, k=8, n_iter=1, per_cluster=3)
+    rows = df.collect()
+    per = Counter(r["cluster"] for r in rows)
+    assert per and max(per.values()) <= 3
+    full = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(emb, k=8, n_iter=1).collect()
+    }
+    assert all(full[r["vec_id"]] == r["cluster"] for r in rows)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
