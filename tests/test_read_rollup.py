@@ -95,3 +95,16 @@ def test_read_rollup_routing_realtime_filters(spark, tmp_path):
     run_pipeline(spark, cfg, ck)
     assert _rows(read_rollup(spark, cfg, 1800)) == want_all
     assert _rows(read_rollup(spark, cfg, 1800, realtime=True)) == want_all
+
+    # CLI round-trip (jobs/query_job.py): same answer through the
+    # spark-submit serving face
+    from jobs.query_job import main as query_main
+
+    cfg_path = str(tmp_path / "cfg.json")
+    cfg.write(cfg_path)
+    out = str(tmp_path / "ans")
+    assert query_main(
+        ["--config", cfg_path, "--width", "1800", "--realtime",
+         "--out", out]
+    ) == 0
+    assert _rows(spark.read.parquet(out)) == want_all
