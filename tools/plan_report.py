@@ -777,6 +777,47 @@ def main() -> None:
         ],
     ))
 
+    # 19. tier-routed + real-time rollup read (sql.read_rollup)
+    from pyreshaper_spark.config import RunConfig, TierSpec
+    from pyreshaper_spark.plans.pipeline import run_pipeline
+    from pyreshaper_spark.sql import read_rollup
+
+    rt_root = "/tmp/plan_report_rt"
+    rt_cfg = RunConfig(
+        input_path=seq_path, output_path=os.path.join(rt_root, "out"),
+        tiers=(TierSpec("1m", 60), TierSpec("10m", 600)),
+        nsalt=1, num_series_partitions=4, write_mode="append",
+    )
+    ck = os.path.join(rt_root, "ck.json")
+    if not os.path.exists(ck):
+        run_pipeline(spark, rt_cfg, ck)
+    p_route = plan_of(read_rollup(spark, rt_cfg, 1800))
+    p_rt = plan_of(read_rollup(spark, rt_cfg, 1800, realtime=True))
+    tail_schemas = [
+        seg.split("\n")[0] for seg in p_rt.split("ReadSchema")[1:]
+    ]
+    sections.append((
+        "Tier-routed + real-time rollup read",
+        p_rt,
+        [
+            ("routed read scans the 10m tier table (coarsest divisor "
+             "of 30m), not raw input",
+             "tier_10m" in p_route and seq_path not in p_route),
+            ("routed read is one partial+final re-aggregation",
+             p_route.count("HashAggregate") >= 2),
+            ("realtime tail: pending-file anti-join is a broadcast "
+             "(never shuffles the raw scan)",
+             "BroadcastHashJoin" in p_rt and "LeftAnti" in p_rt),
+            ("tail scan pruned — tokens/doc_id never read on the "
+             "realtime path",
+             bool(tail_schemas)
+             and all("tokens" not in s and "doc_id" not in s
+                     for s in tail_schemas)),
+            ("no cartesian/nested-loop anywhere in the merged plan",
+             no_cartesian(p_rt) and "NestedLoop" not in p_rt),
+        ],
+    ))
+
     out = ["# PLANS — physical-plan verification (auto-generated by "
            "tools/plan_report.py)\n"]
     all_ok = True
