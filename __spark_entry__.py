@@ -1503,7 +1503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _TIER_AGG = """
 SELECT source,
-       (event_s // {w}) * {w}          AS bucket_s,
+       ((event_s) - ((((event_s) % {w}) + {w}) % {w})) AS bucket_s,
        count(*)                        AS cnt,
        CAST(sum(n_tok) AS BIGINT)      AS sum_n_tok,
        CAST(min(n_tok) AS BIGINT)      AS min_n_tok,
@@ -1515,7 +1515,7 @@ GROUP BY 1, 2
 _GAPFILL_CTES = f"""
 WITH {seq_cte('gappy')},
 tier AS (
-  SELECT source, (event_s // 600) * 600 AS bucket_s,
+  SELECT source, ((event_s) - ((((event_s) % 600) + 600) % 600)) AS bucket_s,
          count(*) AS cnt, CAST(sum(n_tok) AS BIGINT) AS sum_n_tok
   FROM sequences GROUP BY 1, 2
 ),
@@ -1608,7 +1608,8 @@ SELECT source, count(*) AS n_docs FROM sequences GROUP BY 1
     o["tier_1h_ndv"] = f"WITH {seq_cte('base')}\n" + ndv_sql(3600)
     _GAPPY_T10 = (
         f"WITH {seq_cte('gappy')},\n"
-        "t10 AS (SELECT source, (event_s // 600) * 600 AS bucket_s, "
+        "t10 AS (SELECT source, "
+        "((event_s) - ((((event_s) % 600) + 600) % 600)) AS bucket_s, "
         "CAST(sum(n_tok) AS BIGINT) AS sum_n_tok "
         "FROM sequences GROUP BY 1, 2)\n"
     )

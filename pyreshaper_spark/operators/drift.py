@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyreshaper_spark.operators.rollup import floor_sql
+
 _D18 = "decimal(18,0)"
 
 
@@ -212,7 +214,7 @@ def ks_drift_sql(width_s: int) -> str:
     a CTE-list continuation (leading comma)."""
     return f""",
 vc AS (
-  SELECT source, (event_s // {width_s}) * {width_s} AS bucket_s, n_tok,
+  SELECT source, {floor_sql('event_s', width_s)} AS bucket_s, n_tok,
          CAST(count(*) AS DECIMAL(18,0)) AS c
   FROM sequences GROUP BY 1, 2, 3
 ),

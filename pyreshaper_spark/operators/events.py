@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pyreshaper_spark.operators.rollup import floor_sql, floor_to
+
 SESSION_GAP_S = 1800
 
 
@@ -22,7 +24,7 @@ def events_rollup(events: DataFrame, width_s: int = 300) -> DataFrame:
     return (
         events.select(
             "event_type",
-            ((ep / width_s).cast("long") * width_s).alias("bucket_s"),
+            floor_to(ep, width_s).alias("bucket_s"),
             F.round(F.col("value") * 100).cast("long").alias("cents"),
         )
         .groupBy("event_type", "bucket_s")
@@ -36,7 +38,7 @@ def events_rollup(events: DataFrame, width_s: int = 300) -> DataFrame:
 def events_rollup_sql(width_s: int = 300) -> str:
     return f"""
 SELECT event_type,
-       (CAST(floor(epoch(ts)) AS BIGINT) // {width_s}) * {width_s} AS bucket_s,
+       {floor_sql("CAST(floor(epoch(ts)) AS BIGINT)", width_s)} AS bucket_s,
        count(*)                                   AS cnt,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events

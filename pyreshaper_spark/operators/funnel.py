@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pyreshaper_spark.functions.xhash import h32, h32_sql
+from pyreshaper_spark.operators.rollup import floor_sql
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
@@ -134,7 +135,12 @@ def cohort_retention(events: DataFrame) -> DataFrame:
         _ev(events)
         .select(
             "user_id",
-            F.expr(f"us DIV {US_PER_DAY}").alias("day"),
+            # floor-align then exact div (a floored multiple divides
+            # exactly, so `div` truncation is safe for pre-epoch us
+            # too; bare `us DIV day` would round pre-epoch days UP)
+            F.expr(
+                f"(us - pmod(us, {US_PER_DAY})) div {US_PER_DAY}"
+            ).alias("day"),
         )
         .distinct()
     )
@@ -154,7 +160,9 @@ def cohort_retention(events: DataFrame) -> DataFrame:
 def cohort_retention_sql() -> str:
     return f"""
 WITH days AS (
-  SELECT DISTINCT user_id, epoch_us(ts) // {US_PER_DAY} AS day FROM events
+  SELECT DISTINCT user_id,
+         {floor_sql("epoch_us(ts)", US_PER_DAY)} // {US_PER_DAY} AS day
+  FROM events
 ),
 first AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY 1)
 SELECT f.cohort_day, d.day - f.cohort_day AS k_day,
@@ -170,7 +178,9 @@ def type_pivot(events: DataFrame, width_s: int = 3600) -> DataFrame:
     stable schema — what a dashboard table wants); Spark compiles the
     pivot to a conditional hash aggregate."""
     ev = events.select(_us().alias("us"), "event_type").select(
-        (F.expr(f"us DIV {width_s * US_PER_S}") * width_s).alias("bucket_s"),
+        F.expr(
+            f"(us - pmod(us, {width_s * US_PER_S})) div {US_PER_S}"
+        ).alias("bucket_s"),
         "event_type",
     )
     out = (
@@ -194,7 +204,8 @@ def type_pivot_sql(width_s: int = 3600) -> str:
         for t in EVENT_TYPES
     )
     return f"""
-SELECT (epoch_us(ts) // {width_s * US_PER_S}) * {width_s} AS bucket_s,
+SELECT {floor_sql("epoch_us(ts)", width_s * US_PER_S)} // {US_PER_S}
+         AS bucket_s,
        {cols}
 FROM events
 GROUP BY 1

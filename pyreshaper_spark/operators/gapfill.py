@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pyreshaper_spark.operators.rollup import AGG_COLS
+from pyreshaper_spark.operators.rollup import AGG_COLS, floor_sql, floor_to
 
 
 def gapfill_spine(tier: DataFrame, width_s: int) -> DataFrame:
@@ -327,7 +327,7 @@ def time_weighted(
     """
     w = Window.partitionBy("source").orderBy("bucket_s")
     b = F.col("bucket_s")
-    coarse = (b / coarse_w).cast("long") * coarse_w
+    coarse = floor_to(b, coarse_w)
     hold_until = F.least(
         F.coalesce(F.lead("bucket_s").over(w), b + fine_w),
         coarse + coarse_w,
@@ -358,12 +358,12 @@ SELECT source, bucket_s,
        CAST(sum(dt) AS BIGINT)     AS tw_den
 FROM (
   SELECT source,
-         (bucket_s // {coarse_w}) * {coarse_w} AS bucket_s,
+         {floor_sql('bucket_s', coarse_w)} AS bucket_s,
          {value_col}                           AS v,
          least(coalesce(lead(bucket_s) OVER (PARTITION BY source
                                              ORDER BY bucket_s),
                         bucket_s + {fine_w}),
-               (bucket_s // {coarse_w}) * {coarse_w} + {coarse_w})
+               {floor_sql('bucket_s', coarse_w)} + {coarse_w})
          - bucket_s                            AS dt
   FROM {relation}
 )
@@ -393,7 +393,10 @@ def detect_gaps(tier: DataFrame, width_s: int) -> DataFrame:
             "source",
             (F.col("prev_s") + width_s).cast("long").alias("gap_start"),
             F.col("bucket_s").cast("long").alias("gap_end"),
-            ((F.col("bucket_s") - F.col("prev_s")) / width_s - 1)
+            # integer div, not `/`: the gap is a non-negative multiple
+            # of width (buckets are width-aligned), so div is exact
+            # over the full int64 range where double division is not
+            (F.expr(f"(bucket_s - prev_s) div {width_s}") - 1)
             .cast("long")
             .alias("n_missing"),
         )
@@ -773,9 +776,7 @@ def interarrival(seq: DataFrame, width_s: int) -> DataFrame:
     """
     w = Window.partitionBy("source").orderBy("event_s")
     dt = (F.col("event_s") - F.lag("event_s").over(w)).alias("dt")
-    bucket = ((F.col("event_s") / width_s).cast("long") * width_s).alias(
-        "bucket_s"
-    )
+    bucket = floor_to(F.col("event_s"), width_s).alias("bucket_s")
     gaps = seq.select("source", bucket, dt).filter(F.col("dt").isNotNull())
     return gaps.groupBy("source", "bucket_s").agg(
         F.count("*").cast("long").alias("n_gaps"),
@@ -789,7 +790,7 @@ def interarrival_sql(width_s: int) -> str:
     """DuckDB twin of :func:`interarrival` over the `sequences` view."""
     return f"""
 SELECT source,
-       CAST((event_s // {width_s}) * {width_s} AS BIGINT) AS bucket_s,
+       CAST({floor_sql('event_s', width_s)} AS BIGINT) AS bucket_s,
        count(*)                                AS n_gaps,
        CAST(sum(dt) AS BIGINT)                 AS sum_dt_s,
        CAST(min(dt) AS BIGINT)                 AS min_dt_s,

@@ -34,13 +34,49 @@ from pyspark.sql import functions as F
 AGG_COLS = ("cnt", "sum_n_tok", "min_n_tok", "max_n_tok")
 
 
+def floor_to(col: F.Column, width: int) -> F.Column:
+    """Width-aligned FLOOR in pure int64 arithmetic:
+    ``col − pmod(col, width)``.
+
+    Two hazards this avoids vs the obvious ``(col / width).cast("long")
+    * width``: (a) ``/`` is double division, inexact past 2^53 — the
+    int64 timestamp domain is wider; (b) the truncating cast (and
+    ``div``) round toward ZERO, but time-bucketing semantics FLOOR
+    (``date_trunc`` of a pre-epoch instant goes back in time, not
+    forward), so negative timestamps would land one bucket high.
+    ``pmod`` is non-negative, making the subtraction an exact floor
+    over the full int64 range. The DuckDB oracle twin is
+    :func:`floor_sql` — DuckDB's integer ``//`` and ``%`` truncate
+    toward zero (measured: ``(-7)//2 = -3``), so the oracle spells the
+    same pmod subtraction explicitly instead of using ``//``.
+    """
+    c = col.cast("long")
+    return c - F.pmod(c, F.lit(width))
+
+
+def floor_sql(expr: str, width: int) -> str:
+    """DuckDB twin of :func:`floor_to`: width-aligned floor of an
+    integer SQL expression, exact over the full int64 domain.
+
+    DuckDB's ``//`` truncates toward zero on integers (unlike Python),
+    so ``(x // w) * w`` is one bucket high for negative ``x``; this
+    spells the pmod subtraction explicitly (``%`` is the truncated
+    remainder in DuckDB, so ``((x % w) + w) % w`` is the non-negative
+    remainder).
+    """
+    if not isinstance(width, int) or width <= 0:
+        raise ValueError(f"width must be a positive int, got {width!r}")
+    return f"(({expr}) - (((({expr}) % {width}) + {width}) % {width}))"
+
+
 def bucket_col(width_s: int, src: str = "event_s") -> F.Column:
     """Integer time bucket: floor(event_s / width) * width.
 
     Integer epoch-second arithmetic (≡ ``date_trunc`` in UTC for the
-    standard tiers) keeps buckets exact and engine-portable.
+    standard tiers) keeps buckets exact and engine-portable; see
+    :func:`floor_to` for why this is not a ``/``-then-cast.
     """
-    return ((F.col(src) / width_s).cast("long") * width_s).alias("bucket_s")
+    return floor_to(F.col(src), width_s).alias("bucket_s")
 
 
 def rollup_tier0(seq: DataFrame, width_s: int) -> DataFrame:
@@ -126,7 +162,7 @@ def rollup_cascade(prev_tier: DataFrame, width_s: int) -> DataFrame:
     return (
         prev_tier.select(
             "source",
-            ((F.col("bucket_s") / width_s).cast("long") * width_s).alias("bucket_s"),
+            floor_to(F.col("bucket_s"), width_s).alias("bucket_s"),
             *AGG_COLS,
         )
         .groupBy("source", "bucket_s")
@@ -266,7 +302,7 @@ def bucket_percentiles_sql(width_s: int) -> str:
     CTE the tier oracles already build)."""
     return f"""
 SELECT source,
-       (event_s // {width_s}) * {width_s} AS bucket_s,
+       {floor_sql('event_s', width_s)} AS bucket_s,
        count(*)                           AS cnt,
        quantile_cont(n_tok, 0.25)         AS p25_n_tok,
        quantile_cont(n_tok, 0.5)          AS p50_n_tok,
@@ -334,7 +370,7 @@ def ohlc_cascade(prev: DataFrame, width_s: int) -> DataFrame:
     return (
         prev.select(
             "source",
-            ((F.col("bucket_s") / width_s).cast("long") * width_s).alias(
+            floor_to(F.col("bucket_s"), width_s).alias(
                 "bucket_s"
             ),
             "o_key", "c_key", "lo", "hi",
@@ -373,7 +409,7 @@ def ohlc_sql(width_s: int) -> str:
     p = OHLC_PACK
     return f"""
 SELECT source,
-       (event_s // {width_s}) * {width_s}                    AS bucket_s,
+       {floor_sql('event_s', width_s)}                    AS bucket_s,
        min(event_s * {p} + n_tok) // {p}                     AS open_s,
        min(event_s * {p} + n_tok) % {p}                      AS open_n_tok,
        max(event_s * {p} + n_tok) // {p}                     AS close_s,
@@ -403,7 +439,7 @@ def bucket_histogram(seq: DataFrame, width_s: int, bin_w: int) -> DataFrame:
         seq.select(
             "source",
             bucket_col(width_s),
-            ((F.col("n_tok") / bin_w).cast("long") * bin_w).alias("bin_lo"),
+            floor_to(F.col("n_tok"), bin_w).alias("bin_lo"),
         )
         .groupBy("source", "bucket_s", "bin_lo")
         .agg(F.count("*").alias("cnt"))
@@ -420,10 +456,10 @@ def histogram_cascade(
     return (
         prev.select(
             "source",
-            ((F.col("bucket_s") / width_s).cast("long") * width_s).alias(
+            floor_to(F.col("bucket_s"), width_s).alias(
                 "bucket_s"
             ),
-            ((F.col("bin_lo") / bin_w).cast("long") * bin_w).alias("bin_lo"),
+            floor_to(F.col("bin_lo"), bin_w).alias("bin_lo"),
             "cnt",
         )
         .groupBy("source", "bucket_s", "bin_lo")
@@ -435,8 +471,8 @@ def histogram_sql(width_s: int, bin_w: int) -> str:
     """DuckDB twin of :func:`bucket_histogram`, direct from raw rows."""
     return f"""
 SELECT source,
-       (event_s // {width_s}) * {width_s} AS bucket_s,
-       (n_tok // {bin_w}) * {bin_w}       AS bin_lo,
+       {floor_sql('event_s', width_s)} AS bucket_s,
+       {floor_sql('n_tok', bin_w)}       AS bin_lo,
        count(*)                           AS cnt
 FROM sequences
 GROUP BY 1, 2, 3
@@ -485,7 +521,7 @@ def ndv_sql(width_s: int) -> str:
     """DuckDB twin of :func:`bucket_ndv`."""
     return f"""
 SELECT source,
-       (event_s // {width_s}) * {width_s} AS bucket_s,
+       {floor_sql('event_s', width_s)} AS bucket_s,
        count(*)                           AS cnt,
        count(DISTINCT n_tok)              AS ndv_n_tok
 FROM sequences
@@ -525,7 +561,7 @@ def ndv_sketch_cascade(prev: DataFrame, width_s: int) -> DataFrame:
     return (
         prev.select(
             "source",
-            ((F.col("bucket_s") / width_s).cast("long") * width_s).alias(
+            floor_to(F.col("bucket_s"), width_s).alias(
                 "bucket_s"
             ),
             "cnt", "ndv_sk",
@@ -588,7 +624,7 @@ def m4_cascade(prev: DataFrame, width_s: int) -> DataFrame:
     return (
         prev.select(
             "source",
-            ((F.col("bucket_s") / width_s).cast("long") * width_s).alias(
+            floor_to(F.col("bucket_s"), width_s).alias(
                 "bucket_s"
             ),
             "first_key", "last_key", "bottom_key", "top_key",
@@ -629,7 +665,7 @@ def m4_sql(width_s: int) -> str:
     p = OHLC_PACK
     return f"""
 SELECT source,
-       (event_s // {width_s}) * {width_s}   AS bucket_s,
+       {floor_sql('event_s', width_s)}   AS bucket_s,
        min(event_s * {p} + n_tok) // {p}    AS first_s,
        min(event_s * {p} + n_tok) % {p}     AS first_v,
        max(event_s * {p} + n_tok) // {p}    AS last_s,
@@ -705,7 +741,7 @@ def moments_cascade(prev: DataFrame, width_s: int) -> DataFrame:
     return _moments_overflow_guard(
         prev.select(
             "source",
-            ((F.col("bucket_s") / width_s).cast("long") * width_s)
+            floor_to(F.col("bucket_s"), width_s)
             .alias("bucket_s"),
             "n", "s1", "s2", "s3", "s4",
         )
@@ -768,11 +804,14 @@ def bucket_trend(
     aggregate keyed (source, coarse bucket), no window, no join.
     """
     n_fine = coarse_s // fine_s
-    t = F.expr(f"(bucket_s % {coarse_s}) div {fine_s}").alias("t")
+    # pmod, not %: the within-bucket index must stay in [0, n_fine)
+    # for pre-epoch buckets too (truncated % would go negative there
+    # and flip the slope sign)
+    t = F.expr(f"pmod(bucket_s, {coarse_s}) div {fine_s}").alias("t")
     v = F.col(value_col).cast("long").alias("v")
     g = tier.select(
         "source",
-        F.expr(f"(bucket_s div {coarse_s}) * {coarse_s}").alias("bucket_s"),
+        floor_to(F.col("bucket_s"), coarse_s).alias("bucket_s"),
         t,
         v,
     ).groupBy("source", "bucket_s").agg(
@@ -819,15 +858,17 @@ SELECT source, bucket_s, n, st, sv, stv, stt,
        CAST(n * stt - st * st AS BIGINT)  AS slope_den
 FROM (
   SELECT source,
-         (bucket_s // {coarse_s}) * {coarse_s}       AS bucket_s,
+         {floor_sql('bucket_s', coarse_s)}       AS bucket_s,
          count(*)                                    AS n,
-         CAST(sum((bucket_s % {coarse_s}) // {fine_s}) AS BIGINT) AS st,
+         CAST(sum(tt) AS BIGINT)                     AS st,
          CAST(sum({value_col}) AS BIGINT)            AS sv,
-         CAST(sum(((bucket_s % {coarse_s}) // {fine_s}) * {value_col})
-              AS BIGINT)                             AS stv,
-         CAST(sum(((bucket_s % {coarse_s}) // {fine_s})
-                * ((bucket_s % {coarse_s}) // {fine_s})) AS BIGINT) AS stt
-  FROM {relation}
+         CAST(sum(tt * {value_col}) AS BIGINT)       AS stv,
+         CAST(sum(tt * tt) AS BIGINT)                AS stt
+  FROM (
+    SELECT *,
+           (bucket_s - {floor_sql('bucket_s', coarse_s)}) // {fine_s} AS tt
+    FROM {relation}
+  )
   GROUP BY 1, 2
 )
 """
@@ -952,7 +993,7 @@ SELECT source,
        CAST(GROUPING(source, bucket_s) AS BIGINT) AS gid,
        count(*)                                   AS cnt,
        CAST(sum(n_tok) AS BIGINT)                 AS sum_n_tok
-FROM (SELECT source, (event_s // {width_s}) * {width_s} AS bucket_s, n_tok
+FROM (SELECT source, {floor_sql('event_s', width_s)} AS bucket_s, n_tok
       FROM sequences)
 GROUP BY CUBE(source, bucket_s)
 """
@@ -993,7 +1034,7 @@ def bucket_moments_sql(width_s: int) -> str:
     x = "CAST(n_tok AS DECIMAL(38,0))"
     return f"""
 SELECT source,
-       (event_s // {width_s}) * {width_s}              AS bucket_s,
+       {floor_sql('event_s', width_s)}              AS bucket_s,
        count(*)                                        AS n,
        CAST(sum({x}) AS DECIMAL(38,0))                 AS s1,
        CAST(sum({x} * {x}) AS DECIMAL(38,0))           AS s2,
@@ -1046,7 +1087,7 @@ def slo_burn(
     (n_bad, n_buckets); burn rate vs an SLO target is a driver-side
     division). One conditional hash agg over the fine tier — never a
     raw-data rescan."""
-    b = (F.col("bucket_s") / coarse_w).cast("long") * coarse_w
+    b = floor_to(F.col("bucket_s"), coarse_w)
     bad = (F.col(value_col) > threshold).cast("long")
     return (
         tier.select("source", b.alias("cb"), bad.alias("bad"), value_col)
@@ -1180,7 +1221,7 @@ def ltob_downsample(
     ).otherwise(F.lit(-1)).cast("long")
     scored = pts.select(
         "source",
-        ((F.col("x") / coarse_w).cast("long") * coarse_w).alias("bucket_s"),
+        floor_to(F.col("x"), coarse_w).alias("bucket_s"),
         F.col("x").alias("sel_s"),
         F.col("y").alias("sel_v"),
         area2.alias("area2"),
@@ -1203,10 +1244,10 @@ def ltob_downsample_sql(
 SELECT source, bucket_s, sel_s, sel_v, area2
 FROM (
   SELECT source,
-         (x // {coarse_w}) * {coarse_w} AS bucket_s,
+         {floor_sql('x', coarse_w)} AS bucket_s,
          x AS sel_s, y AS sel_v, area2,
          row_number() OVER (
-           PARTITION BY source, (x // {coarse_w})
+           PARTITION BY source, {floor_sql('x', coarse_w)}
            ORDER BY area2 DESC, x ASC) AS rn
   FROM (
     SELECT source, x, y,
@@ -1270,7 +1311,7 @@ FROM (
          row_number() OVER (PARTITION BY source, bucket_s
                             ORDER BY cnt DESC, {value_col} ASC) AS rn
   FROM (SELECT source,
-               (event_s // {width_s}) * {width_s} AS bucket_s,
+               {floor_sql('event_s', width_s)} AS bucket_s,
                {value_col},
                count(*) AS cnt
         FROM sequences GROUP BY 1, 2, 3)
@@ -1322,7 +1363,7 @@ def slo_burn_sql(
     """DuckDB twin of :func:`slo_burn` over a named fine-tier relation."""
     return f"""
 SELECT source,
-       CAST((bucket_s // {coarse_w}) * {coarse_w} AS BIGINT) AS bucket_s,
+       CAST({floor_sql('bucket_s', coarse_w)} AS BIGINT) AS bucket_s,
        CAST(sum(CASE WHEN {value_col} > {threshold} THEN 1 ELSE 0 END)
             AS BIGINT)                                       AS n_bad,
        count(*)                                              AS n_buckets,

@@ -29,7 +29,7 @@ from pyreshaper_spark.config import EPOCH0, HORIZON_S
 from pyreshaper_spark.fixtures import VOCAB_SIZE
 from pyreshaper_spark.functions.xhash import h32, h32_sql, perm, words_col
 
-from .rollup import bucket_col
+from .rollup import bucket_col, floor_sql
 
 
 def explode_tokens(seq: DataFrame) -> DataFrame:
@@ -116,7 +116,7 @@ SELECT source, bucket_s, token, cnt, rank FROM (
                             ORDER BY cnt DESC, token ASC) AS rank
   FROM (
     SELECT source,
-           (event_s // {width_s}) * {width_s} AS bucket_s,
+           {floor_sql('event_s', width_s)} AS bucket_s,
            token,
            count(*) AS cnt
     FROM tok
@@ -166,7 +166,7 @@ SELECT bucket_s,
 FROM (
   SELECT first_b AS bucket_s, count(*) AS new_tokens
   FROM (
-    SELECT token, min((event_s // {width_s}) * {width_s}) AS first_b
+    SELECT token, min({floor_sql('event_s', width_s)}) AS first_b
     FROM tok GROUP BY 1
   )
   GROUP BY 1
@@ -199,7 +199,7 @@ def token_ndv_sql(width_s: int) -> str:
     """DuckDB twin of :func:`token_ndv` over the `tok` CTE."""
     return f"""
 SELECT source,
-       (event_s // {width_s}) * {width_s} AS bucket_s,
+       {floor_sql('event_s', width_s)} AS bucket_s,
        count(*)                           AS n_tok_occ,
        count(DISTINCT token)              AS ndv_token
 FROM tok
@@ -826,7 +826,7 @@ FROM (
            row_number() OVER (PARTITION BY source, bucket_s
                               ORDER BY c ASC, token ASC) AS r
     FROM (SELECT source,
-                 (event_s // {width_s}) * {width_s} AS bucket_s,
+                 {floor_sql('event_s', width_s)} AS bucket_s,
                  token, count(*) AS c
           FROM tok GROUP BY 1, 2, 3)
   )

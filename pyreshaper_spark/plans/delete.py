@@ -52,6 +52,7 @@ from pyreshaper_spark.config import RunConfig
 from pyreshaper_spark.operators.encode import encode_series_table
 from pyreshaper_spark.operators.rollup import (
     ANALYTIC_FAMILIES,
+    floor_to,
     rollup_tier0,
 )
 from pyreshaper_spark.operators.transpose import (
@@ -64,9 +65,7 @@ from pyreshaper_spark.sources.iceberglite import IcebergLite
 
 
 def _bucket(width_s: int) -> F.Column:
-    return ((F.col("event_s") / width_s).cast("long") * width_s).alias(
-        "bucket_s"
-    )
+    return floor_to(F.col("event_s"), width_s).alias("bucket_s")
 
 
 def victim_bucket_fix(
