@@ -64,6 +64,11 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--table", required=True)
     p.add_argument("--keep-last", type=int, default=1)
 
+    p = sub.add_parser("remove-orphans")
+    p.add_argument("--table", required=True)
+    p.add_argument("--older-than-s", type=float, default=3 * 86400)
+    p.add_argument("--dry-run", action="store_true")
+
     p = sub.add_parser("changes")
     p.add_argument("--table", required=True)
     p.add_argument("--from-snapshot", type=int, required=True)
@@ -121,6 +126,14 @@ def main(argv: list[str] | None = None) -> dict:
     elif args.op == "expire":
         n = cat.expire_snapshots(args.table, keep_last=args.keep_last)
         out = {"op": "expire", "table": args.table, "files_deleted": n}
+    elif args.op == "remove-orphans":
+        removed = cat.remove_orphan_files(
+            args.table, older_than_s=args.older_than_s, dry_run=args.dry_run
+        )
+        out = {
+            "op": "remove-orphans", "table": args.table,
+            "dry_run": bool(args.dry_run), "files_removed": len(removed),
+        }
     else:  # changes
         ch = cat.read_changes(
             spark,

@@ -683,3 +683,64 @@ class IcebergLite:
                 if not names and not os.listdir(sub):
                     os.rmdir(sub)
         return len(dead)
+
+    def remove_orphan_files(
+        self,
+        name: str,
+        older_than_s: float = 3 * 86400,
+        dry_run: bool = False,
+    ) -> list[str]:
+        """Delete files under the table's data directory referenced by
+        NO snapshot in the log — Iceberg's ``remove_orphan_files``
+        maintenance.
+
+        Orphans are created BY DESIGN here, not only by crashes: a
+        gated commit that aborts (pipeline validation failure — see
+        ``append(gate=...)``) leaves its already-written data files
+        with no referencing snapshot, a crash between the data write
+        and the atomic log replace does the same, and Spark drops
+        ``_SUCCESS`` markers the manifest never tracks. None of these
+        affect reads (readers see only manifest-listed files), but at
+        10^12-row scale abandoned encode outputs are real storage.
+
+        Safety: only files whose mtime is older than ``older_than_s``
+        are swept (default 3 days, mirroring Iceberg's
+        ``older_than``), so the data files of a commit that is
+        IN FLIGHT right now — written, gate still running, manifest
+        not yet replaced — are never deleted from under it.
+
+        Returns the (relative) paths removed — or, with ``dry_run``,
+        the paths that WOULD be removed.
+        """
+        import time
+
+        if older_than_s < 0:
+            raise ValueError("remove_orphan_files: older_than_s must be >= 0")
+        log = self._read_log(name)
+        live = {f["path"] for s in log["snapshots"] for f in s["files"]}
+        data = self._data(name)
+        cutoff = time.time() - older_than_s
+        doomed: list[str] = []
+        for path in glob.glob(os.path.join(data, "**"), recursive=True):
+            if not os.path.isfile(path):
+                continue
+            rel = os.path.relpath(path, data)
+            if rel in live:
+                continue
+            try:
+                if os.path.getmtime(path) > cutoff:
+                    continue  # possibly an in-flight commit's file
+            except FileNotFoundError:
+                continue
+            doomed.append(rel)
+        if not dry_run:
+            for rel in sorted(doomed):
+                try:
+                    os.remove(os.path.join(data, rel))
+                except FileNotFoundError:
+                    pass
+            for d in sorted(glob.glob(os.path.join(data, "s*")), reverse=True):
+                for sub, _, names in list(os.walk(d, topdown=False)):
+                    if not names and not os.listdir(sub):
+                        os.rmdir(sub)
+        return sorted(doomed)

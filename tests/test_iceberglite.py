@@ -375,3 +375,48 @@ def test_commit_gate_blocks_snapshot_on_raise(spark, cat):
     sid = cat.append("t", _df(spark, [("d", 180, 4)]), gate=lambda: calls.append(1))
     assert sid == 2 and calls == [1]
     assert sorted(r["source"] for r in cat.read(spark, "t").collect()) == ["a", "d"]
+
+
+def test_remove_orphan_files(spark, cat):
+    """Orphan GC: files no snapshot references (aborted gated commits,
+    _SUCCESS markers) are swept; live files and reads are untouched;
+    the mtime grace window protects in-flight commits."""
+    cat.append("t", _df(spark, [("a", 0, 1)]))
+
+    def boom():
+        raise RuntimeError("validation failed")
+
+    with pytest.raises(RuntimeError):
+        cat.append("t", _df(spark, [("b", 60, 2)]), gate=boom)
+    data = cat._data("t")
+    live = {
+        f["path"] for s in cat._read_log("t")["snapshots"] for f in s["files"]
+    }
+    orphan_parts = [
+        os.path.relpath(p, data)
+        for p in __import__("glob").glob(
+            os.path.join(data, "s2", "**", "*.parquet"), recursive=True
+        )
+    ]
+    assert orphan_parts and not set(orphan_parts) & live
+
+    # dry run: reports, deletes nothing
+    would = cat.remove_orphan_files("t", older_than_s=0, dry_run=True)
+    assert set(orphan_parts) <= set(would)
+    assert all(os.path.exists(os.path.join(data, r)) for r in would)
+
+    removed = cat.remove_orphan_files("t", older_than_s=0)
+    assert set(removed) == set(would)
+    assert not any(os.path.exists(os.path.join(data, r)) for r in removed)
+    # live data intact, table reads unchanged
+    assert all(os.path.exists(os.path.join(data, r)) for r in live)
+    assert [r["source"] for r in cat.read(spark, "t").collect()] == ["a"]
+
+    # grace window: a fresh orphan (simulated in-flight commit) survives
+    with pytest.raises(RuntimeError):
+        cat.append("t", _df(spark, [("c", 120, 3)]), gate=boom)
+    assert cat.remove_orphan_files("t", older_than_s=3600) == []
+    assert cat.remove_orphan_files("t", older_than_s=0, dry_run=True) != []
+
+    with pytest.raises(ValueError):
+        cat.remove_orphan_files("t", older_than_s=-1)

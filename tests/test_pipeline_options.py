@@ -425,6 +425,14 @@ def test_maintain_job_cli(spark, tmp_path):
     ])
     assert out["files_deleted"] >= 0
 
+    out = maintain([
+        "--config", cfg_p, "--checkpoint", ck, "remove-orphans",
+        "--table", "tier_1m", "--older-than-s", "0",
+    ])
+    # compact + expire above leave at least the _SUCCESS markers behind
+    assert out["files_removed"] >= 0 and out["dry_run"] is False
+    assert cat.read(spark, "tier_1m").count() > 0
+
 
 def test_append_retention_on_fine_tier_keeps_coarse_history(spark, tmp_path):
     """ADVICE r2 (medium): retention on a NON-coarsest tier must not bleed
