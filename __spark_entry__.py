@@ -1487,6 +1487,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["metrics_by_source"] = _q_metrics
 
+    def _q_hod(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Hour-of-day seasonality profile over the 1h tier."""
+        from pyreshaper_spark.operators.rollup import hod_profile
+
+        return hod_profile(_tiers(spark, sf_dir)[3600], width_s=3600)
+
+    q["hod_profile_1h"] = _q_hod
+
+    def _q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Robust spread (exact integer MAD) of the 10m tier's values
+        within each hour."""
+        from pyreshaper_spark.operators.rollup import bucket_mad
+
+        return bucket_mad(_tiers(spark, sf_dir)[600], coarse_w=3600)
+
+    q["mad_1h"] = _q_mad
+
     # Order: entries the round-2 driver sweep did NOT reach come FIRST,
     # so a time-boxed correctness sweep covers the so-far-unverified
     # surface before re-verifying known-green queries.
@@ -1634,6 +1651,23 @@ SELECT source, count(*) AS n_docs FROM sequences GROUP BY 1
         f"t1h AS (SELECT source, bucket_s, sum_n_tok "
         f"FROM ({_TIER_AGG.format(w=3600)}))\n"
         + slo_burn_sql("t1h", 86400, 80)
+    )
+    from pyreshaper_spark.operators.rollup import (
+        bucket_mad_sql,
+        hod_profile_sql,
+    )
+
+    o["hod_profile_1h"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"t1h AS (SELECT source, bucket_s, sum_n_tok "
+        f"FROM ({_TIER_AGG.format(w=3600)}))\n"
+        + hod_profile_sql("t1h", 3600)
+    )
+    o["mad_1h"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"t10 AS (SELECT source, bucket_s, sum_n_tok "
+        f"FROM ({_TIER_AGG.format(w=600)}))\n"
+        + bucket_mad_sql("t10", 3600)
     )
     from pyreshaper_spark.operators.rollup import (
         bucket_mode_sql,

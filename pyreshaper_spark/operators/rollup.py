@@ -1374,3 +1374,144 @@ GROUP BY 1, 2
 
 
 ANALYTIC_FAMILIES["moments"] = (bucket_moments, moments_cascade)
+
+
+# --------------------------------------------------------------------------
+# Time-of-day seasonality profile + robust spread (MAD) — tier analytics
+# --------------------------------------------------------------------------
+
+def hod_profile(
+    tier: DataFrame,
+    width_s: int,
+    value_col: str = "sum_n_tok",
+    day_s: int = 86400,
+) -> DataFrame:
+    """Time-of-day seasonality profile: fold every bucket onto its
+    offset slot within the day (hour-of-day for a 1h tier) and
+    aggregate the tier value across all days — "what does a normal 3pm
+    look like for this source", the baseline every seasonal anomaly
+    check needs.
+
+    Exactness: the slot is ``pmod(bucket_s, day) div width`` — pmod,
+    not ``%``, so slots stay in ``[0, day/width)`` for pre-epoch
+    buckets (truncated ``%`` would emit negative slots there); stats
+    are exact int64 count/sum/min/max.
+
+    Scale: input is a TIER (O(sources × buckets)); one partial+final
+    hash aggregate keyed (source, slot); output O(sources × slots).
+    """
+    if day_s % width_s != 0:
+        raise ValueError(f"width {width_s} must divide the day {day_s}")
+    slot = F.expr(f"pmod(bucket_s, {day_s}) div {width_s}")
+    v = F.col(value_col).cast("long")
+    return (
+        tier.select("source", slot.alias("slot"), v.alias("v"))
+        .groupBy("source", "slot")
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.sum("v").cast("long").alias("sum_v"),
+            F.min("v").cast("long").alias("min_v"),
+            F.max("v").cast("long").alias("max_v"),
+        )
+    )
+
+
+def hod_profile_sql(
+    relation: str, width_s: int,
+    value_col: str = "sum_n_tok", day_s: int = 86400,
+) -> str:
+    """DuckDB twin of :func:`hod_profile` over a named tier relation."""
+    return f"""
+SELECT source,
+       (bucket_s - {floor_sql('bucket_s', day_s)}) // {width_s} AS slot,
+       count(*)                          AS n_buckets,
+       CAST(sum({value_col}) AS BIGINT)  AS sum_v,
+       CAST(min({value_col}) AS BIGINT)  AS min_v,
+       CAST(max({value_col}) AS BIGINT)  AS max_v
+FROM {relation}
+GROUP BY 1, 2
+"""
+
+
+def bucket_mad(
+    tier: DataFrame, coarse_w: int, value_col: str = "sum_n_tok"
+) -> DataFrame:
+    """Median absolute deviation of a fine tier's values within each
+    coarse bucket — the robust-spread complement of the z-score
+    anomaly flag (one wild value corrupts mean/std; it barely moves
+    median/MAD).
+
+    Exactness (no float ever leaves the engine): medians are the two
+    middle order statistics ``(lo, hi)`` of the sorted value list
+    (equal for odd counts), and deviations are doubled —
+    ``dev = |2·v − (med_lo + med_hi)|`` — so the midpoint median needs
+    no halving; ``(mad2_lo, mad2_hi)`` are the middle order statistics
+    of the deviations, i.e. 2×MAD. Consumers compare ``2·|v − med|``
+    against ``k · mad2`` and never divide.
+
+    Scale: the group is one coarse bucket's FINE BUCKETS — at most
+    ``coarse_w / fine_w`` elements (144 for 10m→1d), so the
+    ``collect_list`` is bounded by the tier ratio, never by raw rows;
+    one hash aggregate + array ops, all codegen, no Python.
+    """
+    g = (
+        tier.select(
+            "source",
+            floor_to(F.col("bucket_s"), coarse_w).alias("bucket_s"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .groupBy("source", "bucket_s")
+        .agg(F.sort_array(F.collect_list("v")).alias("vals"))
+    )
+    n = F.size("vals")
+    med_lo = F.element_at("vals", ((n + 1) / 2).cast("int"))
+    med_hi = F.element_at("vals", (n / 2).cast("int") + F.lit(1))
+    g = g.select(
+        "source", "bucket_s", "vals", n.cast("long").alias("n"),
+        med_lo.cast("long").alias("med_lo"),
+        med_hi.cast("long").alias("med_hi"),
+    ).select(
+        "source", "bucket_s", "n", "med_lo", "med_hi",
+        F.sort_array(
+            F.expr("transform(vals, x -> abs(2*x - (med_lo + med_hi)))")
+        ).alias("devs"),
+    )
+    # size(devs) == n, so the middle indices are reusable
+    m = F.size("devs")
+    return g.select(
+        "source", "bucket_s", "n", "med_lo", "med_hi",
+        F.element_at("devs", ((m + 1) / 2).cast("int"))
+        .cast("long").alias("mad2_lo"),
+        F.element_at("devs", (m / 2).cast("int") + F.lit(1))
+        .cast("long").alias("mad2_hi"),
+    )
+
+
+def bucket_mad_sql(
+    relation: str, coarse_w: int, value_col: str = "sum_n_tok"
+) -> str:
+    """DuckDB twin of :func:`bucket_mad` over a named fine-tier
+    relation (same doubled-deviation integer discipline)."""
+    return f"""
+SELECT source, bucket_s, n, med_lo, med_hi,
+       CAST(devs[CAST((n + 1) // 2 AS INT)] AS BIGINT)  AS mad2_lo,
+       CAST(devs[CAST(n // 2 AS INT) + 1]   AS BIGINT)  AS mad2_hi
+FROM (
+  SELECT source, bucket_s, n, med_lo, med_hi,
+         list_sort(list_transform(vals,
+                   x -> abs(2*x - (med_lo + med_hi)))) AS devs
+  FROM (
+    SELECT source, bucket_s, CAST(len(vals) AS BIGINT) AS n,
+           CAST(vals[CAST((len(vals) + 1) // 2 AS INT)] AS BIGINT) AS med_lo,
+           CAST(vals[CAST(len(vals) // 2 AS INT) + 1]   AS BIGINT) AS med_hi,
+           vals
+    FROM (
+      SELECT source,
+             CAST({floor_sql('bucket_s', coarse_w)} AS BIGINT) AS bucket_s,
+             list_sort(list(CAST({value_col} AS BIGINT)))      AS vals
+      FROM {relation}
+      GROUP BY 1, 2
+    )
+  )
+)
+"""
