@@ -106,3 +106,66 @@ def test_random_tier_ladders_match_direct_aggregation(
         F.max("event_s").alias("last_event_s"),
     )
     assert rows_set(cat.read(spark, "meta_source")) == rows_set(meta_want)
+
+
+def test_pre_epoch_input_end_to_end(spark, tmp_path):
+    """Pre-epoch (negative event_s) input through the FULL pipeline:
+    committed tiers equal the direct floored aggregation (buckets go
+    BACK in time, date_trunc semantics), and the encoded series decode
+    back bit-exact — negative first_ts exercises the delta-of-delta
+    codec's signed path end-to-end."""
+    rng = random.Random(424242)
+    rows = [
+        (
+            f"pe_{i}",
+            [i % 7, (i * 3) % 11, 65_000 + i],
+            3,
+            f"src{i % 3}",
+            # straddle the epoch: [-20000, 20000), hitting 0 and
+            # negative bucket boundaries
+            rng.randrange(-20_000, 20_000),
+        )
+        for i in range(300)
+    ]
+    seq = spark.createDataFrame(
+        rows,
+        "doc_id string, tokens array<int>, n_tok int, source string, "
+        "event_s long",
+    )
+    inp = str(tmp_path / "inp")
+    seq.write.parquet(inp)
+    out = str(tmp_path / "out")
+    tiers = (TierSpec("1m", 60), TierSpec("10m", 600), TierSpec("1h", 3600))
+    cfg = RunConfig(
+        input_path=inp, output_path=out, tiers=tiers, nsalt=2,
+        num_series_partitions=4,
+    )
+    run_pipeline(spark, cfg, str(tmp_path / "ckpt.json"))
+    cat = IcebergLite(out)
+
+    for t in tiers:
+        want = seq.select("source", bucket_col(t.width_s), "n_tok").groupBy(
+            "source", "bucket_s"
+        ).agg(*_aggs())
+        got = cat.read(spark, f"tier_{t.name}").select(
+            "source", "bucket_s", "cnt", "sum_n_tok", "min_n_tok",
+            "max_n_tok",
+        )
+        assert rows_set(got) == rows_set(want), f"tier {t.name} diverged"
+        # floor, not truncation: the minimum bucket is <= the minimum
+        # event (a truncating bucket would sit above it)
+        min_e = seq.agg(F.min("event_s")).collect()[0][0]
+        min_b = got.agg(F.min("bucket_s")).collect()[0][0]
+        assert min_b <= min_e < 0
+
+    from pyreshaper_spark.operators.encode import decode_series_table
+
+    dec = decode_series_table(cat.read(spark, "series_enc"))
+    j = seq.alias("a").join(dec.alias("b"), "doc_id", "full_outer")
+    bad = j.filter(
+        F.col("a.tokens").isNull()
+        | F.col("b.tokens").isNull()
+        | (F.col("a.tokens") != F.col("b.tokens"))
+        | (F.col("a.event_s") != F.col("b.event_s"))
+    )
+    assert bad.count() == 0
