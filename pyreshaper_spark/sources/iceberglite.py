@@ -19,9 +19,15 @@ snapshot are invisible, exactly like Iceberg orphan files):
 ``snapshots.json``::
 
     {"current": 3,
+     "refs": {"audited-2026-08": 3},
      "snapshots": [{"id": 1, "parent": 0, "op": "append",
                     "files": [{"path": "s1/source=src0/part-....parquet",
                                "partition": {"source": "src0"}}, ...]}]}
+
+``refs`` are named tags (:meth:`IcebergLite.tag`); a snapshot carrying
+``"staged": true`` was committed with ``stage=True`` (write-audit-
+publish) and stays invisible to readers and timestamp travel until
+:meth:`IcebergLite.publish` moves ``current`` onto it.
 
 Manifest entries carry the partition tuple per file (parsed from the
 hive path), so `read(..., partition_filter=...)` prunes at planning
@@ -114,18 +120,43 @@ class IcebergLite:
         with open(p) as f:
             return json.load(f)
 
+    def _next_sid(self, name: str) -> int:
+        """Next snapshot id: one past the max of current and every
+        recorded snapshot (staged snapshots sit in the list WITHOUT
+        advancing current, so ``current + 1`` alone could collide)."""
+        log = self._read_log(name)
+        return max([log["current"], *(s["id"] for s in log["snapshots"])]) + 1
+
+    def _write_log(self, name: str, log: dict) -> None:
+        p = self._log_path(name)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(log, f)
+        os.replace(tmp, p)  # the atomic commit point
+
     def _commit(
-        self, name: str, files: list[dict], op: str, schema: str | None = None
+        self,
+        name: str,
+        files: list[dict],
+        op: str,
+        schema: str | None = None,
+        stage: bool = False,
     ) -> int:
         """Atomically append a snapshot referencing ``files`` (full live set).
 
         ``schema`` (Spark schema JSON) is recorded per snapshot — like
         Iceberg's per-snapshot schema — so readers can type an EMPTY
-        snapshot (e.g. a fully-pruned table's changelog)."""
+        snapshot (e.g. a fully-pruned table's changelog).
+
+        ``stage``: record the snapshot WITHOUT advancing ``current`` —
+        the write half of write-audit-publish. Readers keep seeing the
+        published state; the staged snapshot is readable only by
+        explicit id (or a tag) until :meth:`publish` moves current."""
         import time
 
         log = self._read_log(name)
-        sid = log["current"] + 1
+        sid = max([log["current"], *(s["id"] for s in log["snapshots"])]) + 1
         snap = {
             "id": sid,
             "parent": log["current"],
@@ -135,14 +166,12 @@ class IcebergLite:
         }
         if schema is not None:
             snap["schema"] = schema
+        if stage:
+            snap["staged"] = True
         log["snapshots"].append(snap)
-        log["current"] = sid
-        p = self._log_path(name)
-        os.makedirs(os.path.dirname(p), exist_ok=True)
-        tmp = p + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(log, f)
-        os.replace(tmp, p)  # the atomic commit point
+        if not stage:
+            log["current"] = sid
+        self._write_log(name, log)
         return sid
 
     def snapshots(self, name: str) -> list[dict]:
@@ -156,6 +185,8 @@ class IcebergLite:
         as infinitely old — still reachable by any later ts."""
         best = 0
         for s in self._read_log(name)["snapshots"]:
+            if s.get("staged"):
+                continue  # never published — not part of table history
             if s.get("ts", 0.0) <= ts:
                 best = s["id"]
         if best == 0:
@@ -164,6 +195,65 @@ class IcebergLite:
 
     def current_snapshot_id(self, name: str) -> int:
         return self._read_log(name)["current"]
+
+    # -- refs: tags + write-audit-publish ---------------------------------
+    def tag(
+        self,
+        name: str,
+        tag_name: str,
+        snapshot_id: int | None = None,
+        replace: bool = False,
+    ) -> int:
+        """Name a snapshot (Iceberg tag): a durable ref that time
+        travel can use (``read(tag=...)``) and that
+        :meth:`expire_snapshots` will never drop. Defaults to the
+        current snapshot; refuses to move an existing tag unless
+        ``replace=True``."""
+        log = self._read_log(name)
+        sid = log["current"] if snapshot_id is None else snapshot_id
+        if not any(s["id"] == sid for s in log["snapshots"]):
+            raise SnapshotNotFound(f"{name}@{sid}")
+        refs = log.setdefault("refs", {})
+        if tag_name in refs and refs[tag_name] != sid and not replace:
+            raise ValueError(
+                f"tag {tag_name!r} already points at {refs[tag_name]} "
+                "(pass replace=True to move it)"
+            )
+        refs[tag_name] = sid
+        self._write_log(name, log)
+        return sid
+
+    def drop_tag(self, name: str, tag_name: str) -> None:
+        log = self._read_log(name)
+        if tag_name not in log.get("refs", {}):
+            raise KeyError(f"{name}: no tag {tag_name!r}")
+        del log["refs"][tag_name]
+        self._write_log(name, log)
+
+    def tags(self, name: str) -> dict[str, int]:
+        return dict(self._read_log(name).get("refs", {}))
+
+    def resolve_tag(self, name: str, tag_name: str) -> int:
+        refs = self._read_log(name).get("refs", {})
+        if tag_name not in refs:
+            raise SnapshotNotFound(f"{name}: no tag {tag_name!r}")
+        return refs[tag_name]
+
+    def publish(self, name: str, snapshot_id: int) -> int:
+        """Move ``current`` to an existing snapshot — the publish half
+        of write-audit-publish: ``append(..., stage=True)`` writes an
+        invisible snapshot, audit jobs read it by id (or tag), and
+        publish makes it the table state atomically. Publishing an
+        older id is also how a bad published commit is rolled back
+        (Iceberg ``rollback_to_snapshot``)."""
+        log = self._read_log(name)
+        for s in log["snapshots"]:
+            if s["id"] == snapshot_id:
+                s.pop("staged", None)
+                log["current"] = snapshot_id
+                self._write_log(name, log)
+                return snapshot_id
+        raise SnapshotNotFound(f"{name}@{snapshot_id}")
 
     def _snapshot(self, name: str, snapshot_id: int | None) -> dict:
         log = self._read_log(name)
@@ -184,7 +274,7 @@ class IcebergLite:
         stats_cols: tuple[str, ...] = (),
         options: dict | None = None,
     ) -> list[dict]:
-        sid = self.current_snapshot_id(name) + 1
+        sid = self._next_sid(name)
         ddir = os.path.join(self._data(name), f"s{sid}")
         w = df.write.mode("overwrite")
         for k, v in (options or {}).items():
@@ -222,6 +312,7 @@ class IcebergLite:
         stats_cols: tuple[str, ...] = (),
         options: dict | None = None,
         gate=None,
+        stage: bool = False,
     ) -> int:
         new = self._write_data(name, df, partition_by, stats_cols, options)
         if gate is not None:
@@ -233,7 +324,7 @@ class IcebergLite:
             # while keeping "invalid input commits nothing" airtight.
             gate()
         live = self._snapshot(name, None)["files"] + new
-        return self._commit(name, live, "append", df.schema.json())
+        return self._commit(name, live, "append", df.schema.json(), stage)
 
     def overwrite(
         self,
@@ -243,11 +334,12 @@ class IcebergLite:
         stats_cols: tuple[str, ...] = (),
         options: dict | None = None,
         gate=None,
+        stage: bool = False,
     ) -> int:
         new = self._write_data(name, df, partition_by, stats_cols, options)
         if gate is not None:
             gate()  # see append(): pre-commit barrier, orphan-safe
-        return self._commit(name, new, "overwrite", df.schema.json())
+        return self._commit(name, new, "overwrite", df.schema.json(), stage)
 
     def overwrite_partitions(
         self, name: str, df: DataFrame, keys: tuple[str, ...]
@@ -274,8 +366,9 @@ class IcebergLite:
         partition_filter: Callable[[dict[str, str]], bool] | None = None,
         stats_filter: Callable[[dict[str, list]], bool] | None = None,
         allow_empty: bool = False,
+        tag: str | None = None,
     ) -> DataFrame:
-        """Read a snapshot (time travel via ``snapshot_id``).
+        """Read a snapshot (time travel via ``snapshot_id`` or ``tag``).
 
         ``partition_filter`` prunes files from the manifest BEFORE any
         parquet is opened (planning-time partition pruning). Files are
@@ -290,6 +383,10 @@ class IcebergLite:
         everything" is a legitimate state (e.g. repairing a source all
         of whose rows aged out of a retention-pruned tier).
         """
+        if tag is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id OR tag, not both")
+            snapshot_id = self.resolve_tag(name, tag)
         snap = self._snapshot(name, snapshot_id)
         files = snap["files"]
         if partition_filter is not None:
@@ -658,19 +755,24 @@ class IcebergLite:
         log = self._read_log(name)
         if len(log["snapshots"]) <= keep_last:
             return 0
-        kept_snaps = log["snapshots"][-keep_last:]
+        # retained = newest keep_last, plus the published current (it
+        # may not be the list tail when staged snapshots exist) and
+        # every tagged snapshot — refs pin history, as in Iceberg
+        keep_ids = {s["id"] for s in log["snapshots"][-keep_last:]}
+        keep_ids.add(log["current"])
+        keep_ids.update(log.get("refs", {}).values())
+        kept_snaps = [s for s in log["snapshots"] if s["id"] in keep_ids]
+        if len(kept_snaps) == len(log["snapshots"]):
+            return 0
         live = {f["path"] for s in kept_snaps for f in s["files"]}
         dead = {
             f["path"]
-            for s in log["snapshots"][:-keep_last]
+            for s in log["snapshots"]
+            if s["id"] not in keep_ids
             for f in s["files"]
         } - live
         log["snapshots"] = kept_snaps
-        p = self._log_path(name)
-        tmp = p + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(log, f)
-        os.replace(tmp, p)
+        self._write_log(name, log)
         data = self._data(name)
         for rel in sorted(dead):
             try:

@@ -420,3 +420,73 @@ def test_remove_orphan_files(spark, cat):
 
     with pytest.raises(ValueError):
         cat.remove_orphan_files("t", older_than_s=-1)
+
+
+def test_write_audit_publish(spark, cat):
+    """WAP: a staged snapshot is invisible to readers and to
+    timestamp travel until publish; publish is also rollback."""
+    import time
+
+    s1 = cat.append("t", _df(spark, [("a", 0, 1)]))
+    s2 = cat.append("t", _df(spark, [("b", 60, 2)]), stage=True)
+    assert s2 == 2
+    # published state unchanged; staged snapshot auditable by id
+    assert cat.current_snapshot_id("t") == s1
+    assert [r["source"] for r in cat.read(spark, "t").collect()] == ["a"]
+    assert sorted(
+        r["source"] for r in cat.read(spark, "t", snapshot_id=s2).collect()
+    ) == ["a", "b"]
+    # timestamp travel never sees unpublished snapshots
+    assert cat.snapshot_as_of("t", time.time() + 60) == s1
+
+    # audit passes → publish
+    cat.tag("t", "audited", s2)
+    assert sorted(
+        r["source"] for r in cat.read(spark, "t", tag="audited").collect()
+    ) == ["a", "b"]
+    assert cat.publish("t", s2) == s2
+    assert cat.current_snapshot_id("t") == s2
+    assert sorted(r["source"] for r in cat.read(spark, "t").collect()) == [
+        "a", "b",
+    ]
+    # published → now visible to as_of
+    assert cat.snapshot_as_of("t", time.time() + 60) == s2
+
+    # rollback = publish an older id
+    cat.publish("t", s1)
+    assert [r["source"] for r in cat.read(spark, "t").collect()] == ["a"]
+
+    # sid allocation never collides with staged snapshots
+    s3 = cat.append("t", _df(spark, [("c", 120, 3)]))
+    assert s3 == 3
+    # the append built on the PUBLISHED state (post-rollback), not the
+    # staged one
+    assert sorted(r["source"] for r in cat.read(spark, "t").collect()) == [
+        "a", "c",
+    ]
+
+
+def test_tags_pin_history_through_expire(spark, cat):
+    cat.append("t", _df(spark, [("a", 0, 1)]))
+    cat.overwrite("t", _df(spark, [("b", 60, 2)]))
+    cat.overwrite("t", _df(spark, [("c", 120, 3)]))
+    cat.tag("t", "v1", 1)
+    assert cat.tags("t") == {"v1": 1}
+    n = cat.expire_snapshots("t", keep_last=1)
+    assert n >= 1
+    # tagged snapshot survives expiry, untagged middle one is gone
+    assert [r["source"] for r in cat.read(spark, "t", tag="v1").collect()] == ["a"]
+    with pytest.raises(SnapshotNotFound):
+        cat.read(spark, "t", snapshot_id=2)
+
+    with pytest.raises(ValueError):
+        cat.tag("t", "v1", 3)  # moving a tag needs replace=True
+    cat.tag("t", "v1", 3, replace=True)
+    assert cat.resolve_tag("t", "v1") == 3
+    cat.drop_tag("t", "v1")
+    with pytest.raises(SnapshotNotFound):
+        cat.resolve_tag("t", "v1")
+    with pytest.raises(KeyError):
+        cat.drop_tag("t", "v1")
+    with pytest.raises(ValueError):
+        cat.read(spark, "t", snapshot_id=3, tag="x")
