@@ -14,6 +14,9 @@ the fact — the ``rewrite_data_files`` / ``expire_snapshots`` /
     ... changes --table tier_1m --from-snapshot 3    # CDC changelog
     ... refresh --from-snapshot 3                    # CDC-driven refresh
                                                      # (iceberglite input)
+    ... remove-orphans --table tier_1m               # GC unreferenced files
+    ... tag --table tier_1m --name release-1         # named snapshot ref
+    ... publish --table tier_1m --snapshot 5         # WAP publish / rollback
 
 ``delete``/``restate`` read doc ids from ``--doc-ids`` or one-per-line
 from ``--doc-ids-file`` (compliance batches arrive as files).
@@ -68,6 +71,16 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--table", required=True)
     p.add_argument("--older-than-s", type=float, default=3 * 86400)
     p.add_argument("--dry-run", action="store_true")
+
+    p = sub.add_parser("tag")
+    p.add_argument("--table", required=True)
+    p.add_argument("--name", required=True)
+    p.add_argument("--snapshot", type=int, default=None)
+    p.add_argument("--replace", action="store_true")
+
+    p = sub.add_parser("publish")
+    p.add_argument("--table", required=True)
+    p.add_argument("--snapshot", type=int, required=True)
 
     p = sub.add_parser("changes")
     p.add_argument("--table", required=True)
@@ -126,6 +139,16 @@ def main(argv: list[str] | None = None) -> dict:
     elif args.op == "expire":
         n = cat.expire_snapshots(args.table, keep_last=args.keep_last)
         out = {"op": "expire", "table": args.table, "files_deleted": n}
+    elif args.op == "tag":
+        sid = cat.tag(
+            args.table, args.name, snapshot_id=args.snapshot,
+            replace=args.replace,
+        )
+        out = {"op": "tag", "table": args.table, "name": args.name,
+               "snapshot_id": sid}
+    elif args.op == "publish":
+        sid = cat.publish(args.table, args.snapshot)
+        out = {"op": "publish", "table": args.table, "snapshot_id": sid}
     elif args.op == "remove-orphans":
         removed = cat.remove_orphan_files(
             args.table, older_than_s=args.older_than_s, dry_run=args.dry_run

@@ -120,3 +120,34 @@ def test_trend_index_nonnegative_pre_epoch(spark):
     oracle = {tuple(str(v) for v in r) for r in con.sql(sql).fetchall()}
     cols = [d[0] for d in con.sql(sql).description]
     assert rows_set(got.select(*cols), cols) == oracle
+
+
+def test_floor_sql_hypothesis_fuzz():
+    """Property fuzz: floor_sql == Python floor division for random
+    int64 values and widths (DuckDB-only — no Spark session needed)."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(20260818)
+    con = duckdb.connect()
+    cases = []
+    for _ in range(300):
+        w = rng.choice([1, 2, 7, 60, 600, 3600, 86400, 1 << 31])
+        x = rng.choice([
+            rng.randrange(-(2**63), 2**63 - 1),
+            rng.randrange(-(2**20), 2**20),
+            0, -1, 1, 2**53, -(2**53),
+        ])
+        # keep |floored| inside int64 (the engine's domain contract)
+        if x - (x % w) < -(2**63) + w:
+            continue
+        cases.append((x, w))
+    vals = ", ".join(f"({x}, {w})" for x, w in cases)
+    got = con.sql(
+        "SELECT x, w, "
+        "((x) - ((((x) % w) + w) % w)) AS b "
+        f"FROM (VALUES {vals}) t(x, w)"
+    ).fetchall()
+    for x, w, b in got:
+        assert b == (x // w) * w, (x, w)
