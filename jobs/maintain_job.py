@@ -15,6 +15,8 @@ the fact — the ``rewrite_data_files`` / ``expire_snapshots`` /
     ... refresh --from-snapshot 3                    # CDC-driven refresh
                                                      # (iceberglite input)
     ... remove-orphans --table tier_1m               # GC unreferenced files
+    ... mor-delete --table docs --doc-ids d1 d2      # merge-on-read delete
+                                                     # (O(keys), no rewrite)
     ... tag --table tier_1m --name release-1         # named snapshot ref
     ... publish --table tier_1m --snapshot 5         # WAP publish / rollback
 
@@ -54,6 +56,12 @@ def main(argv: list[str] | None = None) -> dict:
         p = sub.add_parser(name)
         p.add_argument("--doc-ids", nargs="*", default=None)
         p.add_argument("--doc-ids-file", default=None)
+
+    p = sub.add_parser("mor-delete")
+    p.add_argument("--table", required=True)
+    p.add_argument("--key-col", default="doc_id")
+    p.add_argument("--doc-ids", nargs="*", default=None)
+    p.add_argument("--doc-ids-file", default=None)
 
     p = sub.add_parser("compact")
     p.add_argument("--table", required=True)
@@ -125,6 +133,29 @@ def main(argv: list[str] | None = None) -> dict:
         out = {"op": "refresh", **{
             k: v for k, v in report.items() if k != "snapshot_ids"
         }, "tables_committed": sorted(report.get("snapshot_ids", {}))}
+    elif args.op == "mor-delete":
+        # merge-on-read equality delete on ONE table: O(keys) commit,
+        # applied at read time (contrast `delete`, which copy-on-write
+        # rewrites the input AND repairs every derived tier/table).
+        # Key values arrive as strings; cast to the table column's type
+        # from the recorded snapshot schema so the anti-join keys match.
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        schema_json = cat._snapshot(args.table, None).get("schema")
+        keys = spark.createDataFrame(
+            [(v,) for v in _ids(args)], f"{args.key_col} string"
+        )
+        if schema_json is not None:
+            st = StructType.fromJson(json.loads(schema_json))
+            keys = keys.select(
+                F.col(args.key_col).cast(st[args.key_col].dataType)
+            )
+        sid = cat.delete_rows_mor(spark, args.table, keys, (args.key_col,))
+        out = {
+            "op": "mor-delete", "table": args.table,
+            "key_col": args.key_col, "snapshot_id": sid,
+        }
     elif args.op == "compact":
         sid = cat.compact(
             spark,

@@ -142,6 +142,7 @@ class IcebergLite:
         op: str,
         schema: str | None = None,
         stage: bool = False,
+        deletes: list[dict] | None = None,
     ) -> int:
         """Atomically append a snapshot referencing ``files`` (full live set).
 
@@ -152,7 +153,12 @@ class IcebergLite:
         ``stage``: record the snapshot WITHOUT advancing ``current`` —
         the write half of write-audit-publish. Readers keep seeing the
         published state; the staged snapshot is readable only by
-        explicit id (or a tag) until :meth:`publish` moves current."""
+        explicit id (or a tag) until :meth:`publish` moves current.
+
+        ``deletes``: the snapshot's live EQUALITY-DELETE files (see
+        :meth:`delete_rows_mor`) — each ``{"paths": [rel...],
+        "key_cols": [...], "seq": commit-id}``, applied at read time to
+        data files with a strictly older sequence number."""
         import time
 
         log = self._read_log(name)
@@ -166,6 +172,8 @@ class IcebergLite:
         }
         if schema is not None:
             snap["schema"] = schema
+        if deletes:
+            snap["deletes"] = deletes
         if stage:
             snap["staged"] = True
         log["snapshots"].append(snap)
@@ -323,8 +331,14 @@ class IcebergLite:
             # The pipeline uses this to overlap encode with validation
             # while keeping "invalid input commits nothing" airtight.
             gate()
-        live = self._snapshot(name, None)["files"] + new
-        return self._commit(name, live, "append", df.schema.json(), stage)
+        parent = self._snapshot(name, None)
+        live = parent["files"] + new
+        # equality-delete files stay live: they apply to the OLD data
+        # files (seq < delete seq), never to this append's new files
+        return self._commit(
+            name, live, "append", df.schema.json(), stage,
+            deletes=parent.get("deletes"),
+        )
 
     def overwrite(
         self,
@@ -345,16 +359,23 @@ class IcebergLite:
         self, name: str, df: DataFrame, keys: tuple[str, ...]
     ) -> int:
         """Dynamic partition overwrite: replace exactly the partitions
-        present in ``df``, keep the rest — Iceberg's `overwritePartitions`."""
+        present in ``df``, keep the rest — Iceberg's `overwritePartitions`.
+
+        NOTE: the replaced partitions' rows come verbatim from ``df`` —
+        callers on tables carrying equality deletes should write the
+        already-delete-applied read (the kept partitions' delete
+        entries are carried forward)."""
+        parent = self._snapshot(name, None)
         new = self._write_data(name, df, keys)
         replaced = {tuple(sorted(f["partition"].items())) for f in new}
         kept = [
             f
-            for f in self._snapshot(name, None)["files"]
+            for f in parent["files"]
             if tuple(sorted(f["partition"].items())) not in replaced
         ]
         return self._commit(
-            name, kept + new, "overwrite_partitions", df.schema.json()
+            name, kept + new, "overwrite_partitions", df.schema.json(),
+            deletes=self._applicable_deletes(parent.get("deletes"), kept),
         )
 
     # -- reads -----------------------------------------------------------
@@ -367,6 +388,7 @@ class IcebergLite:
         stats_filter: Callable[[dict[str, list]], bool] | None = None,
         allow_empty: bool = False,
         tag: str | None = None,
+        apply_deletes: bool = True,
     ) -> DataFrame:
         """Read a snapshot (time travel via ``snapshot_id`` or ``tag``).
 
@@ -382,6 +404,11 @@ class IcebergLite:
         schema instead of raising — for callers where "filter pruned
         everything" is a legitimate state (e.g. repairing a source all
         of whose rows aged out of a retention-pruned tier).
+
+        ``apply_deletes``: apply the snapshot's equality-delete files
+        (see :meth:`delete_rows_mor`) — a broadcast anti-join per
+        delete file against the data files it covers. Pass ``False``
+        to see the raw data files (merge-on-read debugging).
         """
         if tag is not None:
             if snapshot_id is not None:
@@ -410,10 +437,15 @@ class IcebergLite:
                 f"{name}@{snap.get('id')}: no files (empty snapshot or "
                 "filter pruned everything)"
             )
-        return self._df_for_files(spark, name, files)
+        deletes = snap.get("deletes") if apply_deletes else None
+        return self._df_for_files(spark, name, files, deletes)
 
     def _df_for_files(
-        self, spark: SparkSession, name: str, files: list[dict]
+        self,
+        spark: SparkSession,
+        name: str,
+        files: list[dict],
+        deletes: list[dict] | None = None,
     ) -> DataFrame:
         """DataFrame over an explicit manifest-file subset. Files are
         grouped per commit dir and each group read with its own
@@ -425,20 +457,126 @@ class IcebergLite:
         commit predates — Iceberg's add-column read semantics. (True
         drop/rename needs field-id tracking and is out of scope; a
         rename reads as drop+add.)
+
+        ``deletes`` (equality-delete entries): applied PER COMMIT
+        GROUP — a delete covers only data files with a strictly older
+        sequence number (Iceberg v2 semantics: a row re-inserted after
+        the delete survives). Each application is a broadcast
+        ``left_anti`` join on the delete's key columns; delete files
+        are tiny by construction (keys only), so this never shuffles
+        the data side.
         """
         data = self._data(name)
         by_commit: dict[str, list[str]] = {}
         for f in files:
             sdir = f["path"].split(os.sep, 1)[0]
             by_commit.setdefault(sdir, []).append(os.path.join(data, f["path"]))
-        parts = [
-            spark.read.option("basePath", os.path.join(data, sdir)).parquet(*paths)
-            for sdir, paths in sorted(by_commit.items())
-        ]
+        parts = []
+        for sdir, paths in sorted(by_commit.items()):
+            df = spark.read.option(
+                "basePath", os.path.join(data, sdir)
+            ).parquet(*paths)
+            if deletes:
+                df = self._anti_join_deletes(
+                    spark, name, df, deletes, self._file_seq(sdir)
+                )
+            parts.append(df)
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p, allowMissingColumns=True)
         return df
+
+    # -- merge-on-read (equality) deletes ---------------------------------
+    @staticmethod
+    def _file_seq(path: str) -> int:
+        """Data sequence number of a manifest path: the commit id in
+        its leading directory (``s7/...`` → 7, ``d7/...`` → 7). Files
+        carried across commits keep their original directory, so the
+        sequence survives any number of snapshot hops."""
+        return int(path.split(os.sep, 1)[0][1:])
+
+    @classmethod
+    def _applicable_deletes(
+        cls, deletes: list[dict] | None, files: list[dict]
+    ) -> list[dict] | None:
+        """The subset of ``deletes`` that still covers at least one of
+        ``files`` (a delete applies to data files with seq < its own).
+        Rewrites call this to drop delete files the rewrite
+        materialized — full compaction leaves the table delete-free."""
+        if not deletes:
+            return None
+        seqs = [cls._file_seq(f["path"]) for f in files]
+        return [d for d in deletes if any(s < d["seq"] for s in seqs)] or None
+
+    def _anti_join_deletes(
+        self,
+        spark: SparkSession,
+        name: str,
+        df: DataFrame,
+        deletes: list[dict],
+        data_seq: int,
+    ) -> DataFrame:
+        data = self._data(name)
+        for d in sorted(deletes, key=lambda d: d["seq"]):
+            if d["seq"] <= data_seq:
+                continue
+            keys = spark.read.parquet(
+                *(os.path.join(data, p) for p in d["paths"])
+            )
+            df = df.join(F.broadcast(keys), list(d["key_cols"]), "left_anti")
+        return df
+
+    def delete_rows_mor(
+        self,
+        spark: SparkSession,
+        name: str,
+        keys: DataFrame,
+        key_cols: tuple[str, ...],
+    ) -> int:
+        """Merge-on-read row-level delete — Iceberg v2 EQUALITY-DELETE
+        files. Copy-on-write (:meth:`replace_rows`) rewrites every file
+        that COULD hold a matching row; at 100 TB that is a gigabyte of
+        rewrite per deleted document. This instead writes only the key
+        set (one tiny parquet file) and commits a snapshot whose
+        manifest references the SAME data files plus the delete entry;
+        readers subtract the keys with a broadcast anti-join, applied
+        only to data files with an older sequence number (so a later
+        re-insert of the same key survives — Iceberg v2 sequence-number
+        semantics). Compaction (:meth:`compact` / :meth:`zorder_compact`)
+        materializes outstanding deletes into the rewritten files and
+        drops entries no remaining file needs.
+
+        Delete cost: O(keys). Read cost: one broadcast anti-join per
+        outstanding delete file — which is why periodic compaction
+        matters, exactly as with real Iceberg MOR tables.
+
+        Time travel across the delete works: prior snapshots carry no
+        delete entry and read the original rows.
+
+        Returns the new snapshot id.
+        """
+        snap = self._snapshot(name, None)
+        if not snap["files"]:
+            raise SnapshotNotFound(f"{name}: empty table")
+        sid = self._next_sid(name)
+        ddir = os.path.join(self._data(name), f"d{sid}")
+        # keys are small by contract (a compliance batch, not a corpus);
+        # one file keeps the read-side broadcast single-shot
+        keys.select(*key_cols).distinct().coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(ddir)
+        paths = sorted(
+            os.path.relpath(p, self._data(name))
+            for p in glob.glob(os.path.join(ddir, "*.parquet"))
+        )
+        entry = {"paths": paths, "key_cols": list(key_cols), "seq": sid}
+        return self._commit(
+            name,
+            snap["files"],
+            "delete",
+            snap.get("schema"),
+            deletes=(snap.get("deletes") or []) + [entry],
+        )
 
     def read_changes(
         self,
@@ -467,19 +605,45 @@ class IcebergLite:
         The exceptAll cost is bounded by the REWRITTEN files, not the
         table. Pure compaction therefore yields an empty changelog.
         """
-        from_files = {
-            f["path"] for f in self._snapshot(name, from_snapshot_id)["files"]
-        }
+        from_snap = self._snapshot(name, from_snapshot_id)
+        from_files = {f["path"] for f in from_snap["files"]}
         to_snap = self._snapshot(name, to_snapshot_id)
         to_files = {f["path"] for f in to_snap["files"]}
         added = [f for f in to_snap["files"] if f["path"] not in from_files]
         removed = [
-            f
-            for f in self._snapshot(name, from_snapshot_id)["files"]
-            if f["path"] not in to_files
+            f for f in from_snap["files"] if f["path"] not in to_files
         ]
+        # merge-on-read equality deletes committed in the range change
+        # NO data files — their net row deletions are computed from the
+        # delete keys against the data files that survive in BOTH
+        # snapshots (rewritten files are already accounted by the file
+        # diff; rows MOR-deleted before the range are masked by earlier
+        # delete entries so they never re-emit)
+        from_del_ids = {d["seq"] for d in from_snap.get("deletes") or []}
+        to_dels = to_snap.get("deletes") or []
+        del_parts: list[DataFrame] = []
+        for d in to_dels:
+            if d["seq"] in from_del_ids:
+                continue
+            common = [
+                f
+                for f in to_snap["files"]
+                if f["path"] in from_files
+                and self._file_seq(f["path"]) < d["seq"]
+            ]
+            if not common:
+                continue
+            prior = [x for x in to_dels if x["seq"] < d["seq"]]
+            base = self._df_for_files(spark, name, common, prior or None)
+            keys = spark.read.parquet(
+                *(os.path.join(self._data(name), p) for p in d["paths"])
+            )
+            del_parts.append(
+                base.join(F.broadcast(keys), list(d["key_cols"]), "left_semi")
+                .withColumn("_change_type", F.lit("delete"))
+            )
         tag = F.lit("insert")
-        if not added and not removed:
+        if not added and not removed and not del_parts:
             # no file changes → EMPTY changelog (an incremental consumer
             # polling an idle — or fully-pruned — table must get zero
             # rows, never an exception). Type it from the to-snapshot's
@@ -513,8 +677,20 @@ class IcebergLite:
             return spark.createDataFrame(
                 [], StructType.fromJson(json.loads(schema_json))
             ).withColumn("_change_type", tag)
-        ins = self._df_for_files(spark, name, added) if added else None
-        dels = self._df_for_files(spark, name, removed) if removed else None
+        # added files read under the TO snapshot's deletes (a delete in
+        # the range may cover a file also added in the range — those
+        # rows net to nothing); removed files under FROM's (rows gone
+        # before the range must not re-emit as deletes)
+        ins = (
+            self._df_for_files(spark, name, added, to_snap.get("deletes"))
+            if added
+            else None
+        )
+        dels = (
+            self._df_for_files(spark, name, removed, from_snap.get("deletes"))
+            if removed
+            else None
+        )
         if (
             ins is not None
             and dels is not None
@@ -531,6 +707,7 @@ class IcebergLite:
             parts.append(ins.withColumn("_change_type", tag))
         if dels is not None:
             parts.append(dels.withColumn("_change_type", F.lit("delete")))
+        parts.extend(del_parts)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
@@ -588,10 +765,13 @@ class IcebergLite:
             (untouched if skip else cand).append(f)
         parts: list[DataFrame] = []
         if cand:
+            # apply outstanding equality deletes while reading the
+            # rewrite candidates — a rewrite must not resurrect
+            # MOR-deleted rows into its (newer-sequence) output files
             parts.append(
-                self._df_for_files(spark, name, cand).join(
-                    keys, list(key_cols), "left_anti"
-                )
+                self._df_for_files(
+                    spark, name, cand, snap.get("deletes")
+                ).join(keys, list(key_cols), "left_anti")
             )
         if replacement is not None:
             parts.append(replacement)
@@ -601,7 +781,10 @@ class IcebergLite:
         for p in parts[1:]:
             df = df.unionByName(p)
         new = self._write_data(name, df, partition_by, stats_cols, options)
-        sid = self._commit(name, untouched + new, "replace", df.schema.json())
+        sid = self._commit(
+            name, untouched + new, "replace", df.schema.json(),
+            deletes=self._applicable_deletes(snap.get("deletes"), untouched),
+        )
         return sid, len(cand), len(untouched)
 
     # -- maintenance -----------------------------------------------------
@@ -657,7 +840,8 @@ class IcebergLite:
         total = sum(
             os.path.getsize(os.path.join(data, f["path"])) for f in rewrite
         )
-        df = self._df_for_files(spark, name, rewrite)
+        # materialize outstanding equality deletes into the rewrite
+        df = self._df_for_files(spark, name, rewrite, snap.get("deletes"))
         n = max(1, math.ceil(total / target_file_bytes))
         # partitioned tables: bound files PER partition dir; unpartitioned:
         # bound total output files
@@ -671,7 +855,10 @@ class IcebergLite:
         new = self._write_data(name, df, partition_by, stats_cols)
         rewritten = {f["path"] for f in rewrite}
         kept = [f for f in snap["files"] if f["path"] not in rewritten]
-        return self._commit(name, kept + new, "rewrite", df.schema.json())
+        return self._commit(
+            name, kept + new, "rewrite", df.schema.json(),
+            deletes=self._applicable_deletes(snap.get("deletes"), kept),
+        )
 
     def zorder_compact(
         self,
@@ -700,7 +887,8 @@ class IcebergLite:
         snap = self._snapshot(name, None)
         if len(snap["files"]) < min_files:
             return None
-        df = self._df_for_files(spark, name, snap["files"])
+        # full rewrite: materialize equality deletes, commit delete-free
+        df = self._df_for_files(spark, name, snap["files"], snap.get("deletes"))
         lo_a, hi_a, lo_b, hi_b = df.agg(
             F.min(a), F.max(a), F.min(b), F.max(b)
         ).collect()[0]
@@ -764,12 +952,18 @@ class IcebergLite:
         kept_snaps = [s for s in log["snapshots"] if s["id"] in keep_ids]
         if len(kept_snaps) == len(log["snapshots"]):
             return 0
-        live = {f["path"] for s in kept_snaps for f in s["files"]}
+
+        def _paths(s: dict) -> set[str]:
+            return {f["path"] for f in s["files"]} | {
+                p for d in s.get("deletes") or [] for p in d["paths"]
+            }
+
+        live = {p for s in kept_snaps for p in _paths(s)}
         dead = {
-            f["path"]
+            p
             for s in log["snapshots"]
             if s["id"] not in keep_ids
-            for f in s["files"]
+            for p in _paths(s)
         } - live
         log["snapshots"] = kept_snaps
         self._write_log(name, log)
@@ -780,7 +974,7 @@ class IcebergLite:
             except FileNotFoundError:
                 pass
         # drop now-empty commit dirs (cosmetic)
-        for d in sorted(glob.glob(os.path.join(data, "s*")), reverse=True):
+        for d in sorted(glob.glob(os.path.join(data, "[sd]*")), reverse=True):
             for sub, _, names in list(os.walk(d, topdown=False)):
                 if not names and not os.listdir(sub):
                     os.rmdir(sub)
@@ -819,7 +1013,12 @@ class IcebergLite:
         if older_than_s < 0:
             raise ValueError("remove_orphan_files: older_than_s must be >= 0")
         log = self._read_log(name)
-        live = {f["path"] for s in log["snapshots"] for f in s["files"]}
+        live = {f["path"] for s in log["snapshots"] for f in s["files"]} | {
+            p
+            for s in log["snapshots"]
+            for d in s.get("deletes") or []
+            for p in d["paths"]
+        }
         data = self._data(name)
         cutoff = time.time() - older_than_s
         doomed: list[str] = []
@@ -841,7 +1040,7 @@ class IcebergLite:
                     os.remove(os.path.join(data, rel))
                 except FileNotFoundError:
                     pass
-            for d in sorted(glob.glob(os.path.join(data, "s*")), reverse=True):
+            for d in sorted(glob.glob(os.path.join(data, "[sd]*")), reverse=True):
                 for sub, _, names in list(os.walk(d, topdown=False)):
                     if not names and not os.listdir(sub):
                         os.rmdir(sub)
