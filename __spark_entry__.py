@@ -503,6 +503,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_survivors"] = _q_dedup_survivors
 
+    def _q_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Near-dup rate per ingestion source — which source ships
+        duplicated content (exact integer counts; % is driver-side)."""
+        from pyreshaper_spark.operators.cluster import dedup_rate_by_source
+
+        docs = _docs(spark, sf_dir)
+        pairs = dedup.verified_near_dups(docs, max_df=200)
+        return dedup_rate_by_source(docs, pairs)
+
+    q["dedup_rate_by_source"] = _q_dedup_rate
+
     # -- eval-contamination check (n-gram overlap across hash splits) -
     def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyreshaper_spark.operators.contamination import (
@@ -553,6 +564,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dedup_minhash_bucketcap)
     q["emb_near_dup_bucketcap"] = lambda s, d: similarity.cosine_near_dups(
         _emb(s, d), num=2, den=5, max_bucket=40
+    )
+    # embedding-space source separation: pairwise centroid distance
+    # (exact fixed-point — the vector twin of src_token_tvd)
+    q["emb_src_centroid_d2"] = lambda s, d: similarity.source_centroid_d2(
+        _docs(s, d), _emb(s, d)
     )
     # trained coarse quantizer (exact-integer Lloyd) + IVF probe
     from pyreshaper_spark.operators import kmeans as KM
@@ -1033,6 +1049,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["token_gini_1h"] = lambda s, d: VB.token_gini(
         VB.token_stream(_docs(s, d)), 3600
+    )
+    # pairwise source token-mix divergence (exact cross-multiplied TVD)
+    q["src_token_tvd"] = lambda s, d: VB.source_token_tvd(
+        VB.token_stream(_docs(s, d))
     )
     # Gopher-style duplicate-trigram repetition needs token ORDER
     q["doc_rep3"] = lambda s, d: VB.doc_ngram_repetition(_md_seq(s, d), n=3)
@@ -1827,6 +1847,9 @@ FROM tier t JOIN meta m USING (source)
         + "\n) GROUP BY 1"
     )
     o["dedup_survivors"] = survivor_flags_sql(_PAIRS_SQL)
+    from pyreshaper_spark.operators.cluster import dedup_rate_by_source_sql
+
+    o["dedup_rate_by_source"] = dedup_rate_by_source_sql(_PAIRS_SQL)
     from pyreshaper_spark.operators.contamination import (
         split_contamination_sql,
     )
@@ -1872,6 +1895,7 @@ FROM tier t JOIN meta m USING (source)
     o["emb_near_dup_bucketcap"] = similarity.cosine_near_dups_sql(
         num=2, den=5, max_bucket=40
     )
+    o["emb_src_centroid_d2"] = similarity.source_centroid_d2_sql()
     o["mm_meta"] = multimodal.media_meta_sql()
     o["mm_frame_sample"] = multimodal.sample_frames_planar_sql(
         every_k=4,
@@ -2039,6 +2063,9 @@ FROM filled
     )
 
     o["token_gini_1h"] = f"WITH {token_cte()}\n" + token_gini_sql(3600)
+    from pyreshaper_spark.operators.vocab import source_token_tvd_sql
+
+    o["src_token_tvd"] = f"WITH {token_cte()},\n" + source_token_tvd_sql()
     o["doc_rep3"] = (
         f"WITH {seqs_cte(_V)}" + doc_ngram_repetition_sql(3, _V)
     )

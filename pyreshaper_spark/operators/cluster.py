@@ -228,3 +228,35 @@ SELECT d.doc_id, d.source,
        coalesce(c.doc_id = c.component, TRUE) AS kept
 FROM documents d LEFT JOIN comp c USING (doc_id)
 """
+
+
+def dedup_rate_by_source(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Near-duplicate RATE per source — the corpus-health dashboard's
+    per-source face of :func:`survivor_flags` ("which ingestion source
+    ships duplicated content?"). Exact integer counts (n_docs,
+    n_dupes); the percentage is a driver-side division.
+
+    Cost on top of the component computation: one |docs|-row left join
+    (payload never shuffled — only doc_id, source ride) and an
+    O(sources) aggregate."""
+    return (
+        survivor_flags(docs, pairs)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("kept"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_dupes"),
+        )
+    )
+
+
+def dedup_rate_by_source_sql(pairs_sql: str) -> str:
+    """DuckDB twin of :func:`dedup_rate_by_source`."""
+    return f"""
+SELECT source,
+       CAST(count(*) AS BIGINT)                          AS n_docs,
+       CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dupes
+FROM ({survivor_flags_sql(pairs_sql)})
+GROUP BY 1
+"""

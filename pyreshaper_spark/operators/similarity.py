@@ -575,3 +575,92 @@ WHERE {dot.format(x="a.q", y="b.q")} > 0
       * CAST({dot.format(x="a.q", y="b.q")} AS HUGEINT) * {den * den}
       >= CAST(a.n2 AS HUGEINT) * CAST(b.n2 AS HUGEINT) * {num * num}
 """
+
+
+def source_centroid_d2(docs: DataFrame, emb: DataFrame) -> DataFrame:
+    """Pairwise squared distance between per-source embedding CENTROIDS
+    — the embedding-space mixture monitor ("are two ingestion sources
+    semantically converging/diverging?"), the vector twin of
+    :func:`~pyreshaper_spark.operators.vocab.source_token_tvd`.
+
+    Exact fixed-point integers, no division: with per-source per-dim
+    sums s_d (over :func:`quantized` vectors) and row counts n,
+
+        (n_a * n_b)^2 * ||mu_a - mu_b||^2
+            = sum_d (s_ad * n_b - s_bd * n_a)^2
+
+    so the engine ships ``d2_num`` = that decimal(38,0) sum plus both
+    counts; the float face is a driver-side division. Domain: exact
+    while n_a*n_b*QUANT < ~10^19 per dim (≈10^7 rows/source at unit-norm
+    embeddings); beyond that pre-average per shard or accept the float
+    finisher.
+
+    Scale shape: one posexplode (rows x dims) collapsed by partial agg
+    to |S| x D rows, then a dim equi-join over that tiny relation with
+    broadcast totals — the corpus is read once, everything downstream
+    is O(|S| x D).
+    """
+    dec = "decimal(38,0)"
+    q = quantized(emb)
+    j = docs.select(F.col("doc_id").alias("vec_id"), "source").join(q, "vec_id")
+    per = (
+        j.select("source", F.posexplode("q").alias("dim", "v"))
+        .groupBy("source", "dim")
+        .agg(F.sum("v").alias("s"))
+    )
+    tot = j.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    a = per.select(
+        F.col("source").alias("src_a"), "dim", F.col("s").alias("s_a")
+    )
+    b = per.select(
+        F.col("source").alias("src_b"), "dim", F.col("s").alias("s_b")
+    )
+    na = tot.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    nb = tot.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    diff = (
+        F.col("s_a").cast(dec) * F.col("n_b").cast(dec)
+        - F.col("s_b").cast(dec) * F.col("n_a").cast(dec)
+    )
+    return (
+        a.join(b, "dim")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .groupBy("src_a", "src_b", "n_a", "n_b")
+        .agg(F.sum(diff * diff).cast(dec).alias("d2_num"))
+        .select("src_a", "src_b", "d2_num", "n_a", "n_b")
+    )
+
+
+def source_centroid_d2_sql(dim: int = 64) -> str:
+    """DuckDB twin of :func:`source_centroid_d2` (fixed ``dim`` — the
+    fixture's embedding width; DuckDB lacks lateral unnest-with-
+    ordinality, so dims come from a constant generate_series)."""
+    return f"""
+WITH q AS ({QUANT_SQL}),
+j AS (
+  SELECT d.source, q.q
+  FROM documents d JOIN q ON q.vec_id = d.doc_id
+),
+per AS (
+  SELECT source, i AS dim, CAST(sum(q[i]) AS BIGINT) AS s
+  FROM j CROSS JOIN generate_series(1, {dim}) AS t(i)
+  GROUP BY 1, 2
+),
+tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY 1)
+SELECT a.src_a, a.src_b,
+       CAST(sum(a.d * a.d) AS DECIMAL(38,0)) AS d2_num,
+       any_value(a.n_a) AS n_a,
+       any_value(a.n_b) AS n_b
+FROM (
+  SELECT pa.source AS src_a, pb.source AS src_b,
+         ta.n AS n_a, tb.n AS n_b,
+         CAST(pa.s AS DECIMAL(38,0)) * tb.n
+           - CAST(pb.s AS DECIMAL(38,0)) * ta.n AS d
+  FROM per pa
+  JOIN per pb ON pa.dim = pb.dim AND pa.source < pb.source
+  JOIN tot ta ON ta.source = pa.source
+  JOIN tot tb ON tb.source = pb.source
+) a
+GROUP BY 1, 2
+"""

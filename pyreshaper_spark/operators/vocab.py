@@ -903,3 +903,113 @@ FROM (
 )
 GROUP BY 1
 """
+
+
+def source_token_tvd(tok: DataFrame) -> DataFrame:
+    """Pairwise total-variation distance between per-source token
+    distributions — the data-mixture health matrix ("how different is
+    source A's token mix from source B's?"), the cross-sectional twin
+    of :func:`~pyreshaper_spark.operators.drift.histogram_drift_tvd`'s
+    over-time drift.
+
+    Exact integers via cross-multiplication (the engine never divides):
+    with c_t = count of token t in source a (total n_a) and d_t in
+    source b (total n_b),
+
+        2 * n_a * n_b * TVD(a, b)
+            = sum_co |c_t*n_b - d_t*n_a|
+              + (n_a - sum_co c_t) * n_b + (n_b - sum_co d_t) * n_a
+
+    where ``co`` ranges over tokens present in BOTH sources — tokens on
+    one side only contribute their full cross-multiplied mass through
+    the complement terms. A shared-token EQUI-join therefore suffices;
+    no full-outer join, no per-pair union of vocabularies.
+
+    Scale shape: the (source, token) count is one partial+final hash
+    agg bounded by |S| x V; the token self-join fans out to at most
+    V * |S|^2 / 2 rows (V bounded, |S| small); source totals broadcast.
+    Sums are decimal(38,0) — n_a * n_b stays exact far past int64 at
+    corpus scale. Pairs sharing no token are restored from the tiny
+    totals grid (TVD = 1, i.e. num = 2 * n_a * n_b).
+    """
+    dec = "decimal(38,0)"
+    cnt = tok.groupBy("source", "token").agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    ca = cnt.select(
+        F.col("source").alias("src_a"), "token", F.col("c").alias("c_a")
+    )
+    cb = cnt.select(
+        F.col("source").alias("src_b"), "token", F.col("c").alias("c_b")
+    )
+    na = tot.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    nb = tot.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    co = (
+        ca.join(cb, "token")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("c_a").cast(dec) * F.col("n_b").cast(dec)
+                    - F.col("c_b").cast(dec) * F.col("n_a").cast(dec)
+                )
+            ).alias("co_num"),
+            F.sum("c_a").alias("co_a"),
+            F.sum("c_b").alias("co_b"),
+        )
+    )
+    grid = na.join(F.broadcast(nb), na.src_a < nb.src_b)
+    return (
+        grid.join(co, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            (
+                F.coalesce(F.col("co_num"), F.lit(0).cast(dec))
+                + (F.col("n_a") - F.coalesce(F.col("co_a"), F.lit(0))).cast(dec)
+                * F.col("n_b").cast(dec)
+                + (F.col("n_b") - F.coalesce(F.col("co_b"), F.lit(0))).cast(dec)
+                * F.col("n_a").cast(dec)
+            ).cast(dec).alias("tvd_num"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+        )
+    )
+
+
+def source_token_tvd_sql() -> str:
+    """DuckDB twin of :func:`source_token_tvd` — CONTINUES a WITH chain
+    opened by :func:`token_cte` (caller writes ``WITH {token_cte()},``)."""
+    return """
+cnt AS (
+  SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2
+),
+tot AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1
+),
+co AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(sum(abs(CAST(a.c AS DECIMAL(38,0)) * tb.n
+                      - CAST(b.c AS DECIMAL(38,0)) * ta.n))
+              AS DECIMAL(38,0))        AS co_num,
+         CAST(sum(a.c) AS BIGINT)      AS co_a,
+         CAST(sum(b.c) AS BIGINT)      AS co_b
+  FROM cnt a
+  JOIN cnt b ON a.token = b.token AND a.source < b.source
+  JOIN tot ta ON ta.source = a.source
+  JOIN tot tb ON tb.source = b.source
+  GROUP BY 1, 2
+)
+SELECT ta.source AS src_a, tb.source AS src_b,
+       CAST(coalesce(co.co_num, 0)
+            + CAST(ta.n - coalesce(co.co_a, 0) AS DECIMAL(38,0)) * tb.n
+            + CAST(tb.n - coalesce(co.co_b, 0) AS DECIMAL(38,0)) * ta.n
+            AS DECIMAL(38,0)) AS tvd_num,
+       ta.n AS n_a,
+       tb.n AS n_b
+FROM tot ta
+JOIN tot tb ON ta.source < tb.source
+LEFT JOIN co ON co.src_a = ta.source AND co.src_b = tb.source
+"""
