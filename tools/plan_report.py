@@ -818,6 +818,84 @@ def main() -> None:
         ],
     ))
 
+    # 20. merge-on-read equality-delete read
+    from pyreshaper_spark.sources.iceberglite import IcebergLite
+
+    mor_root = "/tmp/plan_report_mor"
+    mor = IcebergLite(mor_root)
+    if not mor.exists("t"):
+        mor.append(
+            "t",
+            spark.createDataFrame(
+                [(f"d{i}", "s0", i) for i in range(20)],
+                "doc_id string, source string, n_tok long",
+            ),
+        )
+        mor.delete_rows_mor(
+            spark, "t",
+            spark.createDataFrame([("d1",)], "doc_id string"), ("doc_id",),
+        )
+    p_mor = plan_of(mor.read(spark, "t"))
+    mat_root = "/tmp/plan_report_mor_mat"
+    mat = IcebergLite(mat_root)
+    if not mat.exists("t"):
+        import shutil
+
+        shutil.copytree(
+            os.path.join(mor_root, "t"), os.path.join(mat_root, "t")
+        )
+        mat.compact(spark, "t", min_files=1)
+    p_mat = plan_of(mat.read(spark, "t"))
+    sections.append((
+        "Merge-on-read equality-delete read",
+        p_mor,
+        [
+            ("delete keys applied as a BROADCAST anti-join (the data "
+             "side never shuffles for the delete)",
+             "BroadcastHashJoin" in p_mor and "LeftAnti" in p_mor),
+            ("no sort-merge join / exchange introduced by the delete",
+             "SortMergeJoin" not in p_mor
+             and "Exchange hashpartitioning" not in p_mor),
+            ("after compaction the delete is materialized — read plan "
+             "carries NO residual anti-join",
+             "LeftAnti" not in p_mat and "Join" not in p_mat),
+        ],
+    ))
+
+    # 21. cross-source mixture divergence (token TVD + centroid d2)
+    from pyreshaper_spark.operators.similarity import source_centroid_d2
+    from pyreshaper_spark.operators.vocab import source_token_tvd, token_stream
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    p_tvd = plan_of(source_token_tvd(token_stream(docs)))
+    p_cd2 = plan_of(source_centroid_d2(docs, emb))
+    cd2_schemas = [
+        seg.split("\n")[0] for seg in p_cd2.split("ReadSchema")[1:]
+    ]
+    sections.append((
+        "Cross-source mixture divergence",
+        p_tvd,
+        [
+            ("TVD: (source, token) count is a partial+final hash agg "
+             "(exploded stream collapses map-side, bounded by |S| x V)",
+             p_tvd.count("HashAggregate") >= 4),
+            ("TVD: source totals join is broadcast; no CartesianProduct "
+             "anywhere (the |S| x |S| grid rides a broadcast)",
+             "BroadcastHashJoin" in p_tvd
+             and "CartesianProduct" not in p_tvd),
+            ("centroid d2: document scan pruned to (doc_id, source) — "
+             "text never read",
+             bool(cd2_schemas)
+             and all("text" not in s for s in cd2_schemas)),
+            ("centroid d2: per-dim sums partial+final; totals broadcast; "
+             "no cartesian",
+             p_cd2.count("HashAggregate") >= 4
+             and "BroadcastHashJoin" in p_cd2
+             and "CartesianProduct" not in p_cd2),
+        ],
+    ))
+
     out = ["# PLANS — physical-plan verification (auto-generated by "
            "tools/plan_report.py)\n"]
     all_ok = True
