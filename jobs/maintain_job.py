@@ -19,6 +19,8 @@ the fact — the ``rewrite_data_files`` / ``expire_snapshots`` /
                                                      # (O(keys), no rewrite)
     ... tag --table tier_1m --name release-1         # named snapshot ref
     ... publish --table tier_1m --snapshot 5         # WAP publish / rollback
+    ... create-branch --table docs --name audit      # branch ref
+    ... fast-forward --table docs --name audit       # publish branch head
 
 ``delete``/``restate`` read doc ids from ``--doc-ids`` or one-per-line
 from ``--doc-ids-file`` (compliance batches arrive as files).
@@ -89,6 +91,15 @@ def main(argv: list[str] | None = None) -> dict:
     p = sub.add_parser("publish")
     p.add_argument("--table", required=True)
     p.add_argument("--snapshot", type=int, required=True)
+
+    p = sub.add_parser("create-branch")
+    p.add_argument("--table", required=True)
+    p.add_argument("--name", required=True)
+    p.add_argument("--snapshot", type=int, default=None)
+
+    p = sub.add_parser("fast-forward")
+    p.add_argument("--table", required=True)
+    p.add_argument("--name", required=True)
 
     p = sub.add_parser("changes")
     p.add_argument("--table", required=True)
@@ -180,6 +191,14 @@ def main(argv: list[str] | None = None) -> dict:
     elif args.op == "publish":
         sid = cat.publish(args.table, args.snapshot)
         out = {"op": "publish", "table": args.table, "snapshot_id": sid}
+    elif args.op == "create-branch":
+        sid = cat.create_branch(args.table, args.name, snapshot_id=args.snapshot)
+        out = {"op": "create-branch", "table": args.table,
+               "name": args.name, "snapshot_id": sid}
+    elif args.op == "fast-forward":
+        sid = cat.fast_forward(args.table, args.name)
+        out = {"op": "fast-forward", "table": args.table,
+               "name": args.name, "snapshot_id": sid}
     elif args.op == "remove-orphans":
         removed = cat.remove_orphan_files(
             args.table, older_than_s=args.older_than_s, dry_run=args.dry_run

@@ -143,6 +143,7 @@ class IcebergLite:
         schema: str | None = None,
         stage: bool = False,
         deletes: list[dict] | None = None,
+        parent_id: int | None = None,
     ) -> int:
         """Atomically append a snapshot referencing ``files`` (full live set).
 
@@ -165,7 +166,9 @@ class IcebergLite:
         sid = max([log["current"], *(s["id"] for s in log["snapshots"])]) + 1
         snap = {
             "id": sid,
-            "parent": log["current"],
+            "parent": (
+                log["current"] if parent_id is None else parent_id
+            ),
             "op": op,
             "ts": time.time(),
             "files": files,
@@ -263,6 +266,60 @@ class IcebergLite:
                 return snapshot_id
         raise SnapshotNotFound(f"{name}@{snapshot_id}")
 
+    # -- branches: isolated multi-commit write lineages --------------------
+    def create_branch(
+        self, name: str, branch_name: str, snapshot_id: int | None = None
+    ) -> int:
+        """Create a BRANCH ref (Iceberg branch): an independent commit
+        lineage starting at ``snapshot_id`` (default: current). Writes
+        with ``branch=`` chain onto the branch head as STAGED snapshots
+        — readers of the table keep seeing the published main state
+        until :meth:`fast_forward` moves ``current`` onto the branch
+        head. This is multi-commit write-audit-publish: an ingest job
+        can land several commits on an ``audit`` branch, validation
+        reads the branch, and one atomic fast-forward publishes all of
+        them (or none)."""
+        log = self._read_log(name)
+        sid = log["current"] if snapshot_id is None else snapshot_id
+        if sid != 0 and not any(s["id"] == sid for s in log["snapshots"]):
+            raise SnapshotNotFound(f"{name}@{sid}")
+        branches = log.setdefault("branches", {})
+        if branch_name in branches:
+            raise ValueError(f"branch {branch_name!r} already exists")
+        branches[branch_name] = sid
+        self._write_log(name, log)
+        return sid
+
+    def branches(self, name: str) -> dict[str, int]:
+        return dict(self._read_log(name).get("branches", {}))
+
+    def resolve_branch(self, name: str, branch_name: str) -> int:
+        br = self._read_log(name).get("branches", {})
+        if branch_name not in br:
+            raise SnapshotNotFound(f"{name}: no branch {branch_name!r}")
+        return br[branch_name]
+
+    def drop_branch(self, name: str, branch_name: str) -> None:
+        log = self._read_log(name)
+        if branch_name not in log.get("branches", {}):
+            raise KeyError(f"{name}: no branch {branch_name!r}")
+        del log["branches"][branch_name]
+        self._write_log(name, log)
+
+    def _advance_branch(self, name: str, branch_name: str, sid: int) -> None:
+        log = self._read_log(name)
+        log.setdefault("branches", {})[branch_name] = sid
+        self._write_log(name, log)
+
+    def fast_forward(self, name: str, branch_name: str) -> int:
+        """Publish a branch: atomically move ``current`` onto the
+        branch head (Iceberg's ``fast_forward``). The head snapshot
+        loses its staged flag; the branch's INTERMEDIATE snapshots stay
+        staged (branch history — readable by explicit id, invisible to
+        timestamp travel, reclaimable by expiry once the branch is
+        dropped)."""
+        return self.publish(name, self.resolve_branch(name, branch_name))
+
     def _snapshot(self, name: str, snapshot_id: int | None) -> dict:
         log = self._read_log(name)
         sid = log["current"] if snapshot_id is None else snapshot_id
@@ -321,6 +378,7 @@ class IcebergLite:
         options: dict | None = None,
         gate=None,
         stage: bool = False,
+        branch: str | None = None,
     ) -> int:
         new = self._write_data(name, df, partition_by, stats_cols, options)
         if gate is not None:
@@ -331,6 +389,18 @@ class IcebergLite:
             # The pipeline uses this to overlap encode with validation
             # while keeping "invalid input commits nothing" airtight.
             gate()
+        if branch is not None:
+            # branch writes chain onto the BRANCH head (staged — main
+            # readers unaffected until fast_forward publishes the head)
+            base_sid = self.resolve_branch(name, branch)
+            parent = self._snapshot(name, base_sid)
+            sid = self._commit(
+                name, parent["files"] + new, "append", df.schema.json(),
+                stage=True, deletes=parent.get("deletes"),
+                parent_id=base_sid,
+            )
+            self._advance_branch(name, branch, sid)
+            return sid
         parent = self._snapshot(name, None)
         live = parent["files"] + new
         # equality-delete files stay live: they apply to the OLD data
@@ -389,8 +459,11 @@ class IcebergLite:
         allow_empty: bool = False,
         tag: str | None = None,
         apply_deletes: bool = True,
+        branch: str | None = None,
     ) -> DataFrame:
-        """Read a snapshot (time travel via ``snapshot_id`` or ``tag``).
+        """Read a snapshot (time travel via ``snapshot_id`` / ``tag``,
+        or a branch head via ``branch`` — staged branch commits are
+        readable here before they are published).
 
         ``partition_filter`` prunes files from the manifest BEFORE any
         parquet is opened (planning-time partition pruning). Files are
@@ -414,6 +487,10 @@ class IcebergLite:
             if snapshot_id is not None:
                 raise ValueError("pass snapshot_id OR tag, not both")
             snapshot_id = self.resolve_tag(name, tag)
+        if branch is not None:
+            if snapshot_id is not None or tag is not None:
+                raise ValueError("pass snapshot_id OR tag OR branch")
+            snapshot_id = self.resolve_branch(name, branch)
         snap = self._snapshot(name, snapshot_id)
         files = snap["files"]
         if partition_filter is not None:
@@ -949,6 +1026,8 @@ class IcebergLite:
         keep_ids = {s["id"] for s in log["snapshots"][-keep_last:]}
         keep_ids.add(log["current"])
         keep_ids.update(log.get("refs", {}).values())
+        # branch heads pin history like tags (drop_branch releases them)
+        keep_ids.update(log.get("branches", {}).values())
         kept_snaps = [s for s in log["snapshots"] if s["id"] in keep_ids]
         if len(kept_snaps) == len(log["snapshots"]):
             return 0

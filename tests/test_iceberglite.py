@@ -490,3 +490,88 @@ def test_tags_pin_history_through_expire(spark, cat):
         cat.drop_tag("t", "v1")
     with pytest.raises(ValueError):
         cat.read(spark, "t", snapshot_id=3, tag="x")
+
+
+# -- branches: isolated multi-commit write lineages ----------------------
+
+def test_branch_commits_stay_invisible_until_fast_forward(spark, cat):
+    cat.append("t", _df(spark, [("a", 0, 1)]))
+    cat.create_branch("t", "audit")
+    cat.append("t", _df(spark, [("b", 60, 2)]), branch="audit")
+    cat.append("t", _df(spark, [("c", 120, 3)]), branch="audit")
+    # main readers still see only the published state
+    assert {r["source"] for r in cat.read(spark, "t").collect()} == {"a"}
+    # branch readers see the full branch lineage
+    got = {r["source"] for r in cat.read(spark, "t", branch="audit").collect()}
+    assert got == {"a", "b", "c"}
+    # one atomic publish lands BOTH branch commits
+    cat.fast_forward("t", "audit")
+    got = {r["source"] for r in cat.read(spark, "t").collect()}
+    assert got == {"a", "b", "c"}
+
+
+def test_branch_isolated_from_main_commits(spark, cat):
+    cat.append("t", _df(spark, [("a", 0, 1)]))
+    cat.create_branch("t", "wip")
+    cat.append("t", _df(spark, [("b", 60, 2)]), branch="wip")
+    # a MAIN commit after the branch diverged
+    cat.append("t", _df(spark, [("m", 0, 9)]))
+    assert {r["source"] for r in cat.read(spark, "t").collect()} == {"a", "m"}
+    got = {r["source"] for r in cat.read(spark, "t", branch="wip").collect()}
+    assert got == {"a", "b"}  # branch did NOT pick up the main commit
+    # branch parent chain records the branch lineage, not main's
+    head = cat.resolve_branch("t", "wip")
+    snap = cat._snapshot("t", head)
+    assert snap["parent"] == 1 and snap.get("staged")
+
+
+def test_abandoned_branch_drops_cleanly(spark, cat):
+    cat.append("t", _df(spark, [("a", 0, 1)]))
+    cat.create_branch("t", "bad")
+    cat.append("t", _df(spark, [("x", 0, 7)]), branch="bad")
+    cat.drop_branch("t", "bad")
+    # head no longer pinned: expiry reclaims the staged branch commit
+    cat.append("t", _df(spark, [("b", 60, 2)]))
+    cat.expire_snapshots("t", keep_last=1)
+    assert {r["source"] for r in cat.read(spark, "t").collect()} == {"a", "b"}
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        cat.resolve_branch("t", "bad")
+
+
+def test_branch_from_empty_table_and_head_pinned_by_expiry(spark, cat):
+    cat.append("t", _df(spark, [("a", 0, 1)]))
+    cat.create_branch("t", "b0")
+    cat.append("t", _df(spark, [("z", 0, 5)]), branch="b0")
+    for i in range(3):
+        cat.append("t", _df(spark, [(f"m{i}", 0, i)]))
+    cat.expire_snapshots("t", keep_last=1)
+    # the branch head survived expiry (pinned like a tag)
+    got = {r["source"] for r in cat.read(spark, "t", branch="b0").collect()}
+    assert got == {"a", "z"}
+
+
+def test_branch_cli_roundtrip(spark, cat, tmp_path):
+    from jobs.maintain_job import main as maintain
+    from jobs.make_config import main as mkcfg
+
+    cat.append("t", _df(spark, [("a", 0, 1)]))
+    cfg_p = str(tmp_path / "run.json")
+    mkcfg([
+        "--input", str(tmp_path / "unused"), "--output", cat.root,
+        "--tiers", "1m:60", "-o", cfg_p,
+    ])
+    ck = str(tmp_path / "ck.json")
+    out = maintain([
+        "--config", cfg_p, "--checkpoint", ck, "create-branch",
+        "--table", "t", "--name", "audit",
+    ])
+    assert out["snapshot_id"] == 1
+    cat.append("t", _df(spark, [("b", 60, 2)]), branch="audit")
+    out = maintain([
+        "--config", cfg_p, "--checkpoint", ck, "fast-forward",
+        "--table", "t", "--name", "audit",
+    ])
+    assert out["snapshot_id"] == cat.current_snapshot_id("t")
+    assert {r["source"] for r in cat.read(spark, "t").collect()} == {"a", "b"}
