@@ -575,3 +575,32 @@ def test_branch_cli_roundtrip(spark, cat, tmp_path):
     ])
     assert out["snapshot_id"] == cat.current_snapshot_id("t")
     assert {r["source"] for r in cat.read(spark, "t").collect()} == {"a", "b"}
+
+
+def test_partition_spec_evolution(spark, cat):
+    """Iceberg partition evolution: commits written under DIFFERENT
+    partition specs coexist in one table. Each commit group reads with
+    its own basePath (hive columns recovered per spec); a
+    partition_filter is evolution-safe when it keeps files that cannot
+    prove non-match (files from the pre-partitioned spec carry no
+    key), mirroring stats_filter's keep-on-unknown contract."""
+    rows1 = [("a", 0, 1), ("b", 60, 2)]
+    rows2 = [("a", 120, 3), ("c", 180, 4)]
+    cat.append("t", _df(spark, rows1))  # spec v1: unpartitioned
+    cat.append("t", _df(spark, rows2), partition_by=("source",))  # spec v2
+    got = {
+        (r["source"], r["bucket_s"], r["cnt"])
+        for r in cat.read(spark, "t").collect()
+    }
+    assert got == set(rows1) | set(rows2)
+    # evolution-safe pruning: drop only files PROVEN to be other sources
+    pruned = cat.read(
+        spark, "t",
+        partition_filter=lambda p: p.get("source") in (None, "a"),
+    )
+    srcs = {f["partition"].get("source")
+            for f in cat._snapshot("t", None)["files"]}
+    assert srcs == {None, "a", "c"}  # manifest carries both specs
+    got = {(r["source"], r["cnt"]) for r in pruned.collect()}
+    # spec-v2 'c' file pruned at planning time; v1 files kept (no key)
+    assert got == {("a", 1), ("b", 2), ("a", 3)}
