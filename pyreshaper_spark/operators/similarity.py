@@ -602,13 +602,22 @@ def source_centroid_d2(docs: DataFrame, emb: DataFrame) -> DataFrame:
     """
     dec = "decimal(38,0)"
     q = quantized(emb)
-    j = docs.select(F.col("doc_id").alias("vec_id"), "source").join(q, "vec_id")
+    base = docs.select(F.col("doc_id").alias("vec_id"), "source").join(
+        q, "vec_id", "left"
+    )
     per = (
-        j.select("source", F.posexplode("q").alias("dim", "v"))
+        base.filter(F.col("q").isNotNull())
+        .select("source", F.posexplode("q").alias("dim", "v"))
         .groupBy("source", "dim")
         .agg(F.sum("v").alias("s"))
     )
-    tot = j.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    # totals over ALL document sources (embedded-row count may be 0):
+    # a source with no vectors must still appear in every pair — with a
+    # NULL d2_num ("centroid undefined"), never silently absent; the
+    # token-TVD twin restores missing pairs the same way
+    tot = base.groupBy("source").agg(
+        F.count("q").cast("long").alias("n")
+    )
     a = per.select(
         F.col("source").alias("src_a"), "dim", F.col("s").alias("s_a")
     )
@@ -621,14 +630,17 @@ def source_centroid_d2(docs: DataFrame, emb: DataFrame) -> DataFrame:
         F.col("s_a").cast(dec) * F.col("n_b").cast(dec)
         - F.col("s_b").cast(dec) * F.col("n_a").cast(dec)
     )
-    return (
+    d2 = (
         a.join(b, "dim")
         .filter(F.col("src_a") < F.col("src_b"))
         .join(F.broadcast(na), "src_a")
         .join(F.broadcast(nb), "src_b")
-        .groupBy("src_a", "src_b", "n_a", "n_b")
+        .groupBy("src_a", "src_b")
         .agg(F.sum(diff * diff).cast(dec).alias("d2_num"))
-        .select("src_a", "src_b", "d2_num", "n_a", "n_b")
+    )
+    grid = na.join(F.broadcast(nb), na.src_a < nb.src_b)
+    return grid.join(d2, ["src_a", "src_b"], "left").select(
+        "src_a", "src_b", "d2_num", "n_a", "n_b"
     )
 
 
@@ -638,29 +650,35 @@ def source_centroid_d2_sql(dim: int = 64) -> str:
     ordinality, so dims come from a constant generate_series)."""
     return f"""
 WITH q AS ({QUANT_SQL}),
-j AS (
+base AS (
   SELECT d.source, q.q
-  FROM documents d JOIN q ON q.vec_id = d.doc_id
+  FROM documents d LEFT JOIN q ON q.vec_id = d.doc_id
 ),
 per AS (
   SELECT source, i AS dim, CAST(sum(q[i]) AS BIGINT) AS s
-  FROM j CROSS JOIN generate_series(1, {dim}) AS t(i)
+  FROM base CROSS JOIN generate_series(1, {dim}) AS t(i)
+  WHERE q IS NOT NULL
   GROUP BY 1, 2
 ),
-tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY 1)
-SELECT a.src_a, a.src_b,
-       CAST(sum(a.d * a.d) AS DECIMAL(38,0)) AS d2_num,
-       any_value(a.n_a) AS n_a,
-       any_value(a.n_b) AS n_b
-FROM (
-  SELECT pa.source AS src_a, pb.source AS src_b,
-         ta.n AS n_a, tb.n AS n_b,
-         CAST(pa.s AS DECIMAL(38,0)) * tb.n
-           - CAST(pb.s AS DECIMAL(38,0)) * ta.n AS d
-  FROM per pa
-  JOIN per pb ON pa.dim = pb.dim AND pa.source < pb.source
-  JOIN tot ta ON ta.source = pa.source
-  JOIN tot tb ON tb.source = pb.source
-) a
-GROUP BY 1, 2
+tot AS (
+  SELECT source, CAST(count(q) AS BIGINT) AS n FROM base GROUP BY 1
+),
+d2 AS (
+  SELECT a.src_a, a.src_b, CAST(sum(a.d * a.d) AS DECIMAL(38,0)) AS d2_num
+  FROM (
+    SELECT pa.source AS src_a, pb.source AS src_b,
+           CAST(pa.s AS DECIMAL(38,0)) * tb.n
+             - CAST(pb.s AS DECIMAL(38,0)) * ta.n AS d
+    FROM per pa
+    JOIN per pb ON pa.dim = pb.dim AND pa.source < pb.source
+    JOIN tot ta ON ta.source = pa.source
+    JOIN tot tb ON tb.source = pb.source
+  ) a
+  GROUP BY 1, 2
+)
+SELECT ta.source AS src_a, tb.source AS src_b,
+       d2.d2_num, ta.n AS n_a, tb.n AS n_b
+FROM tot ta
+JOIN tot tb ON ta.source < tb.source
+LEFT JOIN d2 ON d2.src_a = ta.source AND d2.src_b = tb.source
 """

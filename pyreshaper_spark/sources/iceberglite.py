@@ -311,14 +311,37 @@ class IcebergLite:
         log.setdefault("branches", {})[branch_name] = sid
         self._write_log(name, log)
 
+    def _ancestors(self, name: str, sid: int) -> set[int]:
+        """Snapshot ids on the parent chain from ``sid`` down to the
+        table root (inclusive of ``sid`` and of id 0)."""
+        by_id = {s["id"]: s for s in self._read_log(name)["snapshots"]}
+        out = {0}
+        while sid in by_id:
+            out.add(sid)
+            sid = by_id[sid].get("parent", 0)
+        return out
+
     def fast_forward(self, name: str, branch_name: str) -> int:
         """Publish a branch: atomically move ``current`` onto the
-        branch head (Iceberg's ``fast_forward``). The head snapshot
+        branch head (Iceberg's ``fast_forward``). Refuses when the
+        published state is NOT an ancestor of the branch head — main
+        moved on since the branch was cut, and "publishing" the branch
+        would silently un-publish main's intervening commits (real
+        Iceberg fast-forward has the same guard; resolve by rebasing:
+        re-run the branch job from a fresh branch). The head snapshot
         loses its staged flag; the branch's INTERMEDIATE snapshots stay
         staged (branch history — readable by explicit id, invisible to
         timestamp travel, reclaimable by expiry once the branch is
         dropped)."""
-        return self.publish(name, self.resolve_branch(name, branch_name))
+        head = self.resolve_branch(name, branch_name)
+        cur = self.current_snapshot_id(name)
+        if cur not in self._ancestors(name, head):
+            raise ValueError(
+                f"fast_forward: current snapshot {cur} is not an ancestor "
+                f"of branch {branch_name!r} head {head} — main advanced "
+                "since the branch was cut; rebase the branch instead"
+            )
+        return self.publish(name, head)
 
     def _snapshot(self, name: str, snapshot_id: int | None) -> dict:
         log = self._read_log(name)
@@ -548,15 +571,16 @@ class IcebergLite:
         for f in files:
             sdir = f["path"].split(os.sep, 1)[0]
             by_commit.setdefault(sdir, []).append(os.path.join(data, f["path"]))
+        keyed = (
+            self._delete_keys(spark, name, deletes) if deletes else []
+        )
         parts = []
         for sdir, paths in sorted(by_commit.items()):
             df = spark.read.option(
                 "basePath", os.path.join(data, sdir)
             ).parquet(*paths)
-            if deletes:
-                df = self._anti_join_deletes(
-                    spark, name, df, deletes, self._file_seq(sdir)
-                )
+            if keyed:
+                df = self._anti_join_deletes(df, keyed, self._file_seq(sdir))
             parts.append(df)
         df = parts[0]
         for p in parts[1:]:
@@ -585,22 +609,39 @@ class IcebergLite:
         seqs = [cls._file_seq(f["path"]) for f in files]
         return [d for d in deletes if any(s < d["seq"] for s in seqs)] or None
 
+    def _delete_keys(
+        self, spark: SparkSession, name: str, deletes: list[dict]
+    ) -> list[tuple[int, list[str], DataFrame]]:
+        """Materialize each delete entry's key DataFrame ONCE (they are
+        re-applied per commit group — G groups x D deletes must not
+        plan G x D parquet scans of the same tiny files)."""
+        data = self._data(name)
+        return [
+            (
+                d["seq"],
+                list(d["key_cols"]),
+                spark.read.parquet(
+                    *(os.path.join(data, p) for p in d["paths"])
+                ),
+            )
+            for d in sorted(deletes, key=lambda d: d["seq"])
+        ]
+
+    @staticmethod
     def _anti_join_deletes(
-        self,
-        spark: SparkSession,
-        name: str,
         df: DataFrame,
-        deletes: list[dict],
+        keyed: list[tuple[int, list[str], DataFrame]],
         data_seq: int,
     ) -> DataFrame:
-        data = self._data(name)
-        for d in sorted(deletes, key=lambda d: d["seq"]):
-            if d["seq"] <= data_seq:
+        for seq, key_cols, keys in keyed:
+            if seq <= data_seq:
                 continue
-            keys = spark.read.parquet(
-                *(os.path.join(data, p) for p in d["paths"])
-            )
-            df = df.join(F.broadcast(keys), list(d["key_cols"]), "left_anti")
+            if any(c not in df.columns for c in key_cols):
+                # equality-delete semantics: a row whose key column is
+                # absent (file predates an add-column evolution) has a
+                # NULL key — NULL never equals, so the group is untouched
+                continue
+            df = df.join(F.broadcast(keys), key_cols, "left_anti")
         return df
 
     def delete_rows_mor(
@@ -635,6 +676,22 @@ class IcebergLite:
         snap = self._snapshot(name, None)
         if not snap["files"]:
             raise SnapshotNotFound(f"{name}: empty table")
+        # a delete keyed on a column the table doesn't have would commit
+        # fine and then break EVERY subsequent read's anti-join — reject
+        # at commit time against the current table schema
+        if snap.get("schema") is not None:
+            cols = {
+                f["name"]
+                for f in json.loads(snap["schema"]).get("fields", [])
+            }
+        else:
+            cols = set(self._df_for_files(spark, name, snap["files"]).columns)
+        missing = [c for c in key_cols if c not in cols]
+        if missing:
+            raise ValueError(
+                f"delete_rows_mor: key column(s) {missing} not in "
+                f"{name}'s current schema {sorted(cols)}"
+            )
         sid = self._next_sid(name)
         ddir = os.path.join(self._data(name), f"d{sid}")
         # keys are small by contract (a compliance batch, not a corpus);
@@ -1026,8 +1083,19 @@ class IcebergLite:
         keep_ids = {s["id"] for s in log["snapshots"][-keep_last:]}
         keep_ids.add(log["current"])
         keep_ids.update(log.get("refs", {}).values())
-        # branch heads pin history like tags (drop_branch releases them)
-        keep_ids.update(log.get("branches", {}).values())
+        # a live branch pins its WHOLE staged lineage (head + every
+        # staged ancestor — the branch's own commits), not just the
+        # head: intermediates stay readable by id until drop_branch.
+        # The walk stops at the first published ancestor, so main
+        # history is not pinned through a branch.
+        by_id = {s["id"]: s for s in log["snapshots"]}
+        for head in log.get("branches", {}).values():
+            sid = head
+            while sid in by_id:
+                keep_ids.add(sid)
+                if not by_id[sid].get("staged"):
+                    break
+                sid = by_id[sid].get("parent", 0)
         kept_snaps = [s for s in log["snapshots"] if s["id"] in keep_ids]
         if len(kept_snaps) == len(log["snapshots"]):
             return 0

@@ -604,3 +604,46 @@ def test_partition_spec_evolution(spark, cat):
     got = {(r["source"], r["cnt"]) for r in pruned.collect()}
     # spec-v2 'c' file pruned at planning time; v1 files kept (no key)
     assert got == {("a", 1), ("b", 2), ("a", 3)}
+
+
+def test_fast_forward_refuses_when_main_advanced(spark, cat):
+    """Review finding: publishing a branch whose base is behind main
+    would silently un-publish main's intervening commits — the guard
+    requires current to be an ancestor of the branch head."""
+    cat.append("t", _df(spark, [("a", 0, 1)]))
+    cat.create_branch("t", "audit")
+    cat.append("t", _df(spark, [("b", 60, 2)]), branch="audit")
+    cat.append("t", _df(spark, [("m", 0, 9)]))  # main moved on
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="not an ancestor"):
+        cat.fast_forward("t", "audit")
+    # main state untouched by the refused publish
+    assert {r["source"] for r in cat.read(spark, "t").collect()} == {"a", "m"}
+
+
+def test_expiry_pins_live_branch_intermediates(spark, cat):
+    """Review finding: a live branch pins its WHOLE staged lineage —
+    intermediate branch commits stay readable by id until the branch
+    is dropped, as fast_forward's contract documents."""
+    cat.append("t", _df(spark, [("a", 0, 1)]))
+    cat.create_branch("t", "audit")
+    cat.append("t", _df(spark, [("b", 60, 2)]), branch="audit")  # s2
+    mid = cat.resolve_branch("t", "audit")
+    cat.append("t", _df(spark, [("c", 120, 3)]), branch="audit")  # s3 head
+    for i in range(3):
+        cat.append("t", _df(spark, [(f"m{i}", 0, i)]))
+    cat.expire_snapshots("t", keep_last=1)
+    got = {r["source"] for r in cat.read(spark, "t", snapshot_id=mid).collect()}
+    assert got == {"a", "b"}
+    # after dropping the branch, expiry reclaims the staged lineage
+    cat.drop_branch("t", "audit")
+    cat.expire_snapshots("t", keep_last=1)
+    with _raises_snapshot_not_found():
+        cat.read(spark, "t", snapshot_id=mid)
+
+
+def _raises_snapshot_not_found():
+    import pytest as _pt
+
+    return _pt.raises(SnapshotNotFound)

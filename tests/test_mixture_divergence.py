@@ -130,3 +130,21 @@ def test_tvd_plan_broadcasts_totals_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_centroid_pair_survives_unembedded_source(spark):
+    """Review finding: a source with zero embedded docs must still
+    appear in every pair — NULL d2_num (centroid undefined), never a
+    silently missing row."""
+    docs = spark.createDataFrame(
+        [(0, "x"), (1, "x"), (2, "y")], "doc_id long, source string"
+    )
+    emb = spark.createDataFrame(  # doc 2 ('y') has no embedding
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = source_centroid_d2(docs, emb).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["src_a"], r["src_b"]) == ("x", "y")
+    assert r["d2_num"] is None and (r["n_a"], r["n_b"]) == (2, 0)

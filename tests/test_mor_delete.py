@@ -208,3 +208,34 @@ def test_mor_read_plans_broadcast_anti_join(spark, cat):
     )
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_delete_rejects_unknown_key_column(spark, cat):
+    """Review finding: a delete keyed on a column the table lacks would
+    commit fine and then break EVERY read — reject at commit time."""
+    cat.append("t", _df(spark, [("a", "s0", 1)]))
+    with pytest.raises(ValueError, match="key column"):
+        cat.delete_rows_mor(
+            spark, "t",
+            spark.createDataFrame([("x",)], "nope string"), ("nope",),
+        )
+    assert cat.read(spark, "t").count() == 1
+
+
+def test_delete_skips_groups_predating_added_key_column(spark, cat):
+    """Equality-delete vs add-column schema evolution: files written
+    BEFORE the key column existed hold NULL keys — NULL never equals,
+    so those groups are untouched (and the read must not crash)."""
+    cat.append("t", _df(spark, [("a", "s0", 1)]))  # no uid column yet
+    cat.append(
+        "t",
+        spark.createDataFrame(
+            [("b", "s0", 2, "u1"), ("c", "s0", 3, "u2")],
+            "doc_id string, source string, n_tok long, uid string",
+        ),
+    )
+    cat.delete_rows_mor(
+        spark, "t", spark.createDataFrame([("u1",)], "uid string"), ("uid",)
+    )
+    got = {(r["doc_id"], r["uid"]) for r in cat.read(spark, "t").collect()}
+    assert got == {("a", None), ("c", "u2")}

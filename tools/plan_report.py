@@ -821,30 +821,30 @@ def main() -> None:
     # 20. merge-on-read equality-delete read
     from pyreshaper_spark.sources.iceberglite import IcebergLite
 
+    import shutil
+
+    # ALWAYS rebuild: a stale /tmp table written by an older code
+    # version would make these checkmarks meaningless
     mor_root = "/tmp/plan_report_mor"
+    shutil.rmtree(mor_root, ignore_errors=True)
     mor = IcebergLite(mor_root)
-    if not mor.exists("t"):
-        mor.append(
-            "t",
-            spark.createDataFrame(
-                [(f"d{i}", "s0", i) for i in range(20)],
-                "doc_id string, source string, n_tok long",
-            ),
-        )
-        mor.delete_rows_mor(
-            spark, "t",
-            spark.createDataFrame([("d1",)], "doc_id string"), ("doc_id",),
-        )
+    mor.append(
+        "t",
+        spark.createDataFrame(
+            [(f"d{i}", "s0", i) for i in range(20)],
+            "doc_id string, source string, n_tok long",
+        ),
+    )
+    mor.delete_rows_mor(
+        spark, "t",
+        spark.createDataFrame([("d1",)], "doc_id string"), ("doc_id",),
+    )
     p_mor = plan_of(mor.read(spark, "t"))
     mat_root = "/tmp/plan_report_mor_mat"
+    shutil.rmtree(mat_root, ignore_errors=True)
     mat = IcebergLite(mat_root)
-    if not mat.exists("t"):
-        import shutil
-
-        shutil.copytree(
-            os.path.join(mor_root, "t"), os.path.join(mat_root, "t")
-        )
-        mat.compact(spark, "t", min_files=1)
+    shutil.copytree(os.path.join(mor_root, "t"), os.path.join(mat_root, "t"))
+    mat.compact(spark, "t", min_files=1)
     p_mat = plan_of(mat.read(spark, "t"))
     sections.append((
         "Merge-on-read equality-delete read",
