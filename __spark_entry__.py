@@ -548,6 +548,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pack_assign(_seq(spark, sf_dir), 2048)
 
     q["pack_assign_2k"] = _q_pack
+
+    def _q_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-(source, window) packing summary — the context-window
+        feed-rate/waste report over the pack_assign layout."""
+        from pyreshaper_spark.operators.packing import pack_stats
+
+        return pack_stats(_seq(spark, sf_dir), 2048)
+
+    q["pack_stats_2k"] = _q_pack_stats
     # -- similarity search --------------------------------------------
     q["ann_topk_dot"] = lambda s, d: similarity.topk_dot(_emb(s, d))
     q["ann_topk_cosine"] = lambda s, d: similarity.topk_cosine(_emb(s, d))
@@ -634,6 +643,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         _BUDGETS,
     ).select("doc_id", "source", "n_tok", "mix_rank", "cum_tok")
+
+    # quality-RANKED token budget: cleanest docs first until the budget
+    # (curation, not subsampling — contrast mix_token_budget's hash order)
+    _QBUDGETS = {"src0": 2000, "src1": 800, "src3": 400}
+    q["mix_quality_budget"] = lambda s, d: SMP.mix_quality_budget(
+        _md_seq(s, d), _QBUDGETS, max_df=2
+    )
 
     # corpus filter verdict: the keep/drop decision a data pipeline
     # actually materializes — quality ∧ ¬rarity ∧ ¬PII in one row
@@ -1870,6 +1886,13 @@ FROM tier t JOIN meta m USING (source)
     o["pack_assign_2k"] = (
         f"WITH {seq_cte('base')}" + pack_assign_sql(2048)
     )
+    o["pack_stats_2k"] = (
+        f"WITH {seq_cte('base')}, pk AS ({pack_assign_sql(2048)})\n"
+        "SELECT source, pack_id,\n"
+        "       CAST(count(*) AS BIGINT)   AS n_docs_start,\n"
+        "       CAST(sum(n_tok) AS BIGINT) AS toks_started\n"
+        "FROM pk GROUP BY 1, 2"
+    )
     o["ann_topk_dot"] = similarity.topk_dot_sql()
     o["ann_topk_cosine"] = similarity.topk_cosine_sql()
     from pyreshaper_spark.operators.kmeans import (
@@ -1923,6 +1946,12 @@ FROM tier t JOIN meta m USING (source)
     )
     from pyreshaper_spark.operators.vocab import seqs_cte as _seqs_cte
 
+    o["mix_quality_budget"] = (
+        f"WITH {_seqs_cte(_V)},"
+        + SMP.mix_quality_budget_sql(
+            {"src0": 2000, "src1": 800, "src3": 400}, max_df=2
+        )
+    )
     o["filter_verdict"] = f"""
 WITH {_seqs_cte(_V)},
 tokstream AS (SELECT doc_id, unnest(tokens) AS token FROM seqs),

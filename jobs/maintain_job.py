@@ -21,6 +21,9 @@ the fact — the ``rewrite_data_files`` / ``expire_snapshots`` /
     ... publish --table tier_1m --snapshot 5         # WAP publish / rollback
     ... create-branch --table docs --name audit      # branch ref
     ... fast-forward --table docs --name audit       # publish branch head
+    ... inspect --table tier_1m --what files         # metadata tables
+                                                     # (snapshots/files/
+                                                     #  history/refs)
 
 ``delete``/``restate`` read doc ids from ``--doc-ids`` or one-per-line
 from ``--doc-ids-file`` (compliance batches arrive as files).
@@ -110,6 +113,15 @@ def main(argv: list[str] | None = None) -> dict:
     p = sub.add_parser("refresh")
     p.add_argument("--from-snapshot", type=int, required=True)
     p.add_argument("--to-snapshot", type=int, default=None)
+
+    p = sub.add_parser("inspect")
+    p.add_argument("--table", required=True)
+    p.add_argument(
+        "--what", choices=("snapshots", "files", "history", "refs"),
+        default="snapshots",
+    )
+    p.add_argument("--snapshot", type=int, default=None)
+    p.add_argument("--with-rows", action="store_true")
 
     args = ap.parse_args(argv)
 
@@ -207,6 +219,23 @@ def main(argv: list[str] | None = None) -> dict:
             "op": "remove-orphans", "table": args.table,
             "dry_run": bool(args.dry_run), "files_removed": len(removed),
         }
+    elif args.op == "inspect":
+        # metadata tables (Iceberg's t.snapshots / t.files / t.history /
+        # t.refs): print every row — these are O(manifest), never O(data)
+        if args.what == "snapshots":
+            df = cat.inspect_snapshots(spark, args.table)
+        elif args.what == "files":
+            df = cat.inspect_files(
+                spark, args.table, snapshot_id=args.snapshot,
+                with_rows=args.with_rows,
+            )
+        elif args.what == "history":
+            df = cat.inspect_history(spark, args.table)
+        else:
+            df = cat.inspect_refs(spark, args.table)
+        rows = [r.asDict() for r in df.collect()]
+        out = {"op": "inspect", "table": args.table, "what": args.what,
+               "n": len(rows), "rows": rows}
     else:  # changes
         ch = cat.read_changes(
             spark,

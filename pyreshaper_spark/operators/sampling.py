@@ -290,3 +290,114 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
        ) AS BIGINT) AS len_decile
 FROM documents
 """
+
+
+def mix_quality_budget(
+    seq: DataFrame,
+    budgets: dict[str, int],
+    max_df: int,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Quality-RANKED token-budget curation — the "keep the cleanest B
+    tokens per source" op of corpus construction (contrast
+    :func:`mix_token_budget`, which takes a uniform hash-ordered
+    subsample): per source, documents are consumed CLEANEST-FIRST
+    (ascending token-rarity load, the OOV/garbage signal of
+    ``vocab.doc_rarity``) until the cumulative token count first
+    reaches the source's budget; the boundary doc is included (budgets
+    are floors) and unbudgeted sources are dropped.
+
+    The quality key is the exact integer quotient
+    ``qkey = n_rare * scale DIV n_occ`` (rare-token occurrence share,
+    lower = cleaner) so both engines sort identically — ties broken by
+    doc hash then doc_id, a total order. Docs whose token array is
+    empty carry no tokens and are excluded (they can't advance a token
+    budget and have no rarity signal).
+
+    Scale shape: rarity is a vocabulary-bounded hash agg broadcast back
+    onto the token stream (``doc_rarity``'s shape — see
+    :func:`vocab.doc_rarity`), but ``source``/``n_tok`` ride the per-doc
+    re-aggregate as grouping keys (functionally dependent on doc_id, so
+    free), which removes the doc-keyed join ``doc_rarity ⋈ seq`` would
+    need; the ranking itself is ONE window on the single (source)
+    exchange — :func:`mix_token_budget`'s plan with a different sort key.
+    """
+    tok = seq.select(
+        "doc_id",
+        "source",
+        F.size("tokens").cast("long").alias("n_tok"),
+        F.explode("tokens").alias("token"),
+    )
+    df_tbl = tok.groupBy("token").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    j = (
+        tok.join(F.broadcast(df_tbl), "token")
+        .groupBy("doc_id", "source", "n_tok")
+        .agg(
+            F.count("*").cast("long").alias("n_occ"),
+            F.sum(F.when(F.col("df") <= max_df, 1).otherwise(0))
+            .cast("long")
+            .alias("n_rare"),
+        )
+        .withColumn("qkey", F.expr(f"n_rare * {scale} DIV n_occ"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        "qkey", _rate_col(), F.col("doc_id").cast("string")
+    )
+    budget = F.lit(None).cast("long")
+    for src, b in sorted(budgets.items()):
+        budget = F.when(F.col("source") == src, F.lit(b)).otherwise(budget)
+    cum = F.sum("n_tok").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        j.withColumn("mix_rank", F.row_number().over(w))
+        .withColumn("cum_tok", cum.cast("long"))
+        .withColumn("_budget", budget)
+        .filter(
+            F.col("_budget").isNotNull()
+            & (F.col("cum_tok") - F.col("n_tok") < F.col("_budget"))
+        )
+        .select("doc_id", "source", "n_tok", "qkey", "mix_rank", "cum_tok")
+    )
+
+
+def mix_quality_budget_sql(
+    budgets: dict[str, int], max_df: int, scale: int = 1_000_000
+) -> str:
+    """DuckDB twin over a ``seqs(doc_id, source, tokens)`` CTE. Emits
+    CTE continuations + the final SELECT (append after a WITH list
+    that already defines ``seqs``, with a trailing comma)."""
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {b}" for s, b in sorted(budgets.items())
+    )
+    ordr = f"qkey, {_rate_sql()}, CAST(doc_id AS VARCHAR)"
+    return f"""
+tokstream AS (SELECT doc_id, unnest(tokens) AS token FROM seqs),
+dfx AS (SELECT token, count(DISTINCT doc_id) AS df
+        FROM tokstream GROUP BY 1),
+rar AS (
+  SELECT doc_id, count(*) AS n_occ,
+         CAST(sum(CASE WHEN df <= {max_df} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rare
+  FROM tokstream JOIN dfx USING (token) GROUP BY 1
+),
+qbase AS (
+  SELECT s.doc_id, s.source, CAST(len(s.tokens) AS BIGINT) AS n_tok,
+         CAST(r.n_rare * {scale} // r.n_occ AS BIGINT) AS qkey
+  FROM seqs s JOIN rar r USING (doc_id)
+)
+SELECT doc_id, source, n_tok, qkey, mix_rank, cum_tok FROM (
+  SELECT doc_id, source, n_tok, qkey,
+         row_number() OVER (PARTITION BY source ORDER BY {ordr})
+           AS mix_rank,
+         CAST(sum(n_tok) OVER (
+           PARTITION BY source ORDER BY {ordr}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_tok
+  FROM qbase
+)
+WHERE (CASE {cases} ELSE NULL END) IS NOT NULL
+  AND cum_tok - n_tok < (CASE {cases} ELSE NULL END)
+"""

@@ -56,6 +56,78 @@ class SnapshotNotFound(KeyError):
     pass
 
 
+# -- hidden partitioning (Iceberg partition TRANSFORMS) ----------------------
+#
+# A ``partition_by`` entry may be a plain column name (hive identity
+# partitioning) or a transform spec ``bucket(N, col)`` / ``truncate(W,
+# col)`` — Iceberg's hidden partitioning: the table is physically laid
+# out by a DERIVED value (hash bucket / prefix) that never appears in
+# the logical schema. Derived hive columns use the reserved ``_pb_``
+# prefix and are stripped on read; :meth:`IcebergLite.eq_filter` maps
+# equality predicates on the SOURCE column through the transform so a
+# point lookup over 10^12 rows plans to 1/N of the files from the
+# manifest alone.
+
+#: reserved hive-column prefix for hidden (transform-derived) partitions
+PB_PREFIX = "_pb_"
+
+_TRANSFORM_RE = None  # compiled lazily (keeps `re` out of the hot import)
+
+
+def _parse_spec(entry: str):
+    """``"bucket(16,doc_id)"`` → ("bucket", 16, "doc_id", hive_name);
+    a plain column name → None (identity partitioning)."""
+    global _TRANSFORM_RE
+    if "(" not in entry:
+        return None
+    import re
+
+    if _TRANSFORM_RE is None:
+        _TRANSFORM_RE = re.compile(
+            r"^(bucket|truncate)\((\d+)\s*,\s*(\w+)\)$"
+        )
+    m = _TRANSFORM_RE.match(entry.replace(" ", ""))
+    if not m:
+        raise ValueError(f"unsupported partition transform: {entry!r}")
+    kind, n, col = m.group(1), int(m.group(2)), m.group(3)
+    if n < 1:
+        raise ValueError(f"transform width/buckets must be >= 1: {entry!r}")
+    suffix = "bkt" if kind == "bucket" else "trunc"
+    return kind, n, col, f"{PB_PREFIX}{col}_{suffix}{n}"
+
+
+def _h32_py(value) -> int:
+    """Python twin of ``functions.xhash.h32`` (md5 word hash) — the
+    manifest-side bucket computation MUST match the Spark-side derived
+    column byte-for-byte."""
+    import hashlib
+
+    return int(hashlib.md5(str(value).encode()).hexdigest()[:8], 16)
+
+
+def _transform_py(kind: str, n: int, value) -> str:
+    """Hive directory value the transform produces for ``value``."""
+    if kind == "bucket":
+        return str(_h32_py(value) % n)
+    if isinstance(value, str):
+        return value[:n]
+    return str(value - (value % n))  # python % is pmod for n > 0
+
+
+def _transform_col(kind: str, n: int, col: str, dtype: str) -> F.Column:
+    """Spark column computing the same hive value as
+    :func:`_transform_py` (written as a string so the hive directory
+    and the manifest-side recomputation agree exactly)."""
+    from pyreshaper_spark.functions.xhash import h32
+
+    c = F.col(col)
+    if kind == "bucket":
+        return F.pmod(h32(c.cast("string")), F.lit(n)).cast("string")
+    if dtype == "string":
+        return F.substring(c, 1, n)
+    return (c - F.pmod(c, F.lit(n))).cast("string")
+
+
 def _footer_stats(
     path: str, cols: tuple[str, ...]
 ) -> dict[str, list]:
@@ -364,11 +436,31 @@ class IcebergLite:
     ) -> list[dict]:
         sid = self._next_sid(name)
         ddir = os.path.join(self._data(name), f"s{sid}")
+        if any(c.startswith(PB_PREFIX) for c in df.columns):
+            raise ValueError(
+                f"column prefix {PB_PREFIX!r} is reserved for hidden "
+                "partition transforms"
+            )
+        # hidden partitioning: materialize transform specs as derived
+        # _pb_ hive columns (directory-encoded only — partitionBy keeps
+        # them out of the parquet payload; the read path strips them)
+        hive_cols: list[str] = []
+        for entry in partition_by:
+            spec = _parse_spec(entry)
+            if spec is None:
+                hive_cols.append(entry)
+                continue
+            kind, n, col, hname = spec
+            dtype = dict(df.dtypes).get(col)
+            if dtype is None:
+                raise ValueError(f"transform column not in schema: {entry!r}")
+            df = df.withColumn(hname, _transform_col(kind, n, col, dtype))
+            hive_cols.append(hname)
         w = df.write.mode("overwrite")
         for k, v in (options or {}).items():
             w = w.option(k, v)
-        if partition_by:
-            w = w.partitionBy(*partition_by)
+        if hive_cols:
+            w = w.partitionBy(*hive_cols)
         w.parquet(ddir)
         paths = sorted(
             glob.glob(os.path.join(ddir, "**", "*.parquet"), recursive=True)
@@ -585,7 +677,44 @@ class IcebergLite:
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p, allowMissingColumns=True)
-        return df
+        # hidden partitioning: transform-derived hive columns are
+        # physical layout, not logical schema — strip them (Iceberg
+        # semantics: a bucket(16, doc_id) table still reads as its
+        # declared columns)
+        hidden = [c for c in df.columns if c.startswith(PB_PREFIX)]
+        return df.drop(*hidden) if hidden else df
+
+    @staticmethod
+    def eq_filter(
+        partition_by: tuple[str, ...], where_eq: dict[str, list]
+    ) -> Callable[[dict[str, str]], bool]:
+        """Build a manifest ``partition_filter`` from equality
+        predicates on SOURCE columns, mapped through the table's
+        partition spec (identity columns AND hidden transforms) —
+        Iceberg's predicate-to-partition-transform pushdown.
+
+        Evolution-safe: a file whose partition tuple lacks the key
+        (written under an older spec) cannot prove non-match and is
+        kept."""
+        expected: dict[str, set[str]] = {}
+        for entry in partition_by:
+            spec = _parse_spec(entry)
+            if spec is None:
+                if entry in where_eq:
+                    expected[entry] = {str(v) for v in where_eq[entry]}
+                continue
+            kind, n, col, hname = spec
+            if col in where_eq:
+                expected[hname] = {
+                    _transform_py(kind, n, v) for v in where_eq[col]
+                }
+        def _keep(part: dict[str, str]) -> bool:
+            return all(
+                part[k] in allowed
+                for k, allowed in expected.items()
+                if k in part
+            )
+        return _keep
 
     # -- merge-on-read (equality) deletes ---------------------------------
     @staticmethod
@@ -856,6 +985,110 @@ class IcebergLite:
 
     def exists(self, name: str) -> bool:
         return self.current_snapshot_id(name) > 0
+
+    # -- metadata tables (Iceberg's t.snapshots / t.files / t.history /
+    # t.refs inspection surface). Built driver-side from the manifest —
+    # exactly where Iceberg itself plans from — so they are O(manifest),
+    # never O(data), and come back as ordinary DataFrames that can be
+    # joined/filtered like any other relation.
+    def inspect_snapshots(self, spark: SparkSession, name: str) -> DataFrame:
+        """One row per recorded snapshot (published AND staged):
+        (snapshot_id, parent_id, operation, committed_at_s, is_staged,
+        is_current, n_data_files, n_delete_files)."""
+        log = self._read_log(name)
+        rows = [
+            (
+                s["id"],
+                s.get("parent", 0),
+                s["op"],
+                float(s.get("ts", 0.0)),
+                bool(s.get("staged", False)),
+                s["id"] == log["current"],
+                len(s["files"]),
+                sum(len(d["paths"]) for d in s.get("deletes", [])),
+            )
+            for s in log["snapshots"]
+        ]
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id long, parent_id long, operation string, "
+            "committed_at_s double, is_staged boolean, is_current boolean, "
+            "n_data_files int, n_delete_files int",
+        )
+
+    def inspect_files(
+        self,
+        spark: SparkSession,
+        name: str,
+        snapshot_id: int | None = None,
+        with_rows: bool = False,
+    ) -> DataFrame:
+        """One row per live file at a snapshot: (content, file_path,
+        partition map, seq, stats min/max map, record_count). ``seq`` is
+        the commit sequence number MOR deletes compare against.
+        ``with_rows=True`` additionally reads each parquet footer for
+        ``record_count`` (|files| tiny metadata reads — opt-in, like
+        Iceberg's files-table record_count which it keeps in manifests)."""
+        snap = self._snapshot(name, snapshot_id)
+        entries: list[tuple] = []
+        for f in snap["files"]:
+            entries.append(("data", f["path"], f.get("partition", {}),
+                            self._file_seq(f["path"]),
+                            {k: [str(v[0]), str(v[1])]
+                             for k, v in f.get("stats", {}).items()}))
+        for d in snap.get("deletes", []):
+            for p in d["paths"]:
+                entries.append(("equality-deletes", p, {}, d["seq"], {}))
+        counts: dict[str, int | None] = {}
+        if with_rows:
+            import pyarrow.parquet as pq
+            from concurrent.futures import ThreadPoolExecutor
+
+            data = self._data(name)
+            paths = [e[1] for e in entries]
+            with ThreadPoolExecutor(min(8, max(1, len(paths)))) as ex:
+                for rel, n in zip(paths, ex.map(
+                    lambda r: pq.ParquetFile(
+                        os.path.join(data, r)).metadata.num_rows, paths
+                )):
+                    counts[rel] = n
+        rows = [(*e, counts.get(e[1])) for e in entries]
+        return spark.createDataFrame(
+            rows,
+            "content string, file_path string, partition map<string,string>, "
+            "seq long, stats map<string,array<string>>, record_count long",
+        )
+
+    def inspect_history(self, spark: SparkSession, name: str) -> DataFrame:
+        """Published table history — every non-staged snapshot with
+        whether it is an ancestor of current (Iceberg's history table;
+        rollback via publish() makes superseded lineage visible as
+        is_current_ancestor=false)."""
+        log = self._read_log(name)
+        anc = self._ancestors(name, log["current"]) if log["current"] else set()
+        rows = [
+            (float(s.get("ts", 0.0)), s["id"], s.get("parent", 0),
+             s["id"] in anc)
+            for s in log["snapshots"]
+            if not s.get("staged")
+        ]
+        return spark.createDataFrame(
+            rows,
+            "made_current_at_s double, snapshot_id long, parent_id long, "
+            "is_current_ancestor boolean",
+        )
+
+    def inspect_refs(self, spark: SparkSession, name: str) -> DataFrame:
+        """All named refs plus main: (ref_name, ref_type, snapshot_id)."""
+        log = self._read_log(name)
+        rows = [("main", "branch", log["current"])]
+        rows += [(t, "tag", sid) for t, sid in
+                 sorted(log.get("refs", {}).items())]
+        rows += [(b, "branch", sid) for b, sid in
+                 sorted(log.get("branches", {}).items())]
+        return spark.createDataFrame(
+            rows, "ref_name string, ref_type string, snapshot_id long"
+        )
 
     def replace_rows(
         self,

@@ -647,3 +647,173 @@ def _raises_snapshot_not_found():
     import pytest as _pt
 
     return _pt.raises(SnapshotNotFound)
+
+
+# -- metadata / inspection tables ------------------------------------------
+
+
+def test_inspect_snapshots_and_history(spark, cat):
+    s1 = cat.append("t", _df(spark, [("a", 0, 1)]))
+    s2 = cat.append("t", _df(spark, [("b", 60, 2)]))
+    staged = cat.append("t", _df(spark, [("c", 120, 3)]), stage=True)
+    snaps = {r["snapshot_id"]: r for r in
+             cat.inspect_snapshots(spark, "t").collect()}
+    assert set(snaps) == {s1, s2, staged}
+    assert snaps[s2]["is_current"] and not snaps[staged]["is_current"]
+    assert snaps[staged]["is_staged"] and not snaps[s1]["is_staged"]
+    assert snaps[s1]["parent_id"] == 0 and snaps[s2]["parent_id"] == s1
+    assert snaps[s2]["n_data_files"] > snaps[s1]["n_data_files"]
+    # history: published lineage only; staged snapshot absent
+    hist = {r["snapshot_id"]: r for r in
+            cat.inspect_history(spark, "t").collect()}
+    assert set(hist) == {s1, s2}
+    assert all(r["is_current_ancestor"] for r in hist.values())
+    # rollback via publish: superseded commit becomes non-ancestor
+    cat.publish("t", s1)
+    hist2 = {r["snapshot_id"]: r["is_current_ancestor"] for r in
+             cat.inspect_history(spark, "t").collect()}
+    assert hist2 == {s1: True, s2: False}
+
+
+def test_inspect_files_contents_and_rows(spark, cat):
+    cat.append("t", _df(spark, [("a", 0, 1), ("b", 0, 2)]),
+               partition_by=("source",), stats_cols=("bucket_s",))
+    keys = spark.createDataFrame([("a",)], "source string")
+    cat.delete_rows_mor(spark, "t", keys, ("source",))
+    files = cat.inspect_files(spark, "t", with_rows=True).collect()
+    data = [r for r in files if r["content"] == "data"]
+    dels = [r for r in files if r["content"] == "equality-deletes"]
+    assert data and dels
+    assert {r["partition"]["source"] for r in data} == {"a", "b"}
+    assert all(r["record_count"] == 1 for r in data)
+    assert all("bucket_s" in r["stats"] for r in data)
+    # delete entries carry the commit seq that gates their application
+    assert all(r["seq"] == 2 for r in dels)
+    # time travel: the pre-delete snapshot has no delete files
+    before = cat.inspect_files(spark, "t", snapshot_id=1).collect()
+    assert all(r["content"] == "data" for r in before)
+    # record_count is opt-in: default leaves it NULL (no footer reads)
+    lazy = cat.inspect_files(spark, "t").collect()
+    assert all(r["record_count"] is None for r in lazy)
+
+
+def test_inspect_refs(spark, cat):
+    cat.append("t", _df(spark, [("a", 0, 1)]))
+    cat.tag("t", "release-1")
+    cat.create_branch("t", "audit")
+    cat.append("t", _df(spark, [("b", 60, 2)]), branch="audit")
+    refs = {r["ref_name"]: (r["ref_type"], r["snapshot_id"]) for r in
+            cat.inspect_refs(spark, "t").collect()}
+    assert refs["main"] == ("branch", 1)
+    assert refs["release-1"] == ("tag", 1)
+    assert refs["audit"][0] == "branch" and refs["audit"][1] > 1
+
+
+def test_inspect_cli_roundtrip(spark, cat, tmp_path):
+    from jobs.maintain_job import main as maintain
+    from jobs.make_config import main as mkcfg
+
+    cat.append("t", _df(spark, [("a", 0, 1)]))
+    cat.tag("t", "rel")
+    cfg_p = str(tmp_path / "run.json")
+    mkcfg([
+        "--input", str(tmp_path / "unused"), "--output", cat.root,
+        "--tiers", "1m:60", "-o", cfg_p,
+    ])
+    ck = str(tmp_path / "ck.json")
+    out = maintain([
+        "--config", cfg_p, "--checkpoint", ck, "inspect",
+        "--table", "t", "--what", "refs",
+    ])
+    got = {r["ref_name"]: r["snapshot_id"] for r in out["rows"]}
+    assert got == {"main": 1, "rel": 1}
+    out = maintain([
+        "--config", cfg_p, "--checkpoint", ck, "inspect",
+        "--table", "t", "--what", "files", "--with-rows",
+    ])
+    assert out["n"] >= 1
+    assert all(r["record_count"] is not None for r in out["rows"])
+
+
+# -- hidden partitioning (partition transforms) ------------------------------
+
+
+def test_bucket_transform_roundtrip_and_pruning(spark, cat):
+    """Iceberg hidden partitioning: bucket(4, doc_id) lays files out by
+    a derived hash bucket that (a) never appears in the logical schema
+    and (b) lets an equality predicate on doc_id prune the manifest to
+    1/N of the files before any parquet opens."""
+    from pyreshaper_spark.sources.iceberglite import (
+        IcebergLite, _h32_py, PB_PREFIX,
+    )
+
+    df = spark.createDataFrame(
+        [(f"d{i}", i) for i in range(40)], "doc_id string, v long"
+    )
+    cat.append("t", df, partition_by=("bucket(4,doc_id)",))
+    got = cat.read(spark, "t")
+    assert got.columns == ["doc_id", "v"]  # hidden col stripped
+    assert {(r["doc_id"], r["v"]) for r in got.collect()} == {
+        (f"d{i}", i) for i in range(40)
+    }
+    # manifest pruning: the filter keeps exactly one bucket's files
+    snap = cat._snapshot("t", None)
+    flt = IcebergLite.eq_filter(("bucket(4,doc_id)",), {"doc_id": ["d7"]})
+    kept = [f for f in snap["files"] if flt(f["partition"])]
+    want_bucket = str(_h32_py("d7") % 4)
+    assert kept and all(
+        f["partition"][f"{PB_PREFIX}doc_id_bkt4"] == want_bucket
+        for f in kept
+    )
+    assert len(kept) < len(snap["files"])
+    # the pruned read still returns the target doc
+    rows = cat.read(spark, "t", partition_filter=flt).collect()
+    assert "d7" in {r["doc_id"] for r in rows}
+
+
+def test_truncate_transform_string_and_int(spark, cat):
+    from pyreshaper_spark.sources.iceberglite import IcebergLite
+
+    df = spark.createDataFrame(
+        [("alpha", 17), ("alps", 23), ("beta", 101)],
+        "name string, v long",
+    )
+    cat.append("t", df, partition_by=("truncate(3,name)",))
+    parts = {dict(p)["_pb_name_trunc3"] for p in cat.partitions("t")}
+    assert parts == {"alp", "bet"}
+    flt = IcebergLite.eq_filter(("truncate(3,name)",), {"name": ["alps"]})
+    got = {r["name"] for r in
+           cat.read(spark, "t", partition_filter=flt).collect()}
+    assert "alps" in got and "beta" not in got
+    # integer truncate: floor to multiple of W
+    df2 = spark.createDataFrame([(7,), (12,), (25,)], "v long")
+    cat.append("u", df2, partition_by=("truncate(10,v)",))
+    parts = {dict(p)["_pb_v_trunc10"] for p in cat.partitions("u")}
+    assert parts == {"0", "10", "20"}
+
+
+def test_transform_evolution_safe_and_reserved_prefix(spark, cat):
+    """Files committed before the spec carried the transform have no
+    _pb_ key and cannot prove non-match — they survive pruning; user
+    columns may not use the reserved prefix."""
+    from pyreshaper_spark.sources.iceberglite import IcebergLite
+
+    cat.append("t", spark.createDataFrame([("old", 1)],
+                                          "doc_id string, v long"))
+    cat.append(
+        "t",
+        spark.createDataFrame([("new", 2)], "doc_id string, v long"),
+        partition_by=("bucket(4,doc_id)",),
+    )
+    flt = IcebergLite.eq_filter(("bucket(4,doc_id)",), {"doc_id": ["new"]})
+    got = {r["doc_id"] for r in
+           cat.read(spark, "t", partition_filter=flt).collect()}
+    assert got == {"old", "new"}  # pre-spec file kept (evolution-safe)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="reserved"):
+        cat.append("t", spark.createDataFrame(
+            [("x", 1)], "_pb_doc_id_bkt4 string, v long"))
+    with _pytest.raises(ValueError, match="unsupported"):
+        cat.append("t", spark.createDataFrame(
+            [("x",)], "doc_id string"), partition_by=("year(doc_id)",))

@@ -89,3 +89,40 @@ def test_mix_token_budget_floors_and_determinism(spark):
     assert set(by_src) == {"s0", "s1"}
     again = mix_token_budget(seq, {"s0": 450, "s1": 250}).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_mix_quality_budget_cleanest_first(spark):
+    """Quality-ranked curation: per source, docs are consumed in
+    ascending rare-token-share order; budget is a floor; ranking
+    matches a brute-force Python recount of the rarity quotient."""
+    from pyreshaper_spark.operators.sampling import mix_quality_budget
+
+    # two sources; doc i carries i copies of a GLOBALLY-rare token
+    # (df=1) plus common filler, so the rarity share strictly grows
+    # with i — the quality order is the reverse of the id order.
+    rows = []
+    for i in range(8):
+        src = "s0" if i < 4 else "s1"
+        toks = [1000 + i] * (i + 1) + [7] * 10  # token 7: df=8 (common)
+        rows.append((f"d{i}", src, toks))
+    seq = spark.createDataFrame(
+        rows, "doc_id string, source string, tokens array<int>"
+    )
+    out = mix_quality_budget(seq, {"s0": 25, "s1": 30}, max_df=1).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == {"s0", "s1"}
+    for src, budget in (("s0", 25), ("s1", 30)):
+        got = sorted(by_src[src], key=lambda r: r["mix_rank"])
+        # cleanest-first: qkey non-decreasing along the rank order,
+        # and it equals the brute-force integer quotient
+        for r in got:
+            i = int(r["doc_id"][1:])
+            n_occ, n_rare = (i + 1) + 10, (i + 1)
+            assert r["qkey"] == n_rare * 1_000_000 // n_occ
+        assert [r["qkey"] for r in got] == sorted(r["qkey"] for r in got)
+        total = sum(r["n_tok"] for r in got)
+        assert total >= budget and total - got[-1]["n_tok"] < budget
+    # the selected docs are exactly the cleanest prefix per source
+    assert [r["doc_id"] for r in sorted(by_src["s0"], key=lambda r: r["mix_rank"])][:2] == ["d0", "d1"]

@@ -548,7 +548,10 @@ def main() -> None:
     ))
 
     from pyreshaper_spark.operators.rollup import tier_cube
-    from pyreshaper_spark.operators.sampling import mix_token_budget
+    from pyreshaper_spark.operators.sampling import (
+        mix_quality_budget,
+        mix_token_budget,
+    )
 
     p_cube = plan_of(tier_cube(seq, 3600))
     p_mix = plan_of(
@@ -558,11 +561,18 @@ def main() -> None:
             {"src0": 5000},
         )
     )
+    p_qmix = plan_of(
+        mix_quality_budget(
+            seq.select("doc_id", "source", "tokens"), {"src0": 5000},
+            max_df=2,
+        )
+    )
     sections.append((
         "CUBE rollup, token-budget mixture",
         "\n".join([
             "--- tier_cube(1h) ---", p_cube[:2000],
             "--- mix_token_budget ---", p_mix[:1400],
+            "--- mix_quality_budget ---", p_qmix[:1800],
         ]),
         [
             ("cube: single Expand feeding partial+final hash agg — one "
@@ -576,6 +586,15 @@ def main() -> None:
              "exchange (two Window frames, zero extra shuffles), no join",
              p_mix.count("hashpartitioning(source") == 1
              and "Join" not in p_mix),
+            ("quality mixture: doc-frequency table BROADCAST back onto "
+             "the token stream (its only join), source/n_tok ride the "
+             "per-doc re-aggregate (no doc-keyed big-big join), ranking "
+             "on ONE source-keyed exchange, no cartesian",
+             p_qmix.count("BroadcastHashJoin") >= 1
+             and p_qmix.count("SortMergeJoin")
+             + p_qmix.count("ShuffledHashJoin") == 0
+             and p_qmix.count("hashpartitioning(source") == 1
+             and no_cartesian(p_qmix)),
         ],
     ))
 
