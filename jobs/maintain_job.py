@@ -222,6 +222,11 @@ def main(argv: list[str] | None = None) -> dict:
     elif args.op == "inspect":
         # metadata tables (Iceberg's t.snapshots / t.files / t.history /
         # t.refs): print every row — these are O(manifest), never O(data)
+        if args.snapshot is not None and args.what != "files":
+            raise SystemExit(
+                "--snapshot only applies to --what files (snapshots/"
+                "history/refs always show the full log)"
+            )
         if args.what == "snapshots":
             df = cat.inspect_snapshots(spark, args.table)
         elif args.what == "files":

@@ -125,6 +125,8 @@ def mix_sources(docs: DataFrame, quotas: dict[str, int]) -> DataFrame:
 
     One window per the single (source) shuffle; rank carried in the
     output so downstream interleave order is also deterministic."""
+    if not quotas:
+        raise ValueError("mix_sources: quotas must be non-empty")
     w = Window.partitionBy("source").orderBy(
         _rate_col(), F.col("doc_id").cast("string")
     )
@@ -141,6 +143,8 @@ def mix_sources(docs: DataFrame, quotas: dict[str, int]) -> DataFrame:
 
 def mix_sources_sql(quotas: dict[str, int],
                     cols: str = "doc_id, source, n_chars") -> str:
+    if not quotas:
+        raise ValueError("mix_sources_sql: quotas must be non-empty")
     cases = " ".join(f"WHEN source = '{s}' THEN {n}"
                      for s, n in sorted(quotas.items()))
     return f"""
@@ -172,6 +176,8 @@ def mix_token_budget(
     — the cumulative sum rides the same sort. Output adds ``cum_tok``
     (running total including this doc) and ``mix_rank``.
     """
+    if not budgets:
+        raise ValueError("mix_token_budget: budgets must be non-empty")
     w = Window.partitionBy("source").orderBy(
         _rate_col(), F.col("doc_id").cast("string")
     )
@@ -197,6 +203,8 @@ def mix_token_budget_sql(
     budgets: dict[str, int], relation: str = "seqs"
 ) -> str:
     """DuckDB twin over a `seqs(doc_id, source, n_tok)` relation."""
+    if not budgets:
+        raise ValueError("mix_token_budget_sql: budgets must be non-empty")
     cases = " ".join(
         f"WHEN source = '{s}' THEN {b}" for s, b in sorted(budgets.items())
     )
@@ -322,6 +330,8 @@ def mix_quality_budget(
     need; the ranking itself is ONE window on the single (source)
     exchange — :func:`mix_token_budget`'s plan with a different sort key.
     """
+    if not budgets:
+        raise ValueError("mix_quality_budget: budgets must be non-empty")
     tok = seq.select(
         "doc_id",
         "source",
@@ -369,6 +379,8 @@ def mix_quality_budget_sql(
     """DuckDB twin over a ``seqs(doc_id, source, tokens)`` CTE. Emits
     CTE continuations + the final SELECT (append after a WITH list
     that already defines ``seqs``, with a trailing comma)."""
+    if not budgets:
+        raise ValueError("mix_quality_budget_sql: budgets must be non-empty")
     cases = " ".join(
         f"WHEN source = '{s}' THEN {b}" for s, b in sorted(budgets.items())
     )

@@ -46,6 +46,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -71,21 +72,43 @@ class SnapshotNotFound(KeyError):
 #: reserved hive-column prefix for hidden (transform-derived) partitions
 PB_PREFIX = "_pb_"
 
-_TRANSFORM_RE = None  # compiled lazily (keeps `re` out of the hot import)
+#: directory name Spark writes for a null/empty partition value
+HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+#: characters Spark's partitioned write %XX-escapes in directory values
+#: (ExternalCatalogUtils.escapePathName parity — verified empirically:
+#: control chars, DEL, and "#%'*/:=?\^{[] ; note '}' and space are NOT
+#: escaped)
+_HIVE_ESCAPE_CHARS = (
+    frozenset('"#%\'*/:=?\\^{[]')
+    | frozenset(chr(c) for c in range(0x20))
+    | frozenset({"\x7f"})
+)
+
+_TRANSFORM_RE = re.compile(r"^(bucket|truncate)\((\d+)\s*,\s*(\w+)\)$")
+
+
+def _hive_escape(value) -> str:
+    """The directory rendering Spark's partitioned write gives a
+    partition VALUE — what :func:`_parse_partition` recovers into the
+    manifest. Manifest-side predicate values MUST pass through this
+    before comparing against manifest partitions, or any value
+    containing an escaped character silently prunes to nothing."""
+    if value is None:
+        return HIVE_DEFAULT_PARTITION
+    s = str(value)
+    if s == "":
+        return HIVE_DEFAULT_PARTITION
+    return "".join(
+        f"%{ord(c):02X}" if c in _HIVE_ESCAPE_CHARS else c for c in s
+    )
 
 
 def _parse_spec(entry: str):
     """``"bucket(16,doc_id)"`` → ("bucket", 16, "doc_id", hive_name);
     a plain column name → None (identity partitioning)."""
-    global _TRANSFORM_RE
     if "(" not in entry:
         return None
-    import re
-
-    if _TRANSFORM_RE is None:
-        _TRANSFORM_RE = re.compile(
-            r"^(bucket|truncate)\((\d+)\s*,\s*(\w+)\)$"
-        )
     m = _TRANSFORM_RE.match(entry.replace(" ", ""))
     if not m:
         raise ValueError(f"unsupported partition transform: {entry!r}")
@@ -105,8 +128,12 @@ def _h32_py(value) -> int:
     return int(hashlib.md5(str(value).encode()).hexdigest()[:8], 16)
 
 
-def _transform_py(kind: str, n: int, value) -> str:
-    """Hive directory value the transform produces for ``value``."""
+def _transform_py(kind: str, n: int, value):
+    """Transform output for ``value`` (pre-escaping; None stays None —
+    Spark's derived column is NULL for a NULL input, which lands in the
+    __HIVE_DEFAULT_PARTITION__ directory)."""
+    if value is None:
+        return None
     if kind == "bucket":
         return str(_h32_py(value) % n)
     if isinstance(value, str):
@@ -701,12 +728,17 @@ class IcebergLite:
             spec = _parse_spec(entry)
             if spec is None:
                 if entry in where_eq:
-                    expected[entry] = {str(v) for v in where_eq[entry]}
+                    # manifest partitions hold the hive-ESCAPED dir
+                    # value — compare escaped-to-escaped
+                    expected[entry] = {
+                        _hive_escape(v) for v in where_eq[entry]
+                    }
                 continue
             kind, n, col, hname = spec
             if col in where_eq:
                 expected[hname] = {
-                    _transform_py(kind, n, v) for v in where_eq[col]
+                    _hive_escape(_transform_py(kind, n, v))
+                    for v in where_eq[col]
                 }
         def _keep(part: dict[str, str]) -> bool:
             return all(

@@ -817,3 +817,51 @@ def test_transform_evolution_safe_and_reserved_prefix(spark, cat):
     with _pytest.raises(ValueError, match="unsupported"):
         cat.append("t", spark.createDataFrame(
             [("x",)], "doc_id string"), partition_by=("year(doc_id)",))
+
+
+def test_eq_filter_hive_escaped_and_null_values(spark, cat):
+    """Spark %XX-escapes special characters in partition directory
+    values (and writes __HIVE_DEFAULT_PARTITION__ for null/empty);
+    eq_filter must compare through the same escaping or those files
+    silently prune to nothing."""
+    from pyreshaper_spark.sources.iceberglite import IcebergLite
+
+    df = spark.createDataFrame(
+        [("web/crawl", 1), ("a=b:c", 2), ("plain", 3), (None, 4)],
+        "src string, v long",
+    )
+    cat.append("t", df, partition_by=("src",))
+    for val, want_v in (("web/crawl", 1), ("a=b:c", 2), ("plain", 3)):
+        flt = IcebergLite.eq_filter(("src",), {"src": [val]})
+        got = {(r["src"], r["v"]) for r in
+               cat.read(spark, "t", partition_filter=flt).collect()}
+        assert got == {(val, want_v)}, val
+    # null value lands in the hive default partition and is findable
+    flt = IcebergLite.eq_filter(("src",), {"src": [None]})
+    got = {r["v"] for r in
+           cat.read(spark, "t", partition_filter=flt).collect()}
+    assert got == {4}
+    # truncate transform whose prefix contains an escaped char
+    df2 = spark.createDataFrame([("a/b/c", 1), ("xyz", 2)],
+                                "name string, v long")
+    cat.append("u", df2, partition_by=("truncate(3,name)",))
+    flt = IcebergLite.eq_filter(("truncate(3,name)",), {"name": ["a/b/c"]})
+    got = {r["name"] for r in
+           cat.read(spark, "u", partition_filter=flt).collect()}
+    assert got == {"a/b/c"}
+
+
+def test_mixture_empty_budget_rejected(spark):
+    import pytest as _pytest
+
+    from pyreshaper_spark.operators import sampling as S
+
+    df = spark.range(1)
+    for fn in (lambda: S.mix_sources(df, {}),
+               lambda: S.mix_sources_sql({}),
+               lambda: S.mix_token_budget(df, {}),
+               lambda: S.mix_token_budget_sql({}),
+               lambda: S.mix_quality_budget(df, {}, max_df=2),
+               lambda: S.mix_quality_budget_sql({}, max_df=2)):
+        with _pytest.raises(ValueError, match="non-empty"):
+            fn()
