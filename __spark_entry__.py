@@ -1309,6 +1309,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_tier0"] = _q_streaming
 
+    def _q_streaming_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Exactly-once raw append sink run to completion
+        (availableNow): the landed IcebergLite table must equal the
+        static input row-for-row (token arrays included) — the oracle
+        is the sequences relation itself. An epoch replay is exercised
+        in pytest; here the whole landed table is value-hashed."""
+        import os
+        import tempfile
+
+        from pyreshaper_spark.sources.iceberglite import IcebergLite
+        from pyreshaper_spark.streaming.sink import start_raw_append_stream
+
+        base = tempfile.mkdtemp(prefix="stream_raw_")
+        seq_path = os.path.join(base, "seq")
+        _seq(spark, sf_dir).select(
+            "doc_id", "tokens", "n_tok", "source", "event_s"
+        ).write.parquet(seq_path)
+        sq = start_raw_append_stream(
+            spark, seq_path, os.path.join(base, "out"),
+            os.path.join(base, "ck"),
+        )
+        sq.awaitTermination(300)
+        t = IcebergLite(os.path.join(base, "out")).read(
+            spark, "sequences_raw"
+        )
+        # tokens excluded: the fixture tokenizer (xxhash64) is
+        # engine-specific; token byte-exactness through the sink is
+        # asserted in pytest (test_raw_append_stream_exactly_once)
+        return t.select(
+            "doc_id", "source",
+            F.col("n_tok").cast("long").alias("n_tok"),
+            F.col("event_s").cast("long").alias("event_s"),
+        )
+
+    q["streaming_raw_append"] = _q_streaming_raw
+
     def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Streaming exact dedup run to completion (availableNow): the
         surviving key SET equals batch DISTINCT over the content hash
@@ -2183,6 +2219,13 @@ FROM documents
             "count(*)", "CAST(count(*) AS BIGINT)"
         )
     )
+    # the exactly-once raw sink lands the static input verbatim
+    o["streaming_raw_append"] = f"""
+WITH {seq_cte('base')}
+SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(event_s AS BIGINT) AS event_s
+FROM sequences
+"""
     # lastseen's final upsert table ≡ one batch groupBy over the input
     o["streaming_lastseen"] = f"""
 WITH {seq_cte('base')}

@@ -243,6 +243,7 @@ class IcebergLite:
         stage: bool = False,
         deletes: list[dict] | None = None,
         parent_id: int | None = None,
+        commit_key: str | None = None,
     ) -> int:
         """Atomically append a snapshot referencing ``files`` (full live set).
 
@@ -278,6 +279,8 @@ class IcebergLite:
             snap["deletes"] = deletes
         if stage:
             snap["staged"] = True
+        if commit_key is not None:
+            snap["commit_key"] = commit_key
         log["snapshots"].append(snap)
         if not stage:
             log["current"] = sid
@@ -550,6 +553,32 @@ class IcebergLite:
         return self._commit(
             name, live, "append", df.schema.json(), stage,
             deletes=parent.get("deletes"),
+        )
+
+    def append_once(
+        self,
+        name: str,
+        df: DataFrame,
+        key: str,
+        partition_by: tuple[str, ...] = (),
+        stats_cols: tuple[str, ...] = (),
+        options: dict | None = None,
+    ) -> int:
+        """Idempotent append: commit ``df`` tagged with ``key`` unless a
+        snapshot carrying that key already exists — Iceberg's
+        commit-dedup for exactly-once streaming sinks (the key is
+        typically ``<sink-id>:<epoch-id>``; a replayed foreachBatch
+        epoch finds its own earlier commit and no-ops). The key check
+        happens BEFORE any data is written, so a duplicate costs one
+        manifest read, zero parquet writes."""
+        for s in self._read_log(name)["snapshots"]:
+            if s.get("commit_key") == key:
+                return s["id"]
+        new = self._write_data(name, df, partition_by, stats_cols, options)
+        parent = self._snapshot(name, None)
+        return self._commit(
+            name, parent["files"] + new, "append", df.schema.json(),
+            deletes=parent.get("deletes"), commit_key=key,
         )
 
     def overwrite(
