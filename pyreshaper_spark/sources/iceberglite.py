@@ -722,11 +722,33 @@ class IcebergLite:
         keyed = (
             self._delete_keys(spark, name, deletes) if deletes else []
         )
+        schema_by_id = {
+            s["id"]: s.get("schema")
+            for s in self._read_log(name)["snapshots"]
+        }
         parts = []
         for sdir, paths in sorted(by_commit.items()):
             df = spark.read.option(
                 "basePath", os.path.join(data, sdir)
             ).parquet(*paths)
+            # hive partition columns come back TYPE-INFERRED from the
+            # directory strings (a string source='0' reads as int) —
+            # cast them back to the commit's recorded schema so the
+            # logical type survives the directory round-trip (Iceberg
+            # preserves types; data columns already match, so only
+            # partition-recovered columns are actually cast)
+            sj = schema_by_id.get(self._file_seq(sdir))
+            if sj is not None:
+                from pyspark.sql.types import StructType
+
+                want = {
+                    f.name: f.dataType
+                    for f in StructType.fromJson(json.loads(sj)).fields
+                }
+                for c, dt in df.dtypes:
+                    w = want.get(c)
+                    if w is not None and w.simpleString() != dt:
+                        df = df.withColumn(c, F.col(c).cast(w))
             if keyed:
                 df = self._anti_join_deletes(df, keyed, self._file_seq(sdir))
             parts.append(df)

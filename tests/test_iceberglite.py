@@ -865,3 +865,68 @@ def test_mixture_empty_budget_rejected(spark):
                lambda: S.mix_quality_budget_sql({}, max_df=2)):
         with _pytest.raises(ValueError, match="non-empty"):
             fn()
+
+
+def test_eq_filter_escape_parity_nasty_values(spark, cat):
+    """One partitioned write over a battery of adversarial partition
+    values; eq_filter must find every one (escape-set parity with
+    Spark's directory writer, beyond the chars the unit test covers)."""
+    from pyreshaper_spark.sources.iceberglite import IcebergLite
+
+    vals = [
+        "web/crawl", "a=b", "c:d", "p%q", "sp ace", "tab\tx", "nl\nx",
+        "h#i", "br[ck]", "q?m", 'dq"x', "bs\\y", "st*ar", "sq'z",
+        "cu{rl}", "ca^ret", "del\x7fx", "unié", "pl+us", "co,mma",
+        "se;mi", "at@x", "ti~lde", "dol$lar", "%25", "__HIVE", "0",
+    ]
+    df = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(vals)], "src string, v long"
+    )
+    cat.append("t", df, partition_by=("src",))
+    for i, v in enumerate(vals):
+        flt = IcebergLite.eq_filter(("src",), {"src": [v]})
+        got = {(r["src"], r["v"]) for r in
+               cat.read(spark, "t", partition_filter=flt).collect()}
+        assert got == {(v, i)}, repr(v)
+
+
+def test_bucket_transform_composes_with_mor_delete(spark, cat):
+    """Hidden partitioning + merge-on-read delete: the pruned read
+    applies outstanding equality deletes, and the delete's key file
+    does not disturb the transform layout."""
+    from pyreshaper_spark.sources.iceberglite import IcebergLite
+
+    df = spark.createDataFrame(
+        [(f"d{i}", i) for i in range(20)], "doc_id string, v long"
+    )
+    cat.append("t", df, partition_by=("bucket(4,doc_id)",))
+    keys = spark.createDataFrame([("d7",), ("d9",)], "doc_id string")
+    cat.delete_rows_mor(spark, "t", keys, ("doc_id",))
+    # full read: rows gone, hidden column still stripped
+    got = cat.read(spark, "t")
+    assert got.columns == ["doc_id", "v"]
+    ids = {r["doc_id"] for r in got.collect()}
+    assert "d7" not in ids and "d9" not in ids and len(ids) == 18
+    # pruned point lookup for a SURVIVING doc in d7's bucket still
+    # applies the delete
+    flt = IcebergLite.eq_filter(("bucket(4,doc_id)",), {"doc_id": ["d7"]})
+    pruned = {r["doc_id"] for r in
+              cat.read(spark, "t", partition_filter=flt).collect()}
+    assert "d7" not in pruned
+
+
+def test_partition_column_type_survives_directory_roundtrip(spark, cat):
+    """Hive directory recovery type-infers partition values (a string
+    '7' comes back int) — reads must cast back to the commit's recorded
+    schema, or numeric-string keys silently change type (and MOR
+    delete anti-joins on them stop matching)."""
+    df = spark.createDataFrame(
+        [("7", 1), ("8", 2)], "doc_id string, v long"
+    )
+    cat.append("t", df, partition_by=("doc_id",))
+    got = cat.read(spark, "t")
+    assert dict(got.dtypes)["doc_id"] == "string"
+    # MOR delete keyed on the partitioned string column still matches
+    keys = spark.createDataFrame([("7",)], "doc_id string")
+    cat.delete_rows_mor(spark, "t", keys, ("doc_id",))
+    assert {r["doc_id"] for r in cat.read(spark, "t").collect()} == {"8"}
