@@ -306,6 +306,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tier_1h_retention"] = _q_retention
 
+    # -- calendar tiers (week/month): cascaded from a 1d tier ---------
+    # The fixture horizon is ~7 days (a single week/month — vacuous for
+    # boundary logic), so the calendar queries spread event times ×40
+    # (~9 months) around EPOCH0, crossing many Monday/month-1st
+    # boundaries; the oracle applies the identical affine map.
+    def _q_calendar(unit: str):
+        def _q(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from pyreshaper_spark.config import EPOCH0
+            from pyreshaper_spark.operators.rollup import (
+                calendar_cascade,
+                rollup_tier0,
+            )
+
+            seq = _seq(spark, sf_dir).withColumn(
+                "event_s",
+                F.lit(EPOCH0)
+                + (F.col("event_s") - F.lit(EPOCH0)) * F.lit(40),
+            )
+            return _norm_tier(calendar_cascade(rollup_tier0(seq, 86400), unit))
+
+        return _q
+
+    q["tier_1w"] = _q_calendar("week")
+    q["tier_1mo"] = _q_calendar("month")
+
     # -- as-of join across tiers + grouped top-k ----------------------
     def _q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyreshaper_spark.operators.asof import asof_join
@@ -1629,6 +1654,20 @@ def oracle_sql() -> dict[str, str]:
         o[f"tier_{_TIER_NAMES[w]}"] = (
             f"WITH {seq_cte('base')}\n{_TIER_AGG.format(w=w)}"
         )
+    from pyreshaper_spark.config import EPOCH0 as _E0
+    from pyreshaper_spark.operators.rollup import calendar_rollup_sql
+
+    _CAL_CTE = (
+        f"WITH {seq_cte('base')},\n"
+        "seqspread AS (SELECT doc_id, source, n_tok, "
+        f"{_E0} + (event_s - {_E0}) * 40 AS event_s FROM sequences)\n"
+    )
+    o["tier_1w"] = _CAL_CTE + calendar_rollup_sql("week").replace(
+        "FROM sequences", "FROM seqspread"
+    )
+    o["tier_1mo"] = _CAL_CTE + calendar_rollup_sql("month").replace(
+        "FROM sequences", "FROM seqspread"
+    )
     o["gapfill_10m"] = (
         _GAPFILL_CTES
         + "SELECT source, bucket_s, cnt, sum_n_tok, filled FROM filled"

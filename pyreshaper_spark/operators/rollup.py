@@ -1515,3 +1515,77 @@ FROM (
   )
 )
 """
+
+
+# -- calendar buckets (irregular widths) -------------------------------------
+
+#: units whose boundaries a fixed-seconds cascade cannot express:
+#: months/quarters/years vary in length; weeks are fixed-width but
+#: non-epoch-aligned (epoch day 0 is a Thursday, weeks start Monday)
+CALENDAR_UNITS = ("week", "month", "quarter", "year")
+
+
+def _calendar_bucket(src: str, unit: str) -> F.Column:
+    """UTC epoch second of the calendar boundary containing ``src``
+    (the TimescaleDB ``time_bucket('1 month', ...)`` analog). Exact and
+    engine-portable because the session timezone is pinned to UTC —
+    both engines truncate the same instant."""
+    if unit not in CALENDAR_UNITS:
+        raise ValueError(f"unit must be one of {CALENDAR_UNITS}: {unit!r}")
+    return F.unix_timestamp(
+        F.date_trunc(unit, F.timestamp_seconds(F.col(src)))
+    ).alias("bucket_s")
+
+
+def calendar_rollup(seq: DataFrame, unit: str) -> DataFrame:
+    """Calendar-bucket continuous aggregate straight from raw — same
+    output shape as :func:`rollup_tier0` with calendar boundaries.
+    Prefer :func:`calendar_cascade` when a day-aligned tier exists."""
+    return (
+        seq.select("source", _calendar_bucket("event_s", unit), "n_tok")
+        .groupBy("source", "bucket_s")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("n_tok").alias("sum_n_tok"),
+            F.min("n_tok").alias("min_n_tok"),
+            F.max("n_tok").alias("max_n_tok"),
+        )
+    )
+
+
+def calendar_cascade(day_tier: DataFrame, unit: str) -> DataFrame:
+    """Calendar tier from a DAY-ALIGNED tier — exact by associativity
+    (every calendar boundary falls on a UTC day boundary), so months/
+    quarters/years re-aggregate the tiny 1d tier and never rescan raw.
+    This is the scale path: the cascade invariant ("tier k+1 from tier
+    k") extends to irregular widths as long as boundaries nest."""
+    return (
+        day_tier.select(
+            "source", _calendar_bucket("bucket_s", unit), *AGG_COLS
+        )
+        .groupBy("source", "bucket_s")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_n_tok").alias("sum_n_tok"),
+            F.min("min_n_tok").alias("min_n_tok"),
+            F.max("max_n_tok").alias("max_n_tok"),
+        )
+    )
+
+
+def calendar_rollup_sql(unit: str) -> str:
+    """DuckDB twin over ``sequences`` (direct from raw — equals the
+    cascade by associativity)."""
+    if unit not in CALENDAR_UNITS:
+        raise ValueError(f"unit must be one of {CALENDAR_UNITS}: {unit!r}")
+    return f"""
+SELECT source,
+       CAST(epoch(date_trunc('{unit}', to_timestamp(event_s))) AS BIGINT)
+         AS bucket_s,
+       count(*)                   AS cnt,
+       CAST(sum(n_tok) AS BIGINT) AS sum_n_tok,
+       CAST(min(n_tok) AS BIGINT) AS min_n_tok,
+       CAST(max(n_tok) AS BIGINT) AS max_n_tok
+FROM sequences
+GROUP BY 1, 2
+"""

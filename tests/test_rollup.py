@@ -390,3 +390,49 @@ def test_source_share_totals_and_ranks(spark):
     assert [day0[s]["rank"] for s in ("b", "a", "c")] == [1, 2, 3]
     d1 = [r for r in rows if r["bucket_s"] == 86400][0]
     assert (d1["bucket_total"], d1["rank"]) == (5, 1)
+
+
+def test_calendar_cascade_equals_direct(spark, seq):
+    """Calendar tiers (week/month) from the 1d tier equal the direct
+    raw aggregation — boundary nesting makes the cascade exact — and
+    pre-epoch events truncate backward (calendar floor, not toward 0)."""
+    from pyreshaper_spark.operators.rollup import (
+        calendar_cascade,
+        calendar_rollup,
+        rollup_tier0,
+    )
+
+    # spread the 7-day fixture across ~9 months so many boundaries bind
+    from pyreshaper_spark.config import EPOCH0
+
+    spread = seq.withColumn(
+        "event_s", F.lit(EPOCH0) + (F.col("event_s") - F.lit(EPOCH0)) * 40
+    )
+    day = rollup_tier0(spread, 86400)
+    for unit, min_rows in (("week", 21), ("month", 21),
+                           ("quarter", 21), ("year", 20)):
+        got = rows_set(calendar_cascade(day, unit))
+        want = rows_set(calendar_rollup(spread, unit))
+        assert got == want and len(got) >= min_rows, unit
+    # pre-epoch: an event in Dec 1969 lands in the Dec-1969 month
+    pre = spark.createDataFrame(
+        [("d0", "s0", 5, -86400)],  # 1969-12-31
+        "doc_id string, source string, n_tok int, event_s long",
+    )
+    row = calendar_rollup(pre, "month").collect()[0]
+    import datetime as dt
+
+    assert row["bucket_s"] == int(
+        dt.datetime(1969, 12, 1, tzinfo=dt.timezone.utc).timestamp()
+    )
+    # week floor: 1970-01-01 is a Thursday; its week starts Mon Dec 29
+    row = calendar_rollup(
+        spark.createDataFrame(
+            [("d0", "s0", 5, 3600)],
+            "doc_id string, source string, n_tok int, event_s long",
+        ),
+        "week",
+    ).collect()[0]
+    assert row["bucket_s"] == int(
+        dt.datetime(1969, 12, 29, tzinfo=dt.timezone.utc).timestamp()
+    )
