@@ -45,6 +45,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--analytics", nargs="+", default=None,
                     help="extra aggregate families (ohlc m4 ndv_sketch "
                          "hist50) materialized per tier")
+    ap.add_argument("--calendar", nargs="+", default=None,
+                    help="calendar tiers (week month quarter year) "
+                         "rebuilt each cycle from the coarsest "
+                         "day-aligned tier")
     ap.add_argument("-o", "--spec", required=True, help="output spec JSON path")
     args = ap.parse_args(argv)
 
@@ -62,6 +66,8 @@ def main(argv: list[str] | None = None) -> None:
         kw["tiers"] = tuple(args.tiers)
     if args.analytics is not None:
         kw["analytics"] = tuple(args.analytics)
+    if args.calendar is not None:
+        kw["calendar"] = tuple(args.calendar)
     cfg = RunConfig(**kw).validate()
     cfg.write(args.spec)
     print(f"wrote {args.spec}:\n{cfg.to_json()}")

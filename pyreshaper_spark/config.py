@@ -91,6 +91,14 @@ class RunConfig:
     #: operators.rollup.ANALYTIC_FAMILIES: ohlc, m4, ndv_sketch, hist50);
     #: each cascades and append-merges exactly like the main tiers
     analytics: tuple[str, ...] = ()
+    #: calendar tiers (operators.rollup.CALENDAR_UNITS: week, month,
+    #: quarter, year) materialized as ``cal_<unit>`` tables. Irregular
+    #: widths can't ride the fixed-seconds cascade, so each cycle
+    #: REBUILDS cal_<unit> from the coarsest day-aligned tier (86400 %
+    #: width == 0) — exact by boundary nesting, O(that tier's rows).
+    #: That source tier must carry NO retention policy (a pruned source
+    #: would silently truncate calendar history — validated below).
+    calendar: tuple[str, ...] = ()
 
     # ---- validation (mirrors Specifier.validate: types then values) ----
 
@@ -162,6 +170,38 @@ class RunConfig:
                     f"unknown analytics families {bad}; allowed: "
                     f"{sorted(ANALYTIC_FAMILIES)}"
                 )
+        if self.calendar:
+            from pyreshaper_spark.operators.rollup import CALENDAR_UNITS
+
+            bad = [u for u in self.calendar if u not in CALENDAR_UNITS]
+            if bad:
+                raise ValueError(
+                    f"unknown calendar units {bad}; allowed: "
+                    f"{list(CALENDAR_UNITS)}"
+                )
+            src = self.calendar_source_tier()
+            if src is None:
+                raise ValueError(
+                    "calendar tiers need a day-aligned source tier "
+                    "(some tier width dividing 86400)"
+                )
+            if src.retention_buckets is not None:
+                raise ValueError(
+                    f"calendar source tier {src.name!r} must not carry "
+                    "a retention policy: calendar tables rebuild from "
+                    "it each cycle, and a pruned source would silently "
+                    "truncate calendar history"
+                )
+
+    def calendar_source_tier(self):
+        """The coarsest day-aligned tier — the cheapest exact source
+        for calendar re-aggregation (calendar boundaries nest on UTC
+        day boundaries, which nest on any width dividing 86400)."""
+        best = None
+        for t in self.tiers:
+            if 86400 % t.width_s == 0:
+                best = t  # widths strictly increase: last hit = coarsest
+        return best
 
     def validate(self) -> "RunConfig":
         self.validate_types()
@@ -181,6 +221,7 @@ class RunConfig:
         d["tiers"] = tuple(TierSpec(**t) for t in d.get("tiers", ()))
         d["time_variant_metadata"] = tuple(d.get("time_variant_metadata", ()))
         d["analytics"] = tuple(d.get("analytics", ()))
+        d["calendar"] = tuple(d.get("calendar", ()))
         return cls(**d).validate()
 
     def write(self, path: str) -> None:

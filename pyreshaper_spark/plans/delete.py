@@ -409,6 +409,22 @@ def _repair_run(
             with_meta=False,
         )
 
+    # calendar tables rebuild in full from the just-repaired day-aligned
+    # source tier (validated retention-free, so it IS the full truth;
+    # the rebuild is O(that tier's rows), tiny next to the repair scan)
+    if cfg.calendar:
+        from pyreshaper_spark.operators.rollup import calendar_cascade
+
+        cal_src = cat.read(
+            spark, f"tier_{cfg.calendar_source_tier().name}"
+        )
+        for unit in cfg.calendar:
+            cname = f"cal_{unit}"
+            report["snapshot_ids"][cname] = cat.overwrite(
+                cname, calendar_cascade(cal_src, unit), ("source",),
+                stats_cols=("bucket_s",),
+            )
+
     # ---- optional fidelity gate -----------------------------------------
     if cfg.verify_fidelity:
         from pyreshaper_spark.operators.encode import decode_series_table

@@ -598,6 +598,28 @@ def _run_pipeline(
                 return PipelineResult(snapshot_ids, run, skipped, step_wall)
             prev_fam = aname
 
+    # ---- calendar tiers (week/month/quarter/year) ----------------------
+    # Irregular widths can't ride the fixed-seconds cascade; each cycle
+    # REBUILDS cal_<unit> from the coarsest day-aligned tier — exact by
+    # boundary nesting and O(that tier's rows), and the source tier is
+    # validated retention-free, so the rebuild is always the full truth
+    # (fresh, append, and repair all converge to from-scratch).
+    if cfg.calendar:
+        from pyreshaper_spark.operators.rollup import calendar_cascade
+
+        cal_src = f"tier_{cfg.calendar_source_tier().name}"
+        for unit in cfg.calendar:
+            cname = f"cal_{unit}"
+
+            def _cal(unit=unit, cname=cname):
+                df = calendar_cascade(cat.read(spark, cal_src), unit)
+                snapshot_ids[cname] = cat.overwrite(
+                    cname, df, ("source",), stats_cols=("bucket_s",)
+                )
+
+            if commit_step(cname, _cal):
+                return PipelineResult(snapshot_ids, run, skipped, step_wall)
+
     # ---- retention enforcement ----------------------------------------
     # Runs AFTER the whole cascade so tier k+1 is always built from the
     # UN-pruned tier k (pruning first would corrupt coarse history);

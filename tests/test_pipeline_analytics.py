@@ -160,3 +160,70 @@ def test_moments_family_cascade_and_append_merge(spark, seq_path, tmp_path):
         got = _set(cat2.read(spark, f"moments_{t.name}").select(*cols))
         want = _set(bucket_moments(seq, t.width_s).select(*cols))
         assert got == want, f"append {t.name}"
+
+
+def test_calendar_tables_fresh_append_and_repair(spark, tmp_path):
+    """cal_<unit> pipeline tables: fresh run equals the direct calendar
+    rollup from raw; a two-cycle append converges to from-scratch; a
+    compliance delete repairs them to the from-scratch result."""
+    from pyreshaper_spark.operators.rollup import calendar_rollup
+    from pyreshaper_spark.plans.delete import delete_docs
+
+    seq = sequences_df(spark, SF)
+    part = F.abs(F.xxhash64(F.col("doc_id").cast("string"))) % 2
+    p = str(tmp_path / "cal_seq")
+    seq.filter(part == 0).write.parquet(p)
+    cfg = RunConfig(
+        input_path=p, output_path=str(tmp_path / "out"),
+        tiers=TIERS, nsalt=2, num_series_partitions=4,
+        write_mode="append", calendar=("week", "month"),
+    )
+    ck = str(tmp_path / "ck.json")
+    first = run_pipeline(spark, cfg, ck)
+    assert "cal_week" in first.steps_run and "cal_month" in first.steps_run
+    cat = IcebergLite(cfg.output_path)
+    half = seq.filter(part == 0)
+    cols = ["source", "bucket_s", "cnt", "sum_n_tok",
+            "min_n_tok", "max_n_tok"]
+
+    def _cal(name):
+        return _set(cat.read(spark, name).select(*cols))
+
+    assert _cal("cal_week") == _set(
+        calendar_rollup(half, "week").select(*cols)
+    )
+    # second cycle: full input
+    seq.filter(part == 1).write.mode("append").parquet(p)
+    second = run_pipeline(spark, cfg, ck)
+    assert "cal_month" in second.steps_run
+    for unit in ("week", "month"):
+        assert _cal(f"cal_{unit}") == _set(
+            calendar_rollup(seq, unit).select(*cols)
+        )
+    # compliance delete: calendar tables converge to the remaining rows
+    victims = [r["doc_id"] for r in seq.limit(5).collect()]
+    delete_docs(spark, cfg, ck, victims)
+    remaining = seq.filter(~F.col("doc_id").isin(victims))
+    for unit in ("week", "month"):
+        assert _cal(f"cal_{unit}") == _set(
+            calendar_rollup(remaining, unit).select(*cols)
+        )
+
+
+def test_calendar_config_rejections(tmp_path):
+    with pytest.raises(ValueError, match="unknown calendar"):
+        RunConfig(input_path="x", output_path=str(tmp_path),
+                  tiers=TIERS, calendar=("fortnight",)).validate()
+    # no day-aligned tier: widths must divide 86400
+    with pytest.raises(ValueError, match="day-aligned"):
+        RunConfig(input_path="x", output_path=str(tmp_path),
+                  tiers=(TierSpec("7h", 25200),),
+                  calendar=("month",)).validate()
+    # retention on the day-aligned source tier is rejected
+    with pytest.raises(ValueError, match="retention"):
+        RunConfig(
+            input_path="x", output_path=str(tmp_path),
+            tiers=(TierSpec("1m", 60),
+                   TierSpec("1h", 3600, retention_buckets=24)),
+            calendar=("month",),
+        ).validate()
