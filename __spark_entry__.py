@@ -1269,6 +1269,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["realtime_1h"] = _q_realtime
 
+    # real-time continuous aggregate at a CALENDAR width: committed
+    # months ∪ on-the-fly partial month; hw lands mid-month under the
+    # ×40 spread so the straddling month merges partials from both legs
+    def _q_realtime_cal(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.config import EPOCH0
+        from pyreshaper_spark.operators.rollup import (
+            calendar_realtime_merge,
+            calendar_rollup,
+        )
+
+        spread = _seq(spark, sf_dir).withColumn(
+            "event_s",
+            F.lit(EPOCH0) + (F.col("event_s") - F.lit(EPOCH0)) * F.lit(40),
+        )
+        hw = EPOCH0 + 150 * 86400 + 1800
+        mat = calendar_rollup(spread.filter(F.col("event_s") < hw), "month")
+        return _norm_tier(
+            calendar_realtime_merge(
+                mat, spread.filter(F.col("event_s") >= hw), "month"
+            )
+        )
+
+    q["realtime_1mo"] = _q_realtime_cal
+
+    # trimmed (robust) rollup: drop top/bottom 10% per bucket
+    def _q_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.rollup import bucket_trimmed
+
+        return bucket_trimmed(_seq(spark, sf_dir), 3600, 1, 10)
+
+    q["tier_1h_trimmed"] = _q_trimmed
+
     # -- mergeable HLL sketch cascade (production NDV path) -----------
     # Estimates are Datasketches-specific → rows-only driver check; the
     # cascade≡direct-sketch identity and error bounds live in pytest.
@@ -1667,6 +1699,13 @@ def oracle_sql() -> dict[str, str]:
     )
     o["tier_1mo"] = _CAL_CTE + calendar_rollup_sql("month").replace(
         "FROM sequences", "FROM seqspread"
+    )
+    # realtime calendar merge ≡ plain calendar rollup of ALL spread rows
+    o["realtime_1mo"] = o["tier_1mo"]
+    from pyreshaper_spark.operators.rollup import bucket_trimmed_sql
+
+    o["tier_1h_trimmed"] = (
+        f"WITH {seq_cte('base')}\n{bucket_trimmed_sql(3600, 1, 10)}"
     )
     o["gapfill_10m"] = (
         _GAPFILL_CTES

@@ -1589,3 +1589,85 @@ SELECT source,
 FROM sequences
 GROUP BY 1, 2
 """
+
+
+def calendar_realtime_merge(
+    materialized: DataFrame, tail: DataFrame, unit: str
+) -> DataFrame:
+    """Real-time continuous aggregate at CALENDAR widths: committed
+    cal_<unit> rows ∪ a calendar rollup of the not-yet-materialized raw
+    tail, re-combined per bucket (``date_trunc`` of a boundary is the
+    identity, so :func:`calendar_cascade` over the union is the exact
+    merge — the month straddling the high-water mark carries partials
+    from both legs). Same cost shape as :func:`realtime_merge`."""
+    cols = ["source", "bucket_s", *AGG_COLS]
+    fresh = calendar_rollup(tail, unit)
+    return calendar_cascade(
+        materialized.select(*cols).unionByName(fresh.select(*cols)), unit
+    )
+
+
+def bucket_trimmed(
+    seq: DataFrame, width_s: int, num: int = 1, den: int = 10
+) -> DataFrame:
+    """Trimmed (robust) rollup: per (source, bucket), drop the lowest
+    and highest ``floor(cnt*num/den)`` observations — the
+    outlier-resistant mean/total the plain rollup can't give when a few
+    runaway documents dominate a bucket. Exact and deterministic: rows
+    rank by the (n_tok, doc_id) total order, the trim count is integer
+    arithmetic, and the outputs are integer count/sum/min/max of the
+    kept middle.
+
+    Scale shape: ONE (source, bucket) exchange carries both window
+    passes (rank + bucket size share the sort) and the final hash agg
+    re-groups rows already local to the partition.
+    """
+    if not (0 <= num * 2 < den):
+        raise ValueError("trim fraction must satisfy 0 <= 2*num/den < 1")
+    d = seq.select(
+        "source", bucket_col(width_s), "n_tok",
+        F.col("doc_id").cast("string").alias("doc_id"),
+    )
+    wb = Window.partitionBy("source", "bucket_s")
+    d = (
+        d.withColumn(
+            "rk", F.row_number().over(wb.orderBy("n_tok", "doc_id"))
+        )
+        .withColumn("n", F.count("*").over(wb))
+        .withColumn("k", F.expr(f"(n * {num}) div {den}"))
+    )
+    kept = d.filter(
+        (F.col("rk") > F.col("k")) & (F.col("rk") <= F.col("n") - F.col("k"))
+    )
+    return kept.groupBy("source", "bucket_s").agg(
+        F.count("*").alias("cnt_kept"),
+        F.sum("n_tok").cast("long").alias("sum_kept"),
+        F.min("n_tok").cast("long").alias("min_kept"),
+        F.max("n_tok").cast("long").alias("max_kept"),
+    )
+
+
+def bucket_trimmed_sql(width_s: int, num: int = 1, den: int = 10) -> str:
+    """DuckDB twin of :func:`bucket_trimmed` over ``sequences``."""
+    return f"""
+SELECT source, bucket_s,
+       count(*)                   AS cnt_kept,
+       CAST(sum(n_tok) AS BIGINT) AS sum_kept,
+       CAST(min(n_tok) AS BIGINT) AS min_kept,
+       CAST(max(n_tok) AS BIGINT) AS max_kept
+FROM (
+  SELECT source, bucket_s, n_tok,
+         row_number() OVER w AS rk,
+         count(*) OVER (PARTITION BY source, bucket_s) AS n
+  FROM (
+    SELECT source,
+           ((event_s) - ((((event_s) % {width_s}) + {width_s}) % {width_s}))
+             AS bucket_s,
+           n_tok, CAST(doc_id AS VARCHAR) AS doc_id
+    FROM sequences
+  )
+  WINDOW w AS (PARTITION BY source, bucket_s ORDER BY n_tok, doc_id)
+)
+WHERE rk > (n * {num}) // {den} AND rk <= n - (n * {num}) // {den}
+GROUP BY 1, 2
+"""

@@ -436,3 +436,50 @@ def test_calendar_cascade_equals_direct(spark, seq):
     assert row["bucket_s"] == int(
         dt.datetime(1969, 12, 29, tzinfo=dt.timezone.utc).timestamp()
     )
+
+
+def test_bucket_trimmed_semantics(spark):
+    from pyreshaper_spark.operators.rollup import bucket_trimmed
+
+    import pytest as _pytest
+
+    rows = [("d%02d" % i, "s0", v, 100)
+            for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 1000])]
+    seq = spark.createDataFrame(
+        rows, "doc_id string, source string, n_tok int, event_s long"
+    )
+    # 10 rows, trim 10% each side -> drop n_tok=1 and the 1000 outlier
+    out = bucket_trimmed(seq, 3600, 1, 10).collect()[0]
+    assert (out["cnt_kept"], out["sum_kept"]) == (8, sum(range(2, 10)))
+    assert (out["min_kept"], out["max_kept"]) == (2, 9)
+    # small bucket: k = floor(3/10) = 0 keeps everything
+    small = bucket_trimmed(seq.limit(3), 3600, 1, 10).collect()[0]
+    assert small["cnt_kept"] == 3
+    # degenerate trim fractions rejected
+    with _pytest.raises(ValueError, match="trim fraction"):
+        bucket_trimmed(seq, 3600, 1, 2)
+
+
+def test_calendar_realtime_merge_straddle(spark, seq):
+    """The month straddling the high-water mark merges partials from
+    the materialized and tail legs into the exact full answer; empty
+    legs are identities."""
+    from pyreshaper_spark.config import EPOCH0
+    from pyreshaper_spark.operators.rollup import (
+        calendar_realtime_merge,
+        calendar_rollup,
+    )
+
+    spread = seq.withColumn(
+        "event_s", F.lit(EPOCH0) + (F.col("event_s") - F.lit(EPOCH0)) * 40
+    )
+    want = rows_set(calendar_rollup(spread, "month"))
+    for off_days in (0, 150, 10_000):  # all-tail, mid-month, all-mat
+        hw = EPOCH0 + off_days * 86400 + 1800
+        mat = calendar_rollup(
+            spread.filter(F.col("event_s") < hw), "month"
+        )
+        got = calendar_realtime_merge(
+            mat, spread.filter(F.col("event_s") >= hw), "month"
+        )
+        assert rows_set(got) == want, off_days
