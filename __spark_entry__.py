@@ -622,6 +622,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["semdedup_pairs"] = lambda s, d: KM.semdedup_pairs(
         _emb(s, d), k=8, n_iter=2, num=2, den=5
     )
+    # product quantization: the stored PQ index (M codes per vector)
+    # and the ADC top-k search over it (FAISS IndexPQ shape)
+    q["pq_codes"] = lambda s, d: KM.pq_codes(_emb(s, d), ks=16, n_iter=2)
+    q["ann_pq_topk"] = lambda s, d: KM.pq_topk(
+        _emb(s, d), ks=16, n_iter=2, n_queries=10, topk=5
+    )
+    q["ann_pq_refined"] = lambda s, d: KM.pq_topk_refined(
+        _emb(s, d), ks=16, n_iter=2, n_queries=10, topk=5, refine=4
+    )
     # -- multimodal ---------------------------------------------------
     q["mm_meta"] = lambda s, d: multimodal.media_meta(_docs(s, d))
     # frame sampling over fixed-size planes is pure codegen (binary
@@ -1144,6 +1153,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return histogram_quantile(hist, bin_w=50, q_num=9, q_den=10)
 
     q["hist_q90_1h"] = _q_histq
+
+    # log2-histogram sketch (exactly oracle-able quantile sketch): the
+    # 1h tier is cascaded from a 10m fine tier so the oracle also
+    # proves merge exactness; p90 readout as exact bin bounds.
+    def _q_lhist(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.rollup import (
+            bucket_log_hist,
+            log_hist_cascade,
+        )
+
+        fine = bucket_log_hist(_seq(spark, sf_dir), 600)
+        return log_hist_cascade(fine, 3600).select(
+            "source", "bucket_s", "bin",
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+
+    q["lhist_1h"] = _q_lhist
+
+    def _q_lhistq(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.rollup import (
+            bucket_log_hist,
+            log_hist_quantile,
+        )
+
+        hist = bucket_log_hist(_seq(spark, sf_dir), 3600)
+        return log_hist_quantile(hist, q_num=9, q_den=10)
+
+    q["lhist_q90_1h"] = _q_lhistq
 
     # -- BPE tokenizer training ----------------------------------------
     from pyreshaper_spark.operators import bpe as BPE
@@ -2026,6 +2063,15 @@ FROM tier t JOIN meta m USING (source)
     from pyreshaper_spark.operators.kmeans import semdedup_pairs_sql
 
     o["semdedup_pairs"] = semdedup_pairs_sql(k=8, n_iter=2, num=2, den=5)
+    from pyreshaper_spark.operators.kmeans import pq_codes_sql, pq_topk_sql
+
+    o["pq_codes"] = pq_codes_sql(ks=16, n_iter=2)
+    o["ann_pq_topk"] = pq_topk_sql(ks=16, n_iter=2, n_queries=10, topk=5)
+    from pyreshaper_spark.operators.kmeans import pq_topk_refined_sql
+
+    o["ann_pq_refined"] = pq_topk_refined_sql(
+        ks=16, n_iter=2, n_queries=10, topk=5, refine=4
+    )
     o["ann_ivf_probe"] = similarity.ivf_probe_topk_sql()
     o["ann_lsh_pairs"] = similarity.lsh_bucket_pairs_sql()
     o["emb_near_dup"] = similarity.cosine_near_dups_sql(num=2, den=5)
@@ -2247,6 +2293,17 @@ FROM filled
         f"WITH {seq_cte('base')},\n"
         f"hist AS ({histogram_sql(3600, 50)})\n"
         + histogram_quantile_sql("hist", bin_w=50, q_num=9, q_den=10)
+    )
+    from pyreshaper_spark.operators.rollup import (
+        log_hist_quantile_sql,
+        log_hist_sql,
+    )
+
+    o["lhist_1h"] = f"WITH {seq_cte('base')}\n" + log_hist_sql(3600)
+    o["lhist_q90_1h"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"lhist AS ({log_hist_sql(3600)})\n"
+        + log_hist_quantile_sql("lhist", q_num=9, q_den=10)
     )
     # bpe_segment: rows-only (driver-side merge induction — the apply
     # is pytest-verified; see operators/bpe.py)

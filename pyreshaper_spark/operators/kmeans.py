@@ -407,3 +407,351 @@ WHERE {dot} > 0
   AND CAST({dot} AS HUGEINT) * CAST({dot} AS HUGEINT) * {den * den}
       >= CAST({n2a} AS HUGEINT) * CAST({n2b} AS HUGEINT) * {num * num}
 """
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — the billion-scale ANN index (FAISS IndexPQ)
+# --------------------------------------------------------------------------
+#
+# IVF above shrinks the SEARCH; PQ shrinks the VECTORS: split each
+# 64-dim vector into M=4 16-dim subspaces, k-means each subspace to a
+# ks=16-codeword codebook, and store each vector as M tiny codes — the
+# index is M small ints per vector (vs 64 floats), which is what makes
+# a 10^12-vector table fit anywhere. Search is asymmetric distance
+# computation (ADC): the query's exact distance to every codeword is a
+# Q×M×ks lookup table (640 ints here — broadcast), and a vector's
+# approximate distance is the sum of M table lookups — never a float,
+# never the original vector.
+#
+# Everything stays on the exact integer grid of this module: subspace
+# training reuses the Lloyd machinery (truncated integer division), so
+# codes, LUT entries, and ADC distances are bit-identical in DuckDB.
+#
+# Scale shape: training is M Lloyd loops over ONE posexploded scan per
+# iteration (at 100 TB: train on a hash_sample, assign once); the
+# stored index is the wide (vec_id, code_0..code_{M-1}) table; the
+# probe is M broadcast equi-joins against the LUT + a per-query top-k
+# window (WindowGroupLimit forwards ≤ k rows per map task) — zero
+# non-broadcast shuffles against the index.
+
+PQ_M = 4  # subspaces
+PQ_KS = 16  # codewords per subspace
+
+
+def _pq_explode(q: DataFrame, m_sub: int, sub_dim: int) -> DataFrame:
+    """(vec_id, m, qs): each vector split into its m_sub subspace
+    slices — one projection, no join."""
+    slices = F.array(
+        *[F.slice("q", m * sub_dim + 1, sub_dim) for m in range(m_sub)]
+    )
+    return q.select(
+        "vec_id", F.posexplode(slices).alias("m", "qs")
+    )
+
+
+def _pq_assign(sub: DataFrame, cb: DataFrame) -> DataFrame:
+    """Nearest codeword per (vec_id, m): broadcast the codebook, argmin
+    via min(struct) — map-side partial collapse, ties to smaller cid."""
+    scored = sub.join(F.broadcast(cb), "m").select(
+        "vec_id",
+        "m",
+        "qs",
+        F.struct(
+            _d2(F.col("qs"), F.col("c")).alias("d2"),
+            F.col("cid").alias("cid"),
+        ).alias("cand"),
+    )
+    best = scored.groupBy("vec_id", "m").agg(
+        F.min("cand").alias("best"), F.first("qs").alias("qs")
+    )
+    return best.select(
+        "vec_id", "m", "qs", F.col("best.cid").alias("code")
+    )
+
+
+def _pq_update(assigned: DataFrame, sub_dim: int) -> DataFrame:
+    """New codebook: element-wise ``sum div count`` per (m, code)."""
+    sums = assigned.groupBy("m", F.col("code").alias("cid")).agg(
+        F.count("*").alias("cnt"),
+        *[
+            F.sum(F.element_at("qs", d + 1)).alias(f"s{d}")
+            for d in range(sub_dim)
+        ],
+    )
+    return sums.select(
+        "m",
+        "cid",
+        F.array(
+            *[F.expr(f"s{d} div cnt").cast("long") for d in range(sub_dim)]
+        ).alias("c"),
+    )
+
+
+def pq_train(
+    emb: DataFrame,
+    ks: int = PQ_KS,
+    n_iter: int = 2,
+    m_sub: int = PQ_M,
+    dim: int = DIM,
+) -> tuple[DataFrame, DataFrame]:
+    """Train the PQ codebooks and encode the corpus: returns
+    (codes (vec_id, m, qs, code), codebook (m, cid, c)). Init mirrors
+    the coarse k-means: codeword j of every subspace is vector
+    ``vec_id == j``'s slice; n_iter updates then one final assign."""
+    sub = _pq_explode(quantized(emb), m_sub, dim // m_sub)
+    cb = sub.filter(F.col("vec_id") < ks).select(
+        "m", F.col("vec_id").alias("cid"), F.col("qs").alias("c")
+    )
+    a = _pq_assign(sub, cb)
+    for _ in range(n_iter):
+        cb = _pq_update(a, dim // m_sub)
+        a = _pq_assign(sub, cb)
+    return a, cb
+
+
+def pq_codes(
+    emb: DataFrame,
+    ks: int = PQ_KS,
+    n_iter: int = 2,
+    m_sub: int = PQ_M,
+    dim: int = DIM,
+) -> DataFrame:
+    """The stored PQ index, long face: (vec_id, m, code)."""
+    a, _ = pq_train(emb, ks, n_iter, m_sub, dim)
+    return a.select(
+        "vec_id",
+        F.col("m").cast("long").alias("m"),
+        F.col("code").cast("long").alias("code"),
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    ks: int = PQ_KS,
+    n_iter: int = 2,
+    m_sub: int = PQ_M,
+    n_queries: int = 10,
+    topk: int = 5,
+    dim: int = DIM,
+) -> DataFrame:
+    """ADC top-k over the PQ index: (query_id, neighbor_id, ad2, rank).
+
+    The LUT (query × m × codeword exact d2) is broadcast; the index is
+    pivoted wide (one shuffle of N·M rows at build time — the stored
+    layout) and probed with M broadcast equi-joins; ad2 is the row-local
+    sum of the M looked-up partial distances; top-k is a per-query rank
+    window whose ``rank ≤ k`` predicate pushes below the exchange."""
+    a, cb = pq_train(emb, ks, n_iter, m_sub, dim)
+    sub_dim = dim // m_sub
+    wide = (
+        a.groupBy("vec_id")
+        .pivot("m", list(range(m_sub)))
+        .agg(F.first("code"))
+        .select(
+            "vec_id",
+            *[F.col(f"`{m}`").alias(f"code_{m}") for m in range(m_sub)],
+        )
+    )
+    qsub = _pq_explode(
+        quantized(emb).filter(F.col("vec_id") < n_queries), m_sub, sub_dim
+    ).select(F.col("vec_id").alias("query_id"), "m", "qs")
+    lut = qsub.join(F.broadcast(cb), "m").select(
+        "query_id",
+        "m",
+        "cid",
+        _d2(F.col("qs"), F.col("c")).alias("pd2"),
+    )
+    cand = wide
+    ad2 = None
+    for m in range(m_sub):
+        lm = lut.filter(F.col("m") == m).select(
+            F.col("query_id").alias(f"query_{m}"),
+            F.col("cid").alias(f"cid_{m}"),
+            F.col("pd2").alias(f"pd2_{m}"),
+        )
+        cond = F.col(f"code_{m}") == F.col(f"cid_{m}")
+        if m > 0:
+            cond = cond & (F.col("query_id") == F.col(f"query_{m}"))
+        cand = cand.join(F.broadcast(lm), cond)
+        cand = (
+            cand.withColumnRenamed("query_0", "query_id")
+            if m == 0
+            else cand.drop(f"query_{m}")
+        ).drop(f"cid_{m}")
+        term = F.col(f"pd2_{m}")
+        ad2 = term if ad2 is None else ad2 + term
+    scored = cand.filter(F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        ad2.cast("long").alias("ad2"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ad2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "ad2", "rank")
+    )
+
+
+# ---- PQ oracle SQL --------------------------------------------------------
+
+
+def _pq_ctes(ks: int, n_iter: int, m_sub: int, dim: int) -> str:
+    """CTE chain q, sub, b0, p0, … b{n_iter}, p{n_iter}: the unrolled
+    per-subspace Lloyd loop (final assignment CTE is p{n_iter})."""
+    sub_dim = dim // m_sub
+    d2 = _D2_SQL.format(x="s.qs", y="b.c")
+
+    def assign_cte(cb: str) -> str:
+        return f"""(
+  SELECT vec_id, m, qs, code FROM (
+    SELECT s.vec_id, s.m, s.qs, b.cid AS code,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {d2} ASC, b.cid ASC) AS rn
+    FROM sub s JOIN {cb} b ON s.m = b.m
+  ) WHERE rn = 1
+)"""
+
+    def update_cte(asg: str) -> str:
+        return f"""(
+  SELECT m, cid, list(v ORDER BY d) AS c FROM (
+    SELECT m, code AS cid, d,
+           CAST(sum(qs[d]) // count(*) AS BIGINT) AS v
+    FROM {asg} CROSS JOIN (SELECT unnest(generate_series(1, {sub_dim})) AS d)
+    GROUP BY 1, 2, 3
+  ) GROUP BY 1, 2
+)"""
+
+    parts = [
+        f"q AS ({QUANT_SQL})",
+        f"""sub AS (
+  SELECT vec_id, m, q[(m * {sub_dim} + 1):((m + 1) * {sub_dim})] AS qs
+  FROM q CROSS JOIN (SELECT unnest(generate_series(0, {m_sub - 1})) AS m)
+)""",
+        f"b0 AS (SELECT m, vec_id AS cid, qs AS c FROM sub WHERE vec_id < {ks})",
+        f"p0 AS {assign_cte('b0')}",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(f"b{i} AS {update_cte(f'p{i - 1}')}")
+        parts.append(f"p{i} AS {assign_cte(f'b{i}')}")
+    return ",\n".join(parts)
+
+
+def pq_codes_sql(
+    ks: int = PQ_KS, n_iter: int = 2, m_sub: int = PQ_M, dim: int = DIM
+) -> str:
+    return f"""
+WITH {_pq_ctes(ks, n_iter, m_sub, dim)}
+SELECT vec_id, CAST(m AS BIGINT) AS m, CAST(code AS BIGINT) AS code
+FROM p{n_iter}
+"""
+
+
+def pq_topk_sql(
+    ks: int = PQ_KS,
+    n_iter: int = 2,
+    m_sub: int = PQ_M,
+    n_queries: int = 10,
+    topk: int = 5,
+    dim: int = DIM,
+) -> str:
+    sub_dim = dim // m_sub
+    pd2 = _D2_SQL.format(x="qs.qs", y="b.c")
+    return f"""
+WITH {_pq_ctes(ks, n_iter, m_sub, dim)},
+qsub AS (
+  SELECT vec_id AS query_id, m,
+         q[(m * {sub_dim} + 1):((m + 1) * {sub_dim})] AS qs
+  FROM q CROSS JOIN (SELECT unnest(generate_series(0, {m_sub - 1})) AS m)
+  WHERE vec_id < {n_queries}
+),
+lut AS (
+  SELECT qs.query_id, qs.m, b.cid, {pd2} AS pd2
+  FROM qsub qs JOIN b{n_iter} b ON qs.m = b.m
+),
+cand AS (
+  SELECT l.query_id, p.vec_id AS neighbor_id,
+         CAST(sum(l.pd2) AS BIGINT) AS ad2
+  FROM p{n_iter} p JOIN lut l ON p.m = l.m AND p.code = l.cid
+  WHERE p.vec_id <> l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, ad2, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY ad2 ASC, neighbor_id ASC) AS rank
+  FROM cand)
+WHERE rank <= {topk}
+"""
+
+
+def pq_topk_refined(
+    emb: DataFrame,
+    ks: int = PQ_KS,
+    n_iter: int = 2,
+    m_sub: int = PQ_M,
+    n_queries: int = 10,
+    topk: int = 5,
+    refine: int = 4,
+    dim: int = DIM,
+) -> DataFrame:
+    """ADC shortlist + exact re-rank (FAISS ``IndexRefineFlat`` shape):
+    PQ screens the corpus down to ``topk·refine`` candidates per query,
+    then the TRUE integer squared distance re-ranks just those — the
+    standard recall fix that touches original vectors only for the
+    shortlist (an equi-join on vec_id bounded by Q·topk·refine rows).
+    Output (query_id, neighbor_id, d2, rank) with exact d2."""
+    short = pq_topk(emb, ks, n_iter, m_sub, n_queries, topk * refine, dim)
+    q = quantized(emb)
+    queries = q.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+    nb = q.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("q").alias("nq")
+    )
+    exact = (
+        nb.join(F.broadcast(short.select("query_id", "neighbor_id")),
+                "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _d2(F.col("qv"), F.col("nq")).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "d2", "rank")
+    )
+
+
+def pq_topk_refined_sql(
+    ks: int = PQ_KS,
+    n_iter: int = 2,
+    m_sub: int = PQ_M,
+    n_queries: int = 10,
+    topk: int = 5,
+    refine: int = 4,
+    dim: int = DIM,
+) -> str:
+    base = pq_topk_sql(ks, n_iter, m_sub, n_queries, topk * refine, dim)
+    d2 = _D2_SQL.format(x="qq.q", y="nn.q")
+    return f"""
+WITH short AS ({base})
+SELECT query_id, neighbor_id, d2, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY d2 ASC, neighbor_id ASC) AS rank
+  FROM (
+    SELECT s.query_id, s.neighbor_id, {d2} AS d2
+    FROM short s
+    JOIN ({QUANT_SQL}) qq ON qq.vec_id = s.query_id
+    JOIN ({QUANT_SQL}) nn ON nn.vec_id = s.neighbor_id
+  )
+)
+WHERE rank <= {topk}
+"""

@@ -1671,3 +1671,191 @@ FROM (
 WHERE rk > (n * {num}) // {den} AND rk <= n - (n * {num}) // {den}
 GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# Log2 histogram sketch (HdrHistogram / DDSketch shape, exactly oracle-able)
+# --------------------------------------------------------------------------
+#
+# The production quantile sketches above (t-digest, HLL) are engine-
+# specific byte blobs — their queries are rows-only on the driver board.
+# This family is the bounded-relative-error alternative whose state IS
+# plain integers, so it gets the FULL value-hash oracle: each value maps
+# to a log2 bucket refined by the top two mantissa bits (4 sub-buckets
+# per octave, i.e. HdrHistogram with 2 significant bits / DDSketch with
+# gamma = 1.25-ish), giving a guaranteed ≤ 12.5 % relative error at any
+# quantile while the sketch stays O(4·log2(max)) cells per (source,
+# bucket) — mergeable by pure count addition, so it cascades, appends
+# and repairs exactly like the histogram family.
+#
+#   bin(x) = x                                  for x < 4
+#          = 4·(bitlen(x) − 2) + top2mant(x)    otherwise
+#
+# where bitlen is length(bin(x)) — identical in Spark and DuckDB — and
+# top2mant is (x >> (bitlen−3)) & 3: the two bits after the leading 1.
+# The mapping is monotone, so quantile inversion is a cumulative-count
+# walk identical to histogram_quantile; the inverse bounds are exact
+# integer shifts. No floats anywhere on either engine.
+
+
+def log_bin_expr(col: str) -> str:
+    """Spark SQL spelling of the log2 bin id of ``col`` (≥ 0)."""
+    b = f"length(bin({col}))"
+    return (
+        f"CAST(CASE WHEN {col} < 4 THEN {col} ELSE "
+        f"4 * ({b} - 2) + (shiftright({col}, {b} - 3) & 3) END AS BIGINT)"
+    )
+
+
+def log_bin_sql(col: str) -> str:
+    """DuckDB spelling of :func:`log_bin_expr` (same arithmetic)."""
+    b = f"length(bin({col}))"
+    return (
+        f"CAST(CASE WHEN {col} < 4 THEN {col} ELSE "
+        f"4 * ({b} - 2) + ((({col}) >> ({b} - 3)) & 3) END AS BIGINT)"
+    )
+
+
+def log_bin_bounds_expr(bin_col: str) -> tuple[str, str]:
+    """Spark SQL (lo, hi) inclusive value bounds of a log2 bin id."""
+    b = f"(({bin_col}) div 4 + 2)"
+    m = f"(({bin_col}) % 4)"
+    lo = (
+        f"CAST(CASE WHEN {bin_col} < 4 THEN {bin_col} "
+        f"ELSE shiftleft(4 + {m}, {b} - 3) END AS BIGINT)"
+    )
+    hi = (
+        f"CAST(CASE WHEN {bin_col} < 4 THEN {bin_col} "
+        f"ELSE shiftleft(4 + {m}, {b} - 3) "
+        f"+ shiftleft(1, {b} - 3) - 1 END AS BIGINT)"
+    )
+    return lo, hi
+
+
+def log_bin_bounds_sql(bin_col: str) -> tuple[str, str]:
+    """DuckDB (lo, hi) inclusive value bounds of a log2 bin id."""
+    b = f"(({bin_col}) // 4 + 2)"
+    m = f"(({bin_col}) % 4)"
+    lo = (
+        f"CAST(CASE WHEN {bin_col} < 4 THEN {bin_col} "
+        f"ELSE (4 + {m}) << ({b} - 3) END AS BIGINT)"
+    )
+    hi = (
+        f"CAST(CASE WHEN {bin_col} < 4 THEN {bin_col} "
+        f"ELSE ((4 + {m}) << ({b} - 3)) "
+        f"+ (CAST(1 AS BIGINT) << ({b} - 3)) - 1 END AS BIGINT)"
+    )
+    return lo, hi
+
+
+def bucket_log_hist(
+    seq: DataFrame, width_s: int, value_col: str = "n_tok"
+) -> DataFrame:
+    """Log2-histogram sketch tier: one row per (source, bucket_s, bin)
+    with the count of values landing in that log2 sub-bucket. Same
+    partial+final hash-agg shape as :func:`bucket_histogram`, but the
+    cell count is O(4·log2(max value)) per group instead of O(range /
+    bin_w) — the shape that holds when values span orders of magnitude
+    (latencies, token counts across mixed corpora).
+    """
+    return (
+        seq.select(
+            "source",
+            bucket_col(width_s),
+            F.expr(log_bin_expr(value_col)).alias("bin"),
+        )
+        .groupBy("source", "bucket_s", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def log_hist_cascade(prev: DataFrame, width_s: int) -> DataFrame:
+    """Coarser log-histogram tier from a finer one: re-bucket time, sum
+    counts (bins are time-invariant — merging is pure addition, the
+    mergeability that makes this a production sketch)."""
+    return (
+        prev.select(
+            "source",
+            floor_to(F.col("bucket_s"), width_s).alias("bucket_s"),
+            "bin",
+            "cnt",
+        )
+        .groupBy("source", "bucket_s", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def log_hist_sql(width_s: int, value_col: str = "n_tok") -> str:
+    """DuckDB twin of :func:`bucket_log_hist` direct from ``sequences``."""
+    return f"""
+SELECT source,
+       {floor_sql('event_s', width_s)} AS bucket_s,
+       {log_bin_sql(value_col)}        AS bin,
+       count(*)                        AS cnt
+FROM sequences
+GROUP BY 1, 2, 3
+"""
+
+
+def log_hist_quantile(
+    hist: DataFrame, q_num: int, q_den: int
+) -> DataFrame:
+    """Quantile readout over the log-histogram tier: per (source,
+    bucket_s), the first bin whose cumulative count reaches
+    q_num/q_den of the total (ceil-rank, identical to
+    :func:`histogram_quantile`), reported as the bin's EXACT inclusive
+    value bounds (q_lo, q_hi) — the true quantile provably lies inside,
+    with (q_hi − q_lo) / q_lo ≤ 1/4 by construction. One cumulative +
+    one total window on the same (source, bucket) partitioning, then an
+    argmin aggregate — a single exchange, input is tier-sized."""
+    wp = Window.partitionBy("source", "bucket_s")
+    w = wp.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rows = hist.select(
+        "source",
+        "bucket_s",
+        "bin",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wp).alias("total"),
+    ).filter(F.col("cum") * q_den >= F.col("total") * q_num)
+    best = rows.groupBy("source", "bucket_s").agg(
+        F.min(F.struct("bin", "total")).alias("b")
+    )
+    lo, hi = log_bin_bounds_expr("b.bin")
+    return best.select(
+        "source",
+        F.col("bucket_s").cast("long").alias("bucket_s"),
+        F.expr(lo).alias("q_lo"),
+        F.expr(hi).alias("q_hi"),
+        F.col("b.total").cast("long").alias("total"),
+    )
+
+
+def log_hist_quantile_sql(
+    relation: str, q_num: int, q_den: int
+) -> str:
+    """DuckDB twin of :func:`log_hist_quantile` over a named
+    log-histogram relation (source, bucket_s, bin, cnt)."""
+    lo, hi = log_bin_bounds_sql("bin")
+    return f"""
+SELECT source, bucket_s, {lo} AS q_lo, {hi} AS q_hi,
+       CAST(total AS BIGINT) AS total
+FROM (
+  SELECT source, bucket_s, bin, total,
+         row_number() OVER (PARTITION BY source, bucket_s
+                            ORDER BY bin) AS rn
+  FROM (
+    SELECT source, bucket_s, bin, cnt,
+           sum(cnt) OVER (PARTITION BY source, bucket_s ORDER BY bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(cnt) OVER (PARTITION BY source, bucket_s)          AS total
+    FROM {relation}
+  )
+  WHERE cum * {q_den} >= total * {q_num}
+)
+WHERE rn = 1
+"""
+
+
+ANALYTIC_FAMILIES["lhist"] = (bucket_log_hist, log_hist_cascade)
