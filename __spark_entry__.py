@@ -631,6 +631,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_pq_refined"] = lambda s, d: KM.pq_topk_refined(
         _emb(s, d), ks=16, n_iter=2, n_queries=10, topk=5, refine=4
     )
+    # IVFADC (FAISS IndexIVFPQ): PQ over coarse-list residuals, probed
+    # per query with a per-(query, list) broadcast LUT
+    q["ann_ivfpq_topk"] = lambda s, d: KM.ivfpq_topk(
+        _emb(s, d), k_coarse=8, ks=16, n_iter=2, n_queries=10,
+        topk=5, nprobe=2,
+    )
     # -- multimodal ---------------------------------------------------
     q["mm_meta"] = lambda s, d: multimodal.media_meta(_docs(s, d))
     # frame sampling over fixed-size planes is pure codegen (binary
@@ -2071,6 +2077,11 @@ FROM tier t JOIN meta m USING (source)
 
     o["ann_pq_refined"] = pq_topk_refined_sql(
         ks=16, n_iter=2, n_queries=10, topk=5, refine=4
+    )
+    from pyreshaper_spark.operators.kmeans import ivfpq_topk_sql
+
+    o["ann_ivfpq_topk"] = ivfpq_topk_sql(
+        k_coarse=8, ks=16, n_iter=2, n_queries=10, topk=5, nprobe=2
     )
     o["ann_ivf_probe"] = similarity.ivf_probe_topk_sql()
     o["ann_lsh_pairs"] = similarity.lsh_bucket_pairs_sql()

@@ -438,22 +438,28 @@ PQ_M = 4  # subspaces
 PQ_KS = 16  # codewords per subspace
 
 
-def _pq_explode(q: DataFrame, m_sub: int, sub_dim: int) -> DataFrame:
-    """(vec_id, m, qs): each vector split into its m_sub subspace
-    slices — one projection, no join."""
+def _pq_explode(
+    q: DataFrame, m_sub: int, sub_dim: int, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(vec_id, [carry…,] m, qs): each vector split into its m_sub
+    subspace slices — one projection, no join."""
     slices = F.array(
         *[F.slice("q", m * sub_dim + 1, sub_dim) for m in range(m_sub)]
     )
     return q.select(
-        "vec_id", F.posexplode(slices).alias("m", "qs")
+        "vec_id", *carry, F.posexplode(slices).alias("m", "qs")
     )
 
 
-def _pq_assign(sub: DataFrame, cb: DataFrame) -> DataFrame:
+def _pq_assign(
+    sub: DataFrame, cb: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """Nearest codeword per (vec_id, m): broadcast the codebook, argmin
-    via min(struct) — map-side partial collapse, ties to smaller cid."""
+    via min(struct) — map-side partial collapse, ties to smaller cid.
+    ``carry`` columns (constant per vec_id) ride through the agg."""
     scored = sub.join(F.broadcast(cb), "m").select(
         "vec_id",
+        *carry,
         "m",
         "qs",
         F.struct(
@@ -462,10 +468,12 @@ def _pq_assign(sub: DataFrame, cb: DataFrame) -> DataFrame:
         ).alias("cand"),
     )
     best = scored.groupBy("vec_id", "m").agg(
-        F.min("cand").alias("best"), F.first("qs").alias("qs")
+        F.min("cand").alias("best"),
+        F.first("qs").alias("qs"),
+        *[F.first(c).alias(c) for c in carry],
     )
     return best.select(
-        "vec_id", "m", "qs", F.col("best.cid").alias("code")
+        "vec_id", *carry, "m", "qs", F.col("best.cid").alias("code")
     )
 
 
@@ -598,9 +606,21 @@ def pq_topk(
 # ---- PQ oracle SQL --------------------------------------------------------
 
 
-def _pq_ctes(ks: int, n_iter: int, m_sub: int, dim: int) -> str:
-    """CTE chain q, sub, b0, p0, … b{n_iter}, p{n_iter}: the unrolled
-    per-subspace Lloyd loop (final assignment CTE is p{n_iter})."""
+def _pq_ctes(
+    ks: int,
+    n_iter: int,
+    m_sub: int,
+    dim: int,
+    src: str = "q",
+    prefix: str = "",
+    include_quant: bool = True,
+) -> str:
+    """CTE chain [q,] {p}sub, {p}b0, {p}p0, … {p}b{n_iter}, {p}p{n_iter}:
+    the unrolled per-subspace Lloyd loop (final assignment CTE is
+    ``{prefix}p{n_iter}``). ``src`` is the (vec_id, q) relation the
+    subspaces slice from — the quantized corpus by default, a residual
+    CTE for IVF-PQ composition (then with ``include_quant=False`` and a
+    ``prefix`` so names don't collide with the coarse Lloyd chain)."""
     sub_dim = dim // m_sub
     d2 = _D2_SQL.format(x="s.qs", y="b.c")
 
@@ -610,7 +630,7 @@ def _pq_ctes(ks: int, n_iter: int, m_sub: int, dim: int) -> str:
     SELECT s.vec_id, s.m, s.qs, b.cid AS code,
            row_number() OVER (PARTITION BY s.vec_id, s.m
                               ORDER BY {d2} ASC, b.cid ASC) AS rn
-    FROM sub s JOIN {cb} b ON s.m = b.m
+    FROM {prefix}sub s JOIN {cb} b ON s.m = b.m
   ) WHERE rn = 1
 )"""
 
@@ -624,18 +644,19 @@ def _pq_ctes(ks: int, n_iter: int, m_sub: int, dim: int) -> str:
   ) GROUP BY 1, 2
 )"""
 
-    parts = [
-        f"q AS ({QUANT_SQL})",
-        f"""sub AS (
+    parts = [f"q AS ({QUANT_SQL})"] if include_quant else []
+    parts += [
+        f"""{prefix}sub AS (
   SELECT vec_id, m, q[(m * {sub_dim} + 1):((m + 1) * {sub_dim})] AS qs
-  FROM q CROSS JOIN (SELECT unnest(generate_series(0, {m_sub - 1})) AS m)
+  FROM {src} CROSS JOIN (SELECT unnest(generate_series(0, {m_sub - 1})) AS m)
 )""",
-        f"b0 AS (SELECT m, vec_id AS cid, qs AS c FROM sub WHERE vec_id < {ks})",
-        f"p0 AS {assign_cte('b0')}",
+        f"{prefix}b0 AS (SELECT m, vec_id AS cid, qs AS c "
+        f"FROM {prefix}sub WHERE vec_id < {ks})",
+        f"{prefix}p0 AS {assign_cte(f'{prefix}b0')}",
     ]
     for i in range(1, n_iter + 1):
-        parts.append(f"b{i} AS {update_cte(f'p{i - 1}')}")
-        parts.append(f"p{i} AS {assign_cte(f'b{i}')}")
+        parts.append(f"{prefix}b{i} AS {update_cte(f'{prefix}p{i - 1}')}")
+        parts.append(f"{prefix}p{i} AS {assign_cte(f'{prefix}b{i}')}")
     return ",\n".join(parts)
 
 
@@ -753,5 +774,204 @@ SELECT query_id, neighbor_id, d2, rank FROM (
     JOIN ({QUANT_SQL}) nn ON nn.vec_id = s.neighbor_id
   )
 )
+WHERE rank <= {topk}
+"""
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ (FAISS IndexIVFPQ / IVFADC) — the billion-scale composition
+# --------------------------------------------------------------------------
+#
+# IVF prunes the SEARCH to nprobe inverted lists; PQ shrinks the stored
+# VECTORS to M codes. IVFADC composes them: each vector is stored in its
+# nearest-coarse-centroid list as the PQ encoding of its RESIDUAL
+# (x − centroid), and a query probes its nprobe nearest lists with a
+# per-(query, list) ADC lookup table built from the query's residual
+# w.r.t. that list's centroid. Residuals concentrate around zero, so
+# the same codebook budget quantizes them far better than raw vectors —
+# that is why this, not flat PQ, is the standard 10^9-vector index.
+#
+# Exactness: residuals are integer differences of the module's
+# fixed-point grid, so the whole chain (coarse Lloyd → residual PQ
+# train → LUT → ADC sums) stays on exact int64 and the DuckDB twin is
+# hash-identical.
+#
+# Scale shape: the stored index is (vec_id, list_id, M codes); the
+# probe plan is [index scan] ⨝broadcast [Q·nprobe·M·ks LUT] followed by
+# one hash agg keyed (query_id, vec_id) whose M partial terms are
+# co-located (map-side collapse) and a per-query rank window. A
+# list_id-partitioned index table prunes the scan to the probed lists.
+
+
+def ivfpq_train(
+    emb: DataFrame,
+    k_coarse: int = 8,
+    ks: int = PQ_KS,
+    n_iter: int = 2,
+    m_sub: int = PQ_M,
+    dim: int = DIM,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the IVFADC index: coarse Lloyd lists + PQ codebooks over
+    the residuals. Returns (index (vec_id, cluster, m, code),
+    codebook (m, cid, c), centroids (cid, c)). Init mirrors the flat
+    PQ (codeword j of every subspace = residual of vec_id==j);
+    ``n_iter`` updates then one final assign, for both stages."""
+    lists, cents = lloyd(emb, k_coarse, n_iter, dim)
+    res = lists.join(
+        F.broadcast(cents), lists["cluster"] == cents["cid"]
+    ).select(
+        "vec_id",
+        "cluster",
+        F.zip_with("q", "c", lambda x, y: x - y).alias("q"),
+    )
+    sub = _pq_explode(res, m_sub, dim // m_sub, carry=("cluster",))
+    cb = sub.filter(F.col("vec_id") < ks).select(
+        "m", F.col("vec_id").alias("cid"), F.col("qs").alias("c")
+    )
+    a = _pq_assign(sub, cb, carry=("cluster",))
+    for _ in range(n_iter):
+        cb = _pq_update(a, dim // m_sub)
+        a = _pq_assign(sub, cb, carry=("cluster",))
+    return a.select("vec_id", "cluster", "m", "code"), cb, cents
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    k_coarse: int = 8,
+    ks: int = PQ_KS,
+    n_iter: int = 2,
+    m_sub: int = PQ_M,
+    n_queries: int = 10,
+    topk: int = 5,
+    nprobe: int = 2,
+    dim: int = DIM,
+) -> DataFrame:
+    """IVFADC search: (query_id, neighbor_id, ad2, rank) — ad2 is the
+    exact squared L2 distance between the query's residual and the
+    neighbor's RESIDUAL RECONSTRUCTION within each probed list."""
+    index, cb, cents = ivfpq_train(emb, k_coarse, ks, n_iter, m_sub, dim)
+    queries = quantized(emb).filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+    qc = queries.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "qv",
+        F.col("cid").alias("cluster"),
+        _d2(F.col("qv"), F.col("c")).alias("cd2"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("cd2").asc(), F.col("cluster").asc()
+    )
+    probes = (
+        qc.withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") <= nprobe)
+        .select("query_id", "qv", "cluster")
+    )
+    qres = probes.join(
+        F.broadcast(cents), probes["cluster"] == cents["cid"]
+    ).select(
+        "query_id",
+        "cluster",
+        F.zip_with("qv", "c", lambda x, y: x - y).alias("rq"),
+    )
+    sub_dim = dim // m_sub
+    qslices = F.array(
+        *[F.slice("rq", m * sub_dim + 1, sub_dim) for m in range(m_sub)]
+    )
+    qsub = qres.select(
+        "query_id", "cluster", F.posexplode(qslices).alias("m", "qs")
+    )
+    lut = qsub.join(F.broadcast(cb), "m").select(
+        "query_id",
+        "cluster",
+        "m",
+        "cid",
+        _d2(F.col("qs"), F.col("c")).alias("pd2"),
+    )
+    cand = (
+        index.join(
+            F.broadcast(lut),
+            (index["cluster"] == lut["cluster"])
+            & (index["m"] == lut["m"])
+            & (index["code"] == lut["cid"])
+            & (index["vec_id"] != lut["query_id"]),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pd2").cast("long").alias("ad2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ad2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "ad2", "rank")
+    )
+
+
+def ivfpq_topk_sql(
+    k_coarse: int = 8,
+    ks: int = PQ_KS,
+    n_iter: int = 2,
+    m_sub: int = PQ_M,
+    n_queries: int = 10,
+    topk: int = 5,
+    nprobe: int = 2,
+    dim: int = DIM,
+) -> str:
+    """DuckDB twin of :func:`ivfpq_topk` — coarse Lloyd chain, residual
+    CTE, prefixed residual-PQ chain, per-(query, probed list) LUT, ADC
+    sum, rank."""
+    sub_dim = dim // m_sub
+    n = n_iter
+    cd2 = _D2_SQL.format(x="qq.q", y="c.c")
+    pd2 = _D2_SQL.format(x="s.qs", y="b.c")
+    return f"""
+WITH {_lloyd_ctes(k_coarse, n_iter, dim)},
+res AS (
+  SELECT a.vec_id, a.cluster,
+         [a.q[d] - c.c[d] FOR d IN generate_series(1, {dim})] AS q
+  FROM a{n} a JOIN c{n} c ON a.cluster = c.cid
+),
+{_pq_ctes(ks, n_iter, m_sub, dim, src="res", prefix="r",
+          include_quant=False)},
+probes AS (
+  SELECT query_id, cluster FROM (
+    SELECT qq.vec_id AS query_id, c.cid AS cluster,
+           row_number() OVER (PARTITION BY qq.vec_id
+                              ORDER BY {cd2} ASC, c.cid ASC) AS prn
+    FROM q qq CROSS JOIN c{n} c
+    WHERE qq.vec_id < {n_queries}
+  ) WHERE prn <= {nprobe}
+),
+qres AS (
+  SELECT p.query_id, p.cluster,
+         [qq.q[d] - c.c[d] FOR d IN generate_series(1, {dim})] AS rq
+  FROM probes p
+  JOIN q qq ON qq.vec_id = p.query_id
+  JOIN c{n} c ON c.cid = p.cluster
+),
+qsub AS (
+  SELECT query_id, cluster, m,
+         rq[(m * {sub_dim} + 1):((m + 1) * {sub_dim})] AS qs
+  FROM qres CROSS JOIN (SELECT unnest(generate_series(0, {m_sub - 1})) AS m)
+),
+lut AS (
+  SELECT s.query_id, s.cluster, s.m, b.cid, {pd2} AS pd2
+  FROM qsub s JOIN rb{n} b ON s.m = b.m
+),
+cand AS (
+  SELECT l.query_id, p.vec_id AS neighbor_id,
+         CAST(sum(l.pd2) AS BIGINT) AS ad2
+  FROM rp{n} p
+  JOIN res r ON r.vec_id = p.vec_id
+  JOIN lut l ON l.cluster = r.cluster AND l.m = p.m AND l.cid = p.code
+  WHERE p.vec_id <> l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, ad2, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY ad2 ASC, neighbor_id ASC) AS rank
+  FROM cand)
 WHERE rank <= {topk}
 """

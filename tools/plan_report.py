@@ -198,6 +198,42 @@ def main() -> None:
         ],
     ))
 
+    # 5a2. PQ / IVF-PQ ADC search — the stored-code index must be
+    # probed only through broadcast hash equi-joins against the tiny
+    # LUT (never a shuffle of the index against the queries); the
+    # Lloyd/centroid constant sides are the documented k-row broadcast
+    # nested loops, so the assert here is "no SHUFFLE join", the
+    # scale-killer for an N·M-row index.
+    from pyreshaper_spark.operators.kmeans import ivfpq_topk, pq_topk
+
+    p_pq = plan_of(pq_topk(emb, ks=16, n_iter=1))
+    p_ivfpq = plan_of(ivfpq_topk(emb, k_coarse=8, ks=16, n_iter=1))
+    sections.append((
+        "PQ + IVF-PQ (ADC over broadcast LUTs, shuffle-free index probe)",
+        "\n".join([
+            "--- pq_topk ---", p_pq[:2200],
+            "--- ivfpq_topk ---", p_ivfpq[:2600],
+        ]),
+        [
+            ("pq: no CartesianProduct", "CartesianProduct" not in p_pq),
+            ("pq: no shuffle join against the index (no SortMergeJoin / "
+             "ShuffledHashJoin)",
+             "SortMergeJoin" not in p_pq and "ShuffledHashJoin" not in p_pq),
+            ("pq: LUT probes are broadcast hash equi-joins",
+             p_pq.count("BroadcastHashJoin") >= 4),
+            ("ivfpq: no CartesianProduct",
+             "CartesianProduct" not in p_ivfpq),
+            ("ivfpq: no shuffle join against the index",
+             "SortMergeJoin" not in p_ivfpq
+             and "ShuffledHashJoin" not in p_ivfpq),
+            ("ivfpq: broadcast hash equi-joins present (residual build, "
+             "LUT probe)",
+             p_ivfpq.count("BroadcastHashJoin") >= 3),
+            ("ivfpq: ADC sum is a partial+final hash aggregate",
+             p_ivfpq.count("HashAggregate") >= 2),
+        ],
+    ))
+
     # 5b. incremental ingest-batch dedup — the probe must be an
     # equi-join on (band, band_key): the historical corpus is touched
     # only through its 4-rows-per-doc index, never via a cross join
