@@ -161,6 +161,29 @@ def cluster_sample(
     )
 
 
+def _probe_lists(
+    queries: DataFrame, cents: DataFrame, nprobe: int
+) -> DataFrame:
+    """(query_id, qv, cluster): each query's ``nprobe`` nearest
+    inverted lists — broadcast the centroids, rank by exact d2 (ties
+    to the smaller list id). Shared by every IVF prober so nprobe /
+    tie-break semantics cannot silently diverge between paths."""
+    qc = queries.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "qv",
+        F.col("cid").alias("cluster"),
+        _d2(F.col("qv"), F.col("c")).alias("cd2"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("cd2").asc(), F.col("cluster").asc()
+    )
+    return (
+        qc.withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") <= nprobe)
+        .select("query_id", "qv", "cluster")
+    )
+
+
 def ivf_kmeans_topk(
     emb: DataFrame,
     k: int = 8,
@@ -180,20 +203,7 @@ def ivf_kmeans_topk(
     queries = lists.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
     )
-    qc = queries.crossJoin(F.broadcast(cents)).select(
-        "query_id",
-        "qv",
-        F.col("cid").alias("cluster"),
-        _d2(F.col("qv"), F.col("c")).alias("cd2"),
-    )
-    wp = Window.partitionBy("query_id").orderBy(
-        F.col("cd2").asc(), F.col("cluster").asc()
-    )
-    probes = (
-        qc.withColumn("prn", F.row_number().over(wp))
-        .filter(F.col("prn") <= nprobe)
-        .select("query_id", "qv", "cluster")
-    )
+    probes = _probe_lists(queries, cents, nprobe)
     cand = (
         lists.alias("n")
         .join(F.broadcast(probes), "cluster")
@@ -853,20 +863,7 @@ def ivfpq_topk(
     queries = quantized(emb).filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
     )
-    qc = queries.crossJoin(F.broadcast(cents)).select(
-        "query_id",
-        "qv",
-        F.col("cid").alias("cluster"),
-        _d2(F.col("qv"), F.col("c")).alias("cd2"),
-    )
-    wp = Window.partitionBy("query_id").orderBy(
-        F.col("cd2").asc(), F.col("cluster").asc()
-    )
-    probes = (
-        qc.withColumn("prn", F.row_number().over(wp))
-        .filter(F.col("prn") <= nprobe)
-        .select("query_id", "qv", "cluster")
-    )
+    probes = _probe_lists(queries, cents, nprobe)
     qres = probes.join(
         F.broadcast(cents), probes["cluster"] == cents["cid"]
     ).select(

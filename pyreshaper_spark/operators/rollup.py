@@ -1525,16 +1525,75 @@ FROM (
 CALENDAR_UNITS = ("week", "month", "quarter", "year")
 
 
-def _calendar_bucket(src: str, unit: str) -> F.Column:
-    """UTC epoch second of the calendar boundary containing ``src``
-    (the TimescaleDB ``time_bucket('1 month', ...)`` analog). Exact and
-    engine-portable because the session timezone is pinned to UTC —
-    both engines truncate the same instant."""
+def _with_calendar_bucket(df: DataFrame, src: str, unit: str) -> DataFrame:
+    """Add ``bucket_s`` = UTC epoch second of the calendar boundary
+    containing ``src`` (the TimescaleDB ``time_bucket('1 month', …)``
+    analog).
+
+    Pure int64 civil-calendar arithmetic (Howard Hinnant's
+    civil_from_days / days_from_civil, proleptic Gregorian) — NO
+    datetime functions, so the result is independent of
+    ``spark.sql.session.timeZone``. Spark's ``date_trunc`` truncates
+    the SESSION-zone rendering of the instant: on a non-UTC driver
+    session it returns local-calendar boundaries and silently diverges
+    from the UTC oracle — the artifact class this replaces. Every
+    division is integer ``div`` (floor divisions of possibly-negative
+    values spelled as the pmod subtraction, the module's standard
+    trick), staged through named intermediate columns so the
+    expression tree stays linear; whole-stage-codegen integer ops,
+    correct pre-epoch and across leap/century rules; pytest-fuzzed
+    against ``datetime.date`` over ±200 years.
+    """
     if unit not in CALENDAR_UNITS:
         raise ValueError(f"unit must be one of {CALENDAR_UNITS}: {unit!r}")
-    return F.unix_timestamp(
-        F.date_trunc(unit, F.timestamp_seconds(F.col(src)))
-    ).alias("bucket_s")
+    tmp = [
+        "_days", "_z", "_era", "_doe", "_yoe", "_doy", "_mp", "_m",
+        "_y", "_ms", "_yy", "_era2", "_yoe2", "_mp2", "_doy2", "_doe2",
+    ]
+    d = df.withColumn(
+        "_days",
+        F.expr(
+            f"(CAST({src} AS BIGINT) - pmod(CAST({src} AS BIGINT), 86400))"
+            " div 86400"
+        ),
+    )
+    if unit == "week":
+        # Monday-start; epoch day 0 (1970-01-01) is a Thursday
+        return d.withColumn(
+            "bucket_s",
+            F.expr("CAST((_days - pmod(_days + 3, 7)) * 86400 AS BIGINT)"),
+        ).drop(*tmp)
+    ms = {
+        "month": "_m",
+        "quarter": "((_m - 1) div 3) * 3 + 1",
+        "year": "CAST(1 AS BIGINT)",
+    }[unit]
+    steps = [
+        ("_z", "_days + 719468"),
+        ("_era", "(_z - pmod(_z, 146097)) div 146097"),
+        ("_doe", "_z - _era * 146097"),
+        ("_yoe",
+         "(_doe - _doe div 1460 + _doe div 36524 - _doe div 146096)"
+         " div 365"),
+        ("_doy", "_doe - (365 * _yoe + _yoe div 4 - _yoe div 100)"),
+        ("_mp", "(5 * _doy + 2) div 153"),
+        ("_m", "CASE WHEN _mp < 10 THEN _mp + 3 ELSE _mp - 9 END"),
+        # _y is unused by the bucket start (days_from_civil re-derives
+        # the shifted year) but kept for clarity of the algorithm
+        ("_y", "400 * _era + _yoe + (CASE WHEN _m <= 2 THEN 1 ELSE 0 END)"),
+        ("_ms", ms),
+        ("_yy", "_y - (CASE WHEN _ms <= 2 THEN 1 ELSE 0 END)"),
+        ("_era2", "(_yy - pmod(_yy, 400)) div 400"),
+        ("_yoe2", "_yy - 400 * _era2"),
+        ("_mp2", "CASE WHEN _ms > 2 THEN _ms - 3 ELSE _ms + 9 END"),
+        ("_doy2", "(153 * _mp2 + 2) div 5"),
+        ("_doe2", "365 * _yoe2 + _yoe2 div 4 - _yoe2 div 100 + _doy2"),
+        ("bucket_s",
+         "CAST((146097 * _era2 + _doe2 - 719468) * 86400 AS BIGINT)"),
+    ]
+    for name, expr in steps:
+        d = d.withColumn(name, F.expr(expr))
+    return d.drop(*tmp)
 
 
 def calendar_rollup(seq: DataFrame, unit: str) -> DataFrame:
@@ -1542,7 +1601,10 @@ def calendar_rollup(seq: DataFrame, unit: str) -> DataFrame:
     output shape as :func:`rollup_tier0` with calendar boundaries.
     Prefer :func:`calendar_cascade` when a day-aligned tier exists."""
     return (
-        seq.select("source", _calendar_bucket("event_s", unit), "n_tok")
+        _with_calendar_bucket(
+            seq.select("source", "event_s", "n_tok"), "event_s", unit
+        )
+        .select("source", "bucket_s", "n_tok")
         .groupBy("source", "bucket_s")
         .agg(
             F.count("*").alias("cnt"),
@@ -1560,9 +1622,12 @@ def calendar_cascade(day_tier: DataFrame, unit: str) -> DataFrame:
     This is the scale path: the cascade invariant ("tier k+1 from tier
     k") extends to irregular widths as long as boundaries nest."""
     return (
-        day_tier.select(
-            "source", _calendar_bucket("bucket_s", unit), *AGG_COLS
+        _with_calendar_bucket(
+            day_tier.select("source", "bucket_s", *AGG_COLS),
+            "bucket_s",
+            unit,
         )
+        .select("source", "bucket_s", *AGG_COLS)
         .groupBy("source", "bucket_s")
         .agg(
             F.sum("cnt").alias("cnt"),
@@ -1575,12 +1640,17 @@ def calendar_cascade(day_tier: DataFrame, unit: str) -> DataFrame:
 
 def calendar_rollup_sql(unit: str) -> str:
     """DuckDB twin over ``sequences`` (direct from raw — equals the
-    cascade by associativity)."""
+    cascade by associativity). ``AT TIME ZONE 'UTC'`` converts the
+    TIMESTAMPTZ to a NAIVE UTC timestamp before truncating, so the
+    oracle is independent of the DuckDB connection's TimeZone setting
+    (bare ``date_trunc`` on TIMESTAMPTZ truncates in the connection
+    zone — wrong on any non-UTC host)."""
     if unit not in CALENDAR_UNITS:
         raise ValueError(f"unit must be one of {CALENDAR_UNITS}: {unit!r}")
     return f"""
 SELECT source,
-       CAST(epoch(date_trunc('{unit}', to_timestamp(event_s))) AS BIGINT)
+       CAST(epoch(date_trunc('{unit}',
+                  to_timestamp(event_s) AT TIME ZONE 'UTC')) AS BIGINT)
          AS bucket_s,
        count(*)                   AS cnt,
        CAST(sum(n_tok) AS BIGINT) AS sum_n_tok,
@@ -1717,17 +1787,24 @@ def log_bin_sql(col: str) -> str:
 
 
 def log_bin_bounds_expr(bin_col: str) -> tuple[str, str]:
-    """Spark SQL (lo, hi) inclusive value bounds of a log2 bin id."""
+    """Spark SQL (lo, hi) inclusive value bounds of a log2 bin id.
+
+    Shift bases are forced to BIGINT: Spark's ``shiftleft`` on an INT
+    literal wraps the shift amount mod 32, which silently corrupted
+    bounds for values ≥ 2^34 (and the lo term for values past int32) —
+    exactly the orders-of-magnitude domain the sketch exists for."""
     b = f"(({bin_col}) div 4 + 2)"
     m = f"(({bin_col}) % 4)"
     lo = (
         f"CAST(CASE WHEN {bin_col} < 4 THEN {bin_col} "
-        f"ELSE shiftleft(4 + {m}, {b} - 3) END AS BIGINT)"
+        f"ELSE shiftleft(CAST(4 + {m} AS BIGINT), {b} - 3) END AS BIGINT)"
     )
     hi = (
+        # (width - 1) is grouped BEFORE adding to lo: for the top bin
+        # (hi = 2^63 - 1) the ungrouped lo + width overflows int64
         f"CAST(CASE WHEN {bin_col} < 4 THEN {bin_col} "
-        f"ELSE shiftleft(4 + {m}, {b} - 3) "
-        f"+ shiftleft(1, {b} - 3) - 1 END AS BIGINT)"
+        f"ELSE shiftleft(CAST(4 + {m} AS BIGINT), {b} - 3) "
+        f"+ (shiftleft(CAST(1 AS BIGINT), {b} - 3) - 1) END AS BIGINT)"
     )
     return lo, hi
 
@@ -1738,12 +1815,12 @@ def log_bin_bounds_sql(bin_col: str) -> tuple[str, str]:
     m = f"(({bin_col}) % 4)"
     lo = (
         f"CAST(CASE WHEN {bin_col} < 4 THEN {bin_col} "
-        f"ELSE (4 + {m}) << ({b} - 3) END AS BIGINT)"
+        f"ELSE CAST(4 + {m} AS BIGINT) << ({b} - 3) END AS BIGINT)"
     )
     hi = (
         f"CAST(CASE WHEN {bin_col} < 4 THEN {bin_col} "
-        f"ELSE ((4 + {m}) << ({b} - 3)) "
-        f"+ (CAST(1 AS BIGINT) << ({b} - 3)) - 1 END AS BIGINT)"
+        f"ELSE (CAST(4 + {m} AS BIGINT) << ({b} - 3)) "
+        f"+ ((CAST(1 AS BIGINT) << ({b} - 3)) - 1) END AS BIGINT)"
     )
     return lo, hi
 

@@ -555,6 +555,19 @@ class IcebergLite:
             deletes=parent.get("deletes"),
         )
 
+    def _has_rows(self, name: str, files: list[dict]) -> bool:
+        """True if any of the just-written manifest entries holds rows
+        — parquet-footer reads only, stopping at the first non-empty
+        file (the common 1-file case costs one footer)."""
+        import pyarrow.parquet as pq
+
+        data = self._data(name)
+        return any(
+            pq.ParquetFile(os.path.join(data, f["path"])).metadata.num_rows
+            > 0
+            for f in files
+        )
+
     def append_once(
         self,
         name: str,
@@ -576,6 +589,16 @@ class IcebergLite:
                 return s["id"]
         new = self._write_data(name, df, partition_by, stats_cols, options)
         parent = self._snapshot(name, None)
+        if not self._has_rows(name, new):
+            # empty epoch: no rows → no snapshot, no key recorded (a
+            # replay is vacuously idempotent). Emptiness comes from the
+            # WRITTEN files (zero files for a partitioned write; footer
+            # num_rows otherwise — early-exit, driver-local), so idle
+            # micro-batches don't grow the snapshot log and the
+            # foreachBatch sink needs no per-batch isEmpty() pre-scan
+            # re-running the batch source. The empty part file, if any,
+            # is unreferenced — remove_orphan_files sweeps it.
+            return parent["id"]
         return self._commit(
             name, parent["files"] + new, "append", df.schema.json(),
             deletes=parent.get("deletes"), commit_key=key,
@@ -728,27 +751,23 @@ class IcebergLite:
         }
         parts = []
         for sdir, paths in sorted(by_commit.items()):
-            df = spark.read.option(
-                "basePath", os.path.join(data, sdir)
-            ).parquet(*paths)
+            reader = spark.read.option("basePath", os.path.join(data, sdir))
             # hive partition columns come back TYPE-INFERRED from the
-            # directory strings (a string source='0' reads as int) —
-            # cast them back to the commit's recorded schema so the
-            # logical type survives the directory round-trip (Iceberg
-            # preserves types; data columns already match, so only
-            # partition-recovered columns are actually cast)
+            # directory strings, and a post-hoc cast CANNOT undo that:
+            # a string partition value '00' is inferred as int 0 and
+            # casts back to '0' — silent corruption. Supplying the
+            # commit's recorded schema makes Spark parse each directory
+            # value directly AS the declared type (a string column
+            # keeps its exact text), so the logical type AND value
+            # survive the round-trip. Hidden `_pb_*` transform columns
+            # are not in the logical schema; they still surface
+            # (inferred) and are dropped below.
             sj = schema_by_id.get(self._file_seq(sdir))
             if sj is not None:
                 from pyspark.sql.types import StructType
 
-                want = {
-                    f.name: f.dataType
-                    for f in StructType.fromJson(json.loads(sj)).fields
-                }
-                for c, dt in df.dtypes:
-                    w = want.get(c)
-                    if w is not None and w.simpleString() != dt:
-                        df = df.withColumn(c, F.col(c).cast(w))
+                reader = reader.schema(StructType.fromJson(json.loads(sj)))
+            df = reader.parquet(*paths)
             if keyed:
                 df = self._anti_join_deletes(df, keyed, self._file_seq(sdir))
             parts.append(df)

@@ -36,8 +36,10 @@ def make_append_sink(
     cat = IcebergLite(out_root)
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+        # no isEmpty() pre-scan: that is an extra Spark action per
+        # micro-batch (the batch source recomputed before the real
+        # write). append_once detects an empty epoch from the written
+        # file list and skips the commit itself.
         cat.append_once(
             table,
             batch_df,

@@ -930,3 +930,18 @@ def test_partition_column_type_survives_directory_roundtrip(spark, cat):
     keys = spark.createDataFrame([("7",)], "doc_id string")
     cat.delete_rows_mor(spark, "t", keys, ("doc_id",))
     assert {r["doc_id"] for r in cat.read(spark, "t").collect()} == {"8"}
+
+
+def test_partition_value_text_survives_directory_roundtrip(spark, cat):
+    """Numeric-LOOKING string partition values must come back with
+    their exact text, not the canonical rendering of an inferred
+    numeric ('00' ≠ '0', '1.50' ≠ '1.5') — regression for the
+    infer-then-cast-back read, which could not recover the original
+    text. Fixed by reading each commit with its recorded schema."""
+    df = spark.createDataFrame(
+        [("00", 1), ("07", 2), ("1.50", 3)], "source string, v long"
+    )
+    cat.append("t", df, partition_by=("source",))
+    got = cat.read(spark, "t")
+    assert dict(got.dtypes)["source"] == "string"
+    assert {r["source"] for r in got.collect()} == {"00", "07", "1.50"}

@@ -29,7 +29,10 @@ def test_log_bin_mapping_invariants(spark):
     is ≤ lo/4 (the 25 %-wide bucket that caps quantile error at 12.5 %
     midpoint)."""
     vals = list(range(4097)) + [
-        2**31 - 1, 2**31 - 2, 10**9, 123_456_789, 65_535, 65_536
+        2**31 - 1, 2**31 - 2, 10**9, 123_456_789, 65_535, 65_536,
+        # past int32 and past 2^34: regression for the INT-literal
+        # shiftleft wrap (shift amount taken mod 32) in the bounds
+        2**31, 2**34 + 5, 2**40 + 7, 10**15, 2**62, 2**63 - 1,
     ]
     df = spark.createDataFrame([(v,) for v in vals], "x long")
     lo_e, hi_e = log_bin_bounds_expr("bin")

@@ -483,3 +483,75 @@ def test_calendar_realtime_merge_straddle(spark, seq):
             mat, spread.filter(F.col("event_s") >= hw), "month"
         )
         assert rows_set(got) == want, off_days
+
+
+def test_calendar_bucket_matches_datetime_fuzz(spark):
+    """The integer civil-calendar arithmetic (_with_calendar_bucket)
+    must equal Python's proleptic-Gregorian datetime truncation over a
+    seeded ±200-year fuzz (leap years, century non-leaps, week
+    alignment, pre-epoch), and must be INDEPENDENT of
+    spark.sql.session.timeZone — re-checked under Pacific/Kiritimati
+    (UTC+14), where date_trunc-based truncation would shift most
+    instants into the wrong day/month."""
+    import datetime as dt
+    import random
+
+    from pyreshaper_spark.operators.rollup import _with_calendar_bucket
+
+    rng = random.Random(0xCA1)
+    secs = [rng.randrange(-200 * 31557600, 200 * 31557600) for _ in range(300)]
+    # adversarial instants: boundaries ± 1s around leap/century edges
+    for y, m, d in [(2000, 3, 1), (1900, 3, 1), (2024, 2, 29),
+                    (1970, 1, 1), (1969, 12, 31), (2000, 1, 1)]:
+        b = int(dt.datetime(y, m, d, tzinfo=dt.timezone.utc).timestamp())
+        secs += [b - 1, b, b + 1]
+
+    def want(e: int, unit: str) -> int:
+        t = dt.datetime.fromtimestamp(e, dt.timezone.utc)
+        if unit == "week":
+            d0 = t.date() - dt.timedelta(days=t.weekday())
+        elif unit == "month":
+            d0 = t.date().replace(day=1)
+        elif unit == "quarter":
+            d0 = t.date().replace(month=3 * ((t.month - 1) // 3) + 1, day=1)
+        else:
+            d0 = t.date().replace(month=1, day=1)
+        return int(
+            dt.datetime(d0.year, d0.month, d0.day,
+                        tzinfo=dt.timezone.utc).timestamp()
+        )
+
+    df = spark.createDataFrame([(e,) for e in secs], "event_s long")
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in (old_tz, "Pacific/Kiritimati"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            for unit in ("week", "month", "quarter", "year"):
+                got = {
+                    r["event_s"]: r["bucket_s"]
+                    for r in _with_calendar_bucket(
+                        df, "event_s", unit
+                    ).collect()
+                }
+                for e in secs:
+                    assert got[e] == want(e, unit), (tz, unit, e)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_calendar_oracle_sql_timezone_independent():
+    """calendar_rollup_sql must return UTC boundaries even when the
+    DuckDB connection timezone is not UTC (regression: bare date_trunc
+    on TIMESTAMPTZ truncates in the connection zone)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='America/New_York'")
+    con.execute(
+        "CREATE VIEW sequences AS SELECT 's0' AS source, "
+        "1690000000 AS event_s, 7 AS n_tok"
+    )
+    from pyreshaper_spark.operators.rollup import calendar_rollup_sql
+
+    row = con.execute(calendar_rollup_sql("month")).fetchone()
+    assert row[1] == 1688169600  # 2023-07-01T00:00:00Z

@@ -112,6 +112,27 @@ def test_append_once_commit_dedup(spark, tmp_path):
     assert cat.read(spark, "t").count() == 2
 
 
+def test_append_once_empty_epoch_commits_nothing(spark, tmp_path):
+    """An empty micro-batch must not grow the snapshot log (no empty
+    snapshot, no commit key) — detected from the written file list, so
+    the foreachBatch sink needs no per-batch isEmpty() pre-scan."""
+    cat = IcebergLite(str(tmp_path / "wh"))
+    df = spark.createDataFrame([("d1", 1)], "doc_id string, v long")
+    s1 = cat.append_once("t", df, key="sink:0")
+    empty = df.filter("v < 0")
+    s2 = cat.append_once("t", empty, key="sink:1")
+    assert s2 == s1  # head unchanged — no new snapshot
+    log_snaps = [
+        s["id"] for s in cat._read_log("t")["snapshots"]
+    ]
+    assert log_snaps == [s1]
+    # the skipped epoch's key is NOT burned: a later non-empty retry
+    # of the same epoch id still lands
+    s3 = cat.append_once("t", df, key="sink:1")
+    assert s3 > s1
+    assert cat.read(spark, "t").count() == 2
+
+
 def test_raw_append_stream_exactly_once(spark, seq, tmp_path):
     """The raw sink lands exactly the input rows; replaying an epoch's
     foreachBatch call (task/driver retry) adds nothing."""
