@@ -963,6 +963,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ltob_1h"] = _q_ltob
 
+    def _q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """LTTB (centroid-anchored, parallel form): one 10m point per
+        (source, hour) maximizing the triangle with the neighbor
+        buckets' centroids."""
+        from pyreshaper_spark.operators.rollup import lttb_downsample
+
+        return lttb_downsample(_tiers(spark, sf_dir)[600], coarse_w=3600)
+
+    q["lttb_1h"] = _q_lttb
+
+    def _q_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """SAX symbolization: each source's 1h sum_n_tok series cut at
+        its empirical quartiles (exact order statistics) → one
+        letters-word per (source, day)."""
+        from pyreshaper_spark.operators.symbolic import sax_words
+
+        return sax_words(_tiers(spark, sf_dir)[3600], word_w=86400)
+
+    q["sax_1d"] = _q_sax
+
     def _q_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyreshaper_spark.operators.rollup import bucket_mode
 
@@ -1883,6 +1903,21 @@ SELECT source, count(*) AS n_docs FROM sequences GROUP BY 1
         f"t10m AS (SELECT source, bucket_s, sum_n_tok "
         f"FROM ({_TIER_AGG.format(w=600)}))\n"
         + ltob_downsample_sql("t10m", 3600)
+    )
+    from pyreshaper_spark.operators.rollup import lttb_downsample_sql
+    from pyreshaper_spark.operators.symbolic import sax_words_sql
+
+    o["lttb_1h"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"t10m AS (SELECT source, bucket_s, sum_n_tok "
+        f"FROM ({_TIER_AGG.format(w=600)}))\n"
+        + lttb_downsample_sql("t10m", 3600)
+    )
+    o["sax_1d"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"t1h AS (SELECT source, bucket_s, sum_n_tok "
+        f"FROM ({_TIER_AGG.format(w=3600)}))\n"
+        + sax_words_sql("t1h", 86400)
     )
     o["bucket_mode_1h"] = (
         f"WITH {seq_cte('base')}\n" + bucket_mode_sql(3600)

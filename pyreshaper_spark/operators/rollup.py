@@ -1271,6 +1271,142 @@ WHERE rn = 1
 """
 
 
+def lttb_downsample(
+    tier: DataFrame, coarse_w: int, value_col: str = "sum_n_tok"
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets viz downsample, in the
+    centroid-anchored (parallel) form: one representative point per
+    (source, coarse bucket) — the point maximizing the triangle area
+    with the PREVIOUS bucket's centroid and the NEXT bucket's centroid.
+
+    Steinarsson's sequential LTTB anchors the left vertex at the
+    previous bucket's *selected* point, a per-series serial dependency
+    that cannot parallelize: at 10^12 buckets the recurrence chain is
+    the whole series. Anchoring both vertices at bucket centroids
+    (Steinarsson §4.3's fixed-anchor relaxation) keeps the perceptual
+    behavior — candidates compete against their neighborhood's mass,
+    not a single point — and makes every bucket independent: two
+    windows over the tiny centroid table + one (source, bucket)
+    equi-join + one top-1 window. Both engines compute the identical
+    deterministic definition, so the oracle is a full value-hash.
+
+    Exactness: the centroid is never divided out. With prev centroid
+    (sxp/np, syp/np), candidate (x, y), next centroid (sxn/nn, syn/nn),
+    2·area·np²·nn = |(sxp·nn − sxn·np)(y·np − syp)
+                     − (sxp − x·np)(syn·np − syp·nn)|
+    and the multiplier np²·nn is constant within a bucket, so the
+    argmax is unchanged — decimal(38,0) cross-multiplication, no
+    floats (terms stay < 10^38 for epoch-second x and int64 y with
+    fan-in ≤ ~10^6 fine buckets per coarse bucket). Edges keep LTTB's
+    endpoint rule: the series' first bucket emits its earliest point,
+    the last bucket its latest. Tie-break: earliest point.
+    """
+    D = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    pts = tier.select(
+        "source",
+        floor_to(F.col("bucket_s").cast("long"), coarse_w).alias("cb"),
+        F.col("bucket_s").cast("long").alias("x"),
+        F.col(value_col).cast("long").alias("y"),
+    )
+    cent = pts.groupBy("source", "cb").agg(
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.count("*").alias("n"),
+    )
+    wc = Window.partitionBy("source").orderBy("cb")
+    nb = cent.select(
+        "source", "cb",
+        F.lag("sx").over(wc).alias("sxp"),
+        F.lag("sy").over(wc).alias("syp"),
+        F.lag("n").over(wc).alias("np"),
+        F.lead("sx").over(wc).alias("sxn"),
+        F.lead("sy").over(wc).alias("syn"),
+        F.lead("n").over(wc).alias("nn"),
+    )
+    j = pts.join(nb, ["source", "cb"])
+    area = F.abs(
+        (D(F.col("sxp")) * D(F.col("nn")) - D(F.col("sxn")) * D(F.col("np")))
+        * (D(F.col("y")) * D(F.col("np")) - D(F.col("syp")))
+        - (D(F.col("sxp")) - D(F.col("x")) * D(F.col("np")))
+        * (D(F.col("syn")) * D(F.col("np")) - D(F.col("syp")) * D(F.col("nn")))
+    )
+    score = (
+        F.when(F.col("np").isNull(), D(F.lit(0)))          # first: earliest
+        .when(F.col("nn").isNull(), D(F.col("x")))          # last: latest
+        .otherwise(area)
+    )
+    wtop = Window.partitionBy("source", "cb").orderBy(
+        score.desc(), F.col("x").asc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("cb").alias("bucket_s"),
+            F.col("x").alias("sel_s"),
+            F.col("y").alias("sel_v"),
+        )
+    )
+
+
+def lttb_downsample_sql(
+    relation: str, coarse_w: int, value_col: str = "sum_n_tok"
+) -> str:
+    """DuckDB twin of :func:`lttb_downsample` over a named tier
+    relation (HUGEINT cross-multiplication — internal only, outputs
+    are BIGINT)."""
+    return f"""
+SELECT source, cb AS bucket_s, x AS sel_s, y AS sel_v
+FROM (
+  SELECT source, cb, x, y,
+         row_number() OVER (
+           PARTITION BY source, cb
+           ORDER BY CASE
+             WHEN np IS NULL THEN CAST(0 AS HUGEINT)
+             WHEN nn IS NULL THEN CAST(x AS HUGEINT)
+             ELSE abs(
+               (CAST(sxp AS HUGEINT) * nn - CAST(sxn AS HUGEINT) * np)
+               * (CAST(y AS HUGEINT) * np - syp)
+               - (CAST(sxp AS HUGEINT) - CAST(x AS HUGEINT) * np)
+               * (CAST(syn AS HUGEINT) * np - CAST(syp AS HUGEINT) * nn)
+             ) END DESC, x ASC) AS rn
+  FROM (
+    SELECT p.source, p.cb, p.x, p.y,
+           c.sxp, c.syp, c.np, c.sxn, c.syn, c.nn
+    FROM (
+      SELECT source,
+             {floor_sql('CAST(bucket_s AS BIGINT)', coarse_w)} AS cb,
+             CAST(bucket_s AS BIGINT)    AS x,
+             CAST({value_col} AS BIGINT) AS y
+      FROM {relation}
+    ) p
+    JOIN (
+      SELECT source, cb,
+             lag(sx)  OVER cw AS sxp,
+             lag(sy)  OVER cw AS syp,
+             lag(n)   OVER cw AS np,
+             lead(sx) OVER cw AS sxn,
+             lead(sy) OVER cw AS syn,
+             lead(n)  OVER cw AS nn
+      FROM (
+        SELECT source, cb, sum(x) AS sx, sum(y) AS sy, count(*) AS n
+        FROM (
+          SELECT source,
+                 {floor_sql('CAST(bucket_s AS BIGINT)', coarse_w)} AS cb,
+                 CAST(bucket_s AS BIGINT)    AS x,
+                 CAST({value_col} AS BIGINT) AS y
+          FROM {relation}
+        )
+        GROUP BY source, cb
+      )
+      WINDOW cw AS (PARTITION BY source ORDER BY cb)
+    ) c ON p.source = c.source AND p.cb = c.cb
+  )
+)
+WHERE rn = 1
+"""
+
+
 def bucket_mode(
     seq: DataFrame, width_s: int, value_col: str = "n_tok"
 ) -> DataFrame:

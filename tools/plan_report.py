@@ -951,6 +951,36 @@ def main() -> None:
         ],
     ))
 
+    # 22. LTTB (centroid-anchored) downsample + SAX symbolization
+    from pyreshaper_spark.operators.rollup import lttb_downsample
+    from pyreshaper_spark.operators.symbolic import sax_words
+
+    p_lttb = plan_of(lttb_downsample(t10v, 3600))
+    p_sax = plan_of(sax_words(t1h_c, 86400))
+    sections.append((
+        "LTTB downsample + SAX symbolization",
+        "\n".join([
+            "--- lttb_downsample(10m→1h) ---", p_lttb[:2000],
+            "--- sax_words(1h→1d) ---", p_sax[:2000],
+        ]),
+        [
+            ("lttb: centroid table is a partial+final hash agg of the "
+             "tier (shuffle bounded by coarse buckets)",
+             p_lttb.count("HashAggregate") >= 2),
+            ("lttb: points join neighbor-centroids on (source, cb) — "
+             "equi-join only, no nested loop / cartesian",
+             no_cartesian(p_lttb)),
+            ("sax: breakpoint table rides a broadcast HASH equi-join "
+             "(alphabet-1 rows per source), no nested loop",
+             "BroadcastHashJoin" in p_sax and no_cartesian(p_sax)),
+            ("sax: symbol agg is partial+final; word concat is a "
+             "bounded per-(source, word-bucket) aggregate",
+             p_sax.count("HashAggregate") >= 2
+             and ("ObjectHashAggregate" in p_sax
+                  or "SortAggregate" in p_sax)),
+        ],
+    ))
+
     out = ["# PLANS — physical-plan verification (auto-generated by "
            "tools/plan_report.py)\n"]
     all_ok = True
