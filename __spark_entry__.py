@@ -1126,6 +1126,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["token_gini_1h"] = lambda s, d: VB.token_gini(
         VB.token_stream(_docs(s, d)), 3600
     )
+    # trending-term burst flags (lift >= 3/2 vs corpus share) and
+    # Simpson collision-probability diversity — exact integer pairs
+    q["token_burst_1h"] = lambda s, d: VB.token_burst(
+        VB.token_stream(_docs(s, d)), 3600, lift_num=3, lift_den=2,
+        min_count=3,
+    )
+    q["token_simpson_1h"] = lambda s, d: VB.token_simpson(
+        VB.token_stream(_docs(s, d)), 3600
+    )
+
+    def _q_top_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.rollup import top_sources
+
+        return top_sources(_tiers(spark, sf_dir)[3600], k=2)
+
+    q["top_sources_1h"] = _q_top_sources
     # pairwise source token-mix divergence (exact cross-multiplied TVD)
     q["src_token_tvd"] = lambda s, d: VB.source_token_tvd(
         VB.token_stream(_docs(s, d))
@@ -2298,6 +2314,25 @@ FROM filled
     )
 
     o["token_gini_1h"] = f"WITH {token_cte()}\n" + token_gini_sql(3600)
+    from pyreshaper_spark.operators.rollup import top_sources_sql
+    from pyreshaper_spark.operators.vocab import (
+        token_burst_sql,
+        token_simpson_sql,
+    )
+
+    o["token_burst_1h"] = (
+        f"WITH {token_cte()}\n"
+        + token_burst_sql(3600, lift_num=3, lift_den=2, min_count=3)
+    )
+    o["token_simpson_1h"] = (
+        f"WITH {token_cte()}\n" + token_simpson_sql(3600)
+    )
+    o["top_sources_1h"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"t1h AS (SELECT source, bucket_s, sum_n_tok "
+        f"FROM ({_TIER_AGG.format(w=3600)}))\n"
+        + top_sources_sql("t1h", k=2)
+    )
     from pyreshaper_spark.operators.vocab import source_token_tvd_sql
 
     o["src_token_tvd"] = f"WITH {token_cte()},\n" + source_token_tvd_sql()

@@ -79,6 +79,7 @@ def main(argv: list[str] | None = None) -> dict:
     p = sub.add_parser("expire")
     p.add_argument("--table", required=True)
     p.add_argument("--keep-last", type=int, default=1)
+    p.add_argument("--older-than-s", type=float, default=None)
 
     p = sub.add_parser("remove-orphans")
     p.add_argument("--table", required=True)
@@ -191,7 +192,10 @@ def main(argv: list[str] | None = None) -> dict:
         )
         out = {"op": "compact", "table": args.table, "snapshot_id": sid}
     elif args.op == "expire":
-        n = cat.expire_snapshots(args.table, keep_last=args.keep_last)
+        n = cat.expire_snapshots(
+            args.table, keep_last=args.keep_last,
+            older_than_s=args.older_than_s,
+        )
         out = {"op": "expire", "table": args.table, "files_deleted": n}
     elif args.op == "tag":
         sid = cat.tag(

@@ -1271,6 +1271,59 @@ WHERE rn = 1
 """
 
 
+def top_sources(
+    tier: DataFrame, k: int, value_col: str = "sum_n_tok"
+) -> DataFrame:
+    """Dashboard top-N collapse: per time bucket, the ``k`` largest
+    sources by ``value_col`` keep their name; everything else folds
+    into one ``'(other)'`` row so the panel's series count is bounded
+    regardless of source cardinality.
+
+    Output: ``(bucket_s, label, value, n_sources)``. Deterministic
+    rank tie-break (value desc, source asc). One per-bucket rank
+    window over the tiny tier + one hash agg.
+    """
+    w = Window.partitionBy("bucket_s").orderBy(
+        F.col("v").desc(), F.col("source").asc()
+    )
+    labeled = tier.select(
+        F.col("bucket_s").cast("long").alias("bucket_s"),
+        "source",
+        F.col(value_col).cast("long").alias("v"),
+    ).withColumn(
+        "label",
+        F.when(F.row_number().over(w) <= k, F.col("source")).otherwise(
+            F.lit("(other)")
+        ),
+    )
+    return labeled.groupBy("bucket_s", "label").agg(
+        F.sum("v").cast("long").alias("value"),
+        F.count("*").cast("long").alias("n_sources"),
+    )
+
+
+def top_sources_sql(
+    relation: str, k: int, value_col: str = "sum_n_tok"
+) -> str:
+    """DuckDB twin of :func:`top_sources` over a named tier relation."""
+    return f"""
+SELECT CAST(bucket_s AS BIGINT) AS bucket_s, label,
+       CAST(sum(v) AS BIGINT)   AS value,
+       CAST(count(*) AS BIGINT) AS n_sources
+FROM (
+  SELECT bucket_s,
+         CASE WHEN row_number() OVER (
+                PARTITION BY bucket_s
+                ORDER BY CAST({value_col} AS BIGINT) DESC, source ASC
+              ) <= {k}
+              THEN source ELSE '(other)' END AS label,
+         CAST({value_col} AS BIGINT) AS v
+  FROM {relation}
+)
+GROUP BY 1, 2
+"""
+
+
 def lttb_downsample(
     tier: DataFrame, coarse_w: int, value_col: str = "sum_n_tok"
 ) -> DataFrame:

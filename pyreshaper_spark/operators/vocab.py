@@ -670,6 +670,138 @@ FROM (SELECT token, count(*) AS cnt FROM tok GROUP BY 1)
 """
 
 
+def token_burst(
+    tok: DataFrame,
+    width_s: int,
+    lift_num: int = 2,
+    lift_den: int = 1,
+    min_count: int = 2,
+) -> DataFrame:
+    """Bursty tokens: (bucket, token) pairs whose in-bucket share is
+    at least ``lift_num/lift_den`` times the token's corpus-wide share
+    (and seen ≥ ``min_count`` times in the bucket) — the trending-term
+    / spam-flood monitor over the token stream.
+
+    Exact: the lift predicate
+    ``c_tb/N_b ≥ L · C_t/N`` is evaluated as the cross-multiplication
+    ``c_tb·N·lift_den ≥ lift_num·N_b·C_t`` in decimal(38,0) (HUGEINT in
+    the oracle) — no float shares ever computed.
+
+    Scale shape: ONE corpus-sized aggregation — the (bucket, token)
+    count (partial agg collapses the exploded stream map-side, output
+    bounded by buckets × occupied vocabulary). Bucket totals, token
+    totals, and the grand total are all re-aggregations of that table;
+    totals join back on bucket / token equi-keys and the 1-row grand
+    total rides a broadcast.
+    """
+    D = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    ctb = (
+        tok.select(bucket_col(width_s), "token")
+        .groupBy("bucket_s", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    nb = ctb.groupBy("bucket_s").agg(F.sum("c").alias("n_b"))
+    ct = ctb.groupBy("token").agg(F.sum("c").alias("c_t"))
+    n = ctb.agg(F.sum("c").alias("n"))
+    return (
+        ctb.join(nb, "bucket_s")
+        .join(ct, "token")
+        .crossJoin(F.broadcast(n))
+        .filter(
+            (F.col("c") >= min_count)
+            & (
+                D(F.col("c")) * D(F.col("n")) * F.lit(lift_den)
+                >= F.lit(lift_num) * D(F.col("n_b")) * D(F.col("c_t"))
+            )
+        )
+        .select(
+            F.col("bucket_s").cast("long").alias("bucket_s"),
+            F.col("token").cast("long").alias("token"),
+            F.col("c").cast("long").alias("cnt"),
+        )
+    )
+
+
+def token_burst_sql(
+    width_s: int,
+    lift_num: int = 2,
+    lift_den: int = 1,
+    min_count: int = 2,
+) -> str:
+    """DuckDB twin of :func:`token_burst` over the `tok` CTE."""
+    return f"""
+SELECT CAST(ctb.bucket_s AS BIGINT) AS bucket_s,
+       CAST(ctb.token AS BIGINT)    AS token,
+       CAST(ctb.c AS BIGINT)        AS cnt
+FROM (
+  SELECT {floor_sql('event_s', width_s)} AS bucket_s, token,
+         count(*) AS c
+  FROM tok GROUP BY 1, 2
+) ctb
+JOIN (
+  SELECT {floor_sql('event_s', width_s)} AS bucket_s,
+         count(*) AS n_b
+  FROM tok GROUP BY 1
+) nb ON ctb.bucket_s = nb.bucket_s
+JOIN (
+  SELECT token, count(*) AS c_t FROM tok GROUP BY 1
+) ct ON ctb.token = ct.token
+CROSS JOIN (SELECT count(*) AS n FROM tok) g
+WHERE ctb.c >= {min_count}
+  AND CAST(ctb.c AS HUGEINT) * g.n * {lift_den}
+      >= {lift_num} * CAST(nb.n_b AS HUGEINT) * ct.c_t
+"""
+
+
+def token_simpson(tok: DataFrame, width_s: int) -> DataFrame:
+    """Simpson diversity of the token distribution per (source,
+    bucket), as the exact integer pair
+    ``(num, den) = (Σ c·(c−1), N·(N−1))`` — num/den is the probability
+    two tokens drawn without replacement coincide (1/D of ecology's
+    Simpson index; the Gini readout's collision-probability cousin).
+    Repetition floods push num/den toward 1; diverse text toward 0.
+    No float leaves the engine.
+
+    Scale: one (source, bucket, token) partial+final count agg
+    (bounded by occupied vocabulary per bucket), then a per-bucket
+    re-aggregation of those counts.
+    """
+    counts = (
+        tok.select("source", bucket_col(width_s), "token")
+        .groupBy("source", "bucket_s", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        counts.groupBy("source", "bucket_s")
+        .agg(
+            F.sum(F.col("c") * (F.col("c") - 1)).alias("num"),
+            F.sum("c").alias("nn"),
+        )
+        .select(
+            "source",
+            F.col("bucket_s").cast("long").alias("bucket_s"),
+            F.col("num").cast("long").alias("simpson_num"),
+            (F.col("nn") * (F.col("nn") - 1)).cast("long")
+            .alias("simpson_den"),
+        )
+    )
+
+
+def token_simpson_sql(width_s: int) -> str:
+    """DuckDB twin of :func:`token_simpson` over the `tok` CTE."""
+    return f"""
+SELECT source, CAST(bucket_s AS BIGINT) AS bucket_s,
+       CAST(sum(c * (c - 1)) AS BIGINT) AS simpson_num,
+       CAST(sum(c) * (sum(c) - 1) AS BIGINT) AS simpson_den
+FROM (
+  SELECT source, {floor_sql('event_s', width_s)} AS bucket_s, token,
+         count(*) AS c
+  FROM tok GROUP BY 1, 2, 3
+)
+GROUP BY 1, 2
+"""
+
+
 def token_cms(
     tok: DataFrame, depth: int = 4, width: int = 64
 ) -> DataFrame:

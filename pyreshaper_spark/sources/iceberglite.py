@@ -1397,18 +1397,35 @@ class IcebergLite:
         new = self._write_data(name, out, partition_by, stats_cols)
         return self._commit(name, new, "rewrite", out.schema.json())
 
-    def expire_snapshots(self, name: str, keep_last: int = 1) -> int:
+    def expire_snapshots(
+        self,
+        name: str,
+        keep_last: int = 1,
+        older_than_s: float | None = None,
+    ) -> int:
         """Expire all but the newest ``keep_last`` snapshots and delete
         data files no longer referenced by any retained snapshot —
         Iceberg's ``expire_snapshots`` maintenance. Returns the number
         of data files deleted. The log rewrite is the same atomic
         tmp+``os.replace`` as a commit; file deletion happens only
         AFTER the new log is durable (a crash in between leaves
-        harmless orphans, never a broken snapshot)."""
+        harmless orphans, never a broken snapshot).
+
+        ``older_than_s`` (Iceberg's ``older_than``, as an age in
+        seconds): when set, only snapshots committed more than this
+        many seconds ago are ELIGIBLE to expire — newer ones are
+        retained in addition to the ``keep_last`` newest, so the two
+        criteria compose exactly like Iceberg's (retain_last AND
+        older_than). Snapshots from before commit timestamps were
+        recorded (no ``ts``) count as infinitely old."""
+        import time
+
         if keep_last < 1:
             # keep_last=0 would slice to the FULL list ([-0:]) and
             # expire nothing — reject instead of silently no-opping
             raise ValueError("expire_snapshots: keep_last must be >= 1")
+        if older_than_s is not None and older_than_s < 0:
+            raise ValueError("expire_snapshots: older_than_s must be >= 0")
         log = self._read_log(name)
         if len(log["snapshots"]) <= keep_last:
             return 0
@@ -1416,6 +1433,13 @@ class IcebergLite:
         # may not be the list tail when staged snapshots exist) and
         # every tagged snapshot — refs pin history, as in Iceberg
         keep_ids = {s["id"] for s in log["snapshots"][-keep_last:]}
+        if older_than_s is not None:
+            cutoff = time.time() - older_than_s
+            keep_ids.update(
+                s["id"]
+                for s in log["snapshots"]
+                if float(s.get("ts", 0.0)) > cutoff
+            )
         keep_ids.add(log["current"])
         keep_ids.update(log.get("refs", {}).values())
         # a live branch pins its WHOLE staged lineage (head + every

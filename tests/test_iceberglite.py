@@ -466,6 +466,33 @@ def test_write_audit_publish(spark, cat):
     ]
 
 
+def test_expire_snapshots_older_than_composes_with_keep_last(spark, cat):
+    """Iceberg's retain_last AND older_than composition: a snapshot
+    younger than the age cutoff is retained even past keep_last; old
+    ones beyond keep_last expire."""
+    import time
+
+    for i in range(4):
+        cat.append("t", _df(spark, [("a", 60 * i, i)]))
+    # back-date snapshots 1 and 2; leave 3 and 4 fresh
+    log = cat._read_log("t")
+    for s in log["snapshots"]:
+        if s["id"] <= 2:
+            s["ts"] = time.time() - 1000.0
+    cat._write_log("t", log)
+    # nothing older than 1h → no-op even with keep_last=1
+    assert cat.expire_snapshots("t", keep_last=1, older_than_s=3600) == 0
+    assert cat.read(spark, "t", snapshot_id=1).count() == 1
+    # 500s cutoff: snapshots 1-2 eligible, 3 kept by age, 4 by count
+    cat.expire_snapshots("t", keep_last=1, older_than_s=500)
+    with pytest.raises(SnapshotNotFound):
+        cat.read(spark, "t", snapshot_id=1)
+    assert cat.read(spark, "t", snapshot_id=3).count() == 3
+    assert cat.read(spark, "t").count() == 4
+    with pytest.raises(ValueError):
+        cat.expire_snapshots("t", older_than_s=-1)
+
+
 def test_tags_pin_history_through_expire(spark, cat):
     cat.append("t", _df(spark, [("a", 0, 1)]))
     cat.overwrite("t", _df(spark, [("b", 60, 2)]))

@@ -981,6 +981,42 @@ def main() -> None:
         ],
     ))
 
+    # 23. token burst + Simpson diversity + top-N source collapse
+    from pyreshaper_spark.operators.rollup import top_sources
+    from pyreshaper_spark.operators.vocab import (
+        token_burst,
+        token_simpson,
+        token_stream,
+    )
+
+    toks = token_stream(docs)
+    p_burst = plan_of(token_burst(toks, 3600, 3, 2, 3))
+    p_simp = plan_of(token_simpson(toks, 3600))
+    p_topn = plan_of(top_sources(t1h_c, 2))
+    sections.append((
+        "Token burst, Simpson diversity, top-N source collapse",
+        "\n".join([
+            "--- token_burst(1h) ---", p_burst[:2000],
+            "--- token_simpson(1h) ---", p_simp[:1200],
+            "--- top_sources(1h, k=2) ---", p_topn[:1200],
+        ]),
+        [
+            ("burst: the exploded stream collapses in ONE partial+final "
+             "(bucket, token) agg; totals are re-aggregations of it",
+             p_burst.count("HashAggregate") >= 6),
+            ("burst: totals join back on equi-keys; 1-row grand total "
+             "rides a broadcast; no CartesianProduct",
+             "CartesianProduct" not in p_burst
+             and "Broadcast" in p_burst),
+            ("simpson: two stacked partial+final hash aggs, no join",
+             p_simp.count("HashAggregate") >= 4
+             and "Join" not in p_simp),
+            ("top-N: one per-bucket rank window + one hash agg over the "
+             "tiny tier, no join",
+             "Window" in p_topn and "Join" not in p_topn),
+        ],
+    ))
+
     out = ["# PLANS — physical-plan verification (auto-generated by "
            "tools/plan_report.py)\n"]
     all_ok = True
