@@ -983,6 +983,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sax_1d"] = _q_sax
 
+    def _q_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Naive + seasonal-naive (1h season) backtest over the
+        LOCF-filled gappy 10m series — the dense spine gives the
+        seasonal lag something to hit."""
+        from pyreshaper_spark.operators.forecast import snaive_backtest
+
+        tier = _tiers(spark, sf_dir, variant="gappy")[600]
+        locfed = gapfill_locf(tier, 600).select(
+            "source", "bucket_s",
+            F.col("sum_n_tok_locf").alias("sum_n_tok"),
+        )
+        return snaive_backtest(locfed, season_s=3600)
+
+    q["forecast_10m"] = _q_forecast
+
+    def _q_forecast_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-source scorecard of the same backtest: exact integer
+        error masses (MAE/MASE/WAPE are consumer-side divisions)."""
+        from pyreshaper_spark.operators.forecast import forecast_accuracy
+
+        tier = _tiers(spark, sf_dir, variant="gappy")[600]
+        locfed = gapfill_locf(tier, 600).select(
+            "source", "bucket_s",
+            F.col("sum_n_tok_locf").alias("sum_n_tok"),
+        )
+        return forecast_accuracy(locfed, season_s=3600)
+
+    q["forecast_accuracy_10m"] = _q_forecast_acc
+
+    def _q_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Active session-seconds + session counts per hour (uptime /
+        concurrency panel) from gap-based sessions."""
+        from pyreshaper_spark.operators.events import session_coverage
+
+        return session_coverage(_events(spark, sf_dir), width_s=3600)
+
+    q["session_coverage_1h"] = _q_coverage
+
+    def _q_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """First 1h bucket at which each source's running token total
+        reaches the quota (sources that never cross emit nothing)."""
+        from pyreshaper_spark.operators.rollup import quota_cross
+
+        return quota_cross(_tiers(spark, sf_dir)[3600], quota=700)
+
+    q["quota_cross_1h"] = _q_quota
+
     def _q_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyreshaper_spark.operators.rollup import bucket_mode
 
@@ -2332,6 +2379,37 @@ FROM filled
         f"t1h AS (SELECT source, bucket_s, sum_n_tok "
         f"FROM ({_TIER_AGG.format(w=3600)}))\n"
         + top_sources_sql("t1h", k=2)
+    )
+    from pyreshaper_spark.operators.forecast import (
+        forecast_accuracy_sql,
+        snaive_backtest_sql,
+    )
+
+    _LOCFED_CTE = """,
+locfed AS (
+  SELECT source, bucket_s,
+         last_value(sum_n_tok IGNORE NULLS) OVER (
+           PARTITION BY source ORDER BY bucket_s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS sum_n_tok
+  FROM filled
+)
+"""
+    o["forecast_10m"] = (
+        _GAPFILL_CTES + _LOCFED_CTE + snaive_backtest_sql("locfed", 3600)
+    )
+    o["forecast_accuracy_10m"] = (
+        _GAPFILL_CTES + _LOCFED_CTE + forecast_accuracy_sql("locfed", 3600)
+    )
+    from pyreshaper_spark.operators.events import session_coverage_sql
+    from pyreshaper_spark.operators.rollup import quota_cross_sql
+
+    o["session_coverage_1h"] = session_coverage_sql(3600)
+    o["quota_cross_1h"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"t1h AS (SELECT source, bucket_s, sum_n_tok "
+        f"FROM ({_TIER_AGG.format(w=3600)}))\n"
+        + quota_cross_sql("t1h", 700)
     )
     from pyreshaper_spark.operators.vocab import source_token_tvd_sql
 

@@ -112,3 +112,65 @@ SELECT event_id, event_type,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
 FROM events
 """
+
+
+def session_coverage(
+    events: DataFrame, width_s: int = 3600, gap_s: int = SESSION_GAP_S
+) -> DataFrame:
+    """Active session-seconds per time bucket (the uptime / concurrency
+    panel): each session's ``[first_ep, last_ep]`` interval is clipped
+    to every bucket it overlaps, clipped lengths summed per bucket.
+
+    Gap-based sessions are non-overlapping WITHIN a user, so the
+    per-user interval union is just the sum of clipped lengths — no
+    sweep-line needed; across users the sum is total session-seconds
+    (average concurrency = covered_s / width_s). Single-event sessions
+    have zero length but still count in ``n_sessions``.
+
+    Scale shape: sessionization's one (user, ts) shuffle, then each
+    session explodes to ONLY the buckets it overlaps (fan-out = session
+    span / width, bounded by gap-based construction) into one
+    partial+final hash agg keyed by bucket — no join at all.
+
+    Output: ``(bucket_s, covered_s, n_sessions)``.
+    """
+    sess = sessionize(events, gap_s)
+    b = F.explode(
+        F.sequence(
+            floor_to(F.col("first_ep"), width_s),
+            floor_to(F.col("last_ep"), width_s),
+            F.lit(width_s),
+        )
+    ).alias("bucket_s")
+    clipped = sess.select(b, "first_ep", "last_ep").select(
+        "bucket_s",
+        (
+            F.least(F.col("last_ep"), F.col("bucket_s") + width_s)
+            - F.greatest(F.col("first_ep"), F.col("bucket_s"))
+        ).alias("cov"),
+    )
+    return clipped.groupBy("bucket_s").agg(
+        F.sum("cov").cast("long").alias("covered_s"),
+        F.count("*").cast("long").alias("n_sessions"),
+    )
+
+
+def session_coverage_sql(
+    width_s: int = 3600, gap_s: int = SESSION_GAP_S
+) -> str:
+    """DuckDB twin of :func:`session_coverage`."""
+    return f"""
+SELECT bucket_s,
+       CAST(sum(least(last_ep, bucket_s + {width_s})
+                - greatest(first_ep, bucket_s)) AS BIGINT) AS covered_s,
+       CAST(count(*) AS BIGINT)                            AS n_sessions
+FROM (
+  SELECT unnest(generate_series(
+           {floor_sql('first_ep', width_s)},
+           {floor_sql('last_ep', width_s)},
+           {width_s})) AS bucket_s,
+         first_ep, last_ep
+  FROM ({sessionize_sql(gap_s)})
+)
+GROUP BY 1
+"""

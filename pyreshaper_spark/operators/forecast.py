@@ -1,0 +1,138 @@
+"""Forecast backtest over tier series: naive and seasonal-naive
+baselines with exact-integer error accounting.
+
+The two standard zero-parameter forecasters (Hyndman & Athanasopoulos,
+*Forecasting: Principles and Practice* §5.2 — the benchmarks every
+"real" model must beat, and the denominators of MASE):
+
+* **naive**: forecast for a bucket = the source's PREVIOUS OBSERVED
+  bucket's value (a row lag within the source's bucket-time order —
+  deliberately gap-skipping, "last value seen");
+* **seasonal naive**: forecast = the value exactly one season earlier
+  (a bucket-KEYED self-join like :func:`gapfill.seasonal_diff`, NOT a
+  row lag — a gap must leave the forecast NULL, not shift the
+  comparison point).
+
+Everything stays in exact integers: per-bucket errors are integer
+differences; the accuracy rollup returns raw ``(Σ|e|, n)`` pairs per
+method (restricted to buckets where BOTH methods produced a forecast,
+so the comparison is apples-to-apples) plus ``Σ|actual|`` — consumers
+divide at presentation time (MAE = Σ|e|/n, MASE = Σ|e_m|/Σ|e_naive|),
+the engine never emits a float.
+
+Scale shape: the input is an already-aggregated tier (O(buckets)
+rows). One source-keyed sort window (the same per-source sort every
+tier analytic pays) + one equi-join on the tier's own (source,
+bucket_s) keys — co-partitioned with the tier's layout; the accuracy
+rollup is one partial+final hash agg keyed by source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def snaive_backtest(
+    tier: DataFrame, season_s: int, value_col: str = "sum_n_tok"
+) -> DataFrame:
+    """Per (source, bucket): actual value, naive forecast, seasonal-
+    naive forecast, and their absolute errors (NULL where the needed
+    history is missing).
+
+    Output: ``(source, bucket_s, actual, fc_naive, err_naive,
+    fc_snaive, err_snaive)``.
+    """
+    v = F.col(value_col)
+    cur = tier.select(
+        "source",
+        F.col("bucket_s").cast("long").alias("bucket_s"),
+        v.cast("long").alias("actual"),
+    )
+    w = Window.partitionBy("source").orderBy("bucket_s")
+    cur = cur.withColumn("fc_naive", F.lag("actual").over(w))
+    season = tier.select(
+        "source",
+        (F.col("bucket_s") + season_s).cast("long").alias("bucket_s"),
+        v.cast("long").alias("fc_snaive"),
+    )
+    return cur.join(season, ["source", "bucket_s"], "left").select(
+        "source",
+        "bucket_s",
+        "actual",
+        "fc_naive",
+        F.abs(F.col("actual") - F.col("fc_naive"))
+        .cast("long")
+        .alias("err_naive"),
+        "fc_snaive",
+        F.abs(F.col("actual") - F.col("fc_snaive"))
+        .cast("long")
+        .alias("err_snaive"),
+    )
+
+
+def snaive_backtest_sql(
+    relation: str, season_s: int, value_col: str = "sum_n_tok"
+) -> str:
+    """DuckDB twin of :func:`snaive_backtest` over a named tier
+    relation with columns ``(source, bucket_s, {value_col})``."""
+    return f"""
+SELECT c.source, c.bucket_s, c.actual,
+       c.fc_naive,
+       CAST(abs(c.actual - c.fc_naive) AS BIGINT)  AS err_naive,
+       s.fc_snaive,
+       CAST(abs(c.actual - s.fc_snaive) AS BIGINT) AS err_snaive
+FROM (
+  SELECT source,
+         CAST(bucket_s AS BIGINT)    AS bucket_s,
+         CAST({value_col} AS BIGINT) AS actual,
+         lag(CAST({value_col} AS BIGINT)) OVER (
+           PARTITION BY source ORDER BY CAST(bucket_s AS BIGINT)
+         ) AS fc_naive
+  FROM {relation}
+) c
+LEFT JOIN (
+  SELECT source,
+         CAST(bucket_s AS BIGINT) + {season_s} AS bucket_s,
+         CAST({value_col} AS BIGINT)           AS fc_snaive
+  FROM {relation}
+) s ON c.source = s.source AND c.bucket_s = s.bucket_s
+"""
+
+
+def forecast_accuracy(
+    tier: DataFrame, season_s: int, value_col: str = "sum_n_tok"
+) -> DataFrame:
+    """Per-source backtest scorecard over the buckets where BOTH
+    baselines produced a forecast: exact integer error masses.
+
+    Output: ``(source, n_eval, sae_naive, sae_snaive, sum_abs_actual)``
+    — MAE_m = sae_m / n_eval, MASE_snaive = sae_snaive / sae_naive,
+    WAPE_m = sae_m / sum_abs_actual, all left to the consumer so no
+    float leaves the engine.
+    """
+    bt = snaive_backtest(tier, season_s, value_col).filter(
+        F.col("err_naive").isNotNull() & F.col("err_snaive").isNotNull()
+    )
+    return bt.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_eval"),
+        F.sum("err_naive").cast("long").alias("sae_naive"),
+        F.sum("err_snaive").cast("long").alias("sae_snaive"),
+        F.sum(F.abs(F.col("actual"))).cast("long").alias("sum_abs_actual"),
+    )
+
+
+def forecast_accuracy_sql(
+    relation: str, season_s: int, value_col: str = "sum_n_tok"
+) -> str:
+    """DuckDB twin of :func:`forecast_accuracy`."""
+    return f"""
+SELECT source,
+       CAST(count(*) AS BIGINT)         AS n_eval,
+       CAST(sum(err_naive) AS BIGINT)   AS sae_naive,
+       CAST(sum(err_snaive) AS BIGINT)  AS sae_snaive,
+       CAST(sum(abs(actual)) AS BIGINT) AS sum_abs_actual
+FROM ({snaive_backtest_sql(relation, season_s, value_col)})
+WHERE err_naive IS NOT NULL AND err_snaive IS NOT NULL
+GROUP BY 1
+"""

@@ -708,6 +708,68 @@ def cumulative_tier(tier: DataFrame) -> DataFrame:
     )
 
 
+def quota_cross(
+    tier: DataFrame, quota: int, value_col: str = "sum_n_tok"
+) -> DataFrame:
+    """Quota-crossing detection: the FIRST bucket at which a source's
+    running ``value_col`` total reaches ``quota`` (billing caps,
+    token-budget enforcement, SLA burn alerts). Sources that never
+    reach the quota emit nothing.
+
+    One per-source cumulative window over the tier (same shape as
+    :func:`cumulative_tier`), filter, then a per-source top-1 window
+    over the few crossing rows — both engines compute the identical
+    deterministic definition.
+
+    Output: ``(source, cross_bucket_s, cum_at_cross)``.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("bucket_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = tier.select(
+        "source",
+        F.col("bucket_s").cast("long").alias("bucket_s"),
+        F.sum(F.col(value_col).cast("long")).over(w).alias("cum_v"),
+    ).filter(F.col("cum_v") >= quota)
+    w1 = Window.partitionBy("source").orderBy("bucket_s")
+    return (
+        cum.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("bucket_s").alias("cross_bucket_s"),
+            F.col("cum_v").cast("long").alias("cum_at_cross"),
+        )
+    )
+
+
+def quota_cross_sql(
+    relation: str, quota: int, value_col: str = "sum_n_tok"
+) -> str:
+    """DuckDB twin of :func:`quota_cross` over a named tier relation."""
+    return f"""
+SELECT source, bucket_s AS cross_bucket_s,
+       CAST(cum_v AS BIGINT) AS cum_at_cross
+FROM (
+  SELECT source, bucket_s, cum_v,
+         row_number() OVER (PARTITION BY source ORDER BY bucket_s) AS rn
+  FROM (
+    SELECT source, CAST(bucket_s AS BIGINT) AS bucket_s,
+           sum(CAST({value_col} AS BIGINT)) OVER (
+             PARTITION BY source ORDER BY CAST(bucket_s AS BIGINT)
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_v
+    FROM {relation}
+  )
+  WHERE cum_v >= {quota}
+)
+WHERE rn = 1
+"""
+
+
 #: Analytic aggregate families the pipeline can materialize as
 #: continuous-aggregate tables next to the count/sum/min/max tiers
 #: (RunConfig.analytics). Each entry is (tier0, cascade) with the
