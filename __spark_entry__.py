@@ -369,6 +369,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["asof_fwd_tol"] = _q_asof_fwd
 
+    def _q_asof_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """pandas merge_asof(direction='nearest') surface: closer of
+        the backward/forward 1h rollup, backward winning ties,
+        tolerance masking each side before the pick."""
+        from pyreshaper_spark.operators.asof import asof_join
+
+        tiers = _tiers(spark, sf_dir)
+        left = _norm_tier(tiers[600]).select("source", "bucket_s", "cnt")
+        right = _norm_tier(tiers[3600]).select(
+            "source", "bucket_s", "sum_n_tok"
+        )
+        return asof_join(
+            left, right, ("sum_n_tok",),
+            direction="nearest", tolerance_s=1800,
+        )
+
+    q["asof_nearest_tol"] = _q_asof_near
+
     # inter-arrival cadence stats + CUSUM changepoint
     def _q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyreshaper_spark.operators.gapfill import interarrival
@@ -456,6 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lang_id"] = lambda s, d: text.lang_id(_docs(s, d))
     q["fingerprint"] = lambda s, d: text.fingerprint(_docs(s, d))
     q["pii_scan"] = lambda s, d: text.pii_scan(_docs(s, d))
+    q["lang_confusion"] = lambda s, d: text.lang_confusion(_docs(s, d))
     # -- deduplication ------------------------------------------------
     q["dedup_exact"] = lambda s, d: dedup.exact_dup_groups(_docs(s, d))
     q["dedup_minhash_lsh"] = lambda s, d: dedup.verified_near_dups(_docs(s, d))
@@ -584,6 +603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pack_stats_2k"] = _q_pack_stats
     # -- similarity search --------------------------------------------
     q["ann_topk_dot"] = lambda s, d: similarity.topk_dot(_emb(s, d))
+    # binary-sketch ANN: Hamming-over-sign-codes shortlist + exact rerank
+    q["ann_binq_topk"] = lambda s, d: similarity.binq_topk(_emb(s, d))
     q["ann_topk_cosine"] = lambda s, d: similarity.topk_cosine(_emb(s, d))
     q["ann_ivf_probe"] = lambda s, d: similarity.ivf_probe_topk(_emb(s, d))
     q["ann_lsh_pairs"] = lambda s, d: similarity.lsh_bucket_pairs(_emb(s, d))
@@ -855,6 +876,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ks_drift_1d"] = _q_ks
 
+    # -- Benford first-digit profile (fabricated-data detector) -------
+    def _q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.drift import benford_counts
+
+        return benford_counts(_seq(spark, sf_dir))
+
+    q["benford_n_tok"] = _q_benford
+
     # -- distinct-cardinality rollup (exact + HLL sketch) -------------
     def _q_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyreshaper_spark.operators.rollup import bucket_ndv
@@ -920,6 +949,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["rolling_median_10m"] = _q_rolling_median
+
+    def _q_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Hampel outlier flag (centered ±3-bucket median/MAD, t=2)
+        over the gappy 10m tier — the robust cousin of anomaly_10m."""
+        from pyreshaper_spark.operators.gapfill import hampel_filter
+
+        tier = _tiers(spark, sf_dir, variant="gappy")[600]
+        return hampel_filter(
+            tier.select(
+                "source",
+                F.col("bucket_s").cast("long").alias("bucket_s"),
+                F.col("sum_n_tok").cast("long").alias("sum_n_tok"),
+            ),
+            k=3, t=2,
+        )
+
+    q["hampel_10m"] = _q_hampel
+
+    def _q_doc_conc(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-source heavy-hitter concentration of token mass
+        (top-10 docs vs total) — corpus-skew health readout."""
+        from pyreshaper_spark.operators.sampling import doc_concentration
+
+        return doc_concentration(_seq(spark, sf_dir), k=10)
+
+    q["doc_concentration"] = _q_doc_conc
 
     def _q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyreshaper_spark.operators.rollup import bucket_moments
@@ -1180,6 +1235,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         min_count=3,
     )
     q["token_simpson_1h"] = lambda s, d: VB.token_simpson(
+        VB.token_stream(_docs(s, d)), 3600
+    )
+
+    # hapax/dis-legomena lexical-richness rollup
+    q["hapax_1h"] = lambda s, d: VB.token_hapax(
         VB.token_stream(_docs(s, d)), 3600
     )
 
@@ -1462,6 +1522,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["src_corr_1h_lag1"] = _q_corr_lag
 
+    # Spearman (rank) correlation — robust co-movement
+    def _q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.correlate import (
+            source_spearman_moments,
+        )
+
+        tier = _tiers(spark, sf_dir)[3600]
+        return source_spearman_moments(_norm_tier(tier))
+
+    q["src_spearman_1h"] = _q_spearman
+
+    # Kendall tau-b pair counts — the concordance view of co-movement
+    def _q_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.correlate import (
+            source_kendall_counts,
+        )
+
+        tier = _tiers(spark, sf_dir)[3600]
+        return source_kendall_counts(_norm_tier(tier))
+
+    q["src_kendall_1h"] = _q_kendall
+
     # -- streaming tier-0 (availableNow over the static fixture) ------
     def _q_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Structured Streaming ingest run to completion (availableNow)
@@ -1681,6 +1763,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_rate"] = _q_streaming_rate
 
+    def _q_streaming_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+
+        from pyreshaper_spark.streaming.quota import streaming_quota
+
+        base = tempfile.mkdtemp(prefix="stream_qt_")
+        src = os.path.join(base, "src")
+        (
+            _seq(spark, sf_dir)
+            .select("source", "event_s", "n_tok")
+            .orderBy("event_s")
+            .coalesce(1)
+            .write.parquet(src)
+        )
+        rows: list = []
+
+        def sink(batch_df, _epoch):
+            rows.extend(batch_df.collect())
+
+        stream = spark.readStream.schema(
+            "source string, event_s long, n_tok long"
+        ).parquet(src)
+        sq = (
+            streaming_quota(stream, 600, 700)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(base, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination(300)
+        return spark.createDataFrame(
+            rows, "source string, cross_bucket_s long, cum_at_cross long"
+        )
+
+    q["streaming_quota"] = _q_streaming_quota
+
+    def _q_streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+
+        from pyreshaper_spark.streaming.anomaly import streaming_anomaly
+
+        base = tempfile.mkdtemp(prefix="stream_an_")
+        src = os.path.join(base, "src")
+        (
+            _seq(spark, sf_dir)
+            .select("source", "event_s", "n_tok")
+            .orderBy("event_s")
+            .coalesce(1)
+            .write.parquet(src)
+        )
+        rows: list = []
+
+        def sink(batch_df, _epoch):
+            rows.extend(batch_df.collect())
+
+        stream = spark.readStream.schema(
+            "source string, event_s long, n_tok long"
+        ).parquet(src)
+        sq = (
+            streaming_anomaly(stream, 600)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(base, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination(300)
+        return spark.createDataFrame(
+            rows,
+            "source string, bucket_s long, sum_n_tok long, "
+            "roll_n long, is_anomaly boolean",
+        )
+
+    q["streaming_anomaly"] = _q_streaming_anomaly
+
     def _q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         import os
         import tempfile
@@ -1898,6 +2058,11 @@ SELECT source, count(*) AS n_docs FROM sequences GROUP BY 1
     from pyreshaper_spark.operators.drift import ks_drift_sql
 
     o["ks_drift_1d"] = f"WITH {seq_cte('base')}" + ks_drift_sql(86400)
+    from pyreshaper_spark.operators.drift import benford_sql
+
+    o["benford_n_tok"] = (
+        f"WITH {seq_cte('base')}\n" + benford_sql("sequences")
+    )
     o["tier_1h_ndv"] = f"WITH {seq_cte('base')}\n" + ndv_sql(3600)
     _GAPPY_T10 = (
         f"WITH {seq_cte('gappy')},\n"
@@ -1919,6 +2084,13 @@ SELECT source, count(*) AS n_docs FROM sequences GROUP BY 1
 
     o["uptime_islands_10m"] = _GAPPY_T10 + uptime_islands_sql("t10", 600)
     o["rolling_median_10m"] = _GAPPY_T10 + rolling_median_sql("t10", 6)
+    from pyreshaper_spark.operators.gapfill import hampel_filter_sql
+    from pyreshaper_spark.operators.sampling import doc_concentration_sql
+
+    o["hampel_10m"] = _GAPPY_T10 + hampel_filter_sql("t10", 3, 2)
+    o["doc_concentration"] = (
+        f"WITH {seq_cte('base')}\n" + doc_concentration_sql("sequences", 10)
+    )
     o["tier_1h_moments"] = (
         f"WITH {seq_cte('base')}\n" + bucket_moments_sql(3600)
     )
@@ -2050,6 +2222,14 @@ SELECT source, count(*) AS n_docs FROM sequences GROUP BY 1
                         ("source", "bucket_s", "cnt"),
                         direction="forward", tolerance_s=3600)
     )
+    o["asof_nearest_tol"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"t10 AS (SELECT source, bucket_s, cnt FROM ({_TIER_AGG.format(w=600)})),\n"
+        f"t1h AS (SELECT source, bucket_s, sum_n_tok FROM ({_TIER_AGG.format(w=3600)}))\n"
+        + asof_join_sql("t10", "t1h", ("sum_n_tok",),
+                        ("source", "bucket_s", "cnt"),
+                        direction="nearest", tolerance_s=1800)
+    )
     from pyreshaper_spark.operators.gapfill import (
         cusum_detect_sql,
         interarrival_sql,
@@ -2093,6 +2273,7 @@ FROM tier t JOIN meta m USING (source)
     o["lang_id"] = text.lang_id_sql()
     o["fingerprint"] = text.fingerprint_sql()
     o["pii_scan"] = text.pii_scan_sql()
+    o["lang_confusion"] = text.lang_confusion_sql()
     o["dedup_exact"] = dedup.EXACT_DUP_SQL
     o["dedup_minhash_lsh"] = dedup.minhash_lsh_sql()
     o["dedup_minhash_capped"] = dedup.minhash_lsh_sql(max_df=200)
@@ -2149,6 +2330,7 @@ FROM tier t JOIN meta m USING (source)
         "FROM pk GROUP BY 1, 2"
     )
     o["ann_topk_dot"] = similarity.topk_dot_sql()
+    o["ann_binq_topk"] = similarity.binq_topk_sql()
     o["ann_topk_cosine"] = similarity.topk_cosine_sql()
     from pyreshaper_spark.operators.kmeans import (
         ivf_kmeans_topk_sql,
@@ -2334,6 +2516,9 @@ FROM filled
     )
     o["tok_topk_1h"] = f"WITH {token_cte()}\n" + token_topk_sql(3600, 5)
     o["vocab_growth_1h"] = f"WITH {token_cte()}\n" + vocab_growth_sql(3600)
+    from pyreshaper_spark.operators.vocab import token_hapax_sql
+
+    o["hapax_1h"] = f"WITH {token_cte()}\n" + token_hapax_sql(3600)
     o["token_ndv_1h"] = f"WITH {token_cte()}\n" + token_ndv_sql(3600)
     from pyreshaper_spark.operators.vocab import token_cms_sql
 
@@ -2484,6 +2669,20 @@ FROM filled
         f"tier AS ({_TIER_AGG.format(w=3600)})\n"
         + corr_moments_sql("tier", lag_s=3600)
     )
+    from pyreshaper_spark.operators.correlate import spearman_moments_sql
+
+    o["src_spearman_1h"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"tier AS ({_TIER_AGG.format(w=3600)})\n"
+        + spearman_moments_sql("tier")
+    )
+    from pyreshaper_spark.operators.correlate import kendall_counts_sql
+
+    o["src_kendall_1h"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"tier AS ({_TIER_AGG.format(w=3600)})\n"
+        + kendall_counts_sql("tier")
+    )
 
     from pyreshaper_spark.operators.gapfill import rolling_agg_sql
 
@@ -2556,6 +2755,29 @@ SELECT cr.source, cr.bucket_s, cr.value, cr.increase, cr.reset,
        CAST(0 AS BIGINT) AS late_rows
 FROM cr JOIN last ON cr.source = last.source
 WHERE cr.bucket_s < last.mb
+"""
+    # quota emits the first crossing among CLOSED buckets: batch
+    # quota_cross over tier-0 minus crossings in each source's final
+    # (still-open) bucket
+    o["streaming_quota"] = f"""
+WITH {seq_cte('base')},
+t10 AS (SELECT source, bucket_s, sum_n_tok FROM ({_TIER_AGG.format(w=600)})),
+qc AS ({quota_cross_sql('t10', 700)}),
+last AS (SELECT source, max(bucket_s) AS mb FROM t10 GROUP BY 1)
+SELECT qc.source, qc.cross_bucket_s, qc.cum_at_cross
+FROM qc JOIN last ON qc.source = last.source
+WHERE qc.cross_bucket_s < last.mb
+"""
+    # anomaly emits one row per CLOSED bucket: batch anomaly_zflag
+    # over tier-0 minus each source's final (still-open) bucket
+    o["streaming_anomaly"] = f"""
+WITH {seq_cte('base')},
+t10 AS (SELECT source, bucket_s, sum_n_tok FROM ({_TIER_AGG.format(w=600)})),
+an AS ({anomaly_zflag_sql('t10')}),
+last AS (SELECT source, max(bucket_s) AS mb FROM t10 GROUP BY 1)
+SELECT an.source, an.bucket_s, an.sum_n_tok, an.roll_n, an.is_anomaly
+FROM an JOIN last ON an.source = last.source
+WHERE an.bucket_s < last.mb
 """
     # sessions emits exactly the CLOSED sessions: batch sessionization
     # minus each user's final (still-open) session

@@ -35,21 +35,29 @@ def asof_join(
     ``asof_<col>`` (null when no right row matches).
 
     ``direction``: "backward" (default — most recent right row with
-    ``t_r <= t``, the TimescaleDB/kdb default) or "forward" (earliest
-    right row with ``t_r >= t`` — pandas ``merge_asof`` direction).
+    ``t_r <= t``, the TimescaleDB/kdb default), "forward" (earliest
+    right row with ``t_r >= t``), or "nearest" (the closer of the two
+    by ``|t - t_r|``, backward winning exact-distance ties — the full
+    pandas ``merge_asof`` direction surface, deterministic tie rule).
     ``tolerance_s``: maximum |t - t_r|; a match farther away than this
-    yields nulls (pandas ``merge_asof(tolerance=...)``).
+    yields nulls (pandas ``merge_asof(tolerance=...)``). For "nearest"
+    the tolerance masks each side BEFORE the distance pick, so a
+    too-far backward row never shadows an in-window forward row.
 
     All left columns ride THROUGH the union (right rows carry nulls), so
     the result needs no join back onto ``left`` — one shuffle total, and
     duplicate (key, time) rows on the left each keep exactly one output
     row (the old join-back produced k×k rows for k duplicates). The
     forward direction is the same window over the REVERSED time order;
+    "nearest" evaluates BOTH carries over the one exchange (same
+    partition key — Catalyst plans one shuffle and two sorts);
     tolerance rides as one extra carried column (the matched right
     time), masked in the final projection — no extra shuffle for
-    either option."""
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    any option."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            "direction must be 'backward', 'forward' or 'nearest'"
+        )
     payload = [c for c in left.columns if c not in (key, time_col)]
     # The matched right ROW is carried as ONE struct (time + values),
     # never as independent per-column last(ignorenulls) streams: with
@@ -77,29 +85,55 @@ def asof_join(
         F.struct(*row_fields).alias("_asof_row"),
     )
     u = l_tag.unionByName(r_tag)
+
     # right rows sort BEFORE left rows at equal time (tag 0 < 1), so a
     # same-bucket right row is visible to the left row — asof <= / >=
-    order = (
-        [F.col(time_col).asc(), F.col("_tag").asc()]
-        if direction == "backward"
-        else [F.col(time_col).desc(), F.col("_tag").asc()]
-    )
-    w = (
-        Window.partitionBy(key)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    picked = u.select(
-        key, time_col, "_tag", *payload,
-        F.last("_asof_row", ignorenulls=True).over(w).alias("_asof_row"),
-    ).filter(F.col("_tag") == 1)
-    matched = F.col("_asof_row")
-    if tolerance_s is not None:
+    def _carry(desc: bool):
+        order = (
+            [F.col(time_col).desc(), F.col("_tag").asc()]
+            if desc
+            else [F.col(time_col).asc(), F.col("_tag").asc()]
+        )
+        w = (
+            Window.partitionBy(key)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return F.last("_asof_row", ignorenulls=True).over(w)
+
+    def _mask_tol(matched):
+        if tolerance_s is None:
+            return matched
         in_tol = (
             matched.isNotNull()
             & (F.abs(F.col(time_col) - matched["_asof_t"]) <= tolerance_s)
         )
-        matched = F.when(in_tol, matched)
+        return F.when(in_tol, matched)
+
+    if direction == "nearest":
+        picked = u.select(
+            key, time_col, "_tag", *payload,
+            _carry(desc=False).alias("_b_row"),
+            _carry(desc=True).alias("_f_row"),
+        ).filter(F.col("_tag") == 1)
+        b = _mask_tol(F.col("_b_row"))
+        f = _mask_tol(F.col("_f_row"))
+        # distances are non-negative by construction of each carry;
+        # backward wins exact-distance ties (documented rule)
+        bd = F.col(time_col) - b["_asof_t"]
+        fd = f["_asof_t"] - F.col(time_col)
+        matched = (
+            F.when(b.isNull(), f)
+            .when(f.isNull(), b)
+            .when(bd <= fd, b)
+            .otherwise(f)
+        )
+    else:
+        picked = u.select(
+            key, time_col, "_tag", *payload,
+            _carry(desc=(direction == "forward")).alias("_asof_row"),
+        ).filter(F.col("_tag") == 1)
+        matched = _mask_tol(F.col("_asof_row"))
     return picked.select(
         *left.columns,
         *[matched[f"asof_{c}"].alias(f"asof_{c}") for c in value_cols],
@@ -119,7 +153,40 @@ def asof_join_sql(
     """DuckDB rendering using native ASOF LEFT JOIN over two relations
     (names of CTEs the caller has defined). DuckDB's ASOF picks the
     nearest match for either inequality direction; tolerance is a CASE
-    mask over the matched right time, mirroring the Spark operator."""
+    mask over the matched right time, mirroring the Spark operator.
+    "nearest" composes TWO native ASOF joins (backward + forward) and
+    picks per row by masked distance, backward winning ties — the same
+    rule as the Spark operator."""
+    lcols = ", ".join(f"l.{c}" for c in left_cols)
+    if direction == "nearest":
+        tol_b = (
+            f" AND l.{time_col} - rb.{time_col} <= {tolerance_s}"
+            if tolerance_s is not None else ""
+        )
+        tol_f = (
+            f" AND rf.{time_col} - l.{time_col} <= {tolerance_s}"
+            if tolerance_s is not None else ""
+        )
+        # masked distances; NULL = that side unusable
+        bd = f"(CASE WHEN rb.{time_col} IS NOT NULL{tol_b} " \
+             f"THEN l.{time_col} - rb.{time_col} END)"
+        fd = f"(CASE WHEN rf.{time_col} IS NOT NULL{tol_f} " \
+             f"THEN rf.{time_col} - l.{time_col} END)"
+        use_b = f"({bd} IS NOT NULL AND ({fd} IS NULL OR {bd} <= {fd}))"
+        use_f = f"({fd} IS NOT NULL AND ({bd} IS NULL OR {fd} < {bd}))"
+        vals = ", ".join(
+            f"CASE WHEN {use_b} THEN rb.{c} "
+            f"WHEN {use_f} THEN rf.{c} END AS asof_{c}"
+            for c in value_cols
+        )
+        return f"""
+SELECT {lcols}, {vals}
+FROM {left_cte} l
+ASOF LEFT JOIN {right_cte} rb
+  ON l.{key} = rb.{key} AND l.{time_col} >= rb.{time_col}
+ASOF LEFT JOIN {right_cte} rf
+  ON l.{key} = rf.{key} AND l.{time_col} <= rf.{time_col}
+"""
     op = ">=" if direction == "backward" else "<="
     if tolerance_s is None:
         vals = ", ".join(f"r.{c} AS asof_{c}" for c in value_cols)
@@ -130,7 +197,6 @@ def asof_join_sql(
             f"THEN r.{c} END AS asof_{c}"
             for c in value_cols
         )
-    lcols = ", ".join(f"l.{c}" for c in left_cols)
     return f"""
 SELECT {lcols}, {vals}
 FROM {left_cte} l

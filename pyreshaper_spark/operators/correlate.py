@@ -228,3 +228,237 @@ JOIN {relation} b
   ON b.source = a.source AND b.bucket_s = a.bucket_s + l.lag_s
 GROUP BY 1, 2
 """
+
+
+def source_spearman_moments(
+    tier: DataFrame,
+    value_col: str = "sum_n_tok",
+    sources: Sequence[str] | None = None,
+) -> DataFrame:
+    """Spearman (rank) correlation moments for every source pair —
+    the robust co-movement face: monotone but non-linear coupling and
+    heavy-tailed bursts that distort Pearson leave rank correlation
+    intact.
+
+    Exact cross-engine evaluation: within each pair's shared-bucket
+    set, ties get AVERAGE ranks, kept integer by doubling via the
+    two-sided rank identity ``rank2 = rank_asc + n + 1 - rank_desc``
+    (for a tie block occupying positions r..r+c-1, rank_asc = r and
+    rank_desc = n-r-c+2, so rank2 = 2r+c-1 = twice the average rank).
+    The output is the same exact sufficient-statistics contract as
+    :func:`source_corr_moments`, computed over (rank2_x, rank2_y);
+    ``corr_finish`` on these moments yields Spearman's rho.
+
+    Scale shape: the bucket equi-join of the Pearson path, then ONE
+    pair-keyed exchange carrying all four rank sorts (asc/desc ×
+    x/y) — ranking needs the pair's rows co-located, but never a
+    second shuffle key.
+    """
+    cols = ["source", "bucket_s", F.col(value_col).alias("v")]
+    t = tier.select(*cols)
+    if sources is not None:
+        t = t.filter(F.col("source").isin(list(sources)))
+    a, b = t.alias("a"), t.alias("b")
+    pairs = (
+        a.join(b, "bucket_s")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.col("bucket_s"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+    )
+    from pyspark.sql import Window
+
+    part = Window.partitionBy("source_a", "source_b")
+
+    def rank2(col: str):
+        asc = F.rank().over(part.orderBy(F.col(col).asc()))
+        desc = F.rank().over(part.orderBy(F.col(col).desc()))
+        n = F.count("*").over(part)
+        return (asc + n + 1 - desc).cast("decimal(18,0)")
+
+    ranked = pairs.select(
+        "source_a", "source_b",
+        rank2("va").alias("rx"), rank2("vb").alias("ry"),
+    )
+    return ranked.groupBy("source_a", "source_b").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum("rx").cast("decimal(38,0)").alias("sx"),
+        F.sum("ry").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("decimal(38,0)").alias("syy"),
+    )
+
+
+def spearman_moments_sql(relation: str, value_col: str = "sum_n_tok") -> str:
+    """DuckDB twin of :func:`source_spearman_moments` (same doubled
+    average-rank identity, same moment contract)."""
+    return f"""
+SELECT source_a, source_b,
+       count(*) AS n_buckets,
+       CAST(sum(rx) AS DECIMAL(38,0))      AS sx,
+       CAST(sum(ry) AS DECIMAL(38,0))      AS sy,
+       CAST(sum(rx * ry) AS DECIMAL(38,0)) AS sxy,
+       CAST(sum(rx * rx) AS DECIMAL(38,0)) AS sxx,
+       CAST(sum(ry * ry) AS DECIMAL(38,0)) AS syy
+FROM (
+  SELECT source_a, source_b,
+         CAST(rank() OVER (PARTITION BY source_a, source_b ORDER BY va ASC)
+              + count(*) OVER (PARTITION BY source_a, source_b) + 1
+              - rank() OVER (PARTITION BY source_a, source_b ORDER BY va DESC)
+              AS DECIMAL(18,0)) AS rx,
+         CAST(rank() OVER (PARTITION BY source_a, source_b ORDER BY vb ASC)
+              + count(*) OVER (PARTITION BY source_a, source_b) + 1
+              - rank() OVER (PARTITION BY source_a, source_b ORDER BY vb DESC)
+              AS DECIMAL(18,0)) AS ry
+  FROM (
+    SELECT a.source AS source_a, b.source AS source_b, a.bucket_s,
+           CAST(a.{value_col} AS BIGINT) AS va,
+           CAST(b.{value_col} AS BIGINT) AS vb
+    FROM {relation} a JOIN {relation} b USING (bucket_s)
+    WHERE a.source < b.source
+  )
+)
+GROUP BY 1, 2
+"""
+
+
+def source_kendall_counts(
+    tier: DataFrame,
+    value_col: str = "sum_n_tok",
+    sources: Sequence[str] | None = None,
+) -> DataFrame:
+    """Kendall tau-b pair counts for every source pair over their
+    shared time buckets: one row per (source_a < source_b) with the
+    exact concordant / discordant / tie bookkeeping
+
+        nc, nd, tie_x, tie_y, tie_xy      (all BIGINT)
+
+    classified purely by comparisons (no products — a 1e12-scale value
+    difference squared would overflow int64, and sign() returns float;
+    ``(dx > 0) == (dy > 0)`` needs neither). tau-b itself is the
+    derived float (:func:`kendall_finish`, pytest vs a brute-force
+    reference, not oracle-hashed).
+
+    Scale shape: bucket equi-join to form the pair series (as the
+    Pearson/Spearman paths), then ONE self-join keyed on (source_a,
+    source_b) with the triangular predicate p.bucket_s < q.bucket_s —
+    cost O(pairs × B²) for B shared buckets. That quadratic is
+    intrinsic to Kendall (every bucket pair is classified); it is the
+    dashboard regime (B = hundreds for a month of hourly buckets).
+    For wide scans pass ``sources=`` or pre-slice the tier's time
+    range — the knob is selection, the join stays equi-keyed.
+    """
+    cols = ["source", "bucket_s", F.col(value_col).alias("v")]
+    t = tier.select(*cols)
+    if sources is not None:
+        t = t.filter(F.col("source").isin(list(sources)))
+    a, b = t.alias("a"), t.alias("b")
+    pairs = (
+        a.join(b, "bucket_s")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.col("bucket_s"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+    )
+    p, q = pairs.alias("p"), pairs.alias("q")
+    dx0 = F.col("p.va") == F.col("q.va")
+    dy0 = F.col("p.vb") == F.col("q.vb")
+    up_x = F.col("q.va") > F.col("p.va")
+    up_y = F.col("q.vb") > F.col("p.vb")
+
+    def _n(cond) -> F.Column:
+        return F.sum(cond.cast("long")).cast("long")
+
+    classified = p.join(
+        q,
+        (F.col("p.source_a") == F.col("q.source_a"))
+        & (F.col("p.source_b") == F.col("q.source_b"))
+        & (F.col("p.bucket_s") < F.col("q.bucket_s")),
+    )
+    return classified.groupBy(
+        F.col("p.source_a").alias("source_a"),
+        F.col("p.source_b").alias("source_b"),
+    ).agg(
+        # B from the triangular total: nc+nd+ties = B(B-1)/2
+        (
+            (
+                F.lit(1)
+                + F.sqrt(F.lit(1) + F.lit(8) * F.count("*"))
+            ) / F.lit(2)
+        ).cast("long").alias("n_buckets"),
+        _n(~dx0 & ~dy0 & (up_x == up_y)).alias("nc"),
+        _n(~dx0 & ~dy0 & (up_x != up_y)).alias("nd"),
+        _n(dx0 & ~dy0).alias("tie_x"),
+        _n(~dx0 & dy0).alias("tie_y"),
+        _n(dx0 & dy0).alias("tie_xy"),
+    )
+
+
+def kendall_finish(counts: DataFrame) -> DataFrame:
+    """tau-b from the exact pair counts (float output — derived
+    metric): (nc−nd) / sqrt((n0−n1)(n0−n2)) with n0 the triangular
+    total, n1/n2 the x/y tie-pair counts; NULL when either margin has
+    zero variance (all pairs tied on that side)."""
+    nc, nd = F.col("nc"), F.col("nd")
+    n0 = nc + nd + F.col("tie_x") + F.col("tie_y") + F.col("tie_xy")
+    n1 = F.col("tie_x") + F.col("tie_xy")
+    n2 = F.col("tie_y") + F.col("tie_xy")
+    d1, d2 = (n0 - n1).cast("double"), (n0 - n2).cast("double")
+    return counts.select(
+        "source_a", "source_b", "n_buckets",
+        F.when(
+            (d1 > 0) & (d2 > 0),
+            (nc - nd).cast("double") / F.sqrt(d1 * d2),
+        ).alias("tau_b"),
+    )
+
+
+def kendall_counts_sql(relation: str, value_col: str = "sum_n_tok") -> str:
+    """DuckDB twin of :func:`source_kendall_counts` (same comparison
+    classification, same triangular n_buckets recovery)."""
+    return f"""
+SELECT source_a, source_b,
+       CAST((1 + sqrt(1 + 8 * count(*))) / 2 AS BIGINT) AS n_buckets,
+       CAST(sum(CASE WHEN p_va <> q_va AND p_vb <> q_vb
+                      AND ((q_va > p_va) = (q_vb > p_vb))
+                THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+       CAST(sum(CASE WHEN p_va <> q_va AND p_vb <> q_vb
+                      AND ((q_va > p_va) <> (q_vb > p_vb))
+                THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+       CAST(sum(CASE WHEN p_va = q_va AND p_vb <> q_vb
+                THEN 1 ELSE 0 END) AS BIGINT) AS tie_x,
+       CAST(sum(CASE WHEN p_va <> q_va AND p_vb = q_vb
+                THEN 1 ELSE 0 END) AS BIGINT) AS tie_y,
+       CAST(sum(CASE WHEN p_va = q_va AND p_vb = q_vb
+                THEN 1 ELSE 0 END) AS BIGINT) AS tie_xy
+FROM (
+  SELECT p.source_a, p.source_b,
+         p.va AS p_va, p.vb AS p_vb, q.va AS q_va, q.vb AS q_vb
+  FROM (
+    SELECT a.source AS source_a, b.source AS source_b, a.bucket_s,
+           CAST(a.{value_col} AS BIGINT) AS va,
+           CAST(b.{value_col} AS BIGINT) AS vb
+    FROM {relation} a JOIN {relation} b USING (bucket_s)
+    WHERE a.source < b.source
+  ) p
+  JOIN (
+    SELECT a.source AS source_a, b.source AS source_b, a.bucket_s,
+           CAST(a.{value_col} AS BIGINT) AS va,
+           CAST(b.{value_col} AS BIGINT) AS vb
+    FROM {relation} a JOIN {relation} b USING (bucket_s)
+    WHERE a.source < b.source
+  ) q
+    ON q.source_a = p.source_a AND q.source_b = p.source_b
+   AND p.bucket_s < q.bucket_s
+)
+GROUP BY 1, 2
+"""

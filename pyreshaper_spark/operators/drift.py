@@ -282,3 +282,54 @@ SELECT b.source, b.bucket_s,
 FROM dbins b JOIN tpairs t USING (source, bucket_s)
 GROUP BY b.source, b.bucket_s, t.tot, t.tot_prev
 """
+
+
+def benford_counts(seq: DataFrame, value_col: str = "n_tok") -> DataFrame:
+    """Benford first-significant-digit distribution per source — the
+    fabricated-data / broken-upstream detector (organically generated
+    magnitudes follow log10(1 + 1/d); a synthetic filler or a
+    truncation bug shows up as a flat or spiked digit profile).
+
+    The leading digit is taken from the DECIMAL RENDERING
+    (``substring(cast(v as string), 1, 1)``), not ``log10`` — float
+    log at exact powers of ten is not guaranteed to floor identically
+    across engines, while integer-to-string is byte-identical in both.
+    Non-positive values are excluded (Benford is defined on positive
+    magnitudes). One hash aggregate, output O(sources × 9).
+    """
+    v = F.col(value_col)
+    return (
+        seq.filter(v > 0)
+        .select(
+            "source",
+            F.substring(v.cast("string"), 1, 1).cast("int").alias("digit"),
+        )
+        .groupBy("source", "digit")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def benford_finish(counts: DataFrame) -> DataFrame:
+    """Observed vs Benford-expected share per (source, digit) — float
+    faces of the exact counts (derived metric, pytest-checked)."""
+    from pyspark.sql import Window
+
+    tot = F.sum("n_docs").over(Window.partitionBy("source"))
+    return counts.select(
+        "source", "digit", "n_docs",
+        (F.col("n_docs").cast("double") / tot).alias("obs_share"),
+        F.log10(1.0 + 1.0 / F.col("digit")).alias("benford_share"),
+    )
+
+
+def benford_sql(relation: str, value_col: str = "n_tok") -> str:
+    """DuckDB twin of :func:`benford_counts`."""
+    return f"""
+SELECT source,
+       CAST(substring(CAST({value_col} AS VARCHAR), 1, 1) AS INTEGER)
+         AS digit,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM {relation}
+WHERE {value_col} > 0
+GROUP BY 1, 2
+"""

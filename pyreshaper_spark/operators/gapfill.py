@@ -1071,3 +1071,104 @@ FROM (
   FROM {relation}
 )
 """
+
+
+# --------------------------------------------------------------------------
+# Hampel filter — centered rolling median/MAD outlier flag, exact integers
+# --------------------------------------------------------------------------
+
+def hampel_filter(
+    tier: DataFrame, k: int, t: int, value_col: str = "sum_n_tok"
+) -> DataFrame:
+    """Hampel identifier over a centered ±k-bucket window per source:
+    flag points where ``|x - med| > t * MAD`` (med/MAD of the window
+    contents). The robust alternative to the z-score flag
+    (:func:`anomaly_zflag`) — a level shift or a fat-tailed burst
+    inflates the stddev and hides outliers; the median/MAD pair
+    doesn't break down until half the window is contaminated.
+
+    Exact-integer evaluation (no 1.4826 consistency scale — ``t``
+    multiplies the RAW MAD): with integer inputs the window median is
+    a half-integer, so everything is kept doubled —
+    ``med2 = med_lo + med_hi`` (= 2·median), per-point deviation
+    ``d2 = |2x - med2|`` (= 2·|x−med|), and ``mad4 = dev_lo + dev_hi``
+    over the sorted d2 list (= 4·MAD). The flag is the integer
+    comparison ``2·d2 > t·mad4`` ⇔ ``|x−med| > t·MAD``. Consumers
+    wanting the Gaussian-consistent threshold fold 1.4826 into ``t``.
+
+    Scale shape: one source-keyed exchange; the collect_list window is
+    (2k+1)-bounded so per-row work is O(k log k) — same budget as
+    :func:`rolling_median`. Output: ``(source, bucket_s, {value_col},
+    med2, mad4, is_outlier)``.
+    """
+    w = (
+        Window.partitionBy("source")
+        .orderBy("bucket_s")
+        .rowsBetween(-k, k)
+    )
+    vals = F.sort_array(F.collect_list(F.col(value_col).cast("long")).over(w))
+    staged = tier.select(
+        "source",
+        F.col("bucket_s").cast("long").alias("bucket_s"),
+        F.col(value_col).cast("long").alias(value_col),
+        vals.alias("_vals"),
+    )
+    n = F.size("_vals")
+    med2 = (
+        F.element_at("_vals", ((n + 1) / 2).cast("int"))
+        + F.element_at("_vals", (n / 2).cast("int") + 1)
+    )
+    staged = staged.withColumn("med2", med2.cast("long")).withColumn(
+        "_devs",
+        F.sort_array(
+            F.transform(
+                "_vals", lambda v: F.abs(2 * v - F.col("med2"))
+            )
+        ),
+    )
+    mad4 = (
+        F.element_at("_devs", ((n + 1) / 2).cast("int"))
+        + F.element_at("_devs", (n / 2).cast("int") + 1)
+    )
+    d2 = F.abs(2 * F.col(value_col) - F.col("med2"))
+    return staged.select(
+        "source",
+        "bucket_s",
+        value_col,
+        "med2",
+        mad4.cast("long").alias("mad4"),
+        (2 * d2 > t * mad4).alias("is_outlier"),
+    )
+
+
+def hampel_filter_sql(
+    relation: str, k: int, t: int, value_col: str = "sum_n_tok"
+) -> str:
+    """DuckDB twin of :func:`hampel_filter` over a named relation."""
+    return f"""
+SELECT source, bucket_s, {value_col}, med2,
+       CAST(devs[CAST((len(devs) + 1) // 2 AS INT)]
+            + devs[CAST(len(devs) // 2 AS INT) + 1] AS BIGINT) AS mad4,
+       2 * abs(2 * {value_col} - med2)
+         > {t} * (devs[CAST((len(devs) + 1) // 2 AS INT)]
+                  + devs[CAST(len(devs) // 2 AS INT) + 1]) AS is_outlier
+FROM (
+  SELECT source, bucket_s, {value_col}, med2,
+         list_sort(list_transform(vals, v -> abs(2 * v - med2))) AS devs
+  FROM (
+    SELECT source, bucket_s, {value_col},
+           CAST(vals[CAST((len(vals) + 1) // 2 AS INT)]
+                + vals[CAST(len(vals) // 2 AS INT) + 1] AS BIGINT) AS med2,
+           vals
+    FROM (
+      SELECT source,
+             CAST(bucket_s AS BIGINT)    AS bucket_s,
+             CAST({value_col} AS BIGINT) AS {value_col},
+             list_sort(list(CAST({value_col} AS BIGINT)) OVER (
+                 PARTITION BY source ORDER BY CAST(bucket_s AS BIGINT)
+                 ROWS BETWEEN {k} PRECEDING AND {k} FOLLOWING)) AS vals
+      FROM {relation}
+    )
+  )
+)
+"""

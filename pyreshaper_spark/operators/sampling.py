@@ -413,3 +413,61 @@ SELECT doc_id, source, n_tok, qkey, mix_rank, cum_tok FROM (
 WHERE (CASE {cases} ELSE NULL END) IS NOT NULL
   AND cum_tok - n_tok < (CASE {cases} ELSE NULL END)
 """
+
+
+def doc_concentration(seq: DataFrame, k: int = 10) -> DataFrame:
+    """Per-source heavy-hitter concentration: how much of a source's
+    token mass sits in its top-``k`` biggest docs. The corpus-health
+    face of skew — a source whose mass concentrates in a handful of
+    huge documents behaves very differently under sampling, packing,
+    and dedup than one with the same total spread evenly.
+
+    Exact integers end-to-end; shares (topk_tok/total_tok) are
+    consumer-side divisions. Ranking is per-source with a (n_tok desc,
+    doc_id) total order, so ties are deterministic cross-engine.
+
+    Scale shape: one source-keyed exchange + window rank + one
+    partial+final hash agg — the grouped-top-k budget; no global sort.
+
+    Output: ``(source, n_docs, total_tok, topk_tok, max_tok)``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_tok").desc(), F.col("doc_id").asc()
+    )
+    ranked = seq.select(
+        "source",
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+    ).withColumn("rk", F.row_number().over(w))
+    return ranked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tok"),
+        F.sum(F.when(F.col("rk") <= k, F.col("n_tok")).otherwise(0))
+        .cast("long")
+        .alias("topk_tok"),
+        F.max("n_tok").cast("long").alias("max_tok"),
+    )
+
+
+def doc_concentration_sql(relation: str, k: int = 10) -> str:
+    """DuckDB twin of :func:`doc_concentration` over a named relation
+    with columns ``(doc_id, source, n_tok)``."""
+    return f"""
+SELECT source,
+       CAST(count(*) AS BIGINT)    AS n_docs,
+       CAST(sum(n_tok) AS BIGINT)  AS total_tok,
+       CAST(sum(CASE WHEN rk <= {k} THEN n_tok ELSE 0 END) AS BIGINT)
+                                   AS topk_tok,
+       CAST(max(n_tok) AS BIGINT)  AS max_tok
+FROM (
+  SELECT source, CAST(n_tok AS BIGINT) AS n_tok,
+         row_number() OVER (
+             PARTITION BY source
+             ORDER BY CAST(n_tok AS BIGINT) DESC, CAST(doc_id AS VARCHAR)
+         ) AS rk
+  FROM {relation}
+)
+GROUP BY 1
+"""

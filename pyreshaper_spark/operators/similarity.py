@@ -682,3 +682,144 @@ FROM tot ta
 JOIN tot tb ON ta.source < tb.source
 LEFT JOIN d2 ON d2.src_a = ta.source AND d2.src_b = tb.source
 """
+
+
+#: bits packed per code word — 32 keeps every shift result positive
+#: (DuckDB overflow-checks `1::BIGINT << 63`; Spark would wrap silently)
+BINQ_WORD = 32
+
+
+def binary_codes(emb: DataFrame, dim: int = 64) -> DataFrame:
+    """1-bit (sign) quantization: (vec_id, code array<bigint>, q, n2)
+    with ceil(dim/32) packed 32-bit words per vector — the
+    binary-sketch ANN index (SimHash-for-vectors): 64 float32 dims
+    become 8 bytes, a 32× scan-size cut, and Hamming distance on the
+    codes is a provable cosine-angle estimator (hyperplane LSH with
+    the coordinate axes as planes).
+    """
+    import math
+
+    n_words = math.ceil(dim / BINQ_WORD)
+    q = quantized(emb).withColumn("n2", _dot(F.col("q"), F.col("q")))
+    code = F.expr(
+        f"""transform(sequence(0, {n_words - 1}), w ->
+              aggregate(zip_with(q, sequence(0, {dim - 1}), (x, i) ->
+                if(i div {BINQ_WORD} = w AND x > 0,
+                   shiftleft(cast(1 as bigint), i % {BINQ_WORD}),
+                   cast(0 as bigint))),
+                cast(0 as bigint), (a, b) -> a | b))"""
+    )
+    return q.select("vec_id", code.alias("code"), "q", "n2")
+
+
+def _hamming(c1, c2) -> F.Column:
+    """Σ_words bit_count(xor) — stays in whole-stage codegen."""
+    return F.aggregate(
+        F.zip_with(c1, c2, lambda a, b: F.bit_count(a.bitwiseXOR(b))),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v.cast("long"),
+    )
+
+
+def binq_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    shortlist: int = 20,
+    dim: int = 64,
+) -> DataFrame:
+    """Binary-quantization ANN: exhaustive Hamming scan over the packed
+    sign codes (the cheap pass — 8 bytes/vector instead of 512), then
+    EXACT integer-dot re-rank of each query's ``shortlist`` best
+    Hamming candidates. Output (query_id, neighbor_id, dot, rank).
+
+    Scale shape: the code table is O(N) and 64× smaller than the
+    vectors; queries broadcast; the Hamming pass is pure codegen
+    (bit_count over packed words). The shortlist re-rank touches full
+    vectors only via a broadcast-bounded semi-selection (Q × shortlist
+    rows). Ties break (hamming asc, neighbor asc) and (dot desc,
+    neighbor asc) — engine-portable determinism.
+    """
+    from pyspark.sql import Window
+
+    c = binary_codes(emb, dim=dim)
+    queries = c.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("code").alias("qcode"),
+        F.col("q").alias("qv"),
+    )
+    hammed = (
+        c.alias("n")
+        .crossJoin(F.broadcast(queries))
+        .filter(F.col("n.vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("n.vec_id").alias("neighbor_id"),
+            _hamming(F.col("qcode"), F.col("n.code")).alias("hamming"),
+            _dot(F.col("qv"), F.col("n.q")).alias("dot"),
+        )
+    )
+    wh = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    short = hammed.withColumn("hrank", F.row_number().over(wh)).filter(
+        F.col("hrank") <= shortlist
+    )
+    wd = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        short.withColumn("rank", F.row_number().over(wd))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot", "rank")
+    )
+
+
+def binq_topk_sql(
+    n_queries: int = 10, k: int = 5, shortlist: int = 20, dim: int = 64
+) -> str:
+    """DuckDB twin of :func:`binq_topk` (same packing, same tie rules)."""
+    import math
+
+    n_words = math.ceil(dim / BINQ_WORD)
+    dot = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(list_zip(qv, n.q), p -> p[1] * p[2])), (a, b) -> a + b)"
+    )
+    return f"""
+WITH q0 AS ({QUANT_SQL}),
+c AS (
+  SELECT vec_id, q,
+         list_transform(range(0, {n_words}), w ->
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(list_zip(q, range(0, {dim})), p ->
+               CASE WHEN p[2] // {BINQ_WORD} = w AND p[1] > 0
+                    THEN (CAST(1 AS BIGINT) << (p[2] % {BINQ_WORD}))
+                    ELSE CAST(0 AS BIGINT) END)),
+             (a, b) -> a | b)) AS code
+  FROM q0),
+queries AS (SELECT vec_id AS query_id, code AS qcode, q AS qv
+            FROM c WHERE vec_id < {n_queries}),
+hammed AS (
+  SELECT query_id, n.vec_id AS neighbor_id,
+         list_reduce(list_transform(list_zip(qcode, n.code),
+                     p -> CAST(bit_count(xor(p[1], p[2])) AS BIGINT)),
+                     (a, b) -> a + b) AS hamming,
+         {dot} AS dot
+  FROM c n CROSS JOIN queries
+  WHERE n.vec_id <> query_id),
+short AS (
+  SELECT * FROM (
+    SELECT query_id, neighbor_id, dot,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY hamming ASC, neighbor_id ASC)
+             AS hrank
+    FROM hammed)
+  WHERE hrank <= {shortlist})
+SELECT query_id, neighbor_id, dot, rank FROM (
+  SELECT query_id, neighbor_id, dot,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot DESC, neighbor_id ASC) AS rank
+  FROM short)
+WHERE rank <= {k}
+"""

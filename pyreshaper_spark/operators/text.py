@@ -276,3 +276,24 @@ SELECT doc_id,
        ({e} > 0 OR {d} > 0 OR {i} > 0) AS has_pii
 FROM documents
 """
+
+
+def lang_confusion(docs: DataFrame) -> DataFrame:
+    """Language-ID confusion matrix: per (ground-truth ``lang``,
+    predicted lang) doc counts — the eval face of :func:`lang_id`
+    (per-language precision/recall are consumer-side row sums).
+    One partial+final hash agg over the classifier projection."""
+    return (
+        lang_id(docs)
+        .groupBy("lang_actual", "lang_pred")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def lang_confusion_sql() -> str:
+    """DuckDB twin of :func:`lang_confusion`."""
+    return f"""
+SELECT lang_actual, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+FROM ({lang_id_sql()})
+GROUP BY 1, 2
+"""

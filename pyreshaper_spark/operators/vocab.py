@@ -1145,3 +1145,50 @@ FROM tot ta
 JOIN tot tb ON ta.source < tb.source
 LEFT JOIN co ON co.src_a = ta.source AND co.src_b = tb.source
 """
+
+
+def token_hapax(tok: DataFrame, width_s: int) -> DataFrame:
+    """Hapax/dis-legomena rollup: per (source, time bucket), how many
+    distinct tokens occurred exactly once (``n_hapax``) or exactly
+    twice (``n_dis``), plus ``n_types``/``n_tokens`` — the lexical-
+    richness monitor (a falling hapax share flags template spam or a
+    looping scraper; Heaps'-law cousin of ``vocab_growth``).
+
+    Same two-aggregate shape as every vocab rollup: the exploded
+    stream collapses map-side at (source, bucket, token) — output
+    bounded by the vocabulary — then one tier-sized re-aggregation.
+    All counts BIGINT; shares are consumer-side divisions.
+    """
+    counts = (
+        tok.select("source", bucket_col(width_s, "event_s"), "token")
+        .groupBy("source", "bucket_s", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    return counts.groupBy(
+        "source", F.col("bucket_s").cast("long").alias("bucket_s")
+    ).agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum((F.col("c") == 1).cast("long")).cast("long").alias("n_hapax"),
+        F.sum((F.col("c") == 2).cast("long")).cast("long").alias("n_dis"),
+    )
+
+
+def token_hapax_sql(width_s: int) -> str:
+    """DuckDB twin of :func:`token_hapax` over the `tok` CTE."""
+    return f"""
+SELECT source, bucket_s,
+       CAST(count(*) AS BIGINT)                                AS n_types,
+       CAST(sum(c) AS BIGINT)                                  AS n_tokens,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)  AS n_hapax,
+       CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)  AS n_dis
+FROM (
+  SELECT source,
+         {floor_sql('event_s', width_s)} AS bucket_s,
+         token,
+         count(*) AS c
+  FROM tok
+  GROUP BY 1, 2, 3
+)
+GROUP BY 1, 2
+"""

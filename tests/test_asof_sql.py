@@ -153,7 +153,7 @@ def test_asof_join_property_vs_bruteforce(spark):
     @given(
         st.lists(st.integers(0, 40), min_size=1, max_size=12),  # left ts
         st.lists(row, min_size=1, max_size=12),                  # right
-        st.sampled_from(["backward", "forward"]),
+        st.sampled_from(["backward", "forward", "nearest"]),
         st.sampled_from([None, 5, 15]),
     )
     def check(lts, rrows, direction, tol):
@@ -176,6 +176,23 @@ def test_asof_join_property_vs_bruteforce(spark):
         ).collect():
             got.setdefault(r["bucket_s"], r["asof_v"])
         for t in lts:
+            if direction == "nearest":
+                # tolerance masks EACH side before the distance pick;
+                # backward wins exact-distance ties
+                back = [(rt, rv) for rt, rv in rs if rt <= t
+                        and (tol is None or t - rt <= tol)]
+                fwd = [(rt, rv) for rt, rv in rs if rt >= t
+                       and (tol is None or rt - t <= tol)]
+                b = max(back) if back else None
+                f = min(fwd) if fwd else None
+                if b is None:
+                    want = f[1] if f else None
+                elif f is None or (t - b[0]) <= (f[0] - t):
+                    want = b[1]
+                else:
+                    want = f[1]
+                assert got[t] == want, (t, direction, tol, rs)
+                continue
             if direction == "backward":
                 cand = [(rt, rv) for rt, rv in rs if rt <= t]
                 match = max(cand) if cand else None
@@ -188,6 +205,37 @@ def test_asof_join_property_vs_bruteforce(spark):
             assert got[t] == want, (t, direction, tol, rs)
 
     check()
+
+
+def test_asof_nearest_semantics(spark):
+    """nearest: closer side wins, backward wins exact ties, tolerance
+    masks each side BEFORE the pick (a too-far backward row must not
+    shadow an in-window forward row)."""
+    left = spark.createDataFrame(
+        [("a", 100), ("a", 250), ("a", 290), ("a", 600)],
+        "source string, bucket_s long",
+    )
+    right = spark.createDataFrame(
+        [("a", 200, 10), ("a", 300, 20)],
+        "source string, bucket_s long, v long",
+    )
+    near = {
+        r["bucket_s"]: r["asof_v"]
+        for r in asof_join(
+            left, right, ("v",), direction="nearest"
+        ).collect()
+    }
+    # 100→200(d100); 250 tie d50/d50 → backward 200; 290→300(d10);
+    # 600→300 (only side)
+    assert near == {100: 10, 250: 10, 290: 20, 600: 20}
+    near_tol = {
+        r["bucket_s"]: r["asof_v"]
+        for r in asof_join(
+            left, right, ("v",), direction="nearest", tolerance_s=60
+        ).collect()
+    }
+    # 100: both sides too far → None; 600: 300 too far → None
+    assert near_tol == {100: None, 250: 10, 290: 20, 600: None}
 
 
 def test_asof_join_multi_value_cols_same_row(spark):

@@ -717,6 +717,10 @@ def main() -> None:
         asof_join(t10, t1h_c, ("sum_n_tok",),
                   direction="forward", tolerance_s=3600)
     )
+    p_asof_n = plan_of(
+        asof_join(t10, t1h_c, ("sum_n_tok",),
+                  direction="nearest", tolerance_s=1800)
+    )
     p_ia = plan_of(interarrival(seq, 3600))
     p_cusum = plan_of(cusum_detect(t1h_c, h=100))
     sections.append((
@@ -730,6 +734,12 @@ def main() -> None:
             ("asof fwd+tol: union-sort-window — NO join at all, one "
              "window family",
              "Join" not in p_asof and "Window" in p_asof),
+            ("asof nearest: both carries join-free over ONE "
+             "source-only exchange (the other exchanges are the two "
+             "input tier aggs)",
+             "Join" not in p_asof_n and "Window" in p_asof_n
+             and len(__import__("re").findall(
+                 r"hashpartitioning\(source#\d+, \d+\)", p_asof_n)) == 1),
             ("interarrival: tokens pruned from the raw scan",
              "tokens" not in p_ia.split("ReadSchema")[1].split("\n")[0]
              if "ReadSchema" in p_ia else False),
