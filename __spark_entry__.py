@@ -478,6 +478,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- deduplication ------------------------------------------------
     q["dedup_exact"] = lambda s, d: dedup.exact_dup_groups(_docs(s, d))
     q["dedup_minhash_lsh"] = lambda s, d: dedup.verified_near_dups(_docs(s, d))
+    # lexical similarity search: top-k most-similar docs by exact
+    # Jaccard over the LSH candidate set
+    q["minhash_topk"] = lambda s, d: dedup.minhash_topk(_docs(s, d), k=5)
     # hot-shingle guard variant: words in >40% of docs excluded — the
     # boundedness knob a web-scale dedup must have
     q["dedup_minhash_capped"] = lambda s, d: dedup.verified_near_dups(
@@ -799,6 +802,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["trend_1d"] = _q_trend
 
+    # -- Theil–Sen robust slope (median of pairwise slopes) -----------
+    def _q_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.rollup import theilsen
+
+        tier = _tiers(spark, sf_dir)[3600]
+        return theilsen(
+            tier.select(
+                "source", "bucket_s",
+                F.col("sum_n_tok").cast("long").alias("sum_n_tok"),
+            ),
+            coarse_s=86400, fine_s=3600,
+        )
+
+    q["theilsen_1d"] = _q_theilsen
+
     # -- exact percentile rollup (1h buckets) -------------------------
     def _q_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyreshaper_spark.operators.rollup import bucket_percentiles
@@ -1038,6 +1056,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sax_1d"] = _q_sax
 
+    def _q_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Recurring 4-symbol SAX subwords per source (overlapping
+        sliding window over the symbolized 1h series)."""
+        from pyreshaper_spark.operators.symbolic import sax_motifs
+
+        return sax_motifs(_tiers(spark, sf_dir)[3600], m=4)
+
+    q["sax_motifs_1h"] = _q_sax_motifs
+
     def _q_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Naive + seasonal-naive (1h season) backtest over the
         LOCF-filled gappy 10m series — the dense spine gives the
@@ -1164,6 +1191,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_label"] = _q_streaming_label
 
+    def _q_streaming_ss_join(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Watermarked stream-stream inner join: hash-even doc events
+        paired with same-source odd-doc events within +10h. Run to
+        completion over the static fixture ≡ the batch time join."""
+        import os
+        import tempfile
+
+        from pyreshaper_spark.functions.xhash import h32
+        from pyreshaper_spark.streaming.joinss import streaming_time_join
+
+        base = tempfile.mkdtemp(prefix="stream_ssj_")
+        # split bit from the cross-engine doc hash — independent of the
+        # fixture's doc→source assignment (doc parity is NOT: each
+        # source holds a single parity)
+        seq = _seq(spark, sf_dir).select(
+            "source", "event_s", "n_tok",
+            F.pmod(h32(F.col("doc_id")), F.lit(2)).alias("sbit"),
+        )
+        for name, par in (("l", 0), ("r", 1)):
+            (
+                seq.filter(F.col("sbit") == par)
+                .select("source", "event_s", "n_tok")
+                .coalesce(1)
+                .write.parquet(os.path.join(base, name))
+            )
+        rows: list = []
+
+        def sink(batch_df, _epoch):
+            rows.extend(batch_df.collect())
+
+        schema = "source string, event_s long, n_tok long"
+        left = spark.readStream.schema(schema).parquet(
+            os.path.join(base, "l")
+        )
+        right = spark.readStream.schema(schema).parquet(
+            os.path.join(base, "r")
+        )
+        sq = (
+            streaming_time_join(left, right, tol_s=36000)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option(
+                "checkpointLocation", os.path.join(base, "ck")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination(300)
+        return spark.createDataFrame(
+            rows,
+            "source string, l_event_s long, l_n_tok long, "
+            "r_event_s long, r_n_tok long",
+        )
+
+    q["streaming_ss_join"] = _q_streaming_ss_join
+
     # -- M4 downsample (cascaded 1m→10m→1h; first/last/min/max POINTS) -
     def _q_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Spark side CASCADES the M4 corners through finer tiers while
@@ -1210,6 +1295,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["vocab_growth_1h"] = lambda s, d: VB.vocab_growth(
         VB.token_stream(_docs(s, d)), 3600
+    )
+    # OOV rate vs the corpus's top-200 vocabulary head
+    q["oov_rate_1h"] = lambda s, d: VB.oov_rate(
+        VB.token_stream(_docs(s, d)), 3600, top_v=200
     )
     q["token_ndv_1h"] = lambda s, d: VB.token_ndv(
         VB.token_stream(_docs(s, d)), 3600
@@ -1416,6 +1505,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["snaive_10m"] = _q_snaive
 
+    # classical additive decomposition: daily seasonal profile of the
+    # LOCF-filled 10m series (centered-MA detrend, exact 2p-scaled)
+    def _q_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.gapfill import seasonal_decompose
+
+        tier = _tiers(spark, sf_dir, variant="gappy")[600]
+        filled = gapfill_locf(tier, 600).select(
+            "source", "bucket_s",
+            F.col("sum_n_tok_locf").cast("long").alias("sum_n_tok_locf"),
+        )
+        return seasonal_decompose(
+            filled, 600, period=144, value_col="sum_n_tok_locf"
+        )
+
+    q["decomp_seasonal_10m"] = _q_decomp
+
     # -- tier routing: serve a 30m chart from the 10m tier ------------
     # pick_tier routes the request to the coarsest dividing tier (600),
     # rollup_cascade re-aggregates — exact by associativity, so the
@@ -1543,6 +1648,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return source_kendall_counts(_norm_tier(tier))
 
     q["src_kendall_1h"] = _q_kendall
+
+    # cross-correlation function: all lags 0..3h in one pass
+    def _q_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.correlate import source_ccf_moments
+
+        tier = _tiers(spark, sf_dir)[3600]
+        return source_ccf_moments(
+            _norm_tier(tier), max_lag=3, width_s=3600
+        )
+
+    q["src_ccf_1h"] = _q_ccf
 
     # -- streaming tier-0 (availableNow over the static fixture) ------
     def _q_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2154,6 +2270,14 @@ SELECT source, count(*) AS n_docs FROM sequences GROUP BY 1
         f"FROM ({_TIER_AGG.format(w=3600)}))\n"
         + sax_words_sql("t1h", 86400)
     )
+    from pyreshaper_spark.operators.symbolic import sax_motifs_sql
+
+    o["sax_motifs_1h"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"t1h AS (SELECT source, bucket_s, sum_n_tok "
+        f"FROM ({_TIER_AGG.format(w=3600)}))\n"
+        + sax_motifs_sql("t1h", 4)
+    )
     o["bucket_mode_1h"] = (
         f"WITH {seq_cte('base')}\n" + bucket_mode_sql(3600)
     )
@@ -2180,6 +2304,15 @@ SELECT source, count(*) AS n_docs FROM sequences GROUP BY 1
     # streaming stream-static labeling over static input ≡ the batch
     # interval join — the identical relation is the oracle
     o["streaming_label"] = _INTERVAL_LABEL_SQL
+    from pyreshaper_spark.streaming.joinss import time_join_sql
+
+    o["streaming_ss_join"] = f"""
+WITH {seq_cte('base')},
+l AS (SELECT source, event_s, n_tok FROM sequences
+     WHERE CAST(('0x' || substr(md5(doc_id), 1, 8)) AS BIGINT) % 2 = 0),
+r AS (SELECT source, event_s, n_tok FROM sequences
+     WHERE CAST(('0x' || substr(md5(doc_id), 1, 8)) AS BIGINT) % 2 = 1)
+""" + time_join_sql("l", "r", 36000)
     o["tier_1h_retention"] = (
         f"WITH {seq_cte('base')},\n"
         f"tier AS ({_TIER_AGG.format(w=3600)})\n"
@@ -2276,6 +2409,10 @@ FROM tier t JOIN meta m USING (source)
     o["lang_confusion"] = text.lang_confusion_sql()
     o["dedup_exact"] = dedup.EXACT_DUP_SQL
     o["dedup_minhash_lsh"] = dedup.minhash_lsh_sql()
+    o["minhash_topk"] = (
+        f"WITH pairs AS ({dedup.minhash_lsh_sql(0, 1)})\n"
+        + dedup.minhash_topk_sql(5)
+    )
     o["dedup_minhash_capped"] = dedup.minhash_lsh_sql(max_df=200)
     o["dedup_minhash_bucketcap"] = dedup.minhash_lsh_sql(max_bucket=50)
     from pyreshaper_spark.functions.xhash import h32_sql as _h32s
@@ -2492,6 +2629,14 @@ FROM filled
         _GAPFILL_CTES + _LOCF_CTE
         + snaive_eval_sql("locf", 600, 144, value_col="sum_n_tok_locf")
     )
+    from pyreshaper_spark.operators.gapfill import seasonal_decompose_sql
+
+    o["decomp_seasonal_10m"] = (
+        _GAPFILL_CTES + _LOCF_CTE
+        + seasonal_decompose_sql(
+            "locf", 600, 144, value_col="sum_n_tok_locf"
+        )
+    )
     # tier routing / real-time merge are exact re-groupings of the same
     # raw rows, so both oracles are the DIRECT rollup at the requested
     # width — the Spark side takes the routed / split-and-merged path.
@@ -2516,6 +2661,9 @@ FROM filled
     )
     o["tok_topk_1h"] = f"WITH {token_cte()}\n" + token_topk_sql(3600, 5)
     o["vocab_growth_1h"] = f"WITH {token_cte()}\n" + vocab_growth_sql(3600)
+    from pyreshaper_spark.operators.vocab import oov_rate_sql
+
+    o["oov_rate_1h"] = f"WITH {token_cte()}\n" + oov_rate_sql(3600, 200)
     from pyreshaper_spark.operators.vocab import token_hapax_sql
 
     o["hapax_1h"] = f"WITH {token_cte()}\n" + token_hapax_sql(3600)
@@ -2659,6 +2807,14 @@ FROM filled
         f"FROM ({_TIER_AGG.format(w=3600)}))\n"
         + bucket_trend_sql("t60", 86400, 3600)
     )
+    from pyreshaper_spark.operators.rollup import theilsen_sql
+
+    o["theilsen_1d"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"t60 AS (SELECT source, bucket_s, sum_n_tok "
+        f"FROM ({_TIER_AGG.format(w=3600)}))\n"
+        + theilsen_sql("t60", 86400, 3600)
+    )
     o["src_corr_1h"] = (
         f"WITH {seq_cte('base')},\n"
         f"tier AS ({_TIER_AGG.format(w=3600)})\n"
@@ -2682,6 +2838,13 @@ FROM filled
         f"WITH {seq_cte('base')},\n"
         f"tier AS ({_TIER_AGG.format(w=3600)})\n"
         + kendall_counts_sql("tier")
+    )
+    from pyreshaper_spark.operators.correlate import ccf_sql
+
+    o["src_ccf_1h"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"tier AS ({_TIER_AGG.format(w=3600)})\n"
+        + ccf_sql("tier", 3, 3600)
     )
 
     from pyreshaper_spark.operators.gapfill import rolling_agg_sql

@@ -462,3 +462,130 @@ FROM (
 )
 GROUP BY 1, 2
 """
+
+
+def source_ccf_moments(
+    tier: DataFrame,
+    max_lag: int,
+    width_s: int,
+    value_col: str = "sum_n_tok",
+) -> DataFrame:
+    """Cross-correlation FUNCTION between sources: the exact Pearson
+    moments of :func:`source_corr_moments` at every lag 0..``max_lag``
+    (in bucket steps of ``width_s``) in ONE pass — the lead/lag curve
+    a dashboard plots to find "source A leads source B by ℓ hours"
+    (argmax over the finished r).
+
+    One ordered row per (source_a ≠ source_b, lag): x = a's value at
+    bucket t, y = b's value at bucket t + lag·width_s — bucket-KEYED
+    (b's buckets are shifted per lag before the equi-join) so gaps
+    never misalign the pairing. Lag 0 appears for both orientations
+    with mirrored moments; consumers wanting the symmetric view filter
+    source_a < source_b at lag 0.
+
+    Scale shape: the b side fans out by the constant (max_lag+1) via
+    posexplode — map-side, no extra shuffle — then the same
+    bucket-keyed equi-join and partial+final moment agg as the
+    single-lag operator. Products are decimal(18,0)×decimal(18,0)
+    before the decimal(38,0) sums, exact past 1e12-per-bucket values.
+    """
+    t = tier.select("source", "bucket_s", F.col(value_col).alias("v"))
+    lag_arr = F.array(*[F.lit(i) for i in range(max_lag + 1)])
+    b_side = t.select(
+        "source",
+        F.explode(lag_arr).alias("lag"),
+        "bucket_s",
+        "v",
+    ).select(
+        "source",
+        "lag",
+        (F.col("bucket_s") - F.col("lag") * width_s).alias("bucket_s"),
+        "v",
+    )
+    a, b = t.alias("a"), b_side.alias("b")
+    av = F.col("a.v").cast("decimal(18,0)")
+    bv = F.col("b.v").cast("decimal(18,0)")
+    return (
+        a.join(b, "bucket_s")
+        .filter(F.col("a.source") != F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.col("b.lag").cast("long").alias("lag"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.sum(av).cast("decimal(38,0)").alias("sx"),
+            F.sum(bv).cast("decimal(38,0)").alias("sy"),
+            F.sum(av * bv).cast("decimal(38,0)").alias("sxy"),
+            F.sum(av * av).cast("decimal(38,0)").alias("sxx"),
+            F.sum(bv * bv).cast("decimal(38,0)").alias("syy"),
+        )
+    )
+
+
+def ccf_sql(
+    relation: str,
+    max_lag: int,
+    width_s: int,
+    value_col: str = "sum_n_tok",
+) -> str:
+    """DuckDB twin of :func:`source_ccf_moments` over a named tier
+    relation carrying (source, bucket_s, value_col)."""
+    lags = ", ".join(f"({i})" for i in range(max_lag + 1))
+    return f"""
+SELECT a.source                                   AS source_a,
+       b.source                                   AS source_b,
+       CAST(b.lag AS BIGINT)                      AS lag,
+       count(*)                                   AS n_buckets,
+       CAST(sum(CAST(a.v AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sx,
+       CAST(sum(CAST(b.v AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sy,
+       CAST(sum(CAST(a.v AS DECIMAL(18,0))
+              * CAST(b.v AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sxy,
+       CAST(sum(CAST(a.v AS DECIMAL(18,0))
+              * CAST(a.v AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sxx,
+       CAST(sum(CAST(b.v AS DECIMAL(18,0))
+              * CAST(b.v AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS syy
+FROM (SELECT source, bucket_s, {value_col} AS v FROM {relation}) a
+JOIN (
+  SELECT source, lag, bucket_s - lag * {width_s} AS bucket_s, v
+  FROM (SELECT source, bucket_s, {value_col} AS v FROM {relation})
+  CROSS JOIN (VALUES {lags}) l(lag)
+) b ON a.bucket_s = b.bucket_s AND a.source <> b.source
+GROUP BY 1, 2, 3
+"""
+
+
+def ccf_finish(moments: DataFrame) -> DataFrame:
+    """Pearson r per (pair, lag) + the argmax lag per pair (float —
+    derived metric, pytest vs numpy)."""
+    from pyspark.sql import Window as W
+
+    r = corr_finish_cols(moments).withColumn(
+        "best_lag",
+        F.first("lag").over(
+            W.partitionBy("source_a", "source_b").orderBy(
+                F.col("pearson_r").desc_nulls_last(), F.col("lag").asc()
+            )
+        ),
+    )
+    return r
+
+
+def corr_finish_cols(moments: DataFrame) -> DataFrame:
+    """corr_finish keeping every non-moment carry column (lag etc.)."""
+    n = F.col("n_buckets").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    cov = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    keep = [c for c in moments.columns
+            if c not in ("sx", "sy", "sxy", "sxx", "syy")]
+    return moments.select(
+        *keep,
+        F.when(
+            (var_x > 0) & (var_y > 0), cov / F.sqrt(var_x * var_y)
+        ).alias("pearson_r"),
+    )

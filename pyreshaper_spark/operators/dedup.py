@@ -22,7 +22,7 @@ Engineering rules shared by every operator here:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pyreshaper_spark.functions.xhash import (
@@ -393,6 +393,105 @@ JOIN sizes sb ON sb.doc_id = c.doc_b
 WHERE coalesce(p.inter, 0) * {jaccard_den}
       >= (sa.n_words + sb.n_words - coalesce(p.inter, 0)) * {jaccard_num}
 """
+
+
+# --------------------------------------------------------------------------
+# MinHash top-k similar-document search
+# --------------------------------------------------------------------------
+
+#: Fraction-ranking scale: rank key = floor(inter * SCALE / union) — an
+#: exact integer computed identically in both engines. Collisions only
+#: merge Jaccards closer than 1e-9; the (key desc, neighbor asc) total
+#: order stays deterministic either way.
+_JACCARD_SCALE = 1_000_000_000
+
+
+def minhash_topk(
+    docs: DataFrame,
+    k: int = 5,
+    max_df: int | None = None,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Top-``k`` most-similar documents per document, by EXACT Jaccard
+    over the MinHash-LSH candidate set — the document-level similarity
+    search face of the dedup stack (the ANN family in ``similarity.py``
+    covers the embedding side; this covers the lexical side).
+
+    Candidates come from :func:`verified_near_dups` with a 0/1
+    threshold (every LSH candidate survives, each carrying its exact
+    ``inter``/``union_sz``); pairs are then symmetrized (each member
+    sees the other as a neighbor) and ranked per document by the scaled
+    integer Jaccard key ``inter·10^9 div union_sz`` (descending,
+    neighbor id ascending tie-break).
+
+    Output ``(doc_id, neighbor, inter, union_sz, rank)``, rank ≤ k.
+
+    Scale shape: everything up to ranking is the (bounded, capped) LSH
+    pipeline; the ranking window is keyed per doc_id over that doc's
+    candidate list only — Spark plans the rank≤k filter as a
+    WindowGroupLimit pushdown, so each map task forwards at most k
+    rows per doc into the sort.
+    """
+    pairs = verified_near_dups(
+        docs, jaccard_num=0, jaccard_den=1,
+        max_df=max_df, max_bucket=max_bucket,
+    ).filter(F.col("union_sz") > 0)
+    fwd = pairs.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("neighbor"),
+        "inter", "union_sz",
+    )
+    rev = pairs.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("doc_a").alias("neighbor"),
+        "inter", "union_sz",
+    )
+    sym = fwd.unionByName(rev)
+    jkey = F.expr(f"(inter * {_JACCARD_SCALE}) div union_sz")
+    w = Window.partitionBy("doc_id").orderBy(
+        jkey.desc(), F.col("neighbor").asc()
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id", "neighbor",
+            F.col("inter").cast("long").alias("inter"),
+            F.col("union_sz").cast("long").alias("union_sz"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def minhash_topk_sql(
+    k: int = 5,
+    max_df: int | None = None,
+    max_bucket: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`minhash_topk`."""
+    return f"""
+SELECT doc_id, neighbor,
+       CAST(inter AS BIGINT)    AS inter,
+       CAST(union_sz AS BIGINT) AS union_sz,
+       CAST(rank AS BIGINT)     AS rank
+FROM (
+  SELECT doc_id, neighbor, inter, union_sz,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY (inter * {_JACCARD_SCALE}) // union_sz DESC,
+                    neighbor ASC) AS rank
+  FROM (
+    SELECT doc_a AS doc_id, doc_b AS neighbor, inter, union_sz
+    FROM pairs WHERE union_sz > 0
+    UNION ALL
+    SELECT doc_b AS doc_id, doc_a AS neighbor, inter, union_sz
+    FROM pairs WHERE union_sz > 0
+  )
+)
+WHERE rank <= {k}
+"""
+
+
 
 
 # --------------------------------------------------------------------------

@@ -1172,3 +1172,116 @@ FROM (
   )
 )
 """
+
+
+# --------------------------------------------------------------------------
+# Classical additive seasonal decomposition (centered-MA detrend)
+# --------------------------------------------------------------------------
+
+def seasonal_decompose(
+    tier: DataFrame,
+    width_s: int,
+    period: int,
+    value_col: str = "sum_n_tok",
+) -> DataFrame:
+    """Classical additive decomposition, phase-profile face: detrend
+    each point with the centered moving average of one full season,
+    then aggregate the detrended residual per season phase — the
+    textbook decompose() seasonal component, kept EXACT-integer.
+
+    The centered MA of an even ``period`` p is the standard 2×p MA
+    (half-weight endpoints); everything is scaled by 2p so no division
+    ever happens: ``t2p = Σ_{j=−k..k−1} v[t+j] + Σ_{j=−k+1..k} v[t+j]``
+    (two p-row frames, k = p/2) equals 2p·trend, and the residual
+    ``d = 2p·v − t2p`` equals 2p·(v − trend). An odd p uses the plain
+    centered frame twice (same 2p scale). Points whose window is
+    incomplete (series edges) are dropped — both frames must hold
+    exactly p rows.
+
+    Input must be a DENSE series (gap-filled; row frames assume
+    contiguous buckets — run LOCF/interpolation first, as the snaive
+    backtest does). Output one row per (source, phase):
+    ``(source, phase, n_obs, sum_det)`` with phase = bucket index mod
+    period; the seasonal component at a phase is sum_det / (n_obs·2p),
+    consumers divide.
+
+    Scale shape: ONE source-keyed sort serves both window frames; the
+    phase profile is a partial+final hash agg of O(sources × period)
+    output rows. Residual sums are decimal(38,0)-exact.
+    """
+    assert period >= 2
+    k = period // 2
+    w = Window.partitionBy("source").orderBy("bucket_s")
+    if period % 2 == 0:
+        f1 = w.rowsBetween(-k, k - 1)
+        f2 = w.rowsBetween(-(k - 1), k)
+    else:
+        f1 = w.rowsBetween(-k, k)
+        f2 = f1
+    v = F.col(value_col).cast("long")
+    staged = tier.select(
+        "source",
+        F.col("bucket_s").cast("long").alias("bucket_s"),
+        v.alias("v"),
+        F.sum(v).over(f1).alias("s1"),
+        F.count(F.lit(1)).over(f1).alias("c1"),
+        F.sum(v).over(f2).alias("s2"),
+        F.count(F.lit(1)).over(f2).alias("c2"),
+    )
+    n_frame = period if period % 2 == 0 else period
+    d = (
+        F.lit(2 * period) * F.col("v") - (F.col("s1") + F.col("s2"))
+    ).cast("decimal(38,0)")
+    return (
+        staged.filter(
+            (F.col("c1") == n_frame) & (F.col("c2") == n_frame)
+        )
+        .select(
+            "source",
+            F.expr(
+                f"pmod(bucket_s, {period * width_s}) div {width_s}"
+            ).cast("long").alias("phase"),
+            d.alias("d"),
+        )
+        .groupBy("source", "phase")
+        .agg(
+            F.count("*").cast("long").alias("n_obs"),
+            F.sum("d").cast("decimal(38,0)").alias("sum_det"),
+        )
+    )
+
+
+def seasonal_decompose_sql(
+    relation: str,
+    width_s: int,
+    period: int,
+    value_col: str = "sum_n_tok",
+) -> str:
+    """DuckDB twin of :func:`seasonal_decompose` over a named dense
+    relation carrying (source, bucket_s, value_col)."""
+    k = period // 2
+    if period % 2 == 0:
+        fr1 = f"ROWS BETWEEN {k} PRECEDING AND {k - 1} FOLLOWING"
+        fr2 = f"ROWS BETWEEN {k - 1} PRECEDING AND {k} FOLLOWING"
+    else:
+        fr1 = f"ROWS BETWEEN {k} PRECEDING AND {k} FOLLOWING"
+        fr2 = fr1
+    return f"""
+SELECT source,
+       CAST((((bucket_s % {period * width_s}) + {period * width_s})
+             % {period * width_s}) // {width_s} AS BIGINT) AS phase,
+       count(*) AS n_obs,
+       CAST(sum(CAST({2 * period} * v - (s1 + s2) AS DECIMAL(38,0)))
+            AS DECIMAL(38,0)) AS sum_det
+FROM (
+  SELECT source, bucket_s, v,
+         sum(v)   OVER (PARTITION BY source ORDER BY bucket_s {fr1}) AS s1,
+         count(*) OVER (PARTITION BY source ORDER BY bucket_s {fr1}) AS c1,
+         sum(v)   OVER (PARTITION BY source ORDER BY bucket_s {fr2}) AS s2,
+         count(*) OVER (PARTITION BY source ORDER BY bucket_s {fr2}) AS c2
+  FROM (SELECT source, bucket_s, CAST({value_col} AS BIGINT) AS v
+        FROM {relation})
+)
+WHERE c1 = {period} AND c2 = {period}
+GROUP BY 1, 2
+"""

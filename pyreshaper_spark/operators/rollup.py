@@ -2187,3 +2187,137 @@ WHERE rn = 1
 
 
 ANALYTIC_FAMILIES["lhist"] = (bucket_log_hist, log_hist_cascade)
+
+
+# --------------------------------------------------------------------------
+# Theil–Sen robust slope — exact median-of-pairwise-slopes per coarse bucket
+# --------------------------------------------------------------------------
+
+def _theilsen_lcm(n_fine: int) -> int:
+    """lcm(1..n_fine-1): the common denominator that turns every
+    pairwise slope dy/dx (dx in 1..n_fine-1 fine steps) into an exact
+    integer key dy·(L/dx)."""
+    import math
+
+    return math.lcm(*range(1, n_fine))
+
+
+def theilsen(
+    tier: DataFrame,
+    coarse_s: int,
+    fine_s: int,
+    value_col: str = "sum_n_tok",
+) -> DataFrame:
+    """Theil–Sen estimator per (source, coarse bucket): the median of
+    all pairwise slopes of the fine tier's values inside the bucket —
+    the robust counterpart of :func:`bucket_trend` (least squares),
+    with a 29.3 % breakdown point instead of 0.
+
+    Exactness: a slope (v_b−v_a)/(x_b−x_a) with x the fine-bucket
+    index has denominator dx ∈ 1..n_fine−1, so every slope scales to
+    the exact integer key ``dy · (L div dx)`` with L = lcm(1..n_fine−1)
+    (for the 1h-in-1d default, L = 5,354,228,880). The median is then
+    an exact order statistic of the key list — (slope_lo, slope_hi)
+    middle values as decimal(38,0), true median = their midpoint / L
+    per fine step; ``slope_den`` carries L so consumers can divide.
+    The product is carried as decimal(19,0)×decimal(19,0) →
+    decimal(38,0), good for |dy| up to ~10^18.
+
+    Scale shape: the input is a TIER (O(sources × buckets) rows); the
+    pair fan-out is a self-EQUI-join on (source, coarse bucket) whose
+    per-group width is the constant n_fine (24 for hours-in-day →
+    ≤276 pairs per group), then one hash aggregate. No window, no
+    cartesian, no raw-data scan.
+    """
+    n_fine = coarse_s // fine_s
+    assert n_fine >= 2
+    lcm = _theilsen_lcm(n_fine)
+    pts = tier.select(
+        "source",
+        floor_to(F.col("bucket_s"), coarse_s).alias("cb"),
+        F.expr(f"pmod(bucket_s, {coarse_s}) div {fine_s}").alias("x"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    a = pts.select(
+        "source", "cb", F.col("x").alias("xa"), F.col("v").alias("va")
+    )
+    b = pts.select(
+        "source", "cb", F.col("x").alias("xb"), F.col("v").alias("vb")
+    )
+    key = (
+        (F.col("vb") - F.col("va")).cast("decimal(19,0)")
+        * F.expr(f"{lcm} div (xb - xa)").cast("decimal(19,0)")
+    ).alias("k")
+    pairs = (
+        a.join(b, ["source", "cb"])
+        .filter(F.col("xb") > F.col("xa"))
+        .select("source", "cb", key)
+    )
+    g = pairs.groupBy("source", "cb").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sort_array(F.collect_list("k")).alias("ks"),
+    )
+    n = F.col("n_pairs")
+    return g.select(
+        "source",
+        F.col("cb").cast("long").alias("bucket_s"),
+        "n_pairs",
+        F.element_at(F.col("ks"), ((n + 1) / 2).cast("int"))
+        .cast("decimal(38,0)").alias("slope_lo"),
+        F.element_at(F.col("ks"), (n / 2).cast("int") + 1)
+        .cast("decimal(38,0)").alias("slope_hi"),
+        F.lit(lcm).cast("long").alias("slope_den"),
+    )
+
+
+def theilsen_sql(
+    relation: str, coarse_s: int, fine_s: int, value_col: str = "sum_n_tok"
+) -> str:
+    """DuckDB twin of :func:`theilsen` over a named fine-tier relation
+    carrying (source, bucket_s, value_col)."""
+    n_fine = coarse_s // fine_s
+    lcm = _theilsen_lcm(n_fine)
+    return f"""
+SELECT source, bucket_s,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(ks[CAST((n_pairs + 1) // 2 AS INT)] AS DECIMAL(38,0)) AS slope_lo,
+       CAST(ks[CAST(n_pairs // 2 AS INT) + 1]   AS DECIMAL(38,0)) AS slope_hi,
+       CAST({lcm} AS BIGINT) AS slope_den
+FROM (
+  SELECT source, cb AS bucket_s,
+         count(*) AS n_pairs,
+         list_sort(list(k)) AS ks
+  FROM (
+    SELECT a.source, a.cb,
+           CAST(b.v - a.v AS DECIMAL(19,0))
+             * CAST({lcm} // (b.x - a.x) AS DECIMAL(19,0)) AS k
+    FROM (
+      SELECT source,
+             {floor_sql('bucket_s', coarse_s)} AS cb,
+             (bucket_s - {floor_sql('bucket_s', coarse_s)}) // {fine_s} AS x,
+             {value_col} AS v
+      FROM {relation}
+    ) a
+    JOIN (
+      SELECT source,
+             {floor_sql('bucket_s', coarse_s)} AS cb,
+             (bucket_s - {floor_sql('bucket_s', coarse_s)}) // {fine_s} AS x,
+             {value_col} AS v
+      FROM {relation}
+    ) b ON a.source = b.source AND a.cb = b.cb AND b.x > a.x
+  )
+  GROUP BY 1, 2
+)
+"""
+
+
+def theilsen_finish(ts: DataFrame, fine_s: int) -> DataFrame:
+    """Float slope (value units per second) from the exact keys —
+    derived metric, pytest-checked against a Fraction reference."""
+    return ts.select(
+        "source", "bucket_s", "n_pairs",
+        (
+            (F.col("slope_lo") + F.col("slope_hi")).cast("double")
+            / (2.0 * F.col("slope_den") * F.lit(float(fine_s)))
+        ).alias("slope_per_s"),
+    )

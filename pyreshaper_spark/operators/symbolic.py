@@ -81,18 +81,11 @@ def sax_breakpoints(
     )
 
 
-def sax_words(
-    tier: DataFrame,
-    word_w: int,
-    value_col: str = "sum_n_tok",
-    alphabet: int = 4,
+def sax_symbols(
+    tier: DataFrame, value_col: str = "sum_n_tok", alphabet: int = 4
 ) -> DataFrame:
-    """One SAX word per (source, ``word_w``-wide bucket): the tier's
-    ``value_col`` series symbolized at the source's empirical
-    breakpoints, letters concatenated in bucket-time order.
-
-    Output: ``(source, bucket_s, sax_word, n_frames)``.
-    """
+    """(source, frame_s, letter): one symbol per tier point — the
+    shared front half of :func:`sax_words` and :func:`sax_motifs`."""
     bps = sax_breakpoints(tier, value_col, alphabet)
     pts = tier.select(
         "source",
@@ -102,7 +95,7 @@ def sax_words(
     # symbol = 1 + count of breakpoints strictly below v (join fans
     # each frame out to alphabet-1 broadcast rows, collapsed right
     # back map-side by the partial agg)
-    sym = (
+    return (
         pts.join(F.broadcast(bps), "source")
         .groupBy("source", "frame_s")
         .agg(
@@ -115,6 +108,21 @@ def sax_words(
             "letter", F.expr(f"substring('{_LETTERS[:alphabet]}', s, 1)")
         )
     )
+
+
+def sax_words(
+    tier: DataFrame,
+    word_w: int,
+    value_col: str = "sum_n_tok",
+    alphabet: int = 4,
+) -> DataFrame:
+    """One SAX word per (source, ``word_w``-wide bucket): the tier's
+    ``value_col`` series symbolized at the source's empirical
+    breakpoints, letters concatenated in bucket-time order.
+
+    Output: ``(source, bucket_s, sax_word, n_frames)``.
+    """
+    sym = sax_symbols(tier, value_col, alphabet)
     return (
         sym.groupBy(
             "source", floor_to(F.col("frame_s"), word_w).alias("bucket_s")
@@ -134,25 +142,17 @@ def sax_words(
     )
 
 
-def sax_words_sql(
-    relation: str,
-    word_w: int,
-    value_col: str = "sum_n_tok",
-    alphabet: int = 4,
+def sax_symbols_sql(
+    relation: str, value_col: str = "sum_n_tok", alphabet: int = 4
 ) -> str:
-    """DuckDB twin of :func:`sax_words` over a named tier relation
-    with columns ``(source, bucket_s, {value_col})``."""
+    """DuckDB subquery producing (source, frame_s, letter) — twin of
+    :func:`sax_symbols`; shared by the word and motif SQL twins."""
     if not 2 <= alphabet <= len(_LETTERS):
         raise ValueError(f"alphabet must be in [2, 26]: {alphabet}")
     letters = _LETTERS[:alphabet]
     ks = ", ".join(f"({k})" for k in range(1, alphabet))
     return f"""
-SELECT source, bucket_s,
-       string_agg(letter, '' ORDER BY frame_s) AS sax_word,
-       CAST(count(*) AS BIGINT)                AS n_frames
-FROM (
   SELECT source, frame_s,
-         {floor_sql('frame_s', word_w)} AS bucket_s,
          substring('{letters}', CAST(s AS INTEGER), 1) AS letter
   FROM (
     SELECT p.source, p.frame_s,
@@ -178,6 +178,94 @@ FROM (
     ) bp ON p.source = bp.source
     GROUP BY p.source, p.frame_s
   )
+"""
+
+
+def sax_words_sql(
+    relation: str,
+    word_w: int,
+    value_col: str = "sum_n_tok",
+    alphabet: int = 4,
+) -> str:
+    """DuckDB twin of :func:`sax_words` over a named tier relation
+    with columns ``(source, bucket_s, {value_col})``."""
+    return f"""
+SELECT source, bucket_s,
+       string_agg(letter, '' ORDER BY frame_s) AS sax_word,
+       CAST(count(*) AS BIGINT)                AS n_frames
+FROM (
+  SELECT source, frame_s,
+         {floor_sql('frame_s', word_w)} AS bucket_s,
+         letter
+  FROM ({sax_symbols_sql(relation, value_col, alphabet)})
 )
 GROUP BY source, bucket_s
+"""
+
+
+def sax_motifs(
+    tier: DataFrame,
+    m: int,
+    value_col: str = "sum_n_tok",
+    alphabet: int = 4,
+    min_count: int = 2,
+) -> DataFrame:
+    """Motif discovery over the symbolized series: every OVERLAPPING
+    ``m``-symbol subword per source (the sliding-window complement of
+    :func:`sax_words`' non-overlapping tiling), counted; subwords
+    occurring ≥ ``min_count`` times are the series' recurring shapes —
+    the SAX-word motif index of Lin/Keogh/Patel, the symbolic stand-in
+    for a matrix-profile scan.
+
+    Subwords are assembled with ``m−1`` LEAD() calls concatenated in
+    frame order (NULL past the series end propagates through concat and
+    the partial window is dropped) — no reliance on either engine's
+    list-aggregation frame order. Output ``(source, motif, cnt)``.
+
+    Scale shape: symbols are tier-bounded (O(sources × buckets)); one
+    source-keyed sort window supplies all m−1 leads at once; the motif
+    count is a partial+final hash agg. No self-join, no cartesian.
+    """
+    assert m >= 2
+    sym = sax_symbols(tier, value_col, alphabet)
+    w = Window.partitionBy("source").orderBy("frame_s")
+    word = F.concat(
+        F.col("letter"),
+        *[F.lead("letter", i).over(w) for i in range(1, m)],
+    )
+    return (
+        sym.select("source", word.alias("motif"))
+        .filter(F.col("motif").isNotNull())
+        .groupBy("source", "motif")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+
+
+def sax_motifs_sql(
+    relation: str,
+    m: int,
+    value_col: str = "sum_n_tok",
+    alphabet: int = 4,
+    min_count: int = 2,
+) -> str:
+    """DuckDB twin of :func:`sax_motifs` over a named tier relation."""
+    assert m >= 2
+    leads = " || ".join(
+        ["letter"]
+        + [
+            f"lead(letter, {i}) OVER "
+            "(PARTITION BY source ORDER BY frame_s)"
+            for i in range(1, m)
+        ]
+    )
+    return f"""
+SELECT source, motif, CAST(count(*) AS BIGINT) AS cnt
+FROM (
+  SELECT source, {leads} AS motif
+  FROM ({sax_symbols_sql(relation, value_col, alphabet)})
+)
+WHERE motif IS NOT NULL
+GROUP BY 1, 2
+HAVING count(*) >= {min_count}
 """

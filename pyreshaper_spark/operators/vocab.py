@@ -29,7 +29,7 @@ from pyreshaper_spark.config import EPOCH0, HORIZON_S
 from pyreshaper_spark.fixtures import VOCAB_SIZE
 from pyreshaper_spark.functions.xhash import h32, h32_sql, perm, words_col
 
-from .rollup import bucket_col, floor_sql
+from .rollup import bucket_col, floor_sql, floor_to
 
 
 def explode_tokens(seq: DataFrame) -> DataFrame:
@@ -1190,5 +1190,69 @@ FROM (
   FROM tok
   GROUP BY 1, 2, 3
 )
+GROUP BY 1, 2
+"""
+
+
+def oov_rate(tok: DataFrame, width_s: int, top_v: int) -> DataFrame:
+    """Out-of-vocabulary rate per (source, bucket): the share of token
+    occurrences outside the corpus's top-``top_v`` vocabulary — the
+    canonical "is this slice of the stream garbage?" monitor (encoding
+    breakage, language drift, and spam floods all spike OOV against a
+    frozen head vocabulary).
+
+    The reference vocabulary is the top-``top_v`` tokens by corpus
+    count (ties broken by token id ascending) — a deterministic
+    ``ORDER BY … LIMIT`` that Spark plans as the distributed
+    TakeOrderedAndProject (partial top-K per partition, merged on the
+    driver), never a single-partition ranking window. The vocabulary
+    then broadcast-LEFT-joins onto the stream; a miss is an OOV
+    occurrence. Output (source, bucket_s, n_occ, n_oov) — exact
+    integers, consumers divide.
+
+    Scale shape: one vocabulary-bounded partial+final count agg, one
+    top-K, one broadcast join, one partial+final bucket agg — no
+    shuffle of the stream beyond the final group-by.
+    """
+    counts = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    vocab = (
+        counts.orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(top_v)
+        .select("token", F.lit(1).alias("in_v"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy(
+            "source",
+            floor_to(F.col("event_s"), width_s).alias("bucket_s"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_occ"),
+            F.sum(F.when(F.col("in_v").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "source",
+            F.col("bucket_s").cast("long").alias("bucket_s"),
+            "n_occ",
+            "n_oov",
+        )
+    )
+
+
+def oov_rate_sql(width_s: int, top_v: int) -> str:
+    """DuckDB twin of :func:`oov_rate` over the `tok` CTE."""
+    return f"""
+SELECT source,
+       {floor_sql('event_s', width_s)} AS bucket_s,
+       count(*)                        AS n_occ,
+       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                                       AS n_oov
+FROM tok t
+LEFT JOIN (
+  SELECT token FROM (SELECT token, count(*) AS cnt FROM tok GROUP BY 1)
+  ORDER BY cnt DESC, token ASC LIMIT {top_v}
+) v ON t.token = v.token
 GROUP BY 1, 2
 """

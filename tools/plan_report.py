@@ -1027,6 +1027,73 @@ def main() -> None:
         ],
     ))
 
+    from pyreshaper_spark.operators.dedup import minhash_topk
+    from pyreshaper_spark.operators.rollup import theilsen
+    from pyreshaper_spark.operators.symbolic import sax_motifs
+    from pyreshaper_spark.operators.vocab import oov_rate
+
+    p_ts = plan_of(theilsen(t1h_c, 86400, 3600))
+    p_oov = plan_of(oov_rate(toks, 3600, 200))
+    p_motif = plan_of(sax_motifs(t1h_c, m=4))
+    p_mtk = plan_of(minhash_topk(docs_mm, k=5))
+    sections.append((
+        "Theil–Sen, OOV rate, SAX motifs, minhash top-k",
+        "\n".join([
+            "--- theilsen(1d over 1h) ---", p_ts[:1600],
+            "--- oov_rate(1h, top 200) ---", p_oov[:1600],
+            "--- sax_motifs(m=4) ---", p_motif[:1200],
+            "--- minhash_topk(k=5) ---", p_mtk[:1200],
+        ]),
+        [
+            ("theilsen: pair fan-out is an EQUI self-join on (source, "
+             "coarse bucket) — constant per-group width, no cartesian",
+             no_cartesian(p_ts) and "Join" in p_ts),
+            ("theilsen: median via one partial-input hash agg "
+             "(collect_list is group-bounded), no window",
+             "Window" not in p_ts and "HashAggregate" in p_ts),
+            ("oov: vocabulary head picked by TakeOrderedAndProject "
+             "(distributed top-K), never a global rank window",
+             "TakeOrderedAndProject" in p_oov and "Window" not in p_oov),
+            ("oov: vocab set joins back as a BROADCAST; bucket agg is "
+             "partial+final",
+             "BroadcastHashJoin" in p_oov
+             and p_oov.count("HashAggregate") >= 4),
+            ("motifs: subwords from ONE source-keyed sort window "
+             "(m-1 leads share it) + partial+final count agg — no "
+             "self-join on the symbol stream",
+             "Window" in p_motif and no_cartesian(p_motif)),
+            ("minhash topk: per-doc rank pushes WindowGroupLimit "
+             "(each map task forwards ≤k candidates per doc)",
+             "WindowGroupLimit" in p_mtk and no_cartesian(p_mtk)),
+        ],
+    ))
+
+    from pyreshaper_spark.operators.correlate import source_ccf_moments
+    from pyreshaper_spark.operators.gapfill import seasonal_decompose
+
+    p_ccf = plan_of(source_ccf_moments(t1h_c, 3, 3600))
+    p_dec2 = plan_of(seasonal_decompose(t10, 600, 6, value_col="cnt"))
+    sections.append((
+        "CCF (all lags one pass), seasonal decomposition",
+        "\n".join([
+            "--- source_ccf_moments(lags 0..3) ---", p_ccf[:1800],
+            "--- seasonal_decompose(p=6) ---", p_dec2[:1400],
+        ]),
+        [
+            ("ccf: lag fan-out is a map-side explode (constant "
+             "max_lag+1), pairing is a bucket EQUI-join, no cartesian",
+             no_cartesian(p_ccf) and "Generate" in p_ccf),
+            ("ccf: one partial+final moment agg after the join",
+             p_ccf.count("HashAggregate") >= 2),
+            ("decompose: BOTH MA frames ride ONE source-keyed sort "
+             "(a single exchange feeds the window), then one "
+             "partial+final phase agg — no join",
+             "Join" not in p_dec2
+             and p_dec2.count("hashpartitioning(source") <= 2
+             and p_dec2.count("HashAggregate") >= 2),
+        ],
+    ))
+
     out = ["# PLANS — physical-plan verification (auto-generated by "
            "tools/plan_report.py)\n"]
     all_ok = True
