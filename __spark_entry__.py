@@ -606,6 +606,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pack_stats_2k"] = _q_pack_stats
     # -- similarity search --------------------------------------------
     q["ann_topk_dot"] = lambda s, d: similarity.topk_dot(_emb(s, d))
+    # embedding-ingest health: per-label exact norm² stats
+    q["emb_norm_stats"] = lambda s, d: similarity.emb_norm_stats(_emb(s, d))
     # binary-sketch ANN: Hamming-over-sign-codes shortlist + exact rerank
     q["ann_binq_topk"] = lambda s, d: similarity.binq_topk(_emb(s, d))
     q["ann_topk_cosine"] = lambda s, d: similarity.topk_cosine(_emb(s, d))
@@ -1310,6 +1312,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tok_bigram_pmi"] = lambda s, d: VB.bigram_pmi(
         _md_seq(s, d), min_count=2
     )
+    # skip-gram ±3 co-occurrence (word2vec/GloVe matrix builder)
+    q["tok_skipgram_w3"] = lambda s, d: VB.tok_skipgram(
+        _md_seq(s, d), window=3, min_count=2
+    )
     q["doc_rarity"] = lambda s, d: VB.doc_rarity(_md_seq(s, d), max_df=2)
     q["token_zipf"] = lambda s, d: VB.token_zipf(
         VB.token_stream(_docs(s, d))
@@ -1659,6 +1665,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["src_ccf_1h"] = _q_ccf
+
+    # hour-of-day percentile envelope ("typical day" band)
+    def _q_hod_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.rollup import hod_band
+
+        return hod_band(_norm_tier(_tiers(spark, sf_dir)[3600]))
+
+    q["hod_band_1h"] = _q_hod_band
+
+    # seasonal-band anomaly flags against the hod envelope
+    def _q_hod_anom(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.rollup import hod_anomaly
+
+        return hod_anomaly(_norm_tier(_tiers(spark, sf_dir)[3600]))
+
+    q["hod_anomaly_1h"] = _q_hod_anom
 
     # -- streaming tier-0 (availableNow over the static fixture) ------
     def _q_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2467,6 +2489,7 @@ FROM tier t JOIN meta m USING (source)
         "FROM pk GROUP BY 1, 2"
     )
     o["ann_topk_dot"] = similarity.topk_dot_sql()
+    o["emb_norm_stats"] = similarity.emb_norm_stats_sql()
     o["ann_binq_topk"] = similarity.binq_topk_sql()
     o["ann_topk_cosine"] = similarity.topk_cosine_sql()
     from pyreshaper_spark.operators.kmeans import (
@@ -2677,6 +2700,11 @@ FROM filled
         seqs_cte,
     )
 
+    from pyreshaper_spark.operators.vocab import tok_skipgram_sql
+
+    o["tok_skipgram_w3"] = (
+        f"WITH {seqs_cte(_V)}," + tok_skipgram_sql(3, min_count=2)
+    )
     o["tok_bigram_pmi"] = (
         f"WITH {seqs_cte(_V)}," + bigram_pmi_sql(_V, min_count=2)
     )
@@ -2845,6 +2873,20 @@ FROM filled
         f"WITH {seq_cte('base')},\n"
         f"tier AS ({_TIER_AGG.format(w=3600)})\n"
         + ccf_sql("tier", 3, 3600)
+    )
+    from pyreshaper_spark.operators.rollup import hod_band_sql
+
+    o["hod_band_1h"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"tier AS ({_TIER_AGG.format(w=3600)})\n"
+        + hod_band_sql("tier")
+    )
+    from pyreshaper_spark.operators.rollup import hod_anomaly_sql
+
+    o["hod_anomaly_1h"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"tier AS ({_TIER_AGG.format(w=3600)})\n"
+        + hod_anomaly_sql("tier")
     )
 
     from pyreshaper_spark.operators.gapfill import rolling_agg_sql

@@ -2321,3 +2321,140 @@ def theilsen_finish(ts: DataFrame, fine_s: int) -> DataFrame:
             / (2.0 * F.col("slope_den") * F.lit(float(fine_s)))
         ).alias("slope_per_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hour-of-day percentile band — the "typical day" envelope
+# --------------------------------------------------------------------------
+
+def hod_band(
+    tier: DataFrame,
+    width_s: int = 3600,
+    value_col: str = "sum_n_tok",
+) -> DataFrame:
+    """Seasonal percentile band per (source, hour-of-day): the exact
+    p10/p50/p90 of the tier's values at that phase across all days —
+    the envelope an SRE dashboard shades behind today's line, and the
+    seasonal-threshold baseline for "is this hour abnormal FOR this
+    hour of day?" alerting.
+
+    Percentiles are exact order statistics at ascending rank
+    ``ceil(q·n)`` of the sorted per-phase value list (the engine's
+    integer-exact discipline: no interpolation, no float). Output
+    ``(source, hod, n_days, p10, p50, p90)``.
+
+    Scale shape: one partial+final hash agg keyed (source, hod);
+    group width is the day count of the retention window (a tier is
+    O(sources × buckets), and each group holds ~n_days values — 365
+    at a year of 1h buckets), so the per-group sort is bounded. No
+    window, no join.
+    """
+    hod = F.expr(f"pmod(bucket_s, 86400) div {width_s}")
+    g = (
+        tier.select(
+            "source",
+            hod.cast("long").alias("hod"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .groupBy("source", "hod")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sort_array(F.collect_list("v")).alias("vs"),
+        )
+    )
+    n = F.col("n_days")
+
+    def _at(q_num: int, q_den: int):
+        # ascending rank ceil(q*n), 1-indexed
+        return F.element_at(
+            F.col("vs"),
+            ((n * q_num + q_den - 1) / q_den).cast("int"),
+        ).cast("long")
+
+    return g.select(
+        "source", "hod", "n_days",
+        _at(1, 10).alias("p10"),
+        _at(1, 2).alias("p50"),
+        _at(9, 10).alias("p90"),
+    )
+
+
+def hod_band_sql(
+    relation: str, width_s: int = 3600, value_col: str = "sum_n_tok"
+) -> str:
+    """DuckDB twin of :func:`hod_band` over a named tier relation."""
+    return f"""
+SELECT source, hod,
+       CAST(n_days AS BIGINT) AS n_days,
+       CAST(vs[CAST((n_days * 1 + 9) // 10 AS INT)] AS BIGINT) AS p10,
+       CAST(vs[CAST((n_days * 1 + 1) // 2  AS INT)] AS BIGINT) AS p50,
+       CAST(vs[CAST((n_days * 9 + 9) // 10 AS INT)] AS BIGINT) AS p90
+FROM (
+  SELECT source,
+         CAST((((bucket_s % 86400) + 86400) % 86400) // {width_s}
+              AS BIGINT)               AS hod,
+         count(*)                      AS n_days,
+         list_sort(list(CAST({value_col} AS BIGINT))) AS vs
+  FROM {relation}
+  GROUP BY 1, 2
+)
+"""
+
+
+def hod_anomaly(
+    tier: DataFrame,
+    width_s: int = 3600,
+    value_col: str = "sum_n_tok",
+) -> DataFrame:
+    """Seasonal-band anomaly flags: each tier point compared against
+    ITS OWN hour-of-day's p10/p90 envelope (:func:`hod_band`) — "is
+    3 AM traffic abnormal FOR 3 AM?", the alert rule a flat z-score
+    can't express on strongly diurnal series.
+
+    Output (source, bucket_s, value, p10, p90, is_low, is_high) —
+    pure integer comparisons. Note the self-referential baseline: a
+    point contributes to the very band that judges it (fine for the
+    dashboard face; a production alert would compute the band over a
+    trailing-exclusive window — same join shape).
+
+    Scale shape: the band is O(sources × period) rows → BROADCAST
+    equi-join back onto the tier; one band agg + one join, no window
+    over raw data.
+    """
+    band = hod_band(tier, width_s, value_col)
+    pts = tier.select(
+        "source",
+        F.col("bucket_s").cast("long").alias("bucket_s"),
+        F.expr(f"pmod(bucket_s, 86400) div {width_s}")
+        .cast("long").alias("hod"),
+        F.col(value_col).cast("long").alias("value"),
+    )
+    return (
+        pts.join(F.broadcast(band), ["source", "hod"])
+        .select(
+            "source", "bucket_s", "value", "p10", "p90",
+            (F.col("value") < F.col("p10")).alias("is_low"),
+            (F.col("value") > F.col("p90")).alias("is_high"),
+        )
+    )
+
+
+def hod_anomaly_sql(
+    relation: str, width_s: int = 3600, value_col: str = "sum_n_tok"
+) -> str:
+    """DuckDB twin of :func:`hod_anomaly` over a named tier relation."""
+    return f"""
+SELECT p.source, p.bucket_s, p.value, b.p10, b.p90,
+       p.value < b.p10 AS is_low,
+       p.value > b.p90 AS is_high
+FROM (
+  SELECT source,
+         CAST(bucket_s AS BIGINT) AS bucket_s,
+         CAST((((bucket_s % 86400) + 86400) % 86400) // {width_s}
+              AS BIGINT)          AS hod,
+         CAST({value_col} AS BIGINT) AS value
+  FROM {relation}
+) p
+JOIN ({hod_band_sql(relation, width_s, value_col)}) b
+  ON p.source = b.source AND p.hod = b.hod
+"""

@@ -823,3 +823,57 @@ SELECT query_id, neighbor_id, dot, rank FROM (
   FROM short)
 WHERE rank <= {k}
 """
+
+
+def emb_norm_stats(emb: DataFrame) -> DataFrame:
+    """Embedding-quality stats per label group: n vectors, Σ‖q‖²,
+    min/max ‖q‖² over the exact fixed-point grid — the ingest health
+    check for an embedding column (a batch of zero / exploding norms is
+    the classic symptom of an encoder regression or a bad cast
+    upstream; collapsed per-group norm spread flags constant vectors).
+
+    ‖q‖² is the exact integer self-dot of the quantized vector (same
+    grid as every ANN operator here); sums are decimal(38,0).
+    One map-side projection + one partial+final hash agg keyed by the
+    small label set — no join, no window, single scan.
+    """
+    q = emb.select(
+        F.col("label").cast("long").alias("label"),
+        _dot(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * QUANT).cast("long"),
+            ),
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * QUANT).cast("long"),
+            ),
+        ).alias("n2"),
+    )
+    return q.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum(F.col("n2").cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("sum_norm2"),
+        F.min("n2").cast("long").alias("min_norm2"),
+        F.max("n2").cast("long").alias("max_norm2"),
+    )
+
+
+def emb_norm_stats_sql() -> str:
+    """DuckDB twin of :func:`emb_norm_stats` over the `embeddings`
+    view."""
+    return f"""
+SELECT CAST(label AS BIGINT) AS label,
+       count(*)              AS n_vecs,
+       CAST(sum(CAST(n2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_norm2,
+       CAST(min(n2) AS BIGINT) AS min_norm2,
+       CAST(max(n2) AS BIGINT) AS max_norm2
+FROM (
+  SELECT label,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(q, x -> x * x)),
+                     (a, b) -> a + b) AS n2
+  FROM ({QUANT_SQL.replace("SELECT vec_id,", "SELECT vec_id, label,")})
+)
+GROUP BY 1
+"""

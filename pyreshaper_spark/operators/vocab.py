@@ -1256,3 +1256,60 @@ LEFT JOIN (
 ) v ON t.token = v.token
 GROUP BY 1, 2
 """
+
+
+def tok_skipgram(
+    seq: DataFrame, window: int, min_count: int = 2
+) -> DataFrame:
+    """Skip-gram co-occurrence counts: ordered token pairs (t1 then t2)
+    within ``window`` positions inside a document — the word2vec /
+    GloVe co-occurrence matrix builder, generalizing the adjacent-only
+    :func:`bigram_counts` to a ±w context.
+
+    Pairs are generated ENTIRELY map-side — for each position i, the
+    next ``window`` tokens via a slice-transform lambda (whole-stage
+    codegen, no self-join, no shuffle of positions); the only shuffle
+    is the final (source, t1, t2) count agg. ``min_count`` bounds the
+    output (survivors ≤ total pairs / min_count).
+
+    Output ``(source, t1, t2, c_xy)`` — exact integers.
+    """
+    pairs = F.explode(
+        F.flatten(
+            F.expr(
+                "transform(tokens, (x, i) -> "
+                f"transform(slice(tokens, i + 2, {window}), "
+                "y -> struct(x AS t1, y AS t2)))"
+            )
+        )
+    ).alias("p")
+    return (
+        seq.select("source", pairs)
+        .select("source", F.col("p.t1").alias("t1"),
+                F.col("p.t2").alias("t2"))
+        .groupBy("source", "t1", "t2")
+        .agg(F.count("*").cast("long").alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+
+
+def tok_skipgram_sql(window: int, min_count: int = 2) -> str:
+    """DuckDB twin of :func:`tok_skipgram` over a `seqs(source,
+    tokens)` CTE (zipped unnest positions + bounded-offset
+    self-join — correctness twin; the Spark side is join-free)."""
+    return f"""
+pos AS (
+  SELECT source, doc_id,
+         unnest(tokens)                    AS tok,
+         generate_subscripts(tokens, 1)    AS pos
+  FROM seqs
+)
+SELECT a.source, a.tok AS t1, b.tok AS t2,
+       count(*) AS c_xy
+FROM pos a
+JOIN pos b ON a.doc_id = b.doc_id
+          AND b.pos > a.pos AND b.pos <= a.pos + {window}
+          AND a.source = b.source
+GROUP BY 1, 2, 3
+HAVING count(*) >= {min_count}
+"""

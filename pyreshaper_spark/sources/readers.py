@@ -148,3 +148,37 @@ def write_sequences_csv(seq: DataFrame, path: str) -> None:
         "source",
         "event_s",
     ).write.option("header", "true").mode("overwrite").csv(path)
+
+
+def read_sequences_json_quarantine(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-lines ingest with a corrupt-record quarantine — the
+    realistic 100 TB delivery posture: a handful of mangled lines in a
+    multi-TB drop must neither kill the job (FAILFAST) nor silently
+    vanish (DROPMALFORMED). PERMISSIVE parsing routes each bad line's
+    raw text into a side column; the return is ``(good, bad)`` where
+    ``good`` has the clean sequences schema and ``bad`` carries
+    ``(raw_line)`` for offline triage / re-delivery accounting.
+
+    Notes for scale: the split is two filters over ONE cached parse —
+    no second read of the input; Spark requires the corrupt column to
+    be materialized (cache) before filtering on it.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        list(SEQ_SCHEMA.fields) + [StructField("_raw", StringType())]
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_raw")
+        .json(path)
+        .cache()
+    )
+    good = parsed.filter(F.col("_raw").isNull()).select(*_COLS)
+    bad = parsed.filter(F.col("_raw").isNotNull()).select(
+        F.col("_raw").alias("raw_line")
+    )
+    return good, bad

@@ -1091,6 +1091,30 @@ def main() -> None:
              "Join" not in p_dec2
              and p_dec2.count("hashpartitioning(source") <= 2
              and p_dec2.count("HashAggregate") >= 2),
+            ("hod band: ONE partial+final hash agg keyed (source, "
+             "hod) — no window, no join",
+             (lambda p: "Window" not in p and "Join" not in p
+              and p.count("HashAggregate") >= 2)(
+                 plan_of(__import__(
+                     "pyreshaper_spark.operators.rollup",
+                     fromlist=["hod_band"]).hod_band(t1h_c)))),
+            ("skipgram: pair generation is map-side codegen (Generate "
+             "over the slice-transform) — NO self-join; only shuffle "
+             "is the count agg",
+             (lambda p: "Generate" in p and "Join" not in p
+              and p.count("HashAggregate") >= 2)(
+                 plan_of(__import__(
+                     "pyreshaper_spark.operators.vocab",
+                     fromlist=["tok_skipgram"]).tok_skipgram(
+                         seq, 3)))),
+            ("hod anomaly: the O(sources×24) band rides a BROADCAST "
+             "equi-join back onto the tier — no shuffle join, no "
+             "cartesian",
+             (lambda p: "BroadcastHashJoin" in p and no_cartesian(p)
+              and "SortMergeJoin" not in p)(
+                 plan_of(__import__(
+                     "pyreshaper_spark.operators.rollup",
+                     fromlist=["hod_anomaly"]).hod_anomaly(t1h_c)))),
         ],
     ))
 
