@@ -1316,6 +1316,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tok_skipgram_w3"] = lambda s, d: VB.tok_skipgram(
         _md_seq(s, d), window=3, min_count=2
     )
+    # trending tokens: day-over-day frequency lift top-k
+    q["token_movers_1d"] = lambda s, d: VB.token_movers(
+        VB.token_stream(_docs(s, d)), 86400, k=5, min_count=2
+    )
     q["doc_rarity"] = lambda s, d: VB.doc_rarity(_md_seq(s, d), max_df=2)
     q["token_zipf"] = lambda s, d: VB.token_zipf(
         VB.token_stream(_docs(s, d))
@@ -1978,6 +1982,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["streaming_anomaly"] = _q_streaming_anomaly
+
+    def _q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+
+        from pyreshaper_spark.operators.vocab import token_stream
+        from pyreshaper_spark.streaming.topk import streaming_topk
+
+        base = tempfile.mkdtemp(prefix="stream_tk_")
+        src = os.path.join(base, "src")
+        (
+            token_stream(_docs(spark, sf_dir))
+            .orderBy("event_s", "token")
+            .coalesce(1)
+            .write.parquet(src)
+        )
+        rows: list = []
+
+        def sink(batch_df, _epoch):
+            rows.extend(batch_df.collect())
+
+        stream = spark.readStream.schema(
+            "source string, event_s long, token long"
+        ).parquet(src)
+        sq = (
+            streaming_topk(stream, 3600, k=3)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(base, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination(300)
+        return spark.createDataFrame(
+            rows,
+            "source string, bucket_s long, token long, cnt long, "
+            "rank long",
+        )
+
+    q["streaming_topk"] = _q_streaming_topk
 
     def _q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         import os
@@ -2687,6 +2731,21 @@ FROM filled
     from pyreshaper_spark.operators.vocab import oov_rate_sql
 
     o["oov_rate_1h"] = f"WITH {token_cte()}\n" + oov_rate_sql(3600, 200)
+    from pyreshaper_spark.operators.vocab import token_movers_sql
+
+    o["token_movers_1d"] = (
+        f"WITH {token_cte()}\n" + token_movers_sql(86400, k=5, min_count=2)
+    )
+    # streaming top-k emits CLOSED buckets only: batch token_topk minus
+    # each source's final (still-open) bucket
+    o["streaming_topk"] = f"""
+WITH {token_cte()},
+ranked AS ({token_topk_sql(3600, 3)}),
+last AS (SELECT source, max(bucket_s) AS mb FROM ranked GROUP BY 1)
+SELECT r.source, r.bucket_s, r.token, r.cnt, r.rank
+FROM ranked r JOIN last ON r.source = last.source
+WHERE r.bucket_s < last.mb
+"""
     from pyreshaper_spark.operators.vocab import token_hapax_sql
 
     o["hapax_1h"] = f"WITH {token_cte()}\n" + token_hapax_sql(3600)

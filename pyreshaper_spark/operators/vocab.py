@@ -1313,3 +1313,91 @@ JOIN pos b ON a.doc_id = b.doc_id
 GROUP BY 1, 2, 3
 HAVING count(*) >= {min_count}
 """
+
+
+#: fraction-ranking scale for token_movers' day-over-day lift key
+_LIFT_SCALE = 1_000_000
+
+
+def token_movers(
+    tok: DataFrame,
+    width_s: int = 86400,
+    k: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Trending tokens: the top-``k`` tokens by day-over-day frequency
+    lift — the "what changed in the stream today?" monitor (a spam
+    campaign, a new boilerplate template, or an emergent topic shows
+    up here before it moves any aggregate).
+
+    Lift is ranked by the exact scaled-integer key
+    ``c_cur·10⁶ div c_prev`` (descending, token id ascending
+    tie-break); both days must carry ≥ ``min_count`` occurrences (the
+    1→2 noise guard, and the reason a brand-new token is reported by
+    :func:`vocab_growth`, not here). Output
+    ``(bucket_s, token, c_prev, c_cur, lift_k, rank)``, rank ≤ k.
+
+    Scale shape: the only corpus-sized work is the (bucket, token)
+    partial+final count agg (output bounded by V × days); the
+    day-over-day pairing is a self-EQUI-join on (token, bucket−w) of
+    that bounded table and the rank window holds ≤ V rows per day.
+    """
+    counts = (
+        tok.select(bucket_col(width_s, "event_s"), "token")
+        .groupBy("bucket_s", "token")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_count)
+    )
+    cur = counts.select("bucket_s", "token", F.col("c").alias("c_cur"))
+    prev = counts.select(
+        (F.col("bucket_s") + width_s).alias("bucket_s"),
+        "token",
+        F.col("c").alias("c_prev"),
+    )
+    joined = cur.join(prev, ["bucket_s", "token"]).withColumn(
+        "lift_k", F.expr(f"(c_cur * {_LIFT_SCALE}) div c_prev")
+    )
+    w = Window.partitionBy("bucket_s").orderBy(
+        F.col("lift_k").desc(), F.col("token").asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("bucket_s").cast("long").alias("bucket_s"),
+            F.col("token").cast("long").alias("token"),
+            F.col("c_prev").cast("long").alias("c_prev"),
+            F.col("c_cur").cast("long").alias("c_cur"),
+            F.col("lift_k").cast("long").alias("lift_k"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def token_movers_sql(
+    width_s: int = 86400, k: int = 5, min_count: int = 2
+) -> str:
+    """DuckDB twin of :func:`token_movers` over the `tok` CTE."""
+    return f"""
+SELECT bucket_s, token, c_prev, c_cur, lift_k, rank
+FROM (
+  SELECT c.bucket_s, c.token,
+         p.c AS c_prev, c.c AS c_cur,
+         (c.c * {_LIFT_SCALE}) // p.c AS lift_k,
+         row_number() OVER (
+           PARTITION BY c.bucket_s
+           ORDER BY (c.c * {_LIFT_SCALE}) // p.c DESC, c.token ASC
+         ) AS rank
+  FROM (
+    SELECT {floor_sql('event_s', width_s)} AS bucket_s, token,
+           count(*) AS c
+    FROM tok GROUP BY 1, 2 HAVING count(*) >= {min_count}
+  ) c
+  JOIN (
+    SELECT {floor_sql('event_s', width_s)} + {width_s} AS bucket_s,
+           token, count(*) AS c
+    FROM tok GROUP BY 1, 2 HAVING count(*) >= {min_count}
+  ) p ON c.bucket_s = p.bucket_s AND c.token = p.token
+)
+WHERE rank <= {k}
+"""
