@@ -2372,12 +2372,14 @@ SELECT source, count(*) AS n_docs FROM sequences GROUP BY 1
     o["streaming_label"] = _INTERVAL_LABEL_SQL
     from pyreshaper_spark.streaming.joinss import time_join_sql
 
+    from pyreshaper_spark.functions.xhash import h32_sql as _h32_sql
+
     o["streaming_ss_join"] = f"""
 WITH {seq_cte('base')},
 l AS (SELECT source, event_s, n_tok FROM sequences
-     WHERE CAST(('0x' || substr(md5(doc_id), 1, 8)) AS BIGINT) % 2 = 0),
+     WHERE {_h32_sql('doc_id')} % 2 = 0),
 r AS (SELECT source, event_s, n_tok FROM sequences
-     WHERE CAST(('0x' || substr(md5(doc_id), 1, 8)) AS BIGINT) % 2 = 1)
+     WHERE {_h32_sql('doc_id')} % 2 = 1)
 """ + time_join_sql("l", "r", 36000)
     o["tier_1h_retention"] = (
         f"WITH {seq_cte('base')},\n"
@@ -2805,21 +2807,13 @@ WHERE r.bucket_s < last.mb
         snaive_backtest_sql,
     )
 
-    _LOCFED_CTE = """,
-locfed AS (
-  SELECT source, bucket_s,
-         last_value(sum_n_tok IGNORE NULLS) OVER (
-           PARTITION BY source ORDER BY bucket_s
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-         ) AS sum_n_tok
-  FROM filled
-)
-"""
     o["forecast_10m"] = (
-        _GAPFILL_CTES + _LOCFED_CTE + snaive_backtest_sql("locfed", 3600)
+        _GAPFILL_CTES + _LOCF_CTE
+        + snaive_backtest_sql("locf", 3600, value_col="sum_n_tok_locf")
     )
     o["forecast_accuracy_10m"] = (
-        _GAPFILL_CTES + _LOCFED_CTE + forecast_accuracy_sql("locfed", 3600)
+        _GAPFILL_CTES + _LOCF_CTE
+        + forecast_accuracy_sql("locf", 3600, value_col="sum_n_tok_locf")
     )
     from pyreshaper_spark.operators.events import session_coverage_sql
     from pyreshaper_spark.operators.rollup import quota_cross_sql

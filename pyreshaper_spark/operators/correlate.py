@@ -29,6 +29,30 @@ from pyspark.sql import functions as F
 MOMENT_COLS = ("n_buckets", "sx", "sy", "sxy", "sxx", "syy")
 
 
+def _pair_series(
+    tier, value_col: str, sources=None
+):
+    """(source_a < source_b, bucket_s, va, vb): the bucket-aligned
+    pair series every pairwise-correlation operator starts from —
+    shared by Pearson, Spearman, and Kendall."""
+    cols = ["source", "bucket_s", F.col(value_col).alias("v")]
+    t = tier.select(*cols)
+    if sources is not None:
+        t = t.filter(F.col("source").isin(list(sources)))
+    a, b = t.alias("a"), t.alias("b")
+    return (
+        a.join(b, "bucket_s")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.col("bucket_s"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+    )
+
+
 def source_corr_moments(
     tier: DataFrame,
     value_col: str = "sum_n_tok",
@@ -254,22 +278,7 @@ def source_spearman_moments(
     x/y) — ranking needs the pair's rows co-located, but never a
     second shuffle key.
     """
-    cols = ["source", "bucket_s", F.col(value_col).alias("v")]
-    t = tier.select(*cols)
-    if sources is not None:
-        t = t.filter(F.col("source").isin(list(sources)))
-    a, b = t.alias("a"), t.alias("b")
-    pairs = (
-        a.join(b, "bucket_s")
-        .filter(F.col("a.source") < F.col("b.source"))
-        .select(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
-            F.col("bucket_s"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
-        )
-    )
+    pairs = _pair_series(tier, value_col, sources)
     from pyspark.sql import Window
 
     part = Window.partitionBy("source_a", "source_b")
@@ -353,22 +362,7 @@ def source_kendall_counts(
     For wide scans pass ``sources=`` or pre-slice the tier's time
     range — the knob is selection, the join stays equi-keyed.
     """
-    cols = ["source", "bucket_s", F.col(value_col).alias("v")]
-    t = tier.select(*cols)
-    if sources is not None:
-        t = t.filter(F.col("source").isin(list(sources)))
-    a, b = t.alias("a"), t.alias("b")
-    pairs = (
-        a.join(b, "bucket_s")
-        .filter(F.col("a.source") < F.col("b.source"))
-        .select(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
-            F.col("bucket_s"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
-        )
-    )
+    pairs = _pair_series(tier, value_col, sources)
     p, q = pairs.alias("p"), pairs.alias("q")
     dx0 = F.col("p.va") == F.col("q.va")
     dy0 = F.col("p.vb") == F.col("q.vb")
@@ -441,22 +435,17 @@ SELECT source_a, source_b,
        CAST(sum(CASE WHEN p_va = q_va AND p_vb = q_vb
                 THEN 1 ELSE 0 END) AS BIGINT) AS tie_xy
 FROM (
+  WITH pairs AS (
+    SELECT a.source AS source_a, b.source AS source_b, a.bucket_s,
+           CAST(a.{value_col} AS BIGINT) AS va,
+           CAST(b.{value_col} AS BIGINT) AS vb
+    FROM {relation} a JOIN {relation} b USING (bucket_s)
+    WHERE a.source < b.source
+  )
   SELECT p.source_a, p.source_b,
          p.va AS p_va, p.vb AS p_vb, q.va AS q_va, q.vb AS q_vb
-  FROM (
-    SELECT a.source AS source_a, b.source AS source_b, a.bucket_s,
-           CAST(a.{value_col} AS BIGINT) AS va,
-           CAST(b.{value_col} AS BIGINT) AS vb
-    FROM {relation} a JOIN {relation} b USING (bucket_s)
-    WHERE a.source < b.source
-  ) p
-  JOIN (
-    SELECT a.source AS source_a, b.source AS source_b, a.bucket_s,
-           CAST(a.{value_col} AS BIGINT) AS va,
-           CAST(b.{value_col} AS BIGINT) AS vb
-    FROM {relation} a JOIN {relation} b USING (bucket_s)
-    WHERE a.source < b.source
-  ) q
+  FROM pairs p
+  JOIN pairs q
     ON q.source_a = p.source_a AND q.source_b = p.source_b
    AND p.bucket_s < q.bucket_s
 )

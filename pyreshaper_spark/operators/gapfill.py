@@ -1228,7 +1228,10 @@ def seasonal_decompose(
         F.sum(v).over(f2).alias("s2"),
         F.count(F.lit(1)).over(f2).alias("c2"),
     )
-    n_frame = period if period % 2 == 0 else period
+    # both frames hold exactly `period` rows when complete (even p:
+    # two staggered p-row frames; odd p: the 2k+1 = p centered frame
+    # used twice)
+    n_frame = period
     d = (
         F.lit(2 * period) * F.col("v") - (F.col("s1") + F.col("s2"))
     ).cast("decimal(38,0)")

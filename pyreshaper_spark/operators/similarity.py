@@ -43,12 +43,19 @@ def quantized(emb: DataFrame) -> DataFrame:
     )
 
 
-QUANT_SQL = f"""
-SELECT vec_id,
+def quant_sql(extra_cols: tuple[str, ...] = ()) -> str:
+    """DuckDB rendering of :func:`quantized`, optionally carrying
+    extra passthrough columns (e.g. ``label``)."""
+    extra = "".join(f" {c}," for c in extra_cols)
+    return f"""
+SELECT vec_id,{extra}
        list_transform(embedding,
                       x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS q
 FROM embeddings
 """
+
+
+QUANT_SQL = quant_sql()
 
 
 def _dot(a, b) -> F.Column:
@@ -748,15 +755,16 @@ def binq_topk(
         F.col("code").alias("qcode"),
         F.col("q").alias("qv"),
     )
+    # cheap pass: CODES ONLY — the full vectors never enter the
+    # exhaustive scan (that is the whole point of the 8-byte sketch)
     hammed = (
-        c.alias("n")
-        .crossJoin(F.broadcast(queries))
+        c.select("vec_id", "code").alias("n")
+        .crossJoin(F.broadcast(queries.select("query_id", "qcode")))
         .filter(F.col("n.vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("n.vec_id").alias("neighbor_id"),
             _hamming(F.col("qcode"), F.col("n.code")).alias("hamming"),
-            _dot(F.col("qv"), F.col("n.q")).alias("dot"),
         )
     )
     wh = Window.partitionBy("query_id").orderBy(
@@ -765,11 +773,26 @@ def binq_topk(
     short = hammed.withColumn("hrank", F.row_number().over(wh)).filter(
         F.col("hrank") <= shortlist
     )
+    # exact re-rank: the Q×shortlist pair list BROADCASTS back onto the
+    # vector table, so full vectors are dotted only for the shortlist
+    rer = (
+        c.select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("q").alias("nv"))
+        .join(
+            F.broadcast(short.select("query_id", "neighbor_id")),
+            "neighbor_id",
+        )
+        .join(F.broadcast(queries.select("query_id", "qv")), "query_id")
+        .select(
+            "query_id", "neighbor_id",
+            _dot(F.col("qv"), F.col("nv")).alias("dot"),
+        )
+    )
     wd = Window.partitionBy("query_id").orderBy(
         F.col("dot").desc(), F.col("neighbor_id").asc()
     )
     return (
-        short.withColumn("rank", F.row_number().over(wd))
+        rer.withColumn("rank", F.row_number().over(wd))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "dot", "rank")
     )
@@ -784,7 +807,8 @@ def binq_topk_sql(
     n_words = math.ceil(dim / BINQ_WORD)
     dot = (
         "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        "list_transform(list_zip(qv, n.q), p -> p[1] * p[2])), (a, b) -> a + b)"
+        "list_transform(list_zip(qs.qv, nv.q), p -> p[1] * p[2])), "
+        "(a, b) -> a + b)"
     )
     return f"""
 WITH q0 AS ({QUANT_SQL}),
@@ -804,23 +828,27 @@ hammed AS (
   SELECT query_id, n.vec_id AS neighbor_id,
          list_reduce(list_transform(list_zip(qcode, n.code),
                      p -> CAST(bit_count(xor(p[1], p[2])) AS BIGINT)),
-                     (a, b) -> a + b) AS hamming,
-         {dot} AS dot
+                     (a, b) -> a + b) AS hamming
   FROM c n CROSS JOIN queries
   WHERE n.vec_id <> query_id),
 short AS (
-  SELECT * FROM (
-    SELECT query_id, neighbor_id, dot,
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
            row_number() OVER (PARTITION BY query_id
                               ORDER BY hamming ASC, neighbor_id ASC)
              AS hrank
     FROM hammed)
-  WHERE hrank <= {shortlist})
+  WHERE hrank <= {shortlist}),
+rer AS (
+  SELECT s.query_id, s.neighbor_id, {dot} AS dot
+  FROM short s
+  JOIN c nv ON nv.vec_id = s.neighbor_id
+  JOIN queries qs ON qs.query_id = s.query_id)
 SELECT query_id, neighbor_id, dot, rank FROM (
   SELECT query_id, neighbor_id, dot,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY dot DESC, neighbor_id ASC) AS rank
-  FROM short)
+  FROM rer)
 WHERE rank <= {k}
 """
 
@@ -873,7 +901,7 @@ FROM (
          list_reduce(list_prepend(CAST(0 AS BIGINT),
                      list_transform(q, x -> x * x)),
                      (a, b) -> a + b) AS n2
-  FROM ({QUANT_SQL.replace("SELECT vec_id,", "SELECT vec_id, label,")})
+  FROM ({quant_sql(("label",))})
 )
 GROUP BY 1
 """

@@ -1381,6 +1381,11 @@ def token_movers_sql(
     return f"""
 SELECT bucket_s, token, c_prev, c_cur, lift_k, rank
 FROM (
+  WITH counts AS (
+    SELECT {floor_sql('event_s', width_s)} AS bucket_s, token,
+           count(*) AS c
+    FROM tok GROUP BY 1, 2 HAVING count(*) >= {min_count}
+  )
   SELECT c.bucket_s, c.token,
          p.c AS c_prev, c.c AS c_cur,
          (c.c * {_LIFT_SCALE}) // p.c AS lift_k,
@@ -1388,16 +1393,9 @@ FROM (
            PARTITION BY c.bucket_s
            ORDER BY (c.c * {_LIFT_SCALE}) // p.c DESC, c.token ASC
          ) AS rank
-  FROM (
-    SELECT {floor_sql('event_s', width_s)} AS bucket_s, token,
-           count(*) AS c
-    FROM tok GROUP BY 1, 2 HAVING count(*) >= {min_count}
-  ) c
-  JOIN (
-    SELECT {floor_sql('event_s', width_s)} + {width_s} AS bucket_s,
-           token, count(*) AS c
-    FROM tok GROUP BY 1, 2 HAVING count(*) >= {min_count}
-  ) p ON c.bucket_s = p.bucket_s AND c.token = p.token
+  FROM counts c
+  JOIN counts p
+    ON c.bucket_s = p.bucket_s + {width_s} AND c.token = p.token
 )
 WHERE rank <= {k}
 """

@@ -59,7 +59,7 @@ def streaming_time_join(
             out = out.withWatermark(f"{p}_ts", f"{wm} seconds")
         return out
 
-    lt = _side(left, "l").withColumnRenamed(key, key)
+    lt = _side(left, "l")
     rt = _side(right, "r").withColumnRenamed(key, f"r_{key}")
     cond = (
         (F.col(key) == F.col(f"r_{key}"))

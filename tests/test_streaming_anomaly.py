@@ -123,4 +123,6 @@ def test_batch_parity_on_in_order_stream(spark, seq):
         for r in want_df.collect()
     }
     assert got == want and len(got) > 0
-    assert any(r[-1] for r in got) or True  # flags may be rare at sf
+    # flag firing is covered by the state-machine tests above; this
+    # fixture may legitimately contain no anomalies, and the set
+    # equality already compares every is_anomaly value

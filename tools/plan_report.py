@@ -1115,6 +1115,16 @@ def main() -> None:
                  plan_of(__import__(
                      "pyreshaper_spark.operators.rollup",
                      fromlist=["hod_anomaly"]).hod_anomaly(t1h_c)))),
+            ("binq: full-vector dot only AFTER the shortlist — the "
+             "rerank rides broadcast joins, no shuffle join "
+             "(the Hamming pass itself reads codes only)",
+             (lambda p: p.count("BroadcastHashJoin") >= 2
+              and "SortMergeJoin" not in p)(
+                 plan_of(__import__(
+                     "pyreshaper_spark.operators.similarity",
+                     fromlist=["binq_topk"]).binq_topk(
+                         spark.read.parquet(
+                             f"{sf}/embeddings.parquet"))))),
         ],
     ))
 
