@@ -692,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d), 15
     )
     q["doc_len_deciles"] = lambda s, d: SMP.doc_len_deciles(_docs(s, d))
+    q["quality_pctl"] = lambda s, d: SMP.quality_pctl(_docs(s, d))
     q["stratified_sample"] = lambda s, d: SMP.stratified_sample(
         _docs(s, d), _STRATA, default_bp=5000
     ).select(*_SCOLS)
@@ -969,6 +970,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["rolling_median_10m"] = _q_rolling_median
+
+    def _q_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.gapfill import rolling_slope
+
+        tier = _tiers(spark, sf_dir, variant="gappy")[600]
+        return rolling_slope(
+            tier.select(
+                "source",
+                F.col("bucket_s").cast("long").alias("bucket_s"),
+                F.col("sum_n_tok").cast("long").alias("sum_n_tok"),
+            ),
+            k=6,
+        )
+
+    q["rolling_slope_10m"] = _q_rolling_slope
+
+    def _q_similar_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """3 nearest days per (source, day) by exact squared-Euclidean
+        distance between within-day 1h-tier profiles."""
+        from pyreshaper_spark.operators.seriessim import day_profile_knn
+
+        tier = _tiers(spark, sf_dir)[3600]
+        return day_profile_knn(
+            tier.select(
+                "source",
+                F.col("bucket_s").cast("long").alias("bucket_s"),
+                F.col("sum_n_tok").cast("long").alias("sum_n_tok"),
+            ),
+            k=3,
+        )
+
+    q["similar_days_1h"] = _q_similar_days
 
     def _q_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Hampel outlier flag (centered ±3-bucket median/MAD, t=2)
@@ -1297,6 +1330,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["vocab_growth_1h"] = lambda s, d: VB.vocab_growth(
         VB.token_stream(_docs(s, d)), 3600
+    )
+    q["src_vocab_jaccard"] = lambda s, d: VB.vocab_jaccard(
+        VB.token_stream(_docs(s, d))
     )
     # OOV rate vs the corpus's top-200 vocabulary head
     q["oov_rate_1h"] = lambda s, d: VB.oov_rate(
@@ -2266,6 +2302,17 @@ SELECT source, count(*) AS n_docs FROM sequences GROUP BY 1
 
     o["uptime_islands_10m"] = _GAPPY_T10 + uptime_islands_sql("t10", 600)
     o["rolling_median_10m"] = _GAPPY_T10 + rolling_median_sql("t10", 6)
+    from pyreshaper_spark.operators.gapfill import rolling_slope_sql
+
+    o["rolling_slope_10m"] = _GAPPY_T10 + rolling_slope_sql("t10", 6)
+    from pyreshaper_spark.operators.seriessim import day_profile_knn_sql
+
+    o["similar_days_1h"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"t1h AS (SELECT source, bucket_s, sum_n_tok "
+        f"FROM ({_TIER_AGG.format(w=3600)}))\n"
+        + day_profile_knn_sql("t1h", 3)
+    )
     from pyreshaper_spark.operators.gapfill import hampel_filter_sql
     from pyreshaper_spark.operators.sampling import doc_concentration_sql
 
@@ -2588,6 +2635,7 @@ FROM tier t JOIN meta m USING (source)
     o["sample_30pct"] = SMP.hash_sample_sql(3000)
     o["sample_k_per_source"] = SMP.sample_k_per_source_sql(15)
     o["doc_len_deciles"] = SMP.doc_len_deciles_sql()
+    o["quality_pctl"] = SMP.quality_pctl_sql()
     o["stratified_sample"] = SMP.stratified_sample_sql(
         {"src0": 10000, "src1": 2500}, default_bp=5000
     )
@@ -2730,6 +2778,9 @@ FROM filled
     )
     o["tok_topk_1h"] = f"WITH {token_cte()}\n" + token_topk_sql(3600, 5)
     o["vocab_growth_1h"] = f"WITH {token_cte()}\n" + vocab_growth_sql(3600)
+    from pyreshaper_spark.operators.vocab import vocab_jaccard_sql
+
+    o["src_vocab_jaccard"] = f"WITH {token_cte()}\n" + vocab_jaccard_sql()
     from pyreshaper_spark.operators.vocab import oov_rate_sql
 
     o["oov_rate_1h"] = f"WITH {token_cte()}\n" + oov_rate_sql(3600, 200)

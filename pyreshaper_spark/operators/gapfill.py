@@ -218,6 +218,90 @@ WINDOW w AS (PARTITION BY source ORDER BY bucket_s
 """
 
 
+def _slope_den(k: int) -> int:
+    """Constant OLS denominator for positions 0..k−1:
+    ``k·Σp² − (Σp)²`` — positive for k ≥ 2."""
+    p1 = k * (k - 1) // 2
+    p2 = (k - 1) * k * (2 * k - 1) // 6
+    return k * p2 - p1 * p1
+
+
+def rolling_slope(
+    tier: DataFrame, k: int, value_col: str = "sum_n_tok"
+) -> DataFrame:
+    """Trailing-k ordinary-least-squares slope per source — the rolling
+    trend detector ("is this feed ramping?") behind every dashboard's
+    trend arrow. Exact integers: over the last k observations at
+    positions p = 0..k−1 (oldest..newest), the OLS slope is
+    ``(k·Σ(p·y) − Σp·Σy) / (k·Σp² − (Σp)²)``; the denominator is a
+    constant of k, so the comparable output is the integer numerator
+    plus that constant — consumers divide, no float ever leaves the
+    engine. A positive ``slope_num`` means rising.
+
+    Emitted only where the full k-lag history exists (NULL otherwise),
+    so a short head never masquerades as a flat trend. Positions are
+    observation ranks, not calendar offsets — run over a gap-filled
+    tier for calendar semantics (composes with :func:`gapfill_locf`).
+
+    One window over the tier's own (source, bucket_s) ordering: k
+    explicit lags, single shuffle on source, same discipline as
+    :func:`ewma_binary`.
+    """
+    w = Window.partitionBy("source").orderBy("bucket_s")
+    v = F.col(value_col)
+    num = F.lit(0).cast("long")
+    sy = F.lit(0).cast("long")
+    oldest = None
+    for i in range(k):
+        # lag i is the value at position p = k−1−i (newest: i=0 → p=k−1)
+        li = v if i == 0 else F.lag(value_col, i).over(w)
+        p = k - 1 - i
+        num = num + li * F.lit(k * p)
+        sy = sy + li
+        oldest = li
+    p1 = k * (k - 1) // 2
+    num = num - F.lit(p1) * sy
+    full = oldest.isNotNull()
+    return tier.select(
+        "source",
+        F.col("bucket_s").cast("long").alias("bucket_s"),
+        v.cast("long").alias(value_col),
+        F.when(full, num).cast("long").alias("slope_num"),
+        F.lit(_slope_den(k)).cast("long").alias("slope_den"),
+    )
+
+
+def rolling_slope_sql(
+    relation: str, k: int, value_col: str = "sum_n_tok"
+) -> str:
+    """DuckDB twin of :func:`rolling_slope` over a named relation."""
+    terms = []
+    p1 = k * (k - 1) // 2
+    for i in range(k):
+        expr = (
+            value_col
+            if i == 0
+            else (
+                f"lag({value_col}, {i}) OVER "
+                f"(PARTITION BY source ORDER BY bucket_s)"
+            )
+        )
+        terms.append(f"({expr}) * {k * (k - 1 - i) - p1}")
+    oldest = (
+        f"lag({value_col}, {k - 1}) OVER "
+        f"(PARTITION BY source ORDER BY bucket_s)"
+    )
+    return f"""
+SELECT source,
+       CAST(bucket_s AS BIGINT)    AS bucket_s,
+       CAST({value_col} AS BIGINT) AS {value_col},
+       CAST(CASE WHEN ({oldest}) IS NOT NULL
+                 THEN {' + '.join(terms)} END AS BIGINT) AS slope_num,
+       CAST({_slope_den(k)} AS BIGINT) AS slope_den
+FROM {relation}
+"""
+
+
 def rate_delta(tier: DataFrame, value_col: str = "sum_n_tok") -> DataFrame:
     """Counter delta between consecutive buckets per source (PromQL
     ``increase`` over a continuous aggregate): ``delta = v − lag(v)``,

@@ -300,6 +300,90 @@ FROM documents
 """
 
 
+def quality_pctl(docs: DataFrame) -> DataFrame:
+    """Per-source percentile-rank normalization of a document quality
+    score — the step that makes scores COMPARABLE ACROSS SOURCES
+    before a global quality threshold or mixture weight is applied
+    (raw heuristics have per-source scale; "top 20% of each source"
+    does not).
+
+    The score is lexical diversity as an exact integer permille
+    (``distinct_words·1000 div n_words``); the normalized output is
+    the exact percentile rank ``(rank−1)·1000 div (n−1)`` within the
+    source over the total order (score, doc_id) — 0 for the worst doc
+    of a source, 1000 for the best, and single-doc sources pin to 0.
+    No float in the comparable output.
+
+    Scale note: rank+count are per-SOURCE windows (one exchange on
+    source, a per-source sort). At 10^12 docs the same two-pass
+    boundary-broadcast that :func:`doc_len_deciles` documents applies
+    per source; this exact form is that path's oracle.
+    """
+    from pyspark.sql import Window
+
+    from pyreshaper_spark.functions.xhash import words_col
+
+    words = words_col()
+    base = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "source",
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+    ).filter(F.col("n_words") > 0)
+    score = F.expr("n_distinct * 1000 div n_words")
+    scored = base.select(
+        "doc_id", "source", score.cast("long").alias("score")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("score").asc(), F.col("doc_id").asc()
+    )
+    n = F.count("*").over(Window.partitionBy("source"))
+    return scored.select(
+        "doc_id",
+        "source",
+        "score",
+        F.row_number().over(w).alias("rk"),
+        n.alias("n"),
+    ).select(
+        "doc_id",
+        "source",
+        "score",
+        F.when(F.col("n") > 1, F.expr("(rk - 1) * 1000 div (n - 1)"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("pctl_permille"),
+    )
+
+
+def quality_pctl_sql() -> str:
+    """DuckDB twin of :func:`quality_pctl` over the `documents` view."""
+    from pyreshaper_spark.functions.xhash import WORDS_SQL
+
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR)            AS doc_id,
+         source,
+         len({WORDS_SQL})                   AS n_words,
+         len(list_distinct({WORDS_SQL}))    AS n_distinct
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source,
+         CAST(n_distinct * 1000 // n_words AS BIGINT) AS score
+  FROM base WHERE n_words > 0
+)
+SELECT doc_id, source, score,
+       CAST(CASE WHEN n > 1 THEN (rk - 1) * 1000 // (n - 1)
+                 ELSE 0 END AS BIGINT) AS pctl_permille
+FROM (
+  SELECT *,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY score ASC, doc_id ASC) AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM scored)
+"""
+
+
 def mix_quality_budget(
     seq: DataFrame,
     budgets: dict[str, int],

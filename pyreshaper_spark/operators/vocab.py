@@ -1399,3 +1399,95 @@ FROM (
 )
 WHERE rank <= {k}
 """
+
+
+def vocab_jaccard(tok: DataFrame) -> DataFrame:
+    """Pairwise source-vocabulary Jaccard matrix: how much two corpus
+    sources share their token vocabulary — the source-overlap panel a
+    data-mixture designer reads before weighting sources (near-1
+    pairs are candidate merge/dedup targets; near-0 pairs add
+    diversity).
+
+    Exact: |∩| by equi-join on token over the DISTINCT (source,
+    token) set, |∪| = V_a + V_b − |∩| by inclusion–exclusion, and the
+    ratio as ``inter·10⁹ div union`` (parts-per-billion integer — no
+    float crosses engines). Pairs are emitted once (source_a <
+    source_b); sources sharing no token still appear (left join,
+    inter = 0) so the matrix is complete.
+
+    Scale: the distinct set is bounded by |sources| × V (vocabulary-
+    bounded, not corpus-bounded) — one hash agg over the exploded
+    stream, then joins over that small relation. Nothing downstream
+    of the first distinct scales with the corpus.
+    """
+    voc = tok.select("source", "token").distinct()
+    sizes = voc.groupBy("source").agg(F.count("*").alias("v"))
+    inter = (
+        voc.alias("a")
+        .join(
+            voc.alias("b"),
+            on=[
+                F.col("a.token") == F.col("b.token"),
+                F.col("a.source") < F.col("b.source"),
+            ],
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    pairs = (
+        sizes.alias("sa")
+        .join(
+            sizes.alias("sb"),
+            on=[F.col("sa.source") < F.col("sb.source")],
+        )
+        .select(
+            F.col("sa.source").alias("source_a"),
+            F.col("sb.source").alias("source_b"),
+            F.col("sa.v").alias("v_a"),
+            F.col("sb.v").alias("v_b"),
+        )
+        .join(inter, on=["source_a", "source_b"], how="left")
+        .withColumn("inter", F.coalesce(F.col("inter"), F.lit(0)))
+    )
+    union = F.col("v_a") + F.col("v_b") - F.col("inter")
+    return pairs.select(
+        "source_a",
+        "source_b",
+        F.col("v_a").cast("long").alias("v_a"),
+        F.col("v_b").cast("long").alias("v_b"),
+        F.col("inter").cast("long").alias("inter"),
+        F.expr("inter * 1000000000 div (v_a + v_b - inter)")
+        .cast("long")
+        .alias("jacc_ppb"),
+    )
+
+
+def vocab_jaccard_sql() -> str:
+    """DuckDB twin of :func:`vocab_jaccard` — CONTINUATION CTEs
+    (leading comma); append after an open ``WITH`` chain defining
+    ``tok``."""
+    return """
+, voc AS (SELECT DISTINCT source, token FROM tok),
+sizes AS (SELECT source, count(*) AS v FROM voc GROUP BY 1),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         count(*) AS inter
+  FROM voc a JOIN voc b
+    ON a.token = b.token AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT sa.source AS source_a, sb.source AS source_b,
+       CAST(sa.v AS BIGINT) AS v_a,
+       CAST(sb.v AS BIGINT) AS v_b,
+       CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
+       CAST(coalesce(i.inter, 0) * 1000000000
+            // (sa.v + sb.v - coalesce(i.inter, 0)) AS BIGINT)
+         AS jacc_ppb
+FROM sizes sa
+JOIN sizes sb ON sa.source < sb.source
+LEFT JOIN inter i
+  ON i.source_a = sa.source AND i.source_b = sb.source
+"""

@@ -1,0 +1,157 @@
+"""Unit tests for day_profile_knn, rolling_slope, vocab_jaccard and
+quality_pctl — reference-computed expectations on tiny hand-built
+inputs, plus the properties the operators promise."""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import Row
+
+from pyreshaper_spark.operators.gapfill import rolling_slope
+from pyreshaper_spark.operators.seriessim import day_profile_knn
+from pyreshaper_spark.operators.vocab import vocab_jaccard
+
+
+def _tier(spark, rows):
+    return spark.createDataFrame(
+        [Row(source=s, bucket_s=b, sum_n_tok=v) for s, b, v in rows]
+    )
+
+
+# --------------------------------------------------------------- knn
+
+
+def test_day_profile_knn_exact_distance(spark):
+    # day 0: [10, 20]; day 1: [10, 20]; day 2: [100, 0 (missing)]
+    rows = [
+        ("a", 0, 10), ("a", 3600, 20),
+        ("a", 86400, 10), ("a", 90000, 20),
+        ("a", 172800, 100),
+    ]
+    out = day_profile_knn(_tier(spark, rows), k=2)
+    got = {
+        (r.day_s, r.nbr_day_s): (int(r.d2), r.rank)
+        for r in out.collect()
+    }
+    # d(day0, day1) = 0; d(day0, day2) = (10-100)^2 + 20^2 = 8500
+    assert got[(0, 86400)] == (0, 1)
+    assert got[(0, 172800)] == (8100 + 400, 2)
+    assert got[(86400, 0)] == (0, 1)
+    # day2's nearest is tied 8500 for both → tie on day ascending
+    assert got[(172800, 0)] == (8500, 1)
+    assert got[(172800, 86400)] == (8500, 2)
+
+
+def test_day_profile_knn_no_shared_slots(spark):
+    # Two days with disjoint slots: distance = ||a||^2 + ||b||^2.
+    rows = [("a", 0, 3), ("a", 86400 + 3600, 4)]
+    out = day_profile_knn(_tier(spark, rows), k=1).collect()
+    assert {int(r.d2) for r in out} == {25}
+    assert len(out) == 2  # both directions ranked
+
+
+def test_day_profile_knn_sources_isolated(spark):
+    rows = [("a", 0, 1), ("b", 86400, 1)]
+    assert day_profile_knn(_tier(spark, rows), k=3).count() == 0
+
+
+# ------------------------------------------------------------- slope
+
+
+def _ols_slope(ys):
+    k = len(ys)
+    ps = range(k)
+    num = k * sum(p * y for p, y in zip(ps, ys)) - sum(ps) * sum(ys)
+    den = k * sum(p * p for p in ps) - sum(ps) ** 2
+    return num, den
+
+
+def test_rolling_slope_matches_reference(spark):
+    vals = [5, 7, 4, 9, 12, 10, 15, 14]
+    rows = [("a", 600 * i, v) for i, v in enumerate(vals)]
+    out = rolling_slope(_tier(spark, rows), k=4)
+    got = {r.bucket_s: (r.slope_num, r.slope_den) for r in out.collect()}
+    assert len(got) == len(vals)
+    for i in range(len(vals)):
+        num, den = got[600 * i]
+        if i < 3:
+            assert num is None
+        else:
+            window = vals[i - 3 : i + 1]
+            rnum, rden = _ols_slope(window)
+            assert den == rden
+            assert Fraction(num, den) == Fraction(rnum, rden)
+
+
+def test_rolling_slope_rising_positive(spark):
+    rows = [("a", 60 * i, 10 * i) for i in range(6)]
+    out = rolling_slope(_tier(spark, rows), k=6).collect()
+    last = [r for r in out if r.bucket_s == 300][0]
+    assert last.slope_num > 0
+    # exactly linear: slope = 10 per step
+    assert Fraction(last.slope_num, last.slope_den) == 10
+
+
+# ----------------------------------------------------------- jaccard
+
+
+def test_vocab_jaccard_exact(spark):
+    tok = spark.createDataFrame(
+        [
+            Row(source="a", event_s=0, token=t)
+            for t in [1, 1, 2, 3]
+        ]
+        + [Row(source="b", event_s=0, token=t) for t in [2, 3, 4]]
+        + [Row(source="c", event_s=0, token=t) for t in [9]]
+    )
+    out = {
+        (r.source_a, r.source_b): (r.v_a, r.v_b, r.inter, r.jacc_ppb)
+        for r in vocab_jaccard(tok).collect()
+    }
+    # a={1,2,3}, b={2,3,4}: inter 2, union 4 → 0.5
+    assert out[("a", "b")] == (3, 3, 2, 500_000_000)
+    # disjoint pairs still appear with inter 0
+    assert out[("a", "c")] == (3, 1, 0, 0)
+    assert out[("b", "c")] == (3, 1, 0, 0)
+
+
+# ------------------------------------------------------------- pctl
+
+
+def test_quality_pctl_bounds_and_order(spark):
+    from pyreshaper_spark.operators.sampling import quality_pctl
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id="d1", source="a", text="x x x x"),
+            Row(doc_id="d2", source="a", text="a b c d"),
+            Row(doc_id="d3", source="a", text="a a b b"),
+            Row(doc_id="d4", source="b", text="only one doc here"),
+        ]
+    )
+    out = {r.doc_id: r for r in quality_pctl(docs).collect()}
+    # scores: d1 = 1*1000//4 = 250, d2 = 1000, d3 = 500
+    assert out["d1"].score == 250
+    assert out["d2"].score == 1000
+    assert out["d3"].score == 500
+    # permille: rank order d1 < d3 < d2 → 0, 500, 1000
+    assert out["d1"].pctl_permille == 0
+    assert out["d3"].pctl_permille == 500
+    assert out["d2"].pctl_permille == 1000
+    # single-doc source pins to 0
+    assert out["d4"].pctl_permille == 0
+
+
+def test_quality_pctl_skips_empty(spark):
+    from pyreshaper_spark.operators.sampling import quality_pctl
+
+    docs = spark.createDataFrame(
+        [Row(doc_id="d1", source="a", text="")]
+    )
+    # the splitter yields [''] for '' (len 1, non-empty words col is
+    # implementation-defined) — just assert no crash and permille in
+    # range for whatever survives
+    rows = quality_pctl(docs).collect()
+    for r in rows:
+        assert 0 <= r.pctl_permille <= 1000
