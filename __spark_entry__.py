@@ -630,6 +630,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["emb_src_centroid_d2"] = lambda s, d: similarity.source_centroid_d2(
         _docs(s, d), _emb(s, d)
     )
+
+    def _q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Day-over-day embedding-centroid movement per source (exact
+        cross-multiplied numerator; fixture Lehmer event day)."""
+        from pyreshaper_spark.config import EPOCH0, HORIZON_S
+        from pyreshaper_spark.operators.rollup import floor_to
+
+        ev = F.lit(EPOCH0) + F.pmod(
+            F.col("doc_id").cast("long") * F.lit(48271) + F.lit(11),
+            F.lit(HORIZON_S),
+        )
+        docs_days = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("vec_id"),
+            "source",
+            floor_to(ev.cast("long"), 86400).alias("day_s"),
+        )
+        return similarity.centroid_drift(docs_days, _emb(spark, sf_dir))
+
+    q["emb_centroid_drift_1d"] = _q_centroid_drift
+
+    def _q_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Power-iterated dominant-direction projection (exact
+        fixed-point; see operators/pca.py)."""
+        from pyreshaper_spark.operators.pca import pc1_projection
+
+        return pc1_projection(_emb(spark, sf_dir), n_iter=3)
+
+    q["emb_pc1_proj"] = _q_pc1
     # trained coarse quantizer (exact-integer Lloyd) + IVF probe
     from pyreshaper_spark.operators import kmeans as KM
 
@@ -2623,6 +2651,15 @@ FROM tier t JOIN meta m USING (source)
         num=2, den=5, max_bucket=40
     )
     o["emb_src_centroid_d2"] = similarity.source_centroid_d2_sql()
+    from pyreshaper_spark.config import EPOCH0, HORIZON_S
+    from pyreshaper_spark.operators.pca import pc1_projection_sql
+    from pyreshaper_spark.operators.rollup import floor_sql
+
+    _day_expr = floor_sql(
+        f"{EPOCH0} + (doc_id * 48271 + 11) % {HORIZON_S}", 86400
+    )
+    o["emb_centroid_drift_1d"] = similarity.centroid_drift_sql(_day_expr)
+    o["emb_pc1_proj"] = pc1_projection_sql(n_iter=3)
     o["mm_meta"] = multimodal.media_meta_sql()
     o["mm_frame_sample"] = multimodal.sample_frames_planar_sql(
         every_k=4,

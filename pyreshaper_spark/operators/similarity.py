@@ -905,3 +905,115 @@ FROM (
 )
 GROUP BY 1
 """
+
+
+def centroid_drift(
+    docs_days: DataFrame, emb: DataFrame, day_s: int = 86400
+) -> DataFrame:
+    """Day-over-day movement of each source's embedding CENTROID — the
+    semantic-drift monitor of an ingestion pipeline ("did this feed's
+    content shift overnight?"), the time-resolved sibling of
+    :func:`source_centroid_d2`.
+
+    ``docs_days`` carries (vec_id, source, day_s-floored event day);
+    per (source, day) the quantized per-dim sums s_d and count n are
+    aggregated, consecutive days pair by an equi-join on (source, dim,
+    day == prev_day + day_s), and the comparable output is the exact
+    cross-multiplied numerator
+
+        d2_num = Σ_d (s_cur_d · n_prev − s_prev_d · n_cur)²
+
+    (true squared centroid distance = d2_num / (n_cur·n_prev)² — a
+    consumer-side float). Same decimal(38,0) domain bound as
+    :func:`source_centroid_d2`.
+
+    Scale: one posexplode collapsed by partial agg to |S|·days·D rows,
+    then equi-joins over that tiny relation. Days with no previous
+    embedded day are absent (no pair to compare).
+    """
+    dec = "decimal(38,0)"
+    base = docs_days.join(quantized(emb), "vec_id")
+    per = (
+        base.select("source", "day_s", F.posexplode("q").alias("dim", "v"))
+        .groupBy("source", "day_s", "dim")
+        .agg(F.sum("v").alias("s"))
+    )
+    tot = base.groupBy("source", "day_s").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    cur = per.alias("c")
+    prv = per.select(
+        "source",
+        (F.col("day_s") + day_s).alias("day_s"),
+        "dim",
+        F.col("s").alias("s_prev"),
+    ).alias("p")
+    ntot = tot.alias("tc")
+    nprv = tot.select(
+        "source",
+        (F.col("day_s") + day_s).alias("day_s"),
+        F.col("n").alias("n_prev"),
+    ).alias("tp")
+    joined = (
+        cur.join(prv, ["source", "day_s", "dim"])
+        .join(F.broadcast(ntot), ["source", "day_s"])
+        .join(F.broadcast(nprv), ["source", "day_s"])
+    )
+    diff = (
+        F.col("s").cast(dec) * F.col("n_prev").cast(dec)
+        - F.col("s_prev").cast(dec) * F.col("n").cast(dec)
+    )
+    return (
+        joined.groupBy("source", "day_s")
+        .agg(
+            F.first("n").alias("n_cur"),
+            F.first("n_prev").alias("n_prev"),
+            F.sum(diff * diff).cast(dec).alias("d2_num"),
+        )
+        .select(
+            "source",
+            F.col("day_s").cast("long").alias("day_s"),
+            F.col("n_cur").cast("long").alias("n_cur"),
+            F.col("n_prev").cast("long").alias("n_prev"),
+            "d2_num",
+        )
+    )
+
+
+def centroid_drift_sql(
+    day_expr: str, day_s: int = 86400, dim: int = 64
+) -> str:
+    """DuckDB twin of :func:`centroid_drift`. ``day_expr`` is the SQL
+    expression deriving the floored event day from a `documents` row
+    (the fixture's Lehmer spread, day-floored)."""
+    return f"""
+WITH q AS ({QUANT_SQL}),
+base AS (
+  SELECT d.source, {day_expr} AS day_s, q.q
+  FROM documents d JOIN q ON q.vec_id = d.doc_id
+),
+per AS (
+  SELECT source, day_s, i AS dim, CAST(sum(q[i]) AS BIGINT) AS s
+  FROM base CROSS JOIN generate_series(1, {dim}) AS t(i)
+  GROUP BY 1, 2, 3
+),
+tot AS (
+  SELECT source, day_s, CAST(count(*) AS BIGINT) AS n
+  FROM base GROUP BY 1, 2
+)
+SELECT c.source,
+       CAST(c.day_s AS BIGINT) AS day_s,
+       CAST(tc.n AS BIGINT)    AS n_cur,
+       CAST(tp.n AS BIGINT)    AS n_prev,
+       CAST(sum((CAST(c.s AS DECIMAL(38,0)) * tp.n
+                 - CAST(p.s AS DECIMAL(38,0)) * tc.n)
+                * (CAST(c.s AS DECIMAL(38,0)) * tp.n
+                   - CAST(p.s AS DECIMAL(38,0)) * tc.n))
+            AS DECIMAL(38,0)) AS d2_num
+FROM per c
+JOIN per p ON p.source = c.source AND p.dim = c.dim
+          AND p.day_s + {day_s} = c.day_s
+JOIN tot tc ON tc.source = c.source AND tc.day_s = c.day_s
+JOIN tot tp ON tp.source = c.source AND tp.day_s + {day_s} = c.day_s
+GROUP BY 1, 2, 3, 4
+"""

@@ -1,0 +1,100 @@
+"""Unit tests for pc1 power iteration and centroid drift."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pyreshaper_spark.operators.pca import (
+    SCALE,
+    pc1_direction,
+    pc1_projection,
+)
+from pyreshaper_spark.operators.similarity import centroid_drift
+
+
+def _emb(spark, mat, labels=None):
+    n = len(mat)
+    labels = labels or ["l%d" % (i % 3) for i in range(n)]
+    return spark.createDataFrame(
+        [
+            Row(vec_id=i, embedding=[float(x) for x in mat[i]],
+                label=labels[i])
+            for i in range(n)
+        ]
+    )
+
+
+def test_pc1_direction_matches_numpy(spark):
+    # anisotropic cloud: dominant direction is a known unit vector
+    rng = np.random.RandomState(7)
+    d = 64
+    u = np.zeros(d)
+    u[0], u[3], u[10] = 0.8, 0.5, 0.33
+    u /= np.linalg.norm(u)
+    mat = (
+        rng.randn(120, 1) * 0.9 * u[None, :]
+        + rng.randn(120, d) * 0.05
+    )
+    emb = _emb(spark, mat)
+    v = np.zeros(d)
+    for r in pc1_direction(emb, n_iter=4).collect():
+        v[r.dim] = r.v
+    v = v / np.linalg.norm(v)
+    # un-centered top singular direction of the quantized matrix
+    q = np.round(mat * 10_000)
+    _, _, vt = np.linalg.svd(q, full_matrices=False)
+    ref = vt[0] / np.linalg.norm(vt[0])
+    cos = abs(float(np.dot(v, ref)))
+    assert cos > 0.999, cos
+
+
+def test_pc1_projection_values_are_exact_dots(spark):
+    rng = np.random.RandomState(3)
+    mat = rng.randn(30, 64) * 0.3
+    emb = _emb(spark, mat)
+    vrows = {r.dim: r.v for r in pc1_direction(emb, n_iter=3).collect()}
+    v = np.array([vrows[i] for i in range(64)], dtype=object)
+    q = np.round(mat * 10_000).astype(np.int64)
+    got = {r.vec_id: r.proj for r in pc1_projection(emb, n_iter=3).collect()}
+    for i in range(30):
+        expect = int(sum(int(a) * int(b) for a, b in zip(q[i], v)))
+        assert got[i] == expect
+    # direction is at fixed-point scale
+    assert max(abs(int(x)) for x in v) == SCALE
+
+
+def test_centroid_drift_two_days_exact(spark):
+    # one source, two days, hand-computed centroid movement
+    emb = _emb(
+        spark,
+        [[1.0] + [0.0] * 63, [0.0, 1.0] + [0.0] * 62, [1.0] + [0.0] * 63],
+    )
+    days = spark.createDataFrame(
+        [
+            Row(vec_id=0, source="a", day_s=0),
+            Row(vec_id=1, source="a", day_s=0),
+            Row(vec_id=2, source="a", day_s=86400),
+        ]
+    )
+    out = centroid_drift(days, emb).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.source, r.day_s, r.n_cur, r.n_prev) == ("a", 86400, 1, 2)
+    # s_prev = (10000, 10000, 0...), n_prev=2; s_cur = (20000? no:
+    # quantized 1.0 -> 10000). s_cur=(10000,0,...), n_cur=1
+    # diff_d = s_cur_d*n_prev - s_prev_d*n_cur
+    # d = (10000*2 - 10000*1, 0*2 - 10000*1) = (10000, -10000)
+    assert int(r.d2_num) == 10000**2 + 10000**2
+
+
+def test_centroid_drift_no_consecutive_days(spark):
+    emb = _emb(spark, [[1.0] + [0.0] * 63, [1.0] + [0.0] * 63])
+    days = spark.createDataFrame(
+        [
+            Row(vec_id=0, source="a", day_s=0),
+            Row(vec_id=1, source="a", day_s=2 * 86400),
+        ]
+    )
+    assert centroid_drift(days, emb).count() == 0
