@@ -1579,6 +1579,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["snaive_10m"] = _q_snaive
 
+    # Holt linear-trend one-step backtest over the gappy 10m tier
+    # (gap-skipping observation ranks, like the naive baseline)
+    def _q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.forecast import holt_backtest
+
+        tier = _tiers(spark, sf_dir, variant="gappy")[600]
+        return holt_backtest(
+            tier.select(
+                "source",
+                F.col("bucket_s").cast("long").alias("bucket_s"),
+                F.col("sum_n_tok").cast("long").alias("sum_n_tok"),
+            ),
+            k=6,
+        )
+
+    q["holt_10m"] = _q_holt
+
     # classical additive decomposition: daily seasonal profile of the
     # LOCF-filled 10m series (centered-MA detrend, exact 2p-scaled)
     def _q_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2779,6 +2796,9 @@ SELECT source, bucket_s,
 FROM filled
 )
 """
+    from pyreshaper_spark.operators.forecast import holt_backtest_sql
+
+    o["holt_10m"] = _GAPPY_T10 + holt_backtest_sql("t10", 6)
     o["snaive_10m"] = (
         _GAPFILL_CTES + _LOCF_CTE
         + snaive_eval_sql("locf", 600, 144, value_col="sum_n_tok_locf")

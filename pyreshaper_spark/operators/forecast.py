@@ -136,3 +136,95 @@ FROM ({snaive_backtest_sql(relation, season_s, value_col)})
 WHERE err_naive IS NOT NULL AND err_snaive IS NOT NULL
 GROUP BY 1
 """
+
+
+def holt_backtest(
+    tier: DataFrame, k: int = 6, value_col: str = "sum_n_tok"
+) -> DataFrame:
+    """Holt linear-trend one-step backtest with power-of-two weights —
+    the level+trend forecaster that beats naive on trending series
+    (Hyndman §8.2), kept EXACT the way :func:`gapfill.ewma_binary` is:
+    truncated exponential weights 2^j, so level and trend are integer
+    rationals with CONSTANT denominators and the forecast is
+
+        fc = level + trend
+           = (L_num·D_den + D_num·L_den) / (L_den·D_den)
+
+    where, from data STRICTLY BEFORE the scored bucket (lags 1..k),
+
+        L_num = Σ_{i=1..k} 2^(k−i)·v_{t−i}          L_den = 2^k − 1
+        D_num = Σ_{j=1..k−1} 2^(k−1−j)·(v_{t−j} − v_{t−j−1})
+        D_den = 2^(k−1) − 1
+
+    Emitted only where the full k-lag history exists, so ``fc_den`` is
+    the same constant on every row and the scaled absolute error
+    ``err_scaled = |actual·fc_den − fc_num|`` aggregates into an
+    apples-to-apples MAE (÷ fc_den at presentation). Positions are
+    observation ranks (gap-skipping, like the naive baseline); run
+    over a gap-filled tier for calendar semantics.
+
+    One window, k explicit lags, single source-keyed shuffle — the
+    ewma/rolling-slope plan.
+    """
+    w = Window.partitionBy("source").orderBy("bucket_s")
+    v = F.col(value_col)
+    lags = [v if i == 0 else F.lag(value_col, i).over(w) for i in range(k + 1)]
+    l_num = F.lit(0).cast("long")
+    for i in range(1, k + 1):
+        l_num = l_num + lags[i] * F.lit(1 << (k - i))
+    d_num = F.lit(0).cast("long")
+    for j in range(1, k):
+        d_num = d_num + (lags[j] - lags[j + 1]) * F.lit(1 << (k - 1 - j))
+    l_den = (1 << k) - 1
+    d_den = (1 << (k - 1)) - 1
+    fc_num = l_num * F.lit(d_den) + d_num * F.lit(l_den)
+    fc_den = l_den * d_den
+    full = lags[k].isNotNull()
+    actual = v.cast("long")
+    return tier.select(
+        "source",
+        F.col("bucket_s").cast("long").alias("bucket_s"),
+        actual.alias("actual"),
+        F.when(full, fc_num).cast("long").alias("fc_num"),
+        F.lit(fc_den).cast("long").alias("fc_den"),
+        F.when(full, F.abs(actual * F.lit(fc_den) - fc_num))
+        .cast("long")
+        .alias("err_scaled"),
+    )
+
+
+def holt_backtest_sql(
+    relation: str, k: int = 6, value_col: str = "sum_n_tok"
+) -> str:
+    """DuckDB twin of :func:`holt_backtest` over a named tier
+    relation."""
+
+    def lag(i: int) -> str:
+        return (
+            f"lag({value_col}, {i}) OVER "
+            f"(PARTITION BY source ORDER BY bucket_s)"
+        )
+
+    l_terms = " + ".join(
+        f"({lag(i)}) * {1 << (k - i)}" for i in range(1, k + 1)
+    )
+    d_terms = " + ".join(
+        f"(({lag(j)}) - ({lag(j + 1)})) * {1 << (k - 1 - j)}"
+        for j in range(1, k)
+    )
+    l_den = (1 << k) - 1
+    d_den = (1 << (k - 1)) - 1
+    fc_den = l_den * d_den
+    fc_num = f"(({l_terms}) * {d_den} + ({d_terms}) * {l_den})"
+    full = f"({lag(k)}) IS NOT NULL"
+    return f"""
+SELECT source,
+       CAST(bucket_s AS BIGINT)    AS bucket_s,
+       CAST({value_col} AS BIGINT) AS actual,
+       CAST(CASE WHEN {full} THEN {fc_num} END AS BIGINT) AS fc_num,
+       CAST({fc_den} AS BIGINT) AS fc_den,
+       CAST(CASE WHEN {full}
+            THEN abs(CAST({value_col} AS BIGINT) * {fc_den} - {fc_num})
+            END AS BIGINT) AS err_scaled
+FROM {relation}
+"""

@@ -155,3 +155,62 @@ def test_quality_pctl_skips_empty(spark):
     rows = quality_pctl(docs).collect()
     for r in rows:
         assert 0 <= r.pctl_permille <= 1000
+
+
+# -------------------------------------------------------------- holt
+
+
+def _holt_ref(vals, k):
+    """Fraction reference of the truncated Holt backtest."""
+    out = []
+    for t in range(len(vals)):
+        if t < k:
+            out.append(None)
+            continue
+        l_num = sum((1 << (k - i)) * vals[t - i] for i in range(1, k + 1))
+        d_num = sum(
+            (1 << (k - 1 - j)) * (vals[t - j] - vals[t - j - 1])
+            for j in range(1, k)
+        )
+        l_den = (1 << k) - 1
+        d_den = (1 << (k - 1)) - 1
+        out.append((l_num * d_den + d_num * l_den, l_den * d_den))
+    return out
+
+
+def test_holt_backtest_matches_reference(spark):
+    import random
+
+    rnd = random.Random(11)
+    vals = [rnd.randrange(0, 10_000) for _ in range(20)]
+    rows = [("a", 600 * i, v) for i, v in enumerate(vals)]
+    from pyreshaper_spark.operators.forecast import holt_backtest
+
+    out = {
+        r.bucket_s: (r.fc_num, r.fc_den, r.err_scaled)
+        for r in holt_backtest(_tier(spark, rows), k=6).collect()
+    }
+    ref = _holt_ref(vals, 6)
+    for i, r in enumerate(ref):
+        num, den, err = out[600 * i]
+        if r is None:
+            assert num is None and err is None
+        else:
+            assert (num, den) == r
+            assert err == abs(vals[i] * r[1] - r[0])
+
+
+def test_holt_beats_naive_on_trend(spark):
+    # strongly trending series: Holt error < naive error
+    vals = [100 * i for i in range(30)]
+    rows = [("a", 600 * i, v) for i, v in enumerate(vals)]
+    from pyreshaper_spark.operators.forecast import holt_backtest
+
+    rows_out = holt_backtest(_tier(spark, rows), k=6).collect()
+    scored = [r for r in rows_out if r.err_scaled is not None]
+    assert scored
+    for r in scored:
+        naive_err_scaled = abs(
+            r.actual - (r.actual - 100)
+        ) * r.fc_den  # naive = previous value
+        assert r.err_scaled < naive_err_scaled
