@@ -471,6 +471,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- text analysis ------------------------------------------------
     q["text_stats"] = lambda s, d: text.text_stats(_docs(s, d))
     q["quality_score"] = lambda s, d: text.quality_score(_docs(s, d))
+    q["fertility_by_source"] = lambda s, d: text.fertility_by_source(
+        _docs(s, d)
+    )
     q["lang_id"] = lambda s, d: text.lang_id(_docs(s, d))
     q["fingerprint"] = lambda s, d: text.fingerprint(_docs(s, d))
     q["pii_scan"] = lambda s, d: text.pii_scan(_docs(s, d))
@@ -832,6 +835,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["trend_1d"] = _q_trend
+
+    # -- capacity-planning ETA (threshold crossing from the 1d trend) -
+    def _q_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.rollup import eta_threshold
+
+        tier = _tiers(spark, sf_dir)[3600]
+        return eta_threshold(
+            tier.select(
+                "source", "bucket_s",
+                F.col("sum_n_tok").cast("long").alias("sum_n_tok"),
+            ),
+            coarse_s=86400, fine_s=3600, threshold=200_000,
+        )
+
+    q["eta_threshold_1d"] = _q_eta
 
     # -- Theil–Sen robust slope (median of pairwise slopes) -----------
     def _q_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2563,6 +2581,7 @@ FROM tier t JOIN meta m USING (source)
 """
     o["text_stats"] = text.text_stats_sql()
     o["quality_score"] = text.quality_score_sql()
+    o["fertility_by_source"] = text.fertility_by_source_sql()
     o["lang_id"] = text.lang_id_sql()
     o["fingerprint"] = text.fingerprint_sql()
     o["pii_scan"] = text.pii_scan_sql()
@@ -2990,6 +3009,14 @@ FROM filled
     # is pytest-verified; see operators/bpe.py)
     from pyreshaper_spark.operators.rollup import bucket_trend_sql
 
+    from pyreshaper_spark.operators.rollup import eta_threshold_sql
+
+    o["eta_threshold_1d"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"t60 AS (SELECT source, bucket_s, sum_n_tok "
+        f"FROM ({_TIER_AGG.format(w=3600)}))\n"
+        + eta_threshold_sql("t60", 86400, 3600, 200_000)
+    )
     o["trend_1d"] = (
         f"WITH {seq_cte('base')},\n"
         f"t60 AS (SELECT source, bucket_s, sum_n_tok "

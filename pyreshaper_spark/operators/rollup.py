@@ -2458,3 +2458,98 @@ FROM (
 JOIN ({hod_band_sql(relation, width_s, value_col)}) b
   ON p.source = b.source AND p.hod = b.hod
 """
+
+
+def eta_threshold(
+    tier: DataFrame,
+    coarse_s: int,
+    fine_s: int,
+    threshold: int,
+    value_col: str = "sum_n_tok",
+) -> DataFrame:
+    """Capacity-planning ETA: from each coarse bucket's within-bucket
+    linear trend (:func:`bucket_trend`'s sufficient statistics) and
+    its LAST observed fine value, how long until the metric crosses
+    ``threshold`` — "days until the disk is full", the projection
+    every SRE capacity review runs over a continuous aggregate.
+
+    Exact rational: seconds-to-cross = (threshold − v_last) · fine_s ·
+    slope_den / slope_num, shipped as the integer pair
+    ``(eta_s_num, eta_s_den = slope_num)`` plus ``will_cross``
+    (rising toward a threshold not yet reached). Flat or receding
+    slopes keep their rows (will_cross = false) so dashboards can
+    distinguish "safe" from "no data". Consumers divide; nothing
+    float crosses engines.
+
+    Scale: one hash aggregate keyed (source, coarse bucket) — exactly
+    :func:`bucket_trend`'s plan with a max_by for the last value.
+    """
+    n_fine = coarse_s // fine_s
+    assert n_fine >= 2
+    t = F.expr(f"pmod(bucket_s, {coarse_s}) div {fine_s}").alias("t")
+    v = F.col(value_col).cast("long").alias("v")
+    g = (
+        tier.select(
+            "source",
+            floor_to(F.col("bucket_s"), coarse_s).alias("bucket_s"),
+            t,
+            v,
+        )
+        .groupBy("source", "bucket_s")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("t").cast("long").alias("st"),
+            F.sum("v").cast("long").alias("sv"),
+            F.sum(F.col("t") * F.col("v")).cast("long").alias("stv"),
+            F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+            F.max_by("v", F.col("t")).cast("long").alias("v_last"),
+        )
+    )
+    slope_num = F.col("n") * F.col("stv") - F.col("st") * F.col("sv")
+    slope_den = F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    gap = F.lit(threshold).cast("long") - F.col("v_last")
+    return g.select(
+        "source",
+        F.col("bucket_s").cast("long").alias("bucket_s"),
+        F.col("v_last").alias("v_last"),
+        slope_num.cast("long").alias("slope_num"),
+        slope_den.cast("long").alias("slope_den"),
+        (gap * slope_den * F.lit(fine_s)).cast("long").alias("eta_s_num"),
+        ((slope_num > 0) & (gap > 0)).cast("int").alias("will_cross"),
+    )
+
+
+def eta_threshold_sql(
+    relation: str,
+    coarse_s: int,
+    fine_s: int,
+    threshold: int,
+    value_col: str = "sum_n_tok",
+) -> str:
+    """DuckDB twin of :func:`eta_threshold` over a named fine-tier
+    relation."""
+    return f"""
+SELECT source, bucket_s, v_last,
+       CAST(n * stv - st * sv AS BIGINT) AS slope_num,
+       CAST(n * stt - st * st AS BIGINT) AS slope_den,
+       CAST(({threshold} - v_last) * (n * stt - st * st) * {fine_s}
+            AS BIGINT)                   AS eta_s_num,
+       CAST((n * stv - st * sv) > 0
+            AND ({threshold} - v_last) > 0 AS INT) AS will_cross
+FROM (
+  SELECT source,
+         {floor_sql('bucket_s', coarse_s)}           AS bucket_s,
+         count(*)                                    AS n,
+         CAST(sum(tt) AS BIGINT)                     AS st,
+         CAST(sum({value_col}) AS BIGINT)            AS sv,
+         CAST(sum(tt * {value_col}) AS BIGINT)       AS stv,
+         CAST(sum(tt * tt) AS BIGINT)                AS stt,
+         CAST(max_by({value_col}, tt) AS BIGINT)     AS v_last
+  FROM (
+    SELECT *,
+           (bucket_s - {floor_sql('bucket_s', coarse_s)}) // {fine_s} AS tt
+    FROM {relation}
+  )
+  GROUP BY 1, 2
+)
+"""

@@ -297,3 +297,61 @@ SELECT lang_actual, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
 FROM ({lang_id_sql()})
 GROUP BY 1, 2
 """
+
+
+def fertility_by_source(docs: DataFrame) -> DataFrame:
+    """Tokenizer-fertility panel per source: characters per token as
+    the exact integer ratio Σchars·10⁶ div Σtokens — the
+    bytes-per-token efficiency metric a tokenizer/corpus review reads
+    per language/source (low chars-per-token = token-hungry content =
+    more compute per byte of text).
+
+    Token count here is the whitespace word count (the fixture's
+    tokenizer); swap ``n_tok`` from the sequences table for a real
+    BPE count — the shape is the same one hash aggregate, output
+    O(|sources|).
+    """
+    from pyreshaper_spark.functions.xhash import words_col
+
+    return (
+        docs.select(
+            "source",
+            F.length("text").cast("long").alias("n_chars"),
+            F.size(words_col()).cast("long").alias("n_tok"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum("n_tok").cast("long").alias("sum_tok"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "sum_chars",
+            "sum_tok",
+            F.expr("sum_chars * 1000000 div sum_tok")
+            .cast("long")
+            .alias("chars_per_tok_ppm"),
+        )
+    )
+
+
+def fertility_by_source_sql() -> str:
+    """DuckDB twin of :func:`fertility_by_source`."""
+    from pyreshaper_spark.functions.xhash import WORDS_SQL
+
+    return f"""
+SELECT source,
+       CAST(count(*) AS BIGINT)       AS n_docs,
+       CAST(sum(n_chars) AS BIGINT)   AS sum_chars,
+       CAST(sum(n_tok) AS BIGINT)     AS sum_tok,
+       CAST(sum(n_chars) * 1000000 // sum(n_tok) AS BIGINT)
+         AS chars_per_tok_ppm
+FROM (
+  SELECT source,
+         CAST(length(text) AS BIGINT)    AS n_chars,
+         CAST(len({WORDS_SQL}) AS BIGINT) AS n_tok
+  FROM documents)
+GROUP BY 1
+"""

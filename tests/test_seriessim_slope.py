@@ -214,3 +214,41 @@ def test_holt_beats_naive_on_trend(spark):
             r.actual - (r.actual - 100)
         ) * r.fc_den  # naive = previous value
         assert r.err_scaled < naive_err_scaled
+
+
+# --------------------------------------------------------------- eta
+
+
+def test_eta_threshold_exact(spark):
+    from pyreshaper_spark.operators.rollup import eta_threshold
+
+    # one day, 4 hourly points rising 10, 20, 30, 40 → slope 10/bucket
+    rows = [("a", 3600 * i, 10 * (i + 1)) for i in range(4)]
+    out = eta_threshold(
+        _tier(spark, rows), coarse_s=86400, fine_s=3600, threshold=100
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.v_last == 40 and r.will_cross == 1
+    # slope = 10 per fine bucket → (100-40)/10 * 3600 s = 21600 s
+    assert r.eta_s_num / r.slope_num == 6 * 3600
+    # receding series: will_cross = 0, row retained
+    rows2 = [("a", 3600 * i, 100 - 10 * i) for i in range(4)]
+    r2 = eta_threshold(
+        _tier(spark, rows2), coarse_s=86400, fine_s=3600, threshold=200
+    ).collect()[0]
+    assert r2.will_cross == 0
+
+
+def test_fertility_exact(spark):
+    from pyreshaper_spark.operators.text import fertility_by_source
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id="1", source="a", text="ab cd"),  # 5 chars, 2 tok
+            Row(doc_id="2", source="a", text="efg"),    # 3 chars, 1 tok
+        ]
+    )
+    r = fertility_by_source(docs).collect()[0]
+    assert (r.n_docs, r.sum_chars, r.sum_tok) == (2, 8, 3)
+    assert r.chars_per_tok_ppm == 8 * 1_000_000 // 3
