@@ -193,6 +193,20 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + the fixture's Lehmer event day (cross-engine)."""
+    from pyreshaper_spark.config import EPOCH0, HORIZON_S
+    from pyreshaper_spark.operators.rollup import floor_to
+
+    ev = F.lit(EPOCH0) + F.pmod(
+        F.col("doc_id").cast("long") * F.lit(48271) + F.lit(11),
+        F.lit(HORIZON_S),
+    )
+    return _docs(spark, sf_dir).withColumn(
+        "day_s", floor_to(ev.cast("long"), 86400)
+    )
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     return _cached(
@@ -473,6 +487,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["quality_score"] = lambda s, d: text.quality_score(_docs(s, d))
     q["fertility_by_source"] = lambda s, d: text.fertility_by_source(
         _docs(s, d)
+    )
+    q["pii_rate_1d"] = lambda s, d: text.pii_rate(_docs_days(s, d))
+    q["dup_rate_1d"] = lambda s, d: dedup.dup_rate_by_day(
+        _docs_days(s, d)
     )
     q["lang_id"] = lambda s, d: text.lang_id(_docs(s, d))
     q["fingerprint"] = lambda s, d: text.fingerprint(_docs(s, d))
@@ -2695,6 +2713,10 @@ FROM tier t JOIN meta m USING (source)
         f"{EPOCH0} + (doc_id * 48271 + 11) % {HORIZON_S}", 86400
     )
     o["emb_centroid_drift_1d"] = similarity.centroid_drift_sql(_day_expr)
+    o["pii_rate_1d"] = text.pii_rate_sql(_day_expr)
+    from pyreshaper_spark.operators.dedup import dup_rate_by_day_sql
+
+    o["dup_rate_1d"] = dup_rate_by_day_sql(_day_expr)
     o["emb_pc1_proj"] = pc1_projection_sql(n_iter=3)
     o["mm_meta"] = multimodal.media_meta_sql()
     o["mm_frame_sample"] = multimodal.sample_frames_planar_sql(

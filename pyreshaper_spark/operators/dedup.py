@@ -726,3 +726,79 @@ JOIN sizes sa ON sa.doc_id = p.doc_a
 JOIN sizes sb ON sb.doc_id = p.doc_b
 WHERE p.inter * {jaccard_den} >= (sa.n_sh + sb.n_sh - p.inter) * {jaccard_num}
 """
+
+
+def dup_rate_by_day(docs_days: DataFrame) -> DataFrame:
+    """Temporal dedup-health curve: per event day, how much of the
+    day's intake is content ALREADY SEEN (on an earlier day, or
+    repeated within the day) — the ingest-dashboard face of exact
+    dedup, the doc-level analog of :func:`vocab.vocab_growth`'s
+    heap's-law curve. A rising ``dup_ppm`` is the classic symptom of
+    a crawler re-fetching its own history.
+
+    ``docs_days`` carries (doc_id, text, day_s). Exact integers: a
+    doc's identity is the cross-engine md5-derived ``h32(text)``;
+    ``n_new_hashes`` counts hashes whose FIRST day is that day (one
+    min-agg over O(distinct hashes) rows), and
+    ``dup_ppm = (n_docs − n_new_hashes)·10⁶ div n_docs``.
+
+    Scale: one hash agg to (hash, first_day) — output bounded by
+    distinct contents — then two O(days) aggregates and a tiny join.
+    Nothing downstream of the first agg scales with the corpus.
+    """
+    from pyreshaper_spark.functions.xhash import h32
+
+    hashed = docs_days.select(
+        "day_s", h32(F.col("text")).alias("h")
+    )
+    per_day = hashed.groupBy("day_s").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    firsts = (
+        hashed.groupBy("h")
+        .agg(F.min("day_s").alias("day_s"))
+        .groupBy("day_s")
+        .agg(F.count("*").cast("long").alias("n_new_hashes"))
+    )
+    return (
+        per_day.join(firsts, "day_s", "left")
+        .select(
+            F.col("day_s").cast("long").alias("day_s"),
+            "n_docs",
+            F.coalesce(F.col("n_new_hashes"), F.lit(0))
+            .cast("long")
+            .alias("n_new_hashes"),
+        )
+        .withColumn(
+            "dup_ppm",
+            F.expr("(n_docs - n_new_hashes) * 1000000 div n_docs")
+            .cast("long"),
+        )
+    )
+
+
+def dup_rate_by_day_sql(day_expr: str) -> str:
+    """DuckDB twin of :func:`dup_rate_by_day`; ``day_expr`` derives
+    the floored event day from a `documents` row."""
+    from pyreshaper_spark.functions.xhash import h32_sql
+
+    return f"""
+SELECT p.day_s,
+       p.n_docs,
+       CAST(coalesce(f.n_new_hashes, 0) AS BIGINT) AS n_new_hashes,
+       CAST((p.n_docs - coalesce(f.n_new_hashes, 0)) * 1000000
+            // p.n_docs AS BIGINT) AS dup_ppm
+FROM (
+  SELECT CAST({day_expr} AS BIGINT) AS day_s,
+         CAST(count(*) AS BIGINT)   AS n_docs
+  FROM documents GROUP BY 1
+) p
+LEFT JOIN (
+  SELECT day_s, CAST(count(*) AS BIGINT) AS n_new_hashes
+  FROM (
+    SELECT {h32_sql('text')} AS h,
+           min(CAST({day_expr} AS BIGINT)) AS day_s
+    FROM documents GROUP BY 1
+  ) GROUP BY 1
+) f USING (day_s)
+"""

@@ -355,3 +355,81 @@ FROM (
   FROM documents)
 GROUP BY 1
 """
+
+
+def pii_rate(docs_days: DataFrame) -> DataFrame:
+    """PII-leak trend: per (source, event day), how many documents
+    carry PII-like substrings and the total match counts — the
+    time-resolved face of :func:`pii_scan` (a redaction-pipeline
+    regression shows up here as a step in ``pii_ppm`` long before a
+    manual audit finds it).
+
+    ``docs_days`` carries (source, day_s, text). Pure codegen
+    projection fused into the scan (the pii_scan regexes) followed by
+    one partial+final hash aggregate keyed (source, day) —
+    O(|sources| × days) output, no join, no window.
+    """
+    def _n(pat: str) -> Column:
+        return F.size(F.regexp_extract_all("text", F.lit(pat), 0))
+
+    has = (
+        (_n(PII_EMAIL_RE) > 0)
+        | (_n(PII_DIGITRUN_RE) > 0)
+        | (_n(PII_IPV4_RE) > 0)
+    )
+    return (
+        docs_days.select(
+            "source",
+            "day_s",
+            has.cast("long").alias("pii_doc"),
+            _n(PII_EMAIL_RE).cast("long").alias("ne"),
+            _n(PII_DIGITRUN_RE).cast("long").alias("nd"),
+            _n(PII_IPV4_RE).cast("long").alias("ni"),
+        )
+        .groupBy("source", "day_s")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("pii_doc").cast("long").alias("n_pii_docs"),
+            F.sum("ne").cast("long").alias("n_emails"),
+            F.sum("nd").cast("long").alias("n_digit_runs"),
+            F.sum("ni").cast("long").alias("n_ipv4"),
+        )
+        .select(
+            "source",
+            F.col("day_s").cast("long").alias("day_s"),
+            "n_docs",
+            "n_pii_docs",
+            "n_emails",
+            "n_digit_runs",
+            "n_ipv4",
+            F.expr("n_pii_docs * 1000000 div n_docs")
+            .cast("long")
+            .alias("pii_ppm"),
+        )
+    )
+
+
+def pii_rate_sql(day_expr: str) -> str:
+    """DuckDB twin of :func:`pii_rate`; ``day_expr`` derives the
+    floored event day from a `documents` row."""
+    def _n(pat: str) -> str:
+        return f"len(regexp_extract_all(text, '{pat}'))"
+
+    e, d, i = _n(PII_EMAIL_RE), _n(PII_DIGITRUN_RE), _n(PII_IPV4_RE)
+    return f"""
+SELECT source,
+       CAST(day_s AS BIGINT)        AS day_s,
+       CAST(count(*) AS BIGINT)     AS n_docs,
+       CAST(sum(pii_doc) AS BIGINT) AS n_pii_docs,
+       CAST(sum(ne) AS BIGINT)      AS n_emails,
+       CAST(sum(nd) AS BIGINT)      AS n_digit_runs,
+       CAST(sum(ni) AS BIGINT)      AS n_ipv4,
+       CAST(sum(pii_doc) * 1000000 // count(*) AS BIGINT) AS pii_ppm
+FROM (
+  SELECT source,
+         {day_expr} AS day_s,
+         CAST(({e} > 0 OR {d} > 0 OR {i} > 0) AS BIGINT) AS pii_doc,
+         {e} AS ne, {d} AS nd, {i} AS ni
+  FROM documents)
+GROUP BY 1, 2
+"""

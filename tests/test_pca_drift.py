@@ -98,3 +98,40 @@ def test_centroid_drift_no_consecutive_days(spark):
         ]
     )
     assert centroid_drift(days, emb).count() == 0
+
+
+def test_dup_rate_by_day(spark):
+    from pyreshaper_spark.operators.dedup import dup_rate_by_day
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id="1", text="alpha", day_s=0),
+            Row(doc_id="2", text="alpha", day_s=0),      # same-day dup
+            Row(doc_id="3", text="beta", day_s=0),
+            Row(doc_id="4", text="alpha", day_s=86400),  # cross-day dup
+            Row(doc_id="5", text="gamma", day_s=86400),
+        ]
+    )
+    out = {r.day_s: r for r in dup_rate_by_day(docs).collect()}
+    assert (out[0].n_docs, out[0].n_new_hashes) == (3, 2)
+    assert out[0].dup_ppm == 1_000_000 // 3
+    assert (out[86400].n_docs, out[86400].n_new_hashes) == (2, 1)
+    assert out[86400].dup_ppm == 500_000
+
+
+def test_pii_rate_aggregates(spark):
+    from pyreshaper_spark.operators.text import pii_rate
+
+    docs = spark.createDataFrame(
+        [
+            Row(source="a", day_s=0, text="mail me a@b.com now"),
+            Row(source="a", day_s=0, text="clean text"),
+            Row(source="a", day_s=86400, text="ip 10.0.0.1 and 1234567890"),
+        ]
+    )
+    out = {(r.source, r.day_s): r for r in pii_rate(docs).collect()}
+    d0 = out[("a", 0)]
+    assert (d0.n_docs, d0.n_pii_docs, d0.n_emails) == (2, 1, 1)
+    assert d0.pii_ppm == 500_000
+    d1 = out[("a", 86400)]
+    assert d1.n_pii_docs == 1 and d1.n_ipv4 == 1 and d1.n_digit_runs >= 1
