@@ -1128,6 +1128,82 @@ def main() -> None:
         ],
     ))
 
+    # 21. round-3 session-9 additions: period-similarity search,
+    # rolling slope / Holt, PC1 power iteration, centroid drift,
+    # temporal dedup/PII panels
+    from pyreshaper_spark.operators.forecast import holt_backtest
+    from pyreshaper_spark.operators.gapfill import rolling_slope
+    from pyreshaper_spark.operators.pca import pc1_projection
+    from pyreshaper_spark.operators.rollup import eta_threshold
+    from pyreshaper_spark.operators.seriessim import day_profile_knn
+    from pyreshaper_spark.operators.similarity import centroid_drift
+    from pyreshaper_spark.operators.vocab import vocab_jaccard
+
+    emb_df = spark.read.parquet(f"{sf}/embeddings.parquet")
+    docs_df = spark.read.parquet(f"{sf}/documents.parquet")
+    dd = docs_df.select(
+        F.col("doc_id").alias("vec_id"),
+        "source",
+        (F.col("doc_id") % 7 * 86400).cast("long").alias("day_s"),
+    )
+    p_knn = plan_of(day_profile_knn(t1h_c, k=3))
+    p_slope = plan_of(rolling_slope(t10, k=6, value_col="cnt"))
+    p_holt = plan_of(holt_backtest(t10, k=6, value_col="cnt"))
+    p_pc1 = plan_of(pc1_projection(emb_df, n_iter=2))
+    p_cdr = plan_of(centroid_drift(dd, emb_df))
+    p_eta = plan_of(eta_threshold(t1h_c, 86400, 3600, 10_000))
+    from pyreshaper_spark.operators.vocab import token_stream
+
+    p_vj = plan_of(vocab_jaccard(token_stream(docs_df)))
+    sections.append((
+        "Period-similarity kNN, rolling slope / Holt, PC1 power "
+        "iteration, centroid drift, ETA, vocab Jaccard",
+        "\n".join([
+            "--- day_profile_knn(k=3) ---", p_knn[:1600],
+            "--- rolling_slope(k=6) ---", p_slope[:900],
+            "--- holt_backtest(k=6) ---", p_holt[:900],
+            "--- pc1_projection(2 iter) ---", p_pc1[:1600],
+            "--- centroid_drift ---", p_cdr[:1200],
+            "--- eta_threshold(1d/1h) ---", p_eta[:900],
+            "--- vocab_jaccard ---", p_vj[:1200],
+        ]),
+        [
+            ("similar-days: cross term and pair universe are EQUI "
+             "joins on (source, slot)/(source) — no cartesian; top-k "
+             "is a PARTITIONED window (WindowGroupLimit pushdown)",
+             no_cartesian(p_knn) and "WindowGroupLimit" in p_knn),
+            ("rolling slope: ONE source-keyed sort window, no join",
+             "Join" not in p_slope
+             and p_slope.count("hashpartitioning(source") <= 2),
+            ("holt: ONE source-keyed sort window, no join",
+             "Join" not in p_holt
+             and p_holt.count("hashpartitioning(source") <= 2),
+            ("pc1: every direction join is a BROADCAST of the 64-row "
+             "iterate (the only nested loops are the 1-row max-abs "
+             "scalar crosses, one per iteration); per-vector dot "
+             "collapses in partial+final hash aggs; no shuffle join",
+             "CartesianProduct" not in p_pc1
+             and "SortMergeJoin" not in p_pc1
+             and p_pc1.count("BroadcastHashJoin") >= 3
+             and p_pc1.count("HashAggregate") >= 4),
+            ("centroid drift: per-dim sums collapse FIRST (partial+"
+             "final agg), day pairing is an equi-join with BROADCAST "
+             "totals — no cartesian",
+             no_cartesian(p_cdr) and "BroadcastHashJoin" in p_cdr
+             and p_cdr.count("HashAggregate") >= 4),
+            ("eta: ONE partial+final hash agg keyed (source, coarse "
+             "bucket) — no window, no join",
+             "Window" not in p_eta and "Join" not in p_eta
+             and p_eta.count("HashAggregate") >= 2),
+            ("vocab jaccard: intersection is an EQUI-join on token "
+             "over the DISTINCT (vocabulary-bounded) set; the only "
+             "non-equi join is the |sources|-row size grid",
+             "CartesianProduct" not in p_vj
+             and p_vj.count("BroadcastNestedLoopJoin") // 2 <= 1
+             and p_vj.count("HashAggregate") >= 4),
+        ],
+    ))
+
     out = ["# PLANS — physical-plan verification (auto-generated by "
            "tools/plan_report.py)\n"]
     all_ok = True
