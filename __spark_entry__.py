@@ -489,6 +489,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d)
     )
     q["pii_rate_1d"] = lambda s, d: text.pii_rate(_docs_days(s, d))
+    q["datacard_by_source"] = lambda s, d: text.datacard_by_source(
+        _docs(s, d)
+    )
     q["dup_rate_1d"] = lambda s, d: dedup.dup_rate_by_day(
         _docs_days(s, d)
     )
@@ -2714,6 +2717,7 @@ FROM tier t JOIN meta m USING (source)
     )
     o["emb_centroid_drift_1d"] = similarity.centroid_drift_sql(_day_expr)
     o["pii_rate_1d"] = text.pii_rate_sql(_day_expr)
+    o["datacard_by_source"] = text.datacard_by_source_sql()
     from pyreshaper_spark.operators.dedup import dup_rate_by_day_sql
 
     o["dup_rate_1d"] = dup_rate_by_day_sql(_day_expr)

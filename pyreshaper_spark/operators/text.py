@@ -433,3 +433,207 @@ FROM (
   FROM documents)
 GROUP BY 1, 2
 """
+
+
+def datacard_by_source(docs: DataFrame) -> DataFrame:
+    """One-scan per-source corpus DATA CARD — the summary table a
+    dataset release ships (docs, token mass, median length, duplicate
+    share, quality-pass share, PII share, majority language), computed
+    as a single projection → one source-keyed sort → one aggregate.
+
+    Every figure is exact integer math on the same expressions the
+    standalone operators use (quality gate ≡ :func:`quality_score`,
+    PII flag ≡ :func:`pii_scan`, language vote ≡ :func:`lang_id`,
+    duplicate identity ≡ the md5-derived content hash of
+    :func:`~pyreshaper_spark.operators.dedup.dup_rate_by_day`); the
+    median is the exact lower-median order statistic (rank
+    ``(n+1) div 2`` on the (n_words, doc_id) total order).
+
+    Scale: one parquet scan (codegen projection), ONE exchange on
+    source shared by the two rank/count windows, one partial+final
+    hash aggregate. The exact in-group median ranks within each
+    source — the documented two-pass quantile-boundary path replaces
+    it beyond ~10⁸ docs per source (see ``sampling.doc_len_deciles``).
+    """
+    from pyspark.sql import Window
+
+    words = words_col()
+    n_words = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    total_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    ok = (
+        (n_words >= 10)
+        & (n_words <= 100000)
+        & (n_distinct * 4 > n_words)
+        & (total_chars >= n_words * 2)
+        & (total_chars <= n_words * 12)
+    )
+
+    def _n(pat: str) -> Column:
+        return F.size(F.regexp_extract_all("text", F.lit(pat), 0))
+
+    pii = (
+        (_n(PII_EMAIL_RE) > 0)
+        | (_n(PII_DIGITRUN_RE) > 0)
+        | (_n(PII_IPV4_RE) > 0)
+    )
+    lang_pred = F.greatest(
+        *[
+            F.struct(
+                _marker_count(words, LANG_MARKERS[lg]).alias("c"),
+                F.lit(-ord(lg[0]) * 256 - ord(lg[1])).alias("t"),
+                F.lit(lg).alias("lang"),
+            )
+            for lg in sorted(LANG_MARKERS)
+        ]
+    )["lang"]
+    base = docs.select(
+        "source",
+        F.col("doc_id").cast("string").alias("doc_id"),
+        n_words.cast("long").alias("n_words"),
+        ok.cast("long").alias("ok"),
+        pii.cast("long").alias("pii"),
+        h32(F.col("text")).alias("h"),
+        lang_pred.alias("lang_pred"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_words").asc(), F.col("doc_id").asc()
+    )
+    ranked = base.select(
+        "*",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy("source")).alias("n"),
+    )
+    lang_votes = [
+        F.sum((F.col("lang_pred") == lg).cast("long")).alias(f"v_{lg}")
+        for lg in sorted(LANG_MARKERS)
+    ]
+    agg = ranked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("sum_words"),
+        F.max(
+            F.when(F.col("rk") * 2 == F.col("n") + F.col("n") % 2,
+                   F.col("n_words"))
+        ).cast("long").alias("p50_words"),
+        F.sum("ok").cast("long").alias("ok_docs"),
+        F.sum("pii").cast("long").alias("pii_docs"),
+        F.count_distinct("h").cast("long").alias("n_distinct_hash"),
+        *lang_votes,
+    )
+    top_lang = F.greatest(
+        *[
+            F.struct(
+                F.col(f"v_{lg}").alias("c"),
+                F.lit(-ord(lg[0]) * 256 - ord(lg[1])).alias("t"),
+                F.lit(lg).alias("lang"),
+            )
+            for lg in sorted(LANG_MARKERS)
+        ]
+    )["lang"]
+    return agg.select(
+        "source",
+        "n_docs",
+        "sum_words",
+        "p50_words",
+        F.expr("(n_docs - n_distinct_hash) * 1000000 div n_docs")
+        .cast("long")
+        .alias("dup_ppm"),
+        F.expr("ok_docs * 1000000 div n_docs").cast("long").alias("ok_ppm"),
+        F.expr("pii_docs * 1000000 div n_docs")
+        .cast("long")
+        .alias("pii_ppm"),
+        top_lang.alias("top_lang"),
+    )
+
+
+def datacard_by_source_sql() -> str:
+    """DuckDB twin of :func:`datacard_by_source`."""
+    def _n(pat: str) -> str:
+        return f"len(regexp_extract_all(text, '{pat}'))"
+
+    e, d, i = _n(PII_EMAIL_RE), _n(PII_DIGITRUN_RE), _n(PII_IPV4_RE)
+    marker_cols = []
+    for lg in sorted(LANG_MARKERS):
+        inlist = ", ".join(f"'{m}'" for m in LANG_MARKERS[lg])
+        marker_cols.append(
+            f"len(list_filter({WORDS_SQL}, w -> w IN ({inlist})))"
+            f" AS hits_{lg}"
+        )
+    # argmax over (hits desc, code asc) — same struct-max semantics
+    langs = sorted(LANG_MARKERS)
+    pred = "CASE "
+    for lg in langs:
+        # greatest-struct picks max (c, t) where t = -(code), so on a
+        # count tie the SMALLEST language code wins; replicate: lg
+        # beats o if hits_lg > hits_o, or equal and lg < o
+        conds = [
+            f"(hits_{lg} > hits_{o} OR (hits_{lg} = hits_{o} AND "
+            f"{'TRUE' if lg < o else 'FALSE'}))"
+            for o in langs
+            if o != lg
+        ]
+        pred += f"WHEN {' AND '.join(conds)} THEN '{lg}' "
+    pred += "END"
+    vote_cols = ", ".join(
+        f"CAST(sum(CASE WHEN lang_pred = '{lg}' THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS v_{lg}"
+        for lg in langs
+    )
+    top = "CASE "
+    for lg in langs:
+        conds = [
+            f"(v_{lg} > v_{o} OR (v_{lg} = v_{o} AND "
+            f"{'TRUE' if lg < o else 'FALSE'}))"
+            for o in langs
+            if o != lg
+        ]
+        top += f"WHEN {' AND '.join(conds)} THEN '{lg}' "
+    top += "END"
+    return f"""
+SELECT source, n_docs, sum_words, p50_words,
+       CAST((n_docs - n_distinct_hash) * 1000000 // n_docs AS BIGINT)
+         AS dup_ppm,
+       CAST(ok_docs * 1000000 // n_docs AS BIGINT)  AS ok_ppm,
+       CAST(pii_docs * 1000000 // n_docs AS BIGINT) AS pii_ppm,
+       {top} AS top_lang
+FROM (
+  SELECT source,
+         CAST(count(*) AS BIGINT)   AS n_docs,
+         CAST(sum(n_words) AS BIGINT) AS sum_words,
+         CAST(max(CASE WHEN rk * 2 = n + n % 2 THEN n_words END)
+              AS BIGINT)            AS p50_words,
+         CAST(sum(ok) AS BIGINT)    AS ok_docs,
+         CAST(sum(pii) AS BIGINT)   AS pii_docs,
+         CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_hash,
+         {vote_cols}
+  FROM (
+    SELECT *,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY n_words ASC, doc_id ASC) AS rk,
+           count(*) OVER (PARTITION BY source) AS n
+    FROM (
+      SELECT source,
+             CAST(doc_id AS VARCHAR) AS doc_id,
+             CAST(len({WORDS_SQL}) AS BIGINT) AS n_words,
+             CAST(len({WORDS_SQL}) >= 10 AND len({WORDS_SQL}) <= 100000
+                  AND len(list_distinct({WORDS_SQL})) * 4 > len({WORDS_SQL})
+                  AND list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform({WORDS_SQL},
+                          w -> CAST(length(w) AS BIGINT))), (a, b) -> a + b)
+                      >= len({WORDS_SQL}) * 2
+                  AND list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform({WORDS_SQL},
+                          w -> CAST(length(w) AS BIGINT))), (a, b) -> a + b)
+                      <= len({WORDS_SQL}) * 12 AS BIGINT) AS ok,
+             CAST(({e} > 0 OR {d} > 0 OR {i} > 0) AS BIGINT) AS pii,
+             {h32_sql('text')} AS h,
+             {pred} AS lang_pred
+      FROM (SELECT source, doc_id, text, {', '.join(marker_cols)}
+            FROM documents)
+    )
+  )
+  GROUP BY 1
+)
+"""

@@ -135,3 +135,35 @@ def test_pii_rate_aggregates(spark):
     assert d0.pii_ppm == 500_000
     d1 = out[("a", 86400)]
     assert d1.n_pii_docs == 1 and d1.n_ipv4 == 1 and d1.n_digit_runs >= 1
+
+
+def test_datacard_by_source(spark):
+    from pyreshaper_spark.operators.text import datacard_by_source
+
+    import re
+
+    good = "the and of to is in that with " + "wind xylo yarn zeta " * 5
+    nw = len(re.split(r"\s+", good))  # regex split keeps a trailing ''
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id="1", source="a", text=good),
+            Row(doc_id="2", source="a", text=good),        # exact dup
+            Row(doc_id="3", source="a", text="短 le la les et des"),
+            Row(doc_id="4", source="b", text="a@b.com " + good),
+        ]
+    )
+    out = {r.source: r for r in datacard_by_source(docs).collect()}
+    a = out["a"]
+    assert a.n_docs == 3
+    # dup: 3 docs, 2 distinct hashes → 1/3
+    assert a.dup_ppm == 1_000_000 // 3
+    # quality: docs 1,2 pass (long + diverse); doc 3 fails (<10 words)
+    assert a.ok_ppm == 2 * 1_000_000 // 3
+    assert a.pii_ppm == 0
+    # majority language: two English docs vs one French
+    assert a.top_lang == "en"
+    # median words: sorted word counts (6, nw, nw) → lower median nw
+    assert a.p50_words == nw
+    b = out["b"]
+    assert b.pii_ppm == 1_000_000 and b.n_docs == 1
+    assert b.p50_words == nw + 1
