@@ -459,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.read.parquet(f"{sf_dir}/events.parquet")
 
     q["events_rollup_5m"] = lambda s, d: EV.events_rollup(_events(s, d))
+    q["events_rfm"] = lambda s, d: EV.events_rfm(_events(s, d))
 
     def _q_events_in_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyreshaper_spark.operators.rangejoin import events_in_sessions
@@ -871,6 +872,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["eta_threshold_1d"] = _q_eta
+
+    # -- hopping (sliding) window rollup: 1h windows every 10m --------
+    def _q_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.rollup import hopping_rollup
+
+        tier = _tiers(spark, sf_dir)[600]
+        return hopping_rollup(
+            tier.select(
+                "source", "bucket_s",
+                F.col("sum_n_tok").cast("long").alias("sum_n_tok"),
+            ),
+            win_s=3600, hop_s=600,
+        )
+
+    q["hopping_1h_10m"] = _q_hopping
 
     # -- Theil–Sen robust slope (median of pairwise slopes) -----------
     def _q_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2521,6 +2537,7 @@ r AS (SELECT source, event_s, n_tok FROM sequences
     from pyreshaper_spark.operators import events as EV
 
     o["events_rollup_5m"] = EV.events_rollup_sql()
+    o["events_rfm"] = EV.events_rfm_sql()
     o["events_sessions"] = EV.sessionize_sql()
 
     from pyreshaper_spark.operators.rangejoin import events_in_sessions_sql
@@ -3037,6 +3054,14 @@ FROM filled
 
     from pyreshaper_spark.operators.rollup import eta_threshold_sql
 
+    from pyreshaper_spark.operators.rollup import hopping_rollup_sql
+
+    o["hopping_1h_10m"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"t10 AS (SELECT source, bucket_s, sum_n_tok "
+        f"FROM ({_TIER_AGG.format(w=600)}))\n"
+        + hopping_rollup_sql("t10", 3600, 600)
+    )
     o["eta_threshold_1d"] = (
         f"WITH {seq_cte('base')},\n"
         f"t60 AS (SELECT source, bucket_s, sum_n_tok "

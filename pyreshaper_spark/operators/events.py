@@ -174,3 +174,61 @@ FROM (
 )
 GROUP BY 1
 """
+
+
+def events_rfm(events: DataFrame) -> DataFrame:
+    """Per-user RFM activity card: Recency (last event epoch second),
+    Frequency (events, active days, distinct types), Monetary (exact
+    integer cents) — the segmentation input of every growth/analytics
+    stack, here the per-entity activity profile of an event stream.
+
+    Exactness: epoch seconds for recency, integer cents for money
+    (the module's double-quantization contract), counts for the rest.
+
+    Scale: ONE partial+final hash aggregate keyed user_id — no window,
+    no join; output O(|users|).
+    """
+    ep = F.unix_timestamp("ts")
+    return (
+        events.select(
+            "user_id",
+            ep.alias("event_s"),
+            floor_to(ep, 86400).alias("day_s"),
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min("event_s").cast("long").alias("first_s"),
+            F.max("event_s").cast("long").alias("last_s"),
+            F.count_distinct("day_s").cast("long").alias("active_days"),
+            F.count_distinct("event_type").cast("long").alias("n_types"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("cents"))
+                .otherwise(F.lit(0))
+            ).cast("long").alias("purchase_cents"),
+        )
+    )
+
+
+def events_rfm_sql() -> str:
+    """DuckDB twin of :func:`events_rfm`."""
+    ep = "CAST(floor(epoch(ts)) AS BIGINT)"
+    return f"""
+SELECT user_id,
+       CAST(count(*) AS BIGINT)                    AS n_events,
+       CAST(min({ep}) AS BIGINT)                   AS first_s,
+       CAST(max({ep}) AS BIGINT)                   AS last_s,
+       CAST(count(DISTINCT {floor_sql(ep, 86400)}) AS BIGINT)
+         AS active_days,
+       CAST(count(DISTINCT event_type) AS BIGINT)  AS n_types,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(sum(CASE WHEN event_type = 'purchase'
+                THEN CAST(round(value * 100) AS BIGINT)
+                ELSE 0 END) AS BIGINT)             AS purchase_cents
+FROM events
+GROUP BY 1
+"""

@@ -2553,3 +2553,78 @@ FROM (
   GROUP BY 1, 2
 )
 """
+
+
+def hopping_rollup(
+    tier: DataFrame,
+    win_s: int,
+    hop_s: int,
+    value_col: str = "sum_n_tok",
+) -> DataFrame:
+    """Hopping (sliding) window aggregate over a fine tier: every
+    ``hop_s`` a ``win_s``-wide window closes — the overlapping-window
+    semantics of stream processors (Flink HOP / Kafka Streams hopping
+    windows), which the trailing-row :func:`gapfill.rolling_agg`
+    deliberately is NOT (that one ignores calendar gaps; this one is
+    calendar-true: an empty hop simply contributes nothing).
+
+    Each fine bucket fans out map-side to the constant ``win_s/hop_s``
+    windows that contain it (an explode over a literal range — no
+    self-join, no spine), then ONE partial+final hash aggregate keyed
+    (source, window start). Exact int64 count/sum/min/max.
+
+    Scale: input is a tier (O(sources × buckets)); the fan-out factor
+    is the constant overlap count; output O(sources × buckets ·
+    win/hop). The 100×-scale plan is Generate + hash agg — gated in
+    PLANS.md.
+    """
+    if win_s % hop_s != 0:
+        raise ValueError(f"hop {hop_s} must divide the window {win_s}")
+    n = win_s // hop_s
+    v = F.col(value_col).cast("long")
+    fan = tier.select(
+        "source",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(n - 1))
+        ).alias("j"),
+        floor_to(F.col("bucket_s"), hop_s).alias("hb"),
+        v.alias("v"),
+    ).select(
+        "source",
+        (F.col("hb") - F.col("j") * hop_s).alias("win_start_s"),
+        "v",
+    )
+    return fan.groupBy("source", "win_start_s").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum("v").cast("long").alias("sum_v"),
+        F.min("v").cast("long").alias("min_v"),
+        F.max("v").cast("long").alias("max_v"),
+    ).select(
+        "source",
+        F.col("win_start_s").cast("long").alias("win_start_s"),
+        "n_buckets", "sum_v", "min_v", "max_v",
+    )
+
+
+def hopping_rollup_sql(
+    relation: str, win_s: int, hop_s: int, value_col: str = "sum_n_tok"
+) -> str:
+    """DuckDB twin of :func:`hopping_rollup` over a named fine-tier
+    relation."""
+    n = win_s // hop_s
+    return f"""
+SELECT source,
+       CAST(win_start_s AS BIGINT)   AS win_start_s,
+       CAST(count(*) AS BIGINT)      AS n_buckets,
+       CAST(sum(v) AS BIGINT)        AS sum_v,
+       CAST(min(v) AS BIGINT)        AS min_v,
+       CAST(max(v) AS BIGINT)        AS max_v
+FROM (
+  SELECT source,
+         {floor_sql('bucket_s', hop_s)} - j * {hop_s} AS win_start_s,
+         CAST({value_col} AS BIGINT) AS v
+  FROM {relation}
+  CROSS JOIN generate_series(0, {n - 1}) AS g(j)
+)
+GROUP BY 1, 2
+"""

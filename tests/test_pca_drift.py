@@ -167,3 +167,57 @@ def test_datacard_by_source(spark):
     b = out["b"]
     assert b.pii_ppm == 1_000_000 and b.n_docs == 1
     assert b.p50_words == nw + 1
+
+
+def test_hopping_rollup_calendar_true(spark):
+    from pyreshaper_spark.operators.rollup import hopping_rollup
+
+    # two 10m buckets: 0 and 3000s; window 1800, hop 600
+    tier = spark.createDataFrame(
+        [
+            Row(source="a", bucket_s=0, sum_n_tok=5),
+            Row(source="a", bucket_s=3000, sum_n_tok=7),
+        ]
+    )
+    out = {
+        r.win_start_s: (r.n_buckets, r.sum_v)
+        for r in hopping_rollup(tier, win_s=1800, hop_s=600).collect()
+    }
+    # bucket 0 lands in windows starting -1200, -600, 0
+    for ws in (-1200, -600, 0):
+        assert out[ws] == (1, 5)
+    # bucket 3000 in windows 1800, 2400, 3000 — never shares a window
+    for ws in (1800, 2400, 3000):
+        assert out[ws] == (1, 7)
+    assert len(out) == 6
+    # reference brute force: every window [ws, ws+1800) collects the
+    # buckets it contains
+    rows = [(0, 5), (3000, 7)]
+    for ws, (n, sv) in out.items():
+        inside = [v for b, v in rows if ws <= b < ws + 1800]
+        assert (len(inside), sum(inside)) == (n, sv)
+
+
+def test_events_rfm(spark):
+    import datetime as dt
+
+    from pyreshaper_spark.operators.events import events_rfm
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    ev = spark.createDataFrame(
+        [
+            Row(event_id=1, ts=t0, user_id=1, event_type="view",
+                value=1.25, props="{}"),
+            Row(event_id=2, ts=t0 + dt.timedelta(days=1), user_id=1,
+                event_type="purchase", value=10.50, props="{}"),
+            Row(event_id=3, ts=t0 + dt.timedelta(hours=1), user_id=2,
+                event_type="view", value=0.0, props="{}"),
+        ]
+    )
+    out = {r.user_id: r for r in events_rfm(ev).collect()}
+    u1 = out[1]
+    assert u1.n_events == 2 and u1.active_days == 2 and u1.n_types == 2
+    assert u1.sum_cents == 125 + 1050
+    assert u1.purchase_cents == 1050
+    assert u1.last_s - u1.first_s == 86400
+    assert out[2].purchase_cents == 0
