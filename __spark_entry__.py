@@ -2228,6 +2228,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hod_profile_1h"] = _q_hod
 
+    def _q_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Day-of-week seasonality profile: hod_profile folded onto the
+        week instead of the day (slot = day-of-week of the 1d tier)."""
+        from pyreshaper_spark.operators.rollup import hod_profile
+
+        return hod_profile(
+            _tiers(spark, sf_dir)[86400], width_s=86400, day_s=604800
+        )
+
+    q["dow_profile_1w"] = _q_dow
+
     def _q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Robust spread (exact integer MAD) of the 10m tier's values
         within each hour."""
@@ -2434,6 +2445,12 @@ SELECT source, count(*) AS n_docs FROM sequences GROUP BY 1
         hod_profile_sql,
     )
 
+    o["dow_profile_1w"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"t1d AS (SELECT source, bucket_s, sum_n_tok "
+        f"FROM ({_TIER_AGG.format(w=86400)}))\n"
+        + hod_profile_sql("t1d", 86400, day_s=604800)
+    )
     o["hod_profile_1h"] = (
         f"WITH {seq_cte('base')},\n"
         f"t1h AS (SELECT source, bucket_s, sum_n_tok "
