@@ -659,17 +659,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Day-over-day embedding-centroid movement per source (exact
         cross-multiplied numerator; fixture Lehmer event day)."""
-        from pyreshaper_spark.config import EPOCH0, HORIZON_S
-        from pyreshaper_spark.operators.rollup import floor_to
-
-        ev = F.lit(EPOCH0) + F.pmod(
-            F.col("doc_id").cast("long") * F.lit(48271) + F.lit(11),
-            F.lit(HORIZON_S),
-        )
-        docs_days = _docs(spark, sf_dir).select(
-            F.col("doc_id").alias("vec_id"),
-            "source",
-            floor_to(ev.cast("long"), 86400).alias("day_s"),
+        docs_days = _docs_days(spark, sf_dir).select(
+            F.col("doc_id").alias("vec_id"), "source", "day_s"
         )
         return similarity.centroid_drift(docs_days, _emb(spark, sf_dir))
 

@@ -737,7 +737,9 @@ def dup_rate_by_day(docs_days: DataFrame) -> DataFrame:
     a crawler re-fetching its own history.
 
     ``docs_days`` carries (doc_id, text, day_s). Exact integers: a
-    doc's identity is the cross-engine md5-derived ``h32(text)``;
+    doc's identity is the full cross-engine md5 of the text
+    (collision-free in practice — a 32-bit hash would fake ~ppm-level
+    duplicate mass at 10^8 docs/day);
     ``n_new_hashes`` counts hashes whose FIRST day is that day (one
     min-agg over O(distinct hashes) rows), and
     ``dup_ppm = (n_docs − n_new_hashes)·10⁶ div n_docs``.
@@ -746,10 +748,8 @@ def dup_rate_by_day(docs_days: DataFrame) -> DataFrame:
     distinct contents — then two O(days) aggregates and a tiny join.
     Nothing downstream of the first agg scales with the corpus.
     """
-    from pyreshaper_spark.functions.xhash import h32
-
     hashed = docs_days.select(
-        "day_s", h32(F.col("text")).alias("h")
+        "day_s", F.md5(F.col("text").cast("binary")).alias("h")
     )
     per_day = hashed.groupBy("day_s").agg(
         F.count("*").cast("long").alias("n_docs")
@@ -780,8 +780,6 @@ def dup_rate_by_day(docs_days: DataFrame) -> DataFrame:
 def dup_rate_by_day_sql(day_expr: str) -> str:
     """DuckDB twin of :func:`dup_rate_by_day`; ``day_expr`` derives
     the floored event day from a `documents` row."""
-    from pyreshaper_spark.functions.xhash import h32_sql
-
     return f"""
 SELECT p.day_s,
        p.n_docs,
@@ -796,7 +794,7 @@ FROM (
 LEFT JOIN (
   SELECT day_s, CAST(count(*) AS BIGINT) AS n_new_hashes
   FROM (
-    SELECT {h32_sql('text')} AS h,
+    SELECT md5(text) AS h,
            min(CAST({day_expr} AS BIGINT)) AS day_s
     FROM documents GROUP BY 1
   ) GROUP BY 1

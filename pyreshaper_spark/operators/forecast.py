@@ -166,6 +166,8 @@ def holt_backtest(
     One window, k explicit lags, single source-keyed shuffle — the
     ewma/rolling-slope plan.
     """
+    if k < 2:
+        raise ValueError(f"holt_backtest needs k >= 2, got {k}")
     w = Window.partitionBy("source").orderBy("bucket_s")
     v = F.col(value_col)
     lags = [v if i == 0 else F.lag(value_col, i).over(w) for i in range(k + 1)]
@@ -198,6 +200,8 @@ def holt_backtest_sql(
 ) -> str:
     """DuckDB twin of :func:`holt_backtest` over a named tier
     relation."""
+    if k < 2:
+        raise ValueError(f"holt_backtest_sql needs k >= 2, got {k}")
 
     def lag(i: int) -> str:
         return (

@@ -247,6 +247,8 @@ def rolling_slope(
     explicit lags, single shuffle on source, same discipline as
     :func:`ewma_binary`.
     """
+    if k < 2:
+        raise ValueError(f"rolling_slope needs k >= 2, got {k}")
     w = Window.partitionBy("source").orderBy("bucket_s")
     v = F.col(value_col)
     num = F.lit(0).cast("long")
@@ -275,6 +277,8 @@ def rolling_slope_sql(
     relation: str, k: int, value_col: str = "sum_n_tok"
 ) -> str:
     """DuckDB twin of :func:`rolling_slope` over a named relation."""
+    if k < 2:
+        raise ValueError(f"rolling_slope_sql needs k >= 2, got {k}")
     terms = []
     p1 = k * (k - 1) // 2
     for i in range(k):

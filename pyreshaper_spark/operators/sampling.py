@@ -327,8 +327,8 @@ def quality_pctl(docs: DataFrame) -> DataFrame:
     base = docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         "source",
-        F.size(words).alias("n_words"),
-        F.size(F.array_distinct(words)).alias("n_distinct"),
+        F.size(words).cast("long").alias("n_words"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct"),
     ).filter(F.col("n_words") > 0)
     score = F.expr("n_distinct * 1000 div n_words")
     scored = base.select(
@@ -342,7 +342,7 @@ def quality_pctl(docs: DataFrame) -> DataFrame:
         "doc_id",
         "source",
         "score",
-        F.row_number().over(w).alias("rk"),
+        F.row_number().over(w).cast("long").alias("rk"),
         n.alias("n"),
     ).select(
         "doc_id",

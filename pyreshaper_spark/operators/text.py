@@ -495,7 +495,7 @@ def datacard_by_source(docs: DataFrame) -> DataFrame:
         n_words.cast("long").alias("n_words"),
         ok.cast("long").alias("ok"),
         pii.cast("long").alias("pii"),
-        h32(F.col("text")).alias("h"),
+        F.md5(F.col("text").cast("binary")).alias("h"),
         lang_pred.alias("lang_pred"),
     )
     w = Window.partitionBy("source").orderBy(
@@ -503,7 +503,7 @@ def datacard_by_source(docs: DataFrame) -> DataFrame:
     )
     ranked = base.select(
         "*",
-        F.row_number().over(w).alias("rk"),
+        F.row_number().over(w).cast("long").alias("rk"),
         F.count("*").over(Window.partitionBy("source")).alias("n"),
     )
     lang_votes = [
@@ -628,7 +628,7 @@ FROM (
                           w -> CAST(length(w) AS BIGINT))), (a, b) -> a + b)
                       <= len({WORDS_SQL}) * 12 AS BIGINT) AS ok,
              CAST(({e} > 0 OR {d} > 0 OR {i} > 0) AS BIGINT) AS pii,
-             {h32_sql('text')} AS h,
+             md5(text) AS h,
              {pred} AS lang_pred
       FROM (SELECT source, doc_id, text, {', '.join(marker_cols)}
             FROM documents)
