@@ -1843,6 +1843,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_tier0"] = _q_streaming
 
+    # -- streaming HOPPING windows (Spark-native sliding window) ------
+    def _q_streaming_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Structured Streaming hopping-window aggregate (window with
+        slide < width) run to completion over the static fixture; the
+        merged table must equal the batch raw-level hopping rollup —
+        the DuckDB oracle (thirteenth streaming surface)."""
+        import os
+        import tempfile
+
+        from pyreshaper_spark.sources.iceberglite import IcebergLite
+        from pyreshaper_spark.streaming.ingest import start_tier0_stream
+
+        base = tempfile.mkdtemp(prefix="stream_hop_")
+        seq_path = os.path.join(base, "seq")
+        _seq(spark, sf_dir).write.parquet(seq_path)
+        sq = start_tier0_stream(
+            spark, seq_path, os.path.join(base, "out"),
+            os.path.join(base, "ck"), width_s=3600, slide_s=600,
+            table="hop_stream",
+        )
+        sq.awaitTermination(300)
+        t = IcebergLite(os.path.join(base, "out")).read(spark, "hop_stream")
+        return t.select(
+            "source",
+            F.col("bucket_s").cast("long").alias("win_start_s"),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("sum_n_tok").cast("long").alias("sum_n_tok"),
+            F.col("min_n_tok").cast("long").alias("min_n_tok"),
+            F.col("max_n_tok").cast("long").alias("max_n_tok"),
+        )
+
+    q["streaming_hopping"] = _q_streaming_hopping
+
     def _q_streaming_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Exactly-once raw append sink run to completion
         (availableNow): the landed IcebergLite table must equal the
@@ -3164,6 +3197,23 @@ FROM documents
             "count(*)", "CAST(count(*) AS BIGINT)"
         )
     )
+    # streaming hopping windows == raw-level batch hopping rollup
+    # (every raw event fans out to width/slide overlapping windows)
+    o["streaming_hopping"] = f"""
+WITH {seq_cte('base')}
+SELECT source,
+       CAST(win_start_s AS BIGINT)  AS win_start_s,
+       CAST(count(*) AS BIGINT)     AS cnt,
+       CAST(sum(n_tok) AS BIGINT)   AS sum_n_tok,
+       CAST(min(n_tok) AS BIGINT)   AS min_n_tok,
+       CAST(max(n_tok) AS BIGINT)   AS max_n_tok
+FROM (
+  SELECT source, n_tok,
+         (event_s - ((event_s % 600) + 600) % 600) - j * 600 AS win_start_s
+  FROM sequences CROSS JOIN generate_series(0, 5) AS g(j)
+)
+GROUP BY 1, 2
+"""
     # the exactly-once raw sink lands the static input verbatim
     o["streaming_raw_append"] = f"""
 WITH {seq_cte('base')}

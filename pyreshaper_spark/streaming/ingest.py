@@ -52,16 +52,28 @@ def read_sequences_stream(spark: SparkSession, path: str) -> DataFrame:
 
 
 def streaming_tier0(
-    stream: DataFrame, width_s: int, watermark: str = "10 minutes"
+    stream: DataFrame,
+    width_s: int,
+    watermark: str = "10 minutes",
+    slide_s: int | None = None,
 ) -> DataFrame:
-    """Watermarked windowed continuous aggregate (streaming tier 0)."""
+    """Watermarked windowed continuous aggregate (streaming tier 0).
+
+    ``slide_s`` < ``width_s`` turns the tumbling window into Spark's
+    native HOPPING window (each event enters width/slide overlapping
+    windows; state remains O(sources × open windows)); ``bucket_s``
+    is then the window START — the same key the batch
+    :func:`~pyreshaper_spark.operators.rollup.hopping_rollup` emits.
+    """
     with_ts = stream.withColumn("event_ts", F.timestamp_seconds("event_s"))
+    win = (
+        F.window("event_ts", f"{width_s} seconds", f"{slide_s} seconds")
+        if slide_s
+        else F.window("event_ts", f"{width_s} seconds")
+    )
     return (
         with_ts.withWatermark("event_ts", watermark)
-        .groupBy(
-            "source",
-            F.window("event_ts", f"{width_s} seconds").alias("win"),
-        )
+        .groupBy("source", win.alias("win"))
         .agg(
             F.count("*").alias("cnt"),
             F.sum("n_tok").alias("sum_n_tok"),
@@ -86,6 +98,8 @@ def start_tier0_stream(
     checkpoint_dir: str,
     width_s: int = 60,
     available_now: bool = True,
+    slide_s: int | None = None,
+    table: str = "tier_stream",
 ) -> StreamingQuery:
     """Run the streaming tier-0 ingest into an IcebergLite table.
 
@@ -95,17 +109,19 @@ def start_tier0_stream(
     so epoch replay after failure is idempotent.
     """
     cat = IcebergLite(out_root)
-    tier = streaming_tier0(read_sequences_stream(spark, seq_path), width_s)
+    tier = streaming_tier0(
+        read_sequences_stream(spark, seq_path), width_s, slide_s=slide_s
+    )
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         updated = batch_df.withColumn("epoch", F.lit(epoch_id))
-        if cat.exists("tier_stream"):
+        if cat.exists(table):
             # merge: replace only the (source) partitions present in
             # this epoch — update-mode batches re-emit full per-window
             # rows, so combining old+new per key keeps exact aggregates
-            existing = cat.read(batch_df.sparkSession, "tier_stream")
+            existing = cat.read(batch_df.sparkSession, table)
             srcs = [r["source"] for r in updated.select("source").distinct().collect()]
             keep_new = existing.filter(F.col("source").isin(srcs)).unionByName(
                 updated
@@ -126,9 +142,9 @@ def start_tier0_stream(
                     "s.min_n_tok", "s.max_n_tok", "s.epoch",
                 )
             )
-            cat.overwrite_partitions("tier_stream", merged, ("source",))
+            cat.overwrite_partitions(table, merged, ("source",))
         else:
-            cat.overwrite("tier_stream", updated, ("source",))
+            cat.overwrite(table, updated, ("source",))
 
     writer = (
         tier.writeStream.outputMode("update")
