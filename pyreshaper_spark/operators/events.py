@@ -232,3 +232,143 @@ SELECT user_id,
 FROM events
 GROUP BY 1
 """
+
+
+def events_dau_wau(events: DataFrame) -> DataFrame:
+    """DAU/WAU engagement curve: per day, distinct active users that
+    day and over the trailing 7-day window — the stickiness panel
+    (DAU/WAU ratio) of every product dashboard, here exact (no HLL).
+
+    WAU is calendar-true via a constant 7-way map-side fan-out (each
+    active (user, day) pair reports into the 7 report-days whose
+    trailing window contains it) followed by one count-distinct — the
+    :func:`~pyreshaper_spark.operators.rollup.hopping_rollup` shape at
+    user granularity. Head days (fewer than 7 days of history) still
+    report over the days that exist.
+
+    Scale: the fan-out operates on the DISTINCT (user, day) set (one
+    partial agg collapses raw events first), so work is bounded by
+    active-user-days × 7, not by event volume.
+    """
+    ep = F.unix_timestamp("ts")
+    ud = (
+        events.select(
+            "user_id", floor_to(ep, 86400).alias("day_s")
+        )
+        .distinct()
+    )
+    dau = ud.groupBy("day_s").agg(
+        F.count("*").cast("long").alias("dau")
+    )
+    wau = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("j"),
+            "day_s",
+        )
+        .select(
+            "user_id", (F.col("day_s") + F.col("j") * 86400).alias("day_s")
+        )
+        .join(dau.select("day_s"), "day_s", "left_semi")
+        .groupBy("day_s")
+        .agg(F.count_distinct("user_id").cast("long").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day_s")
+        .select(
+            F.col("day_s").cast("long").alias("day_s"),
+            "dau",
+            "wau",
+            F.expr("dau * 1000000 div wau").cast("long").alias("stick_ppm"),
+        )
+    )
+
+
+def events_dau_wau_sql() -> str:
+    """DuckDB twin of :func:`events_dau_wau`."""
+    ep = "CAST(floor(epoch(ts)) AS BIGINT)"
+    day = floor_sql(ep, 86400)
+    return f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, {day} AS day_s FROM events
+),
+dau AS (
+  SELECT day_s, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1
+),
+wau AS (
+  SELECT f.day_s,
+         CAST(count(DISTINCT f.user_id) AS BIGINT) AS wau
+  FROM (
+    SELECT user_id, day_s + j * 86400 AS day_s
+    FROM ud CROSS JOIN generate_series(0, 6) AS g(j)
+  ) f
+  SEMI JOIN dau d ON d.day_s = f.day_s
+  GROUP BY 1
+)
+SELECT CAST(dau.day_s AS BIGINT) AS day_s, dau.dau, wau.wau,
+       CAST(dau.dau * 1000000 // wau.wau AS BIGINT) AS stick_ppm
+FROM dau JOIN wau ON dau.day_s = wau.day_s
+"""
+
+
+def events_conversion_lag(
+    events: DataFrame,
+    from_type: str = "signup",
+    to_type: str = "purchase",
+) -> DataFrame:
+    """Funnel latency: per converting user, the exact lag (seconds)
+    from their FIRST ``from_type`` event to the first ``to_type``
+    event AT OR AFTER it — the time-to-convert distribution behind
+    every activation dashboard (the funnel op counts conversions; this
+    measures how long they took).
+
+    Two bounded aggregates (per-user first signup; per-user first
+    qualifying purchase via a user-keyed equi-join that AQE broadcasts
+    when the converting set is small) — output O(converting users).
+    Non-converting users are absent by construction (inner join).
+    """
+    ep = F.unix_timestamp("ts")
+    first_from = (
+        events.filter(F.col("event_type") == from_type)
+        .select("user_id", ep.alias("from_s"))
+        .groupBy("user_id")
+        .agg(F.min("from_s").alias("from_s"))
+    )
+    lag = (
+        events.filter(F.col("event_type") == to_type)
+        .select("user_id", ep.alias("to_s"))
+        .join(first_from, "user_id")
+        .filter(F.col("to_s") >= F.col("from_s"))
+        .groupBy("user_id")
+        .agg(
+            F.min("from_s").cast("long").alias("from_s"),
+            F.min("to_s").cast("long").alias("to_s"),
+        )
+    )
+    return lag.select(
+        "user_id",
+        "from_s",
+        "to_s",
+        (F.col("to_s") - F.col("from_s")).cast("long").alias("lag_s"),
+    )
+
+
+def events_conversion_lag_sql(
+    from_type: str = "signup", to_type: str = "purchase"
+) -> str:
+    """DuckDB twin of :func:`events_conversion_lag`."""
+    ep = "CAST(floor(epoch(ts)) AS BIGINT)"
+    return f"""
+WITH ff AS (
+  SELECT user_id, CAST(min({ep}) AS BIGINT) AS from_s
+  FROM events WHERE event_type = '{from_type}' GROUP BY 1
+)
+SELECT e.user_id,
+       CAST(min(ff.from_s) AS BIGINT)            AS from_s,
+       CAST(min({ep}) AS BIGINT)                 AS to_s,
+       CAST(min({ep}) - min(ff.from_s) AS BIGINT) AS lag_s
+FROM events e
+JOIN ff ON ff.user_id = e.user_id
+WHERE e.event_type = '{to_type}' AND {ep} >= ff.from_s
+GROUP BY 1
+"""

@@ -221,3 +221,55 @@ def test_events_rfm(spark):
     assert u1.purchase_cents == 1050
     assert u1.last_s - u1.first_s == 86400
     assert out[2].purchase_cents == 0
+
+
+def test_events_dau_wau(spark):
+    import datetime as dt
+
+    from pyreshaper_spark.operators.events import events_dau_wau
+
+    def ev(eid, day, uid):
+        return Row(
+            event_id=eid,
+            ts=dt.datetime(2024, 1, 1) + dt.timedelta(days=day),
+            user_id=uid, event_type="view", value=0.0, props="{}",
+        )
+
+    # day0: users 1,2; day1: user 1; day8: user 3
+    df = spark.createDataFrame(
+        [ev(1, 0, 1), ev(2, 0, 2), ev(3, 0, 1), ev(4, 1, 1), ev(5, 8, 3)]
+    )
+    out = {r.day_s: r for r in events_dau_wau(df).collect()}
+    d0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp()
+    assert out[d0].dau == 2 and out[d0].wau == 2
+    # day1: dau 1 (user 1), wau 2 (users 1,2 within trailing 7d)
+    assert out[d0 + 86400].dau == 1 and out[d0 + 86400].wau == 2
+    # day8: only user 3 in window (day0/1 are 7+ days back)
+    assert out[d0 + 8 * 86400].dau == 1 and out[d0 + 8 * 86400].wau == 1
+    assert out[d0].stick_ppm == 1_000_000
+
+
+def test_events_conversion_lag(spark):
+    import datetime as dt
+
+    from pyreshaper_spark.operators.events import events_conversion_lag
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, secs, uid, typ):
+        return Row(event_id=eid, ts=t0 + dt.timedelta(seconds=secs),
+                   user_id=uid, event_type=typ, value=0.0, props="{}")
+
+    df = spark.createDataFrame(
+        [
+            ev(1, 0, 1, "signup"),
+            ev(2, 50, 1, "purchase"),   # converts after 50 s
+            ev(3, 30, 2, "purchase"),   # purchase BEFORE signup: no lag
+            ev(4, 40, 2, "signup"),
+            ev(5, 10, 3, "signup"),     # never purchases
+        ]
+    )
+    out = {r.user_id: r for r in events_conversion_lag(df).collect()}
+    assert out[1].lag_s == 50
+    assert 2 not in out  # purchase precedes first signup
+    assert 3 not in out  # no purchase
