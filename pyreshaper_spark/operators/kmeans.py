@@ -972,3 +972,61 @@ SELECT query_id, neighbor_id, ad2, rank FROM (
   FROM cand)
 WHERE rank <= {topk}
 """
+
+
+def pq_distortion(
+    emb: DataFrame,
+    ks: int = PQ_KS,
+    n_iter: int = 2,
+    m_sub: int = PQ_M,
+    dim: int = DIM,
+) -> DataFrame:
+    """PQ index-health panel: per subspace m, the exact reconstruction
+    error of the trained quantizer — n vectors, Σd² and max d² between
+    each sub-vector and its codeword (FAISS's imbalance/quantization-
+    error diagnostics; a subspace whose distortion dwarfs the others
+    means the rotation/subspace split is wrong for this corpus, and
+    ADC scores from it are noise).
+
+    Exact: d² between integer sub-vectors and integer codewords is an
+    int64 sum; the per-m totals ride decimal(38,0). One broadcast of
+    the (m·ks)-row codebook against the final assignment, one hash agg
+    keyed m — output is m rows.
+    """
+    a, cb = pq_train(emb, ks, n_iter, m_sub, dim)
+    scored = a.join(
+        F.broadcast(cb),
+        on=[a.m == cb.m, a.code == cb.cid],
+    ).select(
+        a.m.alias("m"),
+        _d2(F.col("qs"), F.col("c")).alias("d2"),
+    )
+    return (
+        scored.groupBy("m")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("d2").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("sum_d2"),
+            F.max("d2").cast("long").alias("max_d2"),
+        )
+        .select(F.col("m").cast("long").alias("m"), "n", "sum_d2", "max_d2")
+    )
+
+
+def pq_distortion_sql(
+    ks: int = PQ_KS, n_iter: int = 2, m_sub: int = PQ_M, dim: int = DIM
+) -> str:
+    """DuckDB twin of :func:`pq_distortion` (unrolled Lloyd chain +
+    one distortion aggregate over the final assignment)."""
+    d2 = _D2_SQL.format(x="p.qs", y="b.c")
+    return f"""
+WITH {_pq_ctes(ks, n_iter, m_sub, dim)}
+SELECT CAST(p.m AS BIGINT) AS m,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum({d2}) AS DECIMAL(38,0)) AS sum_d2,
+       CAST(max({d2}) AS BIGINT) AS max_d2
+FROM p{n_iter} p
+JOIN b{n_iter} b ON b.m = p.m AND b.cid = p.code
+GROUP BY 1
+"""

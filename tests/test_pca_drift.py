@@ -273,3 +273,23 @@ def test_events_conversion_lag(spark):
     assert out[1].lag_s == 50
     assert 2 not in out  # purchase precedes first signup
     assert 3 not in out  # no purchase
+
+
+def test_pq_distortion_properties(spark):
+    from pyreshaper_spark.operators.kmeans import PQ_M, pq_distortion
+
+    rng = np.random.RandomState(5)
+    emb = _emb(spark, rng.randn(40, 64) * 0.2)
+    rows = pq_distortion(emb, ks=8, n_iter=2).collect()
+    assert len(rows) == PQ_M
+    for r in rows:
+        assert r.n == 40
+        assert int(r.sum_d2) >= 0
+        assert r.max_d2 * r.n >= int(r.sum_d2)  # max bounds the mean
+    # more codewords -> distortion can only improve (on this fixture)
+    loose = {r.m: int(r.sum_d2) for r in rows}
+    tight = {
+        r.m: int(r.sum_d2)
+        for r in pq_distortion(emb, ks=32, n_iter=2).collect()
+    }
+    assert sum(tight.values()) <= sum(loose.values())
