@@ -681,6 +681,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # trained coarse quantizer (exact-integer Lloyd) + IVF probe
     from pyreshaper_spark.operators import kmeans as KM
 
+    q["ivf_balance"] = lambda s, d: KM.ivf_balance(
+        _emb(s, d), k=8, n_iter=2
+    )
     q["pq_distortion"] = lambda s, d: KM.pq_distortion(
         _emb(s, d), ks=16, n_iter=2
     )
@@ -2760,6 +2763,9 @@ FROM tier t JOIN meta m USING (source)
     from pyreshaper_spark.operators.kmeans import pq_distortion_sql
 
     o["pq_distortion"] = pq_distortion_sql(ks=16, n_iter=2)
+    from pyreshaper_spark.operators.kmeans import ivf_balance_sql
+
+    o["ivf_balance"] = ivf_balance_sql(k=8, n_iter=2)
     o["ann_pq_topk"] = pq_topk_sql(ks=16, n_iter=2, n_queries=10, topk=5)
     from pyreshaper_spark.operators.kmeans import pq_topk_refined_sql
 

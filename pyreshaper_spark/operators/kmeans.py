@@ -1030,3 +1030,54 @@ FROM p{n_iter} p
 JOIN b{n_iter} b ON b.m = p.m AND b.cid = p.code
 GROUP BY 1
 """
+
+
+def ivf_balance(emb: DataFrame, k: int = 8, n_iter: int = 2) -> DataFrame:
+    """IVF list-balance diagnostic: per trained list, its population,
+    plus FAISS's imbalance factor ``k·Σn_c² / N²`` as an exact ppm
+    integer on every row (1.0 = perfectly balanced lists; a high
+    factor means probe cost concentrates on hot lists and nprobe
+    guarantees degrade).
+
+    One k-row aggregate over the assignment (the training chain's own
+    output), then a broadcast of the 1-row total back onto k rows.
+    """
+    asg = kmeans_assign(emb, k=k, n_iter=n_iter)
+    per = asg.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_c")
+    )
+    tot = per.agg(
+        F.sum("n_c").cast("long").alias("n"),
+        F.sum(F.col("n_c") * F.col("n_c")).cast("long").alias("sum_sq"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            "n_c",
+            "n",
+            F.expr(f"sum_sq * {k} * 1000000 div (n * n)")
+            .cast("long")
+            .alias("imbalance_ppm"),
+        )
+    )
+
+
+def ivf_balance_sql(k: int = 8, n_iter: int = 2, dim: int = DIM) -> str:
+    """DuckDB twin of :func:`ivf_balance`."""
+    return f"""
+WITH {_lloyd_ctes(k, n_iter, dim)},
+per AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS n_c
+  FROM a{n_iter} GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_c) AS BIGINT) AS n,
+         CAST(sum(n_c * n_c) AS BIGINT) AS sum_sq
+  FROM per
+)
+SELECT CAST(cluster AS BIGINT) AS cluster, per.n_c, tot.n,
+       CAST(tot.sum_sq * {k} * 1000000 // (tot.n * tot.n) AS BIGINT)
+         AS imbalance_ppm
+FROM per, tot
+"""
