@@ -1204,6 +1204,62 @@ def main() -> None:
         ],
     ))
 
+    # 22. data card, hopping windows, DAU/WAU, conversion lag, PQ
+    # distortion — the one-scan / constant-fan-out shapes
+    from pyreshaper_spark.operators.events import (
+        events_conversion_lag,
+        events_dau_wau,
+    )
+    from pyreshaper_spark.operators.kmeans import pq_distortion
+    from pyreshaper_spark.operators.rollup import hopping_rollup
+    from pyreshaper_spark.operators.text import datacard_by_source
+
+    ev_df = spark.read.parquet(f"{sf}/events.parquet")
+    p_card = plan_of(datacard_by_source(docs_df))
+    p_hop = plan_of(hopping_rollup(t10, 3600, 600, value_col="cnt"))
+    p_dw = plan_of(events_dau_wau(ev_df))
+    p_cl = plan_of(events_conversion_lag(ev_df))
+    p_pqd = plan_of(pq_distortion(emb_df, ks=8, n_iter=1))
+    sections.append((
+        "Data card, hopping windows, DAU/WAU, conversion lag, "
+        "PQ distortion",
+        "\n".join([
+            "--- datacard_by_source ---", p_card[:1600],
+            "--- hopping_rollup(1h/10m) ---", p_hop[:900],
+            "--- events_dau_wau ---", p_dw[:1200],
+            "--- events_conversion_lag ---", p_cl[:900],
+            "--- pq_distortion ---", p_pqd[:900],
+        ]),
+        [
+            ("data card: ONE parquet scan feeds the whole panel "
+             "(projection + windows + agg — no join, no second scan)",
+             p_card.count("Scan parquet") // 2 == 1
+             and "Join" not in p_card),
+            ("data card: scan ReadSchema carries only doc_id, source, "
+             "text (codegen projection prunes the rest)",
+             (lambda rs: bool(rs) and "text" in rs and "lang" not in rs
+              and "n_chars" not in rs)(
+                 p_card.split("ReadSchema")[1].split("\n")[0]
+                 if "ReadSchema" in p_card else "")),
+            ("hopping: constant fan-out is a map-side Generate (no "
+             "self-join, no spine) + ONE partial+final hash agg",
+             "Generate" in p_hop and "Join" not in p_hop
+             and p_hop.count("HashAggregate") >= 2),
+            ("dau/wau: fan-out runs on the DISTINCT (user, day) set "
+             "(an agg precedes the Generate), never raw events",
+             "Generate" in p_dw and p_dw.count("HashAggregate") >= 4
+             and no_cartesian(p_dw)),
+            ("conversion lag: user-keyed equi-joins only, no "
+             "cartesian",
+             no_cartesian(p_cl)),
+            ("pq distortion: codebook rides BROADCAST joins; no "
+             "shuffle join, no cartesian",
+             "SortMergeJoin" not in p_pqd
+             and "CartesianProduct" not in p_pqd
+             and p_pqd.count("BroadcastHashJoin") >= 1),
+        ],
+    ))
+
     out = ["# PLANS — physical-plan verification (auto-generated by "
            "tools/plan_report.py)\n"]
     all_ok = True
