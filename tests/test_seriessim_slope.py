@@ -252,3 +252,61 @@ def test_fertility_exact(spark):
     r = fertility_by_source(docs).collect()[0]
     assert (r.n_docs, r.sum_chars, r.sum_tok) == (2, 8, 3)
     assert r.chars_per_tok_ppm == 8 * 1_000_000 // 3
+
+
+def test_day_profile_knn_fuzz_vs_bruteforce(spark):
+    """Randomized sparse day profiles: ranks and exact distances must
+    match a dict-based brute-force reference (missing slots = 0)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyreshaper_spark.operators.seriessim import day_profile_knn
+
+    cells = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # day
+            st.integers(min_value=0, max_value=5),   # slot (hour)
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(data=cells)
+    def run(data):
+        rows = [
+            ("s", d * 86400 + h * 3600, v) for d, h, v in data
+        ]
+        got = {}
+        for r in day_profile_knn(_tier(spark, rows), k=2).collect():
+            got.setdefault(r.day_s // 86400, []).append(
+                (r.rank, r.nbr_day_s // 86400, int(r.d2))
+            )
+        days = sorted({d for d, _, _ in data})
+        prof = {d: {} for d in days}
+        for d, h, v in data:
+            prof[d][h] = v
+        for d in days:
+            cands = []
+            for o in days:
+                if o == d:
+                    continue
+                slots = set(prof[d]) | set(prof[o])
+                d2 = sum(
+                    (prof[d].get(s2, 0) - prof[o].get(s2, 0)) ** 2
+                    for s2 in slots
+                )
+                cands.append((d2, o))
+            cands.sort()
+            expect = [
+                (i + 1, o, d2) for i, (d2, o) in enumerate(cands[:2])
+            ]
+            assert sorted(got.get(d, [])) == expect, (data, d)
+
+    run()
