@@ -293,3 +293,28 @@ def test_pq_distortion_properties(spark):
         for r in pq_distortion(emb, ks=32, n_iter=2).collect()
     }
     assert sum(tight.values()) <= sum(loose.values())
+
+
+def test_report_job_cli(spark, capsys):
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import report_job
+
+    rc = report_job.main(["--docs", "/root/testdata/sf0.001/documents.parquet"])
+    assert rc == 0
+    lines = [
+        json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert len(lines) == 20  # fixture sources
+    srcs = [r["source"] for r in lines]
+    assert srcs == sorted(srcs)
+    for r in lines:
+        assert set(r) >= {
+            "source", "n_docs", "sum_words", "p50_words", "dup_ppm",
+            "ok_ppm", "pii_ppm", "top_lang", "sum_tok",
+            "chars_per_tok_ppm",
+        }
+        assert r["n_docs"] > 0 and r["sum_tok"] > 0
