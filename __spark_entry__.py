@@ -500,6 +500,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dup_rate_1d"] = lambda s, d: dedup.dup_rate_by_day(
         _docs_days(s, d)
     )
+
+    # -- span-level novelty trend (k-gram debut-day share) ------------
+    def _q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.fixtures import VOCAB_SIZE
+        from pyreshaper_spark.functions.xhash import h32, words_col
+        from pyreshaper_spark.operators.subdup import ngram_novelty
+
+        dd = _docs_days(spark, sf_dir).select(
+            "source",
+            "day_s",
+            F.transform(
+                words_col(),
+                lambda w: F.pmod(h32(w), F.lit(VOCAB_SIZE)).cast("int"),
+            ).alias("tokens"),
+        )
+        return ngram_novelty(dd, k=5)
+
+    q["ngram_novelty_1d"] = _q_novelty
     q["lang_id"] = lambda s, d: text.lang_id(_docs(s, d))
     q["fingerprint"] = lambda s, d: text.fingerprint(_docs(s, d))
     q["pii_scan"] = lambda s, d: text.pii_scan(_docs(s, d))
@@ -543,6 +561,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # capped query): shingles in >200 docs dropped before the self-join
     q["dedup_ngram_capped"] = lambda s, d: dedup.ngram_jaccard_pairs(
         _docs(s, d), max_df=200
+    )
+    # asymmetric containment near-dup — catches the short-doc-embedded-
+    # in-long-doc pairs Jaccard's union denominator dilutes away
+    q["dedup_containment"] = lambda s, d: dedup.containment_pairs(
+        _docs(s, d), cont_num=6, cont_den=10
     )
 
     # -- dedup decision: pair graph -> clusters -> one survivor each --
@@ -903,6 +926,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["theilsen_1d"] = _q_theilsen
+
+    # -- offline AMOC mean-shift changepoint per (source, day) --------
+    def _q_amoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.changepoint import amoc_changepoint
+
+        tier = _tiers(spark, sf_dir)[3600]
+        return amoc_changepoint(
+            tier.select(
+                "source", "bucket_s",
+                F.col("sum_n_tok").cast("long").alias("sum_n_tok"),
+            ),
+            coarse_s=86400, fine_s=3600,
+        )
+
+    q["changepoint_1d"] = _q_amoc
+
+    # -- Mann–Kendall trend test per (source, day) --------------------
+    def _q_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.changepoint import mann_kendall
+
+        tier = _tiers(spark, sf_dir)[3600]
+        return mann_kendall(
+            tier.select(
+                "source", "bucket_s",
+                F.col("sum_n_tok").cast("long").alias("sum_n_tok"),
+            ),
+            coarse_s=86400, fine_s=3600,
+        )
+
+    q["mk_trend_1d"] = _q_mk
+
+    # -- Pettitt rank-based changepoint per (source, day) -------------
+    def _q_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.changepoint import pettitt
+
+        tier = _tiers(spark, sf_dir)[3600]
+        return pettitt(
+            tier.select(
+                "source", "bucket_s",
+                F.col("sum_n_tok").cast("long").alias("sum_n_tok"),
+            ),
+            coarse_s=86400, fine_s=3600,
+        )
+
+    q["pettitt_1d"] = _q_pettitt
 
     # -- exact percentile rollup (1h buckets) -------------------------
     def _q_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2693,6 +2761,7 @@ FROM tier t JOIN meta m USING (source)
     o["dedup_simhash"] = dedup.simhash_sql()
     o["dedup_ngram_jaccard"] = dedup.ngram_jaccard_sql()
     o["dedup_ngram_capped"] = dedup.ngram_jaccard_sql(max_df=200)
+    o["dedup_containment"] = dedup.containment_sql(cont_num=6, cont_den=10)
     from pyreshaper_spark.operators.cluster import (
         components_sql,
         survivor_flags_sql,
@@ -2797,6 +2866,9 @@ FROM tier t JOIN meta m USING (source)
     from pyreshaper_spark.operators.dedup import dup_rate_by_day_sql
 
     o["dup_rate_1d"] = dup_rate_by_day_sql(_day_expr)
+    from pyreshaper_spark.operators.subdup import ngram_novelty_sql
+
+    o["ngram_novelty_1d"] = ngram_novelty_sql(5, _V, _day_expr)
     o["emb_pc1_proj"] = pc1_projection_sql(n_iter=3)
     o["mm_meta"] = multimodal.media_meta_sql()
     o["mm_frame_sample"] = multimodal.sample_frames_planar_sql(
@@ -3140,6 +3212,31 @@ FROM filled
         f"t60 AS (SELECT source, bucket_s, sum_n_tok "
         f"FROM ({_TIER_AGG.format(w=3600)}))\n"
         + theilsen_sql("t60", 86400, 3600)
+    )
+    from pyreshaper_spark.operators.changepoint import (
+        amoc_changepoint_sql,
+        mann_kendall_sql,
+    )
+
+    o["changepoint_1d"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"t60 AS (SELECT source, bucket_s, sum_n_tok "
+        f"FROM ({_TIER_AGG.format(w=3600)}))\n"
+        + amoc_changepoint_sql("t60", 86400, 3600)
+    )
+    o["mk_trend_1d"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"t60 AS (SELECT source, bucket_s, sum_n_tok "
+        f"FROM ({_TIER_AGG.format(w=3600)}))\n"
+        + mann_kendall_sql("t60", 86400, 3600)
+    )
+    from pyreshaper_spark.operators.changepoint import pettitt_sql
+
+    o["pettitt_1d"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"t60 AS (SELECT source, bucket_s, sum_n_tok "
+        f"FROM ({_TIER_AGG.format(w=3600)}))\n"
+        + pettitt_sql("t60", 86400, 3600)
     )
     o["src_corr_1h"] = (
         f"WITH {seq_cte('base')},\n"

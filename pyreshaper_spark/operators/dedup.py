@@ -728,6 +728,111 @@ WHERE p.inter * {jaccard_den} >= (sa.n_sh + sb.n_sh - p.inter) * {jaccard_num}
 """
 
 
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    cont_num: int = 8,
+    cont_den: int = 10,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT near-dup: C(A,B) = |A∩B| / min(|A|,|B|)
+    over word n-gram shingle sets — the Broder (1997) containment
+    complement of :func:`ngram_jaccard_pairs`. Jaccard misses the
+    short-doc-embedded-in-long-doc case (a tweet quoted inside an
+    article has tiny Jaccard but containment ≈ 1); training-data
+    pipelines flag those as duplicates of the SHORTER side.
+
+    Candidates come from the same shared-shingle equi-join (``max_df``
+    bounds hot boilerplate fan-out at web scale); the threshold test
+    ``inter·cont_den ≥ min(na,nb)·cont_num`` and the reported
+    ``cont_ppb = inter·10⁹ div min(na,nb)`` are exact integers on both
+    engines. Scale shape identical to the Jaccard path: equi-join +
+    two broadcast-able size joins, nothing quadratic past the df cap.
+    """
+    ns = ngram_sets(docs, n, max_df)
+    sizes = ns.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    pair = (
+        ns.alias("x")
+        .join(ns.alias("y"), "sh")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    n_min = F.least(F.col("na"), F.col("nb"))
+    return (
+        pair.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "n_sh", "na"
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n_sh", "nb"
+            ),
+            "doc_b",
+        )
+        .filter(
+            F.col("inter") * F.lit(cont_den) >= n_min * F.lit(cont_num)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").cast("long").alias("inter"),
+            F.col("na").cast("long").alias("na"),
+            F.col("nb").cast("long").alias("nb"),
+            F.expr("inter * 1000000000 div least(na, nb)")
+            .cast("long")
+            .alias("cont_ppb"),
+        )
+    )
+
+
+def containment_sql(
+    n: int = 3,
+    cont_num: int = 8,
+    cont_den: int = 10,
+    max_df: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`containment_pairs`."""
+    h = h32_sql("shingle")
+    df_guard = (
+        f""",
+kept AS (SELECT sh FROM ns0 GROUP BY sh HAVING count(*) <= {max_df}),
+ns AS (SELECT ns0.doc_id, ns0.sh FROM ns0 JOIN kept USING (sh))"""
+        if max_df is not None
+        else ",\nns AS (SELECT * FROM ns0)"
+    )
+    return f"""
+WITH w AS (SELECT doc_id, {WORDS_SQL} AS words FROM documents),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(words) - {n - 1}, 0)),
+                i -> array_to_string(words[i:i+{n - 1}], ' '))) AS shingle
+  FROM w
+),
+ns0 AS (SELECT DISTINCT doc_id, {h} AS sh FROM shingles){df_guard},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM ns GROUP BY 1),
+pair AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+  FROM ns x JOIN ns y ON x.sh = y.sh AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(p.inter AS BIGINT) AS inter,
+       CAST(sa.n_sh AS BIGINT) AS na,
+       CAST(sb.n_sh AS BIGINT) AS nb,
+       CAST(p.inter * 1000000000 // least(sa.n_sh, sb.n_sh) AS BIGINT)
+         AS cont_ppb
+FROM pair p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+WHERE p.inter * {cont_den} >= least(sa.n_sh, sb.n_sh) * {cont_num}
+"""
+
+
 def dup_rate_by_day(docs_days: DataFrame) -> DataFrame:
     """Temporal dedup-health curve: per event day, how much of the
     day's intake is content ALREADY SEEN (on an earlier day, or

@@ -157,3 +157,76 @@ SELECT doc_id,
 FROM kg
 GROUP BY 1
 """
+
+
+def ngram_novelty(seq_days: DataFrame, k: int = 5) -> DataFrame:
+    """Per-(source, intake day) k-gram NOVELTY trend: of the day's
+    token k-gram occurrences, how many belong to a k-gram whose global
+    corpus debut is that same day. A falling ``novel_ppm`` curve is
+    the span-level memorization/repetition signal — the k-gram
+    complement of the doc-level ``dup_rate_by_day`` (a crawl can have
+    0 % duplicate DOCS while 90 % of its text spans are old news).
+
+    Input: (doc_id, tokens, source, day_s). Occurrence-level by
+    design: every occurrence on the debut day counts as novel
+    (including same-day repeats) — deterministic with no within-day
+    order assumption, unlike a position-level first-seen rule, which
+    would depend on an arbitrary intra-day tie-break.
+
+    Scale shape: the k-gram stream is one row per token position (the
+    subdup/vocab cardinality); the debut day is a partial+final hash
+    agg keyed on the 32-bit k-gram hash; the per-position debut lookup
+    is a plain equi-join where the build side has ONE row per distinct
+    k-gram (hot k-grams don't fan out); then one O(sources × days)
+    agg. Nothing quadratic, no window.
+    """
+    kg = seq_days.select(
+        "source",
+        F.col("day_s").cast("long").alias("day_s"),
+        F.explode(_kgram_hashes(F.col("tokens"), k)).alias("kg"),
+    )
+    debut = kg.groupBy("kg").agg(F.min("day_s").alias("d0"))
+    return (
+        kg.join(debut, "kg")
+        .groupBy("source", "day_s")
+        .agg(
+            F.count("*").cast("long").alias("n_pos"),
+            F.sum((F.col("day_s") == F.col("d0")).cast("long"))
+            .cast("long")
+            .alias("n_new"),
+        )
+        .withColumn(
+            "novel_ppm",
+            F.expr("n_new * 1000000 div n_pos").cast("long"),
+        )
+    )
+
+
+def ngram_novelty_sql(k: int, vocab_size: int, day_expr: str) -> str:
+    """DuckDB twin of :func:`ngram_novelty` over ``documents`` with the
+    fixture's Lehmer intake day (``day_expr`` in terms of doc_id)."""
+    kg_of_i = h32_sql(f"array_to_string(tokens[i:i+{k - 1}], ',')")
+    return f"""
+WITH toks AS (
+  SELECT source, {day_expr} AS day_s,
+         list_transform(regexp_split_to_array(lower(text), '\\s+'),
+                        w -> {h32_sql('w')} % {vocab_size}) AS tokens
+  FROM documents
+),
+kg AS (
+  SELECT source, day_s,
+         unnest(list_transform(
+           generate_series(1, greatest(len(tokens) - {k - 1}, 0)),
+           i -> {kg_of_i})) AS kg
+  FROM toks
+),
+debut AS (SELECT kg, min(day_s) AS d0 FROM kg GROUP BY 1)
+SELECT source, day_s,
+       CAST(count(*) AS BIGINT) AS n_pos,
+       CAST(sum(CASE WHEN day_s = d0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(sum(CASE WHEN day_s = d0 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS novel_ppm
+FROM kg JOIN debut USING (kg)
+GROUP BY 1, 2
+"""

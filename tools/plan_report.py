@@ -1260,6 +1260,70 @@ def main() -> None:
         ],
     ))
 
+    # 23. offline changepoint / MK trend / containment dedup
+    from pyreshaper_spark.operators.changepoint import (
+        amoc_changepoint,
+        mann_kendall,
+        pettitt,
+    )
+    from pyreshaper_spark.operators.dedup import containment_pairs
+    from pyreshaper_spark.operators.subdup import ngram_novelty
+
+    p_amoc = plan_of(amoc_changepoint(t1h_c, 86400, 3600))
+    p_mk = plan_of(mann_kendall(t1h_c, 86400, 3600))
+    p_ctn = plan_of(containment_pairs(docs, max_df=200))
+    p_pet = plan_of(pettitt(t1h_c, 86400, 3600))
+    nov_in = docs.select(
+        "source",
+        F.lit(0).cast("long").alias("day_s"),
+        F.split(F.lower(F.col("text")), r"\s+").cast(
+            "array<string>"
+        ).alias("w"),
+    ).select(
+        "source", "day_s",
+        F.transform(
+            F.col("w"), lambda x: F.abs(F.hash(x)) % 1000
+        ).cast("array<int>").alias("tokens"),
+    )
+    p_nov = plan_of(ngram_novelty(nov_in, k=5))
+    sections.append((
+        "AMOC changepoint, Mann-Kendall trend, containment dedup",
+        "\n".join([
+            "--- amoc_changepoint(1d over 1h) ---", p_amoc[:2000],
+            "--- mann_kendall(1d over 1h) ---", p_mk[:1400],
+            "--- containment_pairs(max_df=200) ---", p_ctn[:1200],
+            "--- pettitt(1d over 1h) ---", p_pet[:1400],
+            "--- ngram_novelty(k=5) ---", p_nov[:1200],
+        ]),
+        [
+            ("amoc: candidates from ONE (source, day) sort (prefix-sum "
+             "windows share it) — no second exchange before the argmax",
+             "Window" in p_amoc),
+            ("amoc: exact rational argmax is a LEFT ANTI equi-join on "
+             "(source, day) with the cross-multiplied gain as residual "
+             "— constant per-group width, no cartesian",
+             ("LeftAnti" in p_amoc or "left_anti" in p_amoc)
+             and no_cartesian(p_amoc)),
+            ("mann-kendall: pair fan-out is an EQUI self-join on "
+             "(source, day) — constant per-group width, no cartesian, "
+             "no window",
+             no_cartesian(p_mk) and "Window" not in p_mk
+             and p_mk.count("HashAggregate") >= 2),
+            ("containment: same shared-shingle equi-join shape as the "
+             "jaccard path (df-capped), no cartesian",
+             no_cartesian(p_ctn)),
+            ("pettitt: pair spans explode MAP-SIDE (Generate after the "
+             "equi self-join, no range join); argmax window is group-"
+             "keyed, no cartesian",
+             "Generate" in p_pet and no_cartesian(p_pet)
+             and "Window" in p_pet),
+            ("novelty: debut-day lookup is a plain equi-join on the "
+             "k-gram hash (one row per distinct k-gram build side); "
+             "partial+final aggs, no cartesian",
+             no_cartesian(p_nov) and p_nov.count("HashAggregate") >= 4),
+        ],
+    ))
+
     out = ["# PLANS — physical-plan verification (auto-generated by "
            "tools/plan_report.py)\n"]
     all_ok = True
