@@ -424,6 +424,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cusum_1h"] = _q_cusum
 
+    # fixed-target Page CUSUM (the streamable control-chart form;
+    # streaming_cusum is its run-to-completion twin)
+    def _q_cusum_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.gapfill import cusum_fixed
+
+        tier = _tiers(spark, sf_dir)[600]
+        return cusum_fixed(
+            tier.select(
+                "source",
+                F.col("bucket_s").cast("long").alias("bucket_s"),
+                F.col("sum_n_tok").cast("long").alias("sum_n_tok"),
+            ),
+            mu=55, h=120,
+        )
+
+    q["cusum_fixed_10m"] = _q_cusum_fixed
+
     # -- level-shift changepoint (two adjacent k-bucket windows) -------
     def _q_levelshift(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyreshaper_spark.operators.gapfill import level_shift
@@ -566,6 +583,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in-long-doc pairs Jaccard's union denominator dilutes away
     q["dedup_containment"] = lambda s, d: dedup.containment_pairs(
         _docs(s, d), cont_num=6, cont_den=10
+    )
+    # MOSS winnowing: ~2/(w+1)-sampled fingerprint overlap
+    q["dedup_winnow"] = lambda s, d: dedup.winnow_pairs(
+        _docs(s, d), k=3, w=4, cont_num=5, cont_den=10
     )
 
     # -- dedup decision: pair graph -> clusters -> one survivor each --
@@ -971,6 +992,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["pettitt_1d"] = _q_pettitt
+
+    # -- seasonal Mann–Kendall per source (hour-of-day phases) --------
+    def _q_smk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.changepoint import (
+            seasonal_mann_kendall,
+        )
+
+        tier = _tiers(spark, sf_dir)[3600]
+        return seasonal_mann_kendall(
+            tier.select(
+                "source", "bucket_s",
+                F.col("sum_n_tok").cast("long").alias("sum_n_tok"),
+            ),
+            period_s=86400, fine_s=3600,
+        )
+
+    q["smk_trend"] = _q_smk
 
     # -- exact percentile rollup (1h buckets) -------------------------
     def _q_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2221,6 +2259,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_anomaly"] = _q_streaming_anomaly
 
+    def _q_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+
+        from pyreshaper_spark.streaming.cusum import streaming_cusum
+
+        base = tempfile.mkdtemp(prefix="stream_cu_")
+        src = os.path.join(base, "src")
+        (
+            _seq(spark, sf_dir)
+            .select("source", "event_s", "n_tok")
+            .orderBy("event_s")
+            .coalesce(1)
+            .write.parquet(src)
+        )
+        rows: list = []
+
+        def sink(batch_df, _epoch):
+            rows.extend(batch_df.collect())
+
+        stream = spark.readStream.schema(
+            "source string, event_s long, n_tok long"
+        ).parquet(src)
+        sq = (
+            streaming_cusum(stream, 600, mu=55, h=120)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(base, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination(300)
+        return spark.createDataFrame(
+            rows,
+            "source string, bucket_s long, sum_n_tok long, "
+            "cusum long, flag boolean",
+        )
+
+    q["streaming_cusum"] = _q_streaming_cusum
+
     def _q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         import os
         import tempfile
@@ -2714,6 +2792,14 @@ r AS (SELECT source, event_s, n_tok FROM sequences
         f"FROM ({_TIER_AGG.format(w=3600)}))\n"
         + cusum_detect_sql("t1h", h=100)
     )
+    from pyreshaper_spark.operators.gapfill import cusum_fixed_sql
+
+    o["cusum_fixed_10m"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"t10 AS (SELECT source, bucket_s, sum_n_tok "
+        f"FROM ({_TIER_AGG.format(w=600)}))\n"
+        + cusum_fixed_sql("t10", mu=55, h=120)
+    )
     from pyreshaper_spark.operators.gapfill import level_shift_sql
 
     o["levelshift_1h"] = (
@@ -2762,6 +2848,7 @@ FROM tier t JOIN meta m USING (source)
     o["dedup_ngram_jaccard"] = dedup.ngram_jaccard_sql()
     o["dedup_ngram_capped"] = dedup.ngram_jaccard_sql(max_df=200)
     o["dedup_containment"] = dedup.containment_sql(cont_num=6, cont_den=10)
+    o["dedup_winnow"] = dedup.winnow_sql(k=3, w=4, cont_num=5, cont_den=10)
     from pyreshaper_spark.operators.cluster import (
         components_sql,
         survivor_flags_sql,
@@ -3230,13 +3317,22 @@ FROM filled
         f"FROM ({_TIER_AGG.format(w=3600)}))\n"
         + mann_kendall_sql("t60", 86400, 3600)
     )
-    from pyreshaper_spark.operators.changepoint import pettitt_sql
+    from pyreshaper_spark.operators.changepoint import (
+        pettitt_sql,
+        seasonal_mann_kendall_sql,
+    )
 
     o["pettitt_1d"] = (
         f"WITH {seq_cte('base')},\n"
         f"t60 AS (SELECT source, bucket_s, sum_n_tok "
         f"FROM ({_TIER_AGG.format(w=3600)}))\n"
         + pettitt_sql("t60", 86400, 3600)
+    )
+    o["smk_trend"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"t60 AS (SELECT source, bucket_s, sum_n_tok "
+        f"FROM ({_TIER_AGG.format(w=3600)}))\n"
+        + seasonal_mann_kendall_sql("t60", 86400, 3600)
     )
     o["src_corr_1h"] = (
         f"WITH {seq_cte('base')},\n"
@@ -3395,6 +3491,19 @@ last AS (SELECT source, max(bucket_s) AS mb FROM t10 GROUP BY 1)
 SELECT an.source, an.bucket_s, an.sum_n_tok, an.roll_n, an.is_anomaly
 FROM an JOIN last ON an.source = last.source
 WHERE an.bucket_s < last.mb
+"""
+    from pyreshaper_spark.operators.gapfill import (
+        cusum_fixed_sql as _cf_sql,
+    )
+
+    o["streaming_cusum"] = f"""
+WITH {seq_cte('base')},
+t10 AS (SELECT source, bucket_s, sum_n_tok FROM ({_TIER_AGG.format(w=600)})),
+cu AS ({_cf_sql('t10', mu=55, h=120)}),
+last AS (SELECT source, max(bucket_s) AS mb FROM t10 GROUP BY 1)
+SELECT cu.source, cu.bucket_s, cu.value AS sum_n_tok, cu.cusum, cu.flag
+FROM cu JOIN last ON cu.source = last.source
+WHERE cu.bucket_s < last.mb
 """
     # sessions emits exactly the CLOSED sessions: batch sessionization
     # minus each user's final (still-open) session

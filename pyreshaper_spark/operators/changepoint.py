@@ -285,6 +285,136 @@ def mann_kendall(
     )
 
 
+def seasonal_mann_kendall(
+    tier: DataFrame,
+    period_s: int,
+    fine_s: int,
+    value_col: str = "sum_n_tok",
+) -> DataFrame:
+    """Seasonal Mann–Kendall (Hirsch & Slack 1984) per source over the
+    WHOLE tier range: the MK statistic computed independently within
+    each seasonal phase (same hour-of-day, same day-of-week, …) and
+    summed — trend detection that a diurnal/weekly cycle cannot fake,
+    the standard form for strongly seasonal series.
+
+    Phase = (bucket_s mod period_s) / fine_s; within a phase the
+    series is ordered by cycle (bucket_s div period_s). S' = Σ_g S_g
+    and 18·Var(S') = Σ_g 18·Var(S_g) (phases are independent under
+    the null) — all exact integers.
+
+    Scale shape: the per-phase pair fan-out is an equi self-join on
+    (source, phase) whose group width is the CYCLE COUNT (days in
+    range for the hour-of-day default) — bounded by the retention
+    window, exactly like :func:`rollup.hod_band`'s frame. Output is
+    O(sources).
+    """
+    assert period_s % fine_s == 0 and period_s // fine_s >= 1
+    pts = tier.select(
+        "source",
+        F.expr(f"pmod(bucket_s, {period_s}) div {fine_s}")
+        .cast("int")
+        .alias("ph"),
+        floor_to(F.col("bucket_s"), period_s).alias("cyc"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    a = pts.select("source", "ph", F.col("cyc").alias("ca"),
+                   F.col("v").alias("va"))
+    b = pts.select("source", "ph", F.col("cyc").alias("cb"),
+                   F.col("v").alias("vb"))
+    sgn = (
+        F.when(F.col("vb") > F.col("va"), F.lit(1))
+        .when(F.col("vb") < F.col("va"), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    s = (
+        a.join(b, ["source", "ph"])
+        .filter(F.col("cb") > F.col("ca"))
+        .groupBy("source")
+        .agg(F.sum(sgn).cast("long").alias("s_stat"))
+    )
+    n_t = F.col("tp")
+    n_g = F.col("n_g")
+    per_phase = (
+        pts.groupBy("source", "ph", "v")
+        .agg(F.count("*").alias("tp"))
+        .groupBy("source", "ph")
+        .agg(
+            F.sum("tp").alias("n_g"),
+            F.sum(n_t * (n_t - 1) * (2 * n_t + 5)).alias("tie18"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("n_g").cast("long").alias("n_pts"),
+            F.sum(
+                n_g * (n_g - 1) * (2 * n_g + 5) - F.col("tie18")
+            ).cast("long").alias("var18"),
+        )
+    )
+    # LEFT join from the totals: a source whose every phase is a
+    # singleton has no pairs (no s row) but still reports S = 0
+    s0 = F.coalesce(F.col("s_stat"), F.lit(0)).cast("long")
+    return per_phase.join(s, "source", "left").select(
+        "source",
+        "n_pts",
+        s0.alias("s_stat"),
+        "var18",
+        F.when(s0 > 0, F.lit(1))
+        .when(s0 < 0, F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("trend"),
+    )
+
+
+def seasonal_mann_kendall_sql(
+    relation: str,
+    period_s: int,
+    fine_s: int,
+    value_col: str = "sum_n_tok",
+) -> str:
+    """DuckDB twin of :func:`seasonal_mann_kendall` — CTE continuation
+    + final SELECT (append after an open ``WITH …`` list)."""
+    cyc = floor_sql("bucket_s", period_s)
+    return f""",
+pts AS (
+  SELECT source,
+         (((bucket_s % {period_s}) + {period_s}) % {period_s})
+           // {fine_s} AS ph,
+         {cyc} AS cyc,
+         CAST({value_col} AS BIGINT) AS v
+  FROM {relation}
+),
+s AS (
+  SELECT a.source,
+         CAST(sum(CASE WHEN b.v > a.v THEN 1
+                       WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT)
+           AS s_stat
+  FROM pts a JOIN pts b
+    ON a.source = b.source AND a.ph = b.ph AND b.cyc > a.cyc
+  GROUP BY 1
+),
+perph AS (
+  SELECT source, ph, sum(tp) AS n_g,
+         sum(tp * (tp - 1) * (2 * tp + 5)) AS tie18
+  FROM (SELECT source, ph, v, count(*) AS tp FROM pts GROUP BY 1, 2, 3)
+  GROUP BY 1, 2
+),
+vv AS (
+  SELECT source,
+         CAST(sum(n_g) AS BIGINT) AS n_pts,
+         CAST(sum(n_g * (n_g - 1) * (2 * n_g + 5) - tie18) AS BIGINT)
+           AS var18
+  FROM perph GROUP BY 1
+)
+SELECT vv.source, vv.n_pts,
+       CAST(coalesce(s.s_stat, 0) AS BIGINT) AS s_stat, vv.var18,
+       CAST(CASE WHEN coalesce(s.s_stat, 0) > 0 THEN 1
+                 WHEN coalesce(s.s_stat, 0) < 0 THEN -1 ELSE 0 END
+            AS INT) AS trend
+FROM vv LEFT JOIN s ON s.source = vv.source
+"""
+
+
 def pettitt(
     tier: DataFrame,
     coarse_s: int,

@@ -833,6 +833,146 @@ WHERE p.inter * {cont_den} >= least(sa.n_sh, sb.n_sh) * {cont_num}
 """
 
 
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 3, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): from every window of ``w``
+    consecutive word-``k``-gram hashes, keep the window MINIMUM; the
+    doc's fingerprint is the distinct set of selected hashes. The
+    winnowing guarantee: any shared run of ≥ w+k−1 words between two
+    docs shares at least one fingerprint — local similarity detection
+    with a ~2/(w+1) sampling rate instead of every shingle.
+
+    Entirely map-side array expressions (codegen — no explode until
+    the final distinct): O(len·w) comparisons per doc. Docs shorter
+    than one full window still emit one fingerprint (window = whole
+    doc); docs with < k words emit none.
+
+    Output: (doc_id, fp) distinct pairs — the winnowed analog of
+    :func:`ngram_sets`.
+    """
+    words = words_col()
+    kh = F.when(
+        F.size(words) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (k - 1)),
+            lambda i: h32(F.concat_ws(" ", F.slice(words, i, k))),
+        ),
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    docs_kh = docs.select("doc_id", kh.alias("kh"))
+    wins = F.when(
+        F.size(F.col("kh")) >= 1,
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.size(F.col("kh")) - (w - 1), F.lit(1)),
+        ),
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    fps = F.array_distinct(
+        F.transform(
+            wins, lambda i: F.array_min(F.slice(F.col("kh"), i, w))
+        )
+    )
+    return (
+        docs_kh.select("doc_id", F.explode(fps).alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    cont_num: int = 5,
+    cont_den: int = 10,
+) -> DataFrame:
+    """Fingerprint-overlap near-dup pairs over the winnowed sketch:
+    shared-fingerprint equi-join (the same candidate shape as the
+    shingle paths, on a stream ~2/(w+1) the size), exact containment
+    threshold ``inter·cont_den ≥ min(na,nb)·cont_num`` on fingerprint
+    counts. The w-window sampling makes this the cheap first pass of
+    a MOSS-style plagiarism/boilerplate scan at corpus scale."""
+    fp = winnow_fingerprints(docs, k, w)
+    sizes = fp.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    pair = (
+        fp.alias("x")
+        .join(fp.alias("y"), "fp")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pair.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "n_fp", "na"
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n_fp", "nb"
+            ),
+            "doc_b",
+        )
+        .filter(
+            F.col("inter") * F.lit(cont_den)
+            >= F.least(F.col("na"), F.col("nb")) * F.lit(cont_num)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").cast("long").alias("inter"),
+            F.col("na").cast("long").alias("na"),
+            F.col("nb").cast("long").alias("nb"),
+        )
+    )
+
+
+def winnow_sql(
+    k: int = 3,
+    w: int = 4,
+    cont_num: int = 5,
+    cont_den: int = 10,
+) -> str:
+    """DuckDB twin of :func:`winnow_pairs`."""
+    h = h32_sql(f"array_to_string(words[i:i+{k - 1}], ' ')")
+    return f"""
+WITH wrd AS (SELECT doc_id, {WORDS_SQL} AS words FROM documents),
+khs AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, greatest(len(words) - {k - 1}, 0)),
+           i -> {h}) AS kh
+  FROM wrd
+),
+fp AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           generate_series(1, CASE WHEN len(kh) >= 1
+                                   THEN greatest(len(kh) - {w - 1}, 1)
+                                   ELSE 0 END),
+           i -> list_min(kh[i:i+{w - 1}]))) AS fp
+  FROM khs
+),
+sizes AS (SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY 1),
+pair AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+  FROM fp x JOIN fp y ON x.fp = y.fp AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(p.inter AS BIGINT) AS inter,
+       CAST(sa.n_fp AS BIGINT) AS na,
+       CAST(sb.n_fp AS BIGINT) AS nb
+FROM pair p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+WHERE p.inter * {cont_den} >= least(sa.n_fp, sb.n_fp) * {cont_num}
+"""
+
+
 def dup_rate_by_day(docs_days: DataFrame) -> DataFrame:
     """Temporal dedup-health curve: per event day, how much of the
     day's intake is content ALREADY SEEN (on an earlier day, or

@@ -982,6 +982,71 @@ WINDOW wrun AS (PARTITION BY source ORDER BY bucket_s
 """
 
 
+def cusum_fixed(
+    tier: DataFrame, mu: int, h: int, value_col: str = "sum_n_tok"
+) -> DataFrame:
+    """Page's one-sided CUSUM against a FIXED reference level ``mu``
+    (the textbook control-chart form — :func:`cusum_detect` centers on
+    the realized series mean instead, which needs the whole series).
+    The fixed target is what a STREAMING monitor can actually compute:
+    ``streaming.cusum.streaming_cusum`` is the run-to-completion twin
+    of this operator and its oracle.
+
+    Same telescoping as :func:`cusum_detect`, no scaling needed since
+    ``mu`` is an integer: with C_t = Σ_{j≤t}(x_j − mu) and C_0 = 0,
+    S_t = max(0, S_{t-1} + x_t − mu) = C_t − min_{0≤j≤t} C_j. One
+    running sum + one running min on ONE (source)-keyed sort — a
+    single exchange, no joins. Flag: S_t > h.
+
+    Output (source, bucket_s, value, cusum, flag) — ``cusum`` in
+    value units (exact int64).
+    """
+    wrun = (
+        Window.partitionBy("source")
+        .orderBy("bucket_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v = F.col(value_col).cast("long")
+    stats = tier.select(
+        "source",
+        F.col("bucket_s").cast("long").alias("bucket_s"),
+        v.alias("value"),
+        (F.sum(v - F.lit(mu)).over(wrun)).cast("long").alias("c"),
+    )
+    return stats.select(
+        "source",
+        "bucket_s",
+        "value",
+        (F.col("c")
+         - F.least(F.lit(0).cast("long"), F.min("c").over(wrun)))
+        .cast("long")
+        .alias("cusum"),
+    ).withColumn("flag", F.col("cusum") > F.lit(h))
+
+
+def cusum_fixed_sql(
+    relation: str, mu: int, h: int, value_col: str = "sum_n_tok"
+) -> str:
+    """DuckDB twin of :func:`cusum_fixed`."""
+    return f"""
+SELECT source, bucket_s, value,
+       CAST(c - least(CAST(0 AS BIGINT), min(c) OVER wrun) AS BIGINT)
+         AS cusum,
+       (c - least(CAST(0 AS BIGINT), min(c) OVER wrun)) > {h} AS flag
+FROM (
+  SELECT source,
+         CAST(bucket_s AS BIGINT)    AS bucket_s,
+         CAST({value_col} AS BIGINT) AS value,
+         CAST(sum({value_col} - {mu}) OVER wrun0 AS BIGINT) AS c
+  FROM {relation}
+  WINDOW wrun0 AS (PARTITION BY source ORDER BY bucket_s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+WINDOW wrun AS (PARTITION BY source ORDER BY bucket_s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 def level_shift(
     tier: DataFrame, k: int, thresh: int, value_col: str = "sum_n_tok"
 ) -> DataFrame:

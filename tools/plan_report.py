@@ -1324,6 +1324,40 @@ def main() -> None:
         ],
     ))
 
+    # 24. seasonal MK, winnowing, fixed-target CUSUM
+    from pyreshaper_spark.operators.changepoint import (
+        seasonal_mann_kendall,
+    )
+    from pyreshaper_spark.operators.dedup import winnow_pairs
+    from pyreshaper_spark.operators.gapfill import cusum_fixed
+
+    p_smk = plan_of(seasonal_mann_kendall(t1h_c, 86400, 3600))
+    p_win = plan_of(winnow_pairs(docs))
+    p_cf = plan_of(cusum_fixed(t1h_c, mu=55, h=120, value_col="sum_n_tok"))
+    sections.append((
+        "Seasonal Mann-Kendall, winnowing fingerprints, fixed CUSUM",
+        "\n".join([
+            "--- seasonal_mann_kendall(day period) ---", p_smk[:1600],
+            "--- winnow_pairs(k=3, w=4) ---", p_win[:1400],
+            "--- cusum_fixed ---", p_cf[:1200],
+        ]),
+        [
+            ("seasonal MK: per-phase pairs via (source, phase) equi "
+             "self-join (group width = cycle count), no cartesian, "
+             "no window",
+             no_cartesian(p_smk) and "Window" not in p_smk),
+            ("winnowing: fingerprint selection is pure map-side array "
+             "codegen (Generate only at the final distinct explode); "
+             "pair candidates via shared-fingerprint equi-join, no "
+             "cartesian",
+             no_cartesian(p_win) and "Generate" in p_win),
+            ("fixed CUSUM: running sum + running min share ONE "
+             "source-keyed sort — a single exchange, no join",
+             p_cf.count("Exchange") // 2 <= 2 and "Join" not in p_cf
+             and "Window" in p_cf),
+        ],
+    ))
+
     out = ["# PLANS — physical-plan verification (auto-generated by "
            "tools/plan_report.py)\n"]
     all_ok = True
