@@ -1193,6 +1193,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["similar_days_1h"] = _q_similar_days
 
+    # -- discord days: the anomaly dual of the day-profile kNN --------
+    def _q_discords(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.seriessim import day_discords
+
+        tier = _tiers(spark, sf_dir)[3600]
+        return day_discords(
+            tier.select(
+                "source",
+                F.col("bucket_s").cast("long").alias("bucket_s"),
+                F.col("sum_n_tok").cast("long").alias("sum_n_tok"),
+            ),
+            m=3,
+        )
+
+    q["discord_days_1h"] = _q_discords
+
     def _q_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Hampel outlier flag (centered ±3-bucket median/MAD, t=2)
         over the gappy 10m tier — the robust cousin of anomaly_10m."""
@@ -1541,6 +1557,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # skip-gram ±3 co-occurrence (word2vec/GloVe matrix builder)
     q["tok_skipgram_w3"] = lambda s, d: VB.tok_skipgram(
         _md_seq(s, d), window=3, min_count=2
+    )
+    # collocation lift (exact-integer PMI face) over the same pairs
+    q["tok_colloc_w3"] = lambda s, d: VB.tok_collocations(
+        _md_seq(s, d), window=3, min_pair=3, min_lift_ppm=2_000_000
     )
     # trending tokens: day-over-day frequency lift top-k
     q["token_movers_1d"] = lambda s, d: VB.token_movers(
@@ -2604,6 +2624,14 @@ SELECT source, count(*) AS n_docs FROM sequences GROUP BY 1
         f"FROM ({_TIER_AGG.format(w=3600)}))\n"
         + day_profile_knn_sql("t1h", 3)
     )
+    from pyreshaper_spark.operators.seriessim import day_discords_sql
+
+    o["discord_days_1h"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"t1h AS (SELECT source, bucket_s, sum_n_tok "
+        f"FROM ({_TIER_AGG.format(w=3600)}))\n"
+        + day_discords_sql("t1h", 3)
+    )
     from pyreshaper_spark.operators.gapfill import hampel_filter_sql
     from pyreshaper_spark.operators.sampling import doc_concentration_sql
 
@@ -3151,6 +3179,12 @@ WHERE r.bucket_s < last.mb
 
     from pyreshaper_spark.operators.vocab import tok_skipgram_sql
 
+    from pyreshaper_spark.operators.vocab import tok_collocations_sql
+
+    o["tok_colloc_w3"] = (
+        f"WITH {seqs_cte(_V)},"
+        + tok_collocations_sql(3, min_pair=3, min_lift_ppm=2_000_000)
+    )
     o["tok_skipgram_w3"] = (
         f"WITH {seqs_cte(_V)}," + tok_skipgram_sql(3, min_count=2)
     )

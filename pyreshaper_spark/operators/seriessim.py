@@ -124,6 +124,66 @@ def day_profile_knn(
     )
 
 
+def day_discords(
+    tier: DataFrame,
+    m: int = 3,
+    day_s: int = 86400,
+    value_col: str = "sum_n_tok",
+) -> DataFrame:
+    """Top-``m`` DISCORD days per source — the days whose NEAREST
+    neighbouring day profile is farthest away (Keogh et al.'s time-
+    series discord, the anomaly dual of the :func:`day_profile_knn`
+    motif search: a motif has a close neighbour, a discord has none).
+
+    Derived entirely from the k=1 kNN output: rank days per source by
+    their nearest-neighbour d² DESCENDING (ties: earlier day first)
+    and keep the top m. Exact decimal(38,0) distances, engine-portable
+    ranks. Sources with a single profiled day have no neighbour and
+    cannot rank — same contract as the kNN.
+
+    Output: (source, day_s, nbr_day_s, d2, drank ≤ m).
+    """
+    nn = day_profile_knn(tier, k=1, day_s=day_s, value_col=value_col)
+    w = Window.partitionBy("source").orderBy(
+        F.col("d2").desc(), F.col("day_s").asc()
+    )
+    return (
+        nn.withColumn("drank", F.row_number().over(w))
+        .filter(F.col("drank") <= m)
+        .select(
+            "source", "day_s", "nbr_day_s", "d2",
+            F.col("drank").cast("int").alias("drank"),
+        )
+    )
+
+
+def day_discords_sql(
+    relation: str,
+    m: int = 3,
+    day_s: int = 86400,
+    value_col: str = "sum_n_tok",
+) -> str:
+    """DuckDB twin of :func:`day_discords` — continuation CTEs like
+    :func:`day_profile_knn_sql` (whose final SELECT is folded into a
+    ``knn`` CTE here; the rsplit anchors on the single top-level
+    SELECT that function emits)."""
+    inner = day_profile_knn_sql(relation, 1, day_s, value_col)
+    head, tail = inner.rsplit("\nSELECT source,", 1)
+    return (
+        head
+        + ",\nknn AS (\nSELECT source," + tail + "\n)"
+        + f"""
+SELECT source, day_s, nbr_day_s, d2, CAST(drank AS INT) AS drank
+FROM (
+  SELECT source, day_s, nbr_day_s, d2,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY d2 DESC, day_s ASC) AS drank
+  FROM knn)
+WHERE drank <= {m}
+"""
+    )
+
+
 def day_profile_knn_sql(
     relation: str,
     k: int = 3,

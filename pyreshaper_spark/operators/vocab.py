@@ -1315,6 +1315,104 @@ HAVING count(*) >= {min_count}
 """
 
 
+def tok_collocations(
+    seq: DataFrame,
+    window: int = 3,
+    min_pair: int = 3,
+    min_lift_ppm: int = 2_000_000,
+) -> DataFrame:
+    """Corpus-wide collocations: ordered token pairs whose co-occurrence
+    LIFT exceeds a threshold — the exact-integer face of PMI (PMI > 0
+    ⟺ lift > 1; ranking by lift ranks by PMI since log is monotone, so
+    the engine never ships a logarithm).
+
+    lift = P(x,y) / (P(x,·)·P(·,y)) = c_xy·N / (c_x··c_·y) over the
+    skip-gram pair space (marginals and N computed from the UNFILTERED
+    pair table — min_pair only gates the output, so thresholds don't
+    bias the probabilities). Reported as the exact quantized integer
+    ``lift_ppm = c_xy·10⁶·N div (c_x·c_y)``.
+
+    Domain bound: c_xy·10⁶ must fit decimal(19,0) ⇒ pair counts to
+    ~9·10¹²; the product with N stays within decimal(38,0) for N to
+    ~10¹⁹. Scale shape: pairs are generated map-side (tok_skipgram),
+    marginals are re-aggregations of the V²-bounded pair table, N is a
+    1-row broadcast — no corpus re-scan, nothing quadratic.
+
+    Output: (t1, t2, c_xy, c_x, c_y, lift_ppm), filtered to
+    ``c_xy ≥ min_pair AND lift_ppm ≥ min_lift_ppm``.
+    """
+    pairs = (
+        tok_skipgram(seq, window, min_count=1)
+        .groupBy("t1", "t2")
+        .agg(F.sum("c_xy").cast("long").alias("c_xy"))
+    )
+    left = pairs.groupBy("t1").agg(F.sum("c_xy").cast("long").alias("c_x"))
+    right = pairs.groupBy("t2").agg(F.sum("c_xy").cast("long").alias("c_y"))
+    n = pairs.agg(F.sum("c_xy").cast("long").alias("n_pairs"))
+    lift = (
+        (F.col("c_xy") * F.lit(1_000_000)).cast("decimal(19,0)")
+        * F.col("n_pairs").cast("decimal(19,0)")
+    )
+    den = (
+        F.col("c_x").cast("decimal(19,0)")
+        * F.col("c_y").cast("decimal(19,0)")
+    )
+    return (
+        pairs.join(left, "t1")
+        .join(right, "t2")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("c_xy") >= min_pair)
+        .select(
+            "t1", "t2", "c_xy", "c_x", "c_y",
+            F.expr(
+                f"CAST(CAST(c_xy AS DECIMAL(19,0)) * 1000000 "
+                f"* CAST(n_pairs AS DECIMAL(19,0)) "
+                f"div (CAST(c_x AS DECIMAL(19,0)) "
+                f"* CAST(c_y AS DECIMAL(19,0))) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .filter(F.col("lift_ppm") >= min_lift_ppm)
+    )
+
+
+def tok_collocations_sql(
+    window: int,
+    min_pair: int = 3,
+    min_lift_ppm: int = 2_000_000,
+) -> str:
+    """DuckDB twin of :func:`tok_collocations` over a ``seqs(source,
+    doc_id, tokens)`` CTE (continuation — append after WITH chain)."""
+    return f"""
+pos AS (
+  SELECT source, doc_id,
+         unnest(tokens)                    AS tok,
+         generate_subscripts(tokens, 1)    AS pos
+  FROM seqs
+),
+pr AS (
+  SELECT a.tok AS t1, b.tok AS t2, CAST(count(*) AS BIGINT) AS c_xy
+  FROM pos a
+  JOIN pos b ON a.doc_id = b.doc_id
+            AND b.pos > a.pos AND b.pos <= a.pos + {window}
+            AND a.source = b.source
+  GROUP BY 1, 2
+),
+lm AS (SELECT t1, CAST(sum(c_xy) AS BIGINT) AS c_x FROM pr GROUP BY 1),
+rm AS (SELECT t2, CAST(sum(c_xy) AS BIGINT) AS c_y FROM pr GROUP BY 1),
+nn AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_pairs FROM pr)
+SELECT pr.t1, pr.t2, pr.c_xy, lm.c_x, rm.c_y,
+       CAST(CAST(pr.c_xy AS HUGEINT) * 1000000 * nn.n_pairs
+            // (CAST(lm.c_x AS HUGEINT) * rm.c_y) AS BIGINT) AS lift_ppm
+FROM pr
+JOIN lm ON lm.t1 = pr.t1
+JOIN rm ON rm.t2 = pr.t2
+CROSS JOIN nn
+WHERE pr.c_xy >= {min_pair}
+  AND CAST(pr.c_xy AS HUGEINT) * 1000000 * nn.n_pairs
+      // (CAST(lm.c_x AS HUGEINT) * rm.c_y) >= {min_lift_ppm}
+"""
+
+
 #: fraction-ranking scale for token_movers' day-over-day lift key
 _LIFT_SCALE = 1_000_000
 

@@ -123,6 +123,86 @@ def test_smk_cross_day_growth_detected(spark):
     assert r.var18 == 6 * (4 * 3 * 13)  # no ties per phase
 
 
+def test_day_discords_outlier_day(spark):
+    from pyreshaper_spark.operators.seriessim import day_discords
+
+    rows = []
+    for d in range(4):
+        for h in range(4):
+            v = 10 if d < 3 else 1000      # day 3 is the discord
+            rows.append(("a", d * DAY + h * HOUR, v))
+    out = day_discords(_tier(spark, rows), m=2).collect()
+    assert [r.day_s for r in sorted(out, key=lambda r: r.drank)][0] \
+        == 3 * DAY
+    top = [r for r in out if r.drank == 1][0]
+    # d2 vs any normal day: 4 slots x (1000-10)^2
+    assert int(top.d2) == 4 * 990 * 990
+
+
+def test_day_discords_matches_knn_rank1(spark):
+    from pyreshaper_spark.operators.seriessim import (
+        day_discords,
+        day_profile_knn,
+    )
+
+    rng = random.Random(5)
+    rows = [
+        ("s", d * DAY + h * HOUR, rng.randint(0, 100))
+        for d in range(5)
+        for h in rng.sample(range(24), rng.randint(1, 6))
+    ]
+    nn1 = {
+        (r.source, r.day_s): int(r.d2)
+        for r in day_profile_knn(_tier(spark, rows), k=1).collect()
+    }
+    disc = day_discords(_tier(spark, rows), m=100).collect()
+    assert {(r.source, r.day_s): int(r.d2) for r in disc} == nn1
+    # ranks strictly follow descending d2 with day tie-break
+    ordered = sorted(disc, key=lambda r: r.drank)
+    keys = [(-int(r.d2), r.day_s) for r in ordered]
+    assert keys == sorted(keys)
+
+
+def test_tok_collocations_reference(spark):
+    from fractions import Fraction
+
+    from pyreshaper_spark.operators.vocab import tok_collocations
+
+    docs = [
+        [1, 2, 1, 2, 1, 2],      # 1->2 collocates strongly
+        [3, 4, 5, 6, 3, 7, 8],
+        [1, 2, 9, 9, 1, 2],
+    ]
+    seq = spark.createDataFrame(
+        [Row(doc_id=str(i), source="s", tokens=t)
+         for i, t in enumerate(docs)]
+    )
+    got = {
+        (r.t1, r.t2): (r.c_xy, r.c_x, r.c_y, r.lift_ppm)
+        for r in tok_collocations(
+            seq, window=2, min_pair=2, min_lift_ppm=1
+        ).collect()
+    }
+    # brute-force pair space
+    pairs = Counter()
+    for t in docs:
+        for i in range(len(t)):
+            for j in range(i + 1, min(i + 3, len(t))):
+                pairs[(t[i], t[j])] += 1
+    n = sum(pairs.values())
+    lm, rm = Counter(), Counter()
+    for (a, b), c in pairs.items():
+        lm[a] += c
+        rm[b] += c
+    for (a, b), c in pairs.items():
+        if c < 2:
+            continue
+        lift = Fraction(c * 1_000_000 * n, lm[a] * rm[b])
+        want = (c, lm[a], rm[b], int(lift))
+        assert got[(a, b)] == want, (a, b)
+    assert set(got) == {k for k, c in pairs.items() if c >= 2}
+
+
 def test_smk_fuzz_vs_reference(spark):
     rng = random.Random(42)
     rows, by_src = [], {}

@@ -1331,15 +1331,24 @@ def main() -> None:
     from pyreshaper_spark.operators.dedup import winnow_pairs
     from pyreshaper_spark.operators.gapfill import cusum_fixed
 
+    from pyreshaper_spark.operators.seriessim import day_discords
+    from pyreshaper_spark.operators.vocab import tok_collocations
+
     p_smk = plan_of(seasonal_mann_kendall(t1h_c, 86400, 3600))
     p_win = plan_of(winnow_pairs(docs))
     p_cf = plan_of(cusum_fixed(t1h_c, mu=55, h=120, value_col="sum_n_tok"))
+    p_dd = plan_of(day_discords(t1h_c, m=3))
+    seq_tok = seq.select("source", "doc_id", "tokens")
+    p_col = plan_of(tok_collocations(seq_tok, window=3))
     sections.append((
-        "Seasonal Mann-Kendall, winnowing fingerprints, fixed CUSUM",
+        "Seasonal Mann-Kendall, winnowing fingerprints, fixed CUSUM, "
+        "discords, collocations",
         "\n".join([
             "--- seasonal_mann_kendall(day period) ---", p_smk[:1600],
             "--- winnow_pairs(k=3, w=4) ---", p_win[:1400],
             "--- cusum_fixed ---", p_cf[:1200],
+            "--- day_discords(m=3) ---", p_dd[:1000],
+            "--- tok_collocations(w=3) ---", p_col[:1200],
         ]),
         [
             ("seasonal MK: per-phase pairs via (source, phase) equi "
@@ -1355,6 +1364,17 @@ def main() -> None:
              "source-keyed sort — a single exchange, no join",
              p_cf.count("Exchange") // 2 <= 2 and "Join" not in p_cf
              and "Window" in p_cf),
+            ("discords: top-m rank pushes WindowGroupLimit (each map "
+             "task forwards <= m days per source); kNN joins stay "
+             "equi, no cartesian",
+             "WindowGroupLimit" in p_dd and no_cartesian(p_dd)),
+            ("collocations: pairs generated map-side (Generate, no "
+             "position self-join); N is a broadcast 1-row cross — the "
+             "only nested loop; marginals re-aggregate the pair table",
+             "Generate" in p_col
+             and p_col.count("BroadcastNestedLoopJoin") // 2 <= 1
+             and "CartesianProduct" not in p_col
+             and p_col.count("HashAggregate") >= 6),
         ],
     ))
 
