@@ -41,11 +41,17 @@ so each group contributes ≤ n_fine² rows. One hash aggregate follows;
 no window over an unbounded partition, no cartesian, no raw scan.
 
 Domain bound (documented, guarded loudly): AMOC's pre-square term
-|S_l·n_r − S_r·n_l| must stay below 10^18 so its square fits
-decimal(38,0) — with n_fine ≤ 24 that allows per-fine-bucket value
-sums up to ~4·10^16, far past any real token-count tier. Exceeding it
-raises (ANSI throws on the decimal(19,0) cast natively; non-ANSI hits
-an explicit raise_error guard), never a silent NULL.
+D = S_l·n_r − S_r·n_l must satisfy D²·max(B) ≤ 10^38−1 so BOTH the
+stored gain AND the cross-multiplied comparison A_j·B_i fit
+decimal(38,0) — the guard bound is therefore
+floor(sqrt((10^38−1)/B_max)) with B_max = ⌊n/2⌋·⌈n/2⌉·n at
+n = n_fine (≈1.7·10^17 for the 24-hours-in-a-day default, allowing
+per-fine-bucket value sums to ~2.9·10^14 — far past any real
+token-count tier). Exceeding it raises (ANSI throws on the
+decimal(19,0) cast natively; non-ANSI hits an explicit raise_error
+guard), never a silent NULL: a looser guard would let the comparison
+overflow to NULL under non-ANSI and silently return several "best"
+splits per group.
 """
 
 from __future__ import annotations
@@ -55,8 +61,14 @@ from pyspark.sql import functions as F
 
 from pyreshaper_spark.operators.rollup import floor_sql, floor_to
 
-#: loud-failure bound for the AMOC pre-square term (see module doc)
-_AMOC_D_BOUND = 10**18
+def _amoc_d_bound(n_fine: int) -> int:
+    """Loud-failure bound for the AMOC pre-square term D (module doc):
+    largest |D| such that D²·B_max still fits decimal(38,0), where
+    B_max = ⌊n/2⌋·⌈n/2⌉·n is the largest possible gain denominator."""
+    import math
+
+    b_max = (n_fine // 2) * (n_fine - n_fine // 2) * n_fine
+    return math.isqrt((10**38 - 1) // b_max)
 
 
 def _tier_points(
@@ -121,18 +133,21 @@ def amoc_changepoint(
     s_r = (F.col("s_tot") - F.col("s_l")).cast("decimal(19,0)")
     d = (s_l * n_r.cast("decimal(19,0)")
          - s_r * n_l.cast("decimal(19,0)")).alias("d")
+    d_bound = _amoc_d_bound(coarse_s // fine_s)
     cand = ranked.select(
         "source", "cb", "x", "t", "n",
         d,
         (n_l * n_r * F.col("n")).cast("long").alias("b"),
     ).select(
         "source", "cb", "x", "t", "n", "b",
-        # loud domain guard: |d| must fit decimal(19,0) for the square
+        # loud domain guard: D²·B_max must fit decimal(38,0) or the
+        # argmax cross-multiply could overflow (NULL under non-ANSI)
         F.when(
-            F.abs(F.col("d")) >= F.lit(_AMOC_D_BOUND).cast("decimal(38,0)"),
+            F.abs(F.col("d")) > F.lit(d_bound).cast("decimal(38,0)"),
             F.expr(
-                "raise_error('amoc_changepoint: |S_l*n_r - S_r*n_l| >= 1e18 "
-                "— value sums exceed the documented decimal(38) domain')"
+                f"raise_error('amoc_changepoint: |S_l*n_r - S_r*n_l| > "
+                f"{d_bound} — value sums exceed the documented "
+                f"decimal(38) comparison domain')"
             ).cast("decimal(38,0)"),
         )
         .otherwise(

@@ -646,6 +646,50 @@ def ngram_sets(
     return ns.join(F.broadcast(hot), "sh", "left_anti")
 
 
+def _overlap_pairs(
+    sets: DataFrame, key: str, num: int, den: int, denom: str
+) -> DataFrame:
+    """Shared candidate-pair machinery for the set-overlap dedup
+    family (n-gram Jaccard, containment, winnowed fingerprints):
+    shared-``key`` equi-join → per-pair intersection count → two size
+    joins → exact-fraction threshold ``inter·den ≥ denom_sz·num``
+    where ``denom`` picks the denominator semantics: ``"union"``
+    (Jaccard, na+nb−inter) or ``"min"`` (containment, least(na, nb)).
+
+    Returns (doc_a, doc_b, inter, na, nb) — surviving pairs only.
+    """
+    sizes = sets.groupBy("doc_id").agg(F.count("*").alias("n_el"))
+    pair = (
+        sets.alias("x")
+        .join(sets.alias("y"), key)
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    denom_sz = (
+        F.col("na") + F.col("nb") - F.col("inter")
+        if denom == "union"
+        else F.least(F.col("na"), F.col("nb"))
+    )
+    return (
+        pair.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "n_el", "na"
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n_el", "nb"
+            ),
+            "doc_b",
+        )
+        .filter(F.col("inter") * F.lit(den) >= denom_sz * F.lit(num))
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -658,35 +702,13 @@ def ngram_jaccard_pairs(
     bounds hot boilerplate shingles at web scale — the per-shingle
     join fan-out is then ≤ max_df² per shingle)."""
     ns = ngram_sets(docs, n, max_df)
-    sizes = ns.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    pair = (
-        ns.alias("x")
-        .join(ns.alias("y"), "sh")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .groupBy(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("inter"))
-    )
-    return (
-        pair.join(
-            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
-                "n_sh", "na"
-            ),
-            "doc_a",
-        )
-        .join(
-            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
-                "n_sh", "nb"
-            ),
-            "doc_b",
-        )
-        .withColumn("union_sz", F.col("na") + F.col("nb") - F.col("inter"))
-        .filter(
-            F.col("inter") * F.lit(jaccard_den)
-            >= F.col("union_sz") * F.lit(jaccard_num)
-        )
-        .select("doc_a", "doc_b", "inter", "union_sz")
+    return _overlap_pairs(
+        ns, "sh", jaccard_num, jaccard_den, denom="union"
+    ).select(
+        "doc_a",
+        "doc_b",
+        "inter",
+        (F.col("na") + F.col("nb") - F.col("inter")).alias("union_sz"),
     )
 
 
@@ -750,43 +772,17 @@ def containment_pairs(
     two broadcast-able size joins, nothing quadratic past the df cap.
     """
     ns = ngram_sets(docs, n, max_df)
-    sizes = ns.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    pair = (
-        ns.alias("x")
-        .join(ns.alias("y"), "sh")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .groupBy(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("inter"))
-    )
-    n_min = F.least(F.col("na"), F.col("nb"))
-    return (
-        pair.join(
-            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
-                "n_sh", "na"
-            ),
-            "doc_a",
-        )
-        .join(
-            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
-                "n_sh", "nb"
-            ),
-            "doc_b",
-        )
-        .filter(
-            F.col("inter") * F.lit(cont_den) >= n_min * F.lit(cont_num)
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.col("inter").cast("long").alias("inter"),
-            F.col("na").cast("long").alias("na"),
-            F.col("nb").cast("long").alias("nb"),
-            F.expr("inter * 1000000000 div least(na, nb)")
-            .cast("long")
-            .alias("cont_ppb"),
-        )
+    return _overlap_pairs(
+        ns, "sh", cont_num, cont_den, denom="min"
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.col("inter").cast("long").alias("inter"),
+        F.col("na").cast("long").alias("na"),
+        F.col("nb").cast("long").alias("nb"),
+        F.expr("inter * 1000000000 div least(na, nb)")
+        .cast("long")
+        .alias("cont_ppb"),
     )
 
 
@@ -893,40 +889,14 @@ def winnow_pairs(
     counts. The w-window sampling makes this the cheap first pass of
     a MOSS-style plagiarism/boilerplate scan at corpus scale."""
     fp = winnow_fingerprints(docs, k, w)
-    sizes = fp.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
-    pair = (
-        fp.alias("x")
-        .join(fp.alias("y"), "fp")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .groupBy(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("inter"))
-    )
-    return (
-        pair.join(
-            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
-                "n_fp", "na"
-            ),
-            "doc_a",
-        )
-        .join(
-            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
-                "n_fp", "nb"
-            ),
-            "doc_b",
-        )
-        .filter(
-            F.col("inter") * F.lit(cont_den)
-            >= F.least(F.col("na"), F.col("nb")) * F.lit(cont_num)
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.col("inter").cast("long").alias("inter"),
-            F.col("na").cast("long").alias("na"),
-            F.col("nb").cast("long").alias("nb"),
-        )
+    return _overlap_pairs(
+        fp, "fp", cont_num, cont_den, denom="min"
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.col("inter").cast("long").alias("inter"),
+        F.col("na").cast("long").alias("na"),
+        F.col("nb").cast("long").alias("nb"),
     )
 
 

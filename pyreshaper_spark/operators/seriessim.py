@@ -163,15 +163,11 @@ def day_discords_sql(
     day_s: int = 86400,
     value_col: str = "sum_n_tok",
 ) -> str:
-    """DuckDB twin of :func:`day_discords` — continuation CTEs like
-    :func:`day_profile_knn_sql` (whose final SELECT is folded into a
-    ``knn`` CTE here; the rsplit anchors on the single top-level
-    SELECT that function emits)."""
-    inner = day_profile_knn_sql(relation, 1, day_s, value_col)
-    head, tail = inner.rsplit("\nSELECT source,", 1)
+    """DuckDB twin of :func:`day_discords` — composes the shared
+    :func:`_knn_ctes` chain (k = 1) and ranks its ``knn`` CTE by d²
+    descending."""
     return (
-        head
-        + ",\nknn AS (\nSELECT source," + tail + "\n)"
+        _knn_ctes(relation, 1, day_s, value_col)
         + f"""
 SELECT source, day_s, nbr_day_s, d2, CAST(drank AS INT) AS drank
 FROM (
@@ -193,6 +189,22 @@ def day_profile_knn_sql(
     """DuckDB twin of :func:`day_profile_knn` over a named tier
     relation. Emits CONTINUATION CTEs (leading comma) — append after
     an open ``WITH`` chain that already defines ``relation``."""
+    return (
+        _knn_ctes(relation, k, day_s, value_col)
+        + "\nSELECT source, day_s, nbr_day_s, d2, rank FROM knn\n"
+    )
+
+
+def _knn_ctes(
+    relation: str,
+    k: int,
+    day_s: int,
+    value_col: str,
+) -> str:
+    """Shared CTE chain for the day-profile kNN family: continuation
+    CTEs (leading comma) ending in a fully-typed ``knn`` CTE with one
+    row per (source, day, rank ≤ k) — composed by both
+    :func:`day_profile_knn_sql` and :func:`day_discords_sql`."""
     day = floor_sql("bucket_s", day_s)
     return f"""
 , slots AS (
@@ -224,16 +236,18 @@ pairs AS (
   LEFT JOIN dots d
     ON d.source = da.source AND d.day_s = da.day_s
    AND d.nbr_day_s = db.day_s
+),
+knn AS (
+  SELECT source,
+         CAST(day_s AS BIGINT)     AS day_s,
+         CAST(nbr_day_s AS BIGINT) AS nbr_day_s,
+         d2,
+         CAST(rank AS INT)         AS rank
+  FROM (
+    SELECT *, row_number() OVER (
+             PARTITION BY source, day_s
+             ORDER BY d2 ASC, nbr_day_s ASC) AS rank
+    FROM pairs)
+  WHERE rank <= {k}
 )
-SELECT source,
-       CAST(day_s AS BIGINT)     AS day_s,
-       CAST(nbr_day_s AS BIGINT) AS nbr_day_s,
-       d2,
-       CAST(rank AS INT)         AS rank
-FROM (
-  SELECT *, row_number() OVER (
-           PARTITION BY source, day_s
-           ORDER BY d2 ASC, nbr_day_s ASC) AS rank
-  FROM pairs)
-WHERE rank <= {k}
 """

@@ -1349,14 +1349,6 @@ def tok_collocations(
     left = pairs.groupBy("t1").agg(F.sum("c_xy").cast("long").alias("c_x"))
     right = pairs.groupBy("t2").agg(F.sum("c_xy").cast("long").alias("c_y"))
     n = pairs.agg(F.sum("c_xy").cast("long").alias("n_pairs"))
-    lift = (
-        (F.col("c_xy") * F.lit(1_000_000)).cast("decimal(19,0)")
-        * F.col("n_pairs").cast("decimal(19,0)")
-    )
-    den = (
-        F.col("c_x").cast("decimal(19,0)")
-        * F.col("c_y").cast("decimal(19,0)")
-    )
     return (
         pairs.join(left, "t1")
         .join(right, "t2")

@@ -118,6 +118,25 @@ def test_amoc_fuzz_vs_fraction_reference(spark):
         ), (r.source, r.bucket_s)
 
 
+def test_amoc_domain_guard_fires_before_comparison_overflow(spark):
+    # the argmax cross-multiply A_j*B_i must fit decimal(38,0): the
+    # guard bound is sqrt((1e38-1)/B_max), NOT 1e18 — a value in the
+    # gap would overflow the comparison to NULL under non-ANSI and
+    # silently return several "best" rows (review finding)
+    import pytest
+
+    from pyreshaper_spark.operators.changepoint import _amoc_d_bound
+
+    bound = _amoc_d_bound(24)
+    assert 1.6e17 < bound < 1.8e17  # 12*12*24 = 3456 denominator max
+    ok = _tier(spark, {("a", 0): [(0, bound - 5), (1, 0)]})
+    r = amoc_changepoint(ok, DAY, HOUR).collect()
+    assert len(r) == 1 and int(r[0].gain_num) == (bound - 5) ** 2
+    bad = _tier(spark, {("a", 0): [(0, bound + 1), (1, 0)]})
+    with pytest.raises(Exception, match="decimal|amoc_changepoint"):
+        amoc_changepoint(bad, DAY, HOUR).collect()
+
+
 def test_mann_kendall_vs_reference(spark):
     rng = random.Random(7)
     series = {}
