@@ -478,6 +478,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_rollup_5m"] = lambda s, d: EV.events_rollup(_events(s, d))
     q["events_rfm"] = lambda s, d: EV.events_rfm(_events(s, d))
     q["events_dau_wau"] = lambda s, d: EV.events_dau_wau(_events(s, d))
+    q["events_engagement_hist"] = lambda s, d: EV.events_engagement_hist(
+        _events(s, d)
+    )
+    q["events_transitions"] = lambda s, d: EV.events_transitions(
+        _events(s, d)
+    )
     q["events_conversion_lag"] = lambda s, d: EV.events_conversion_lag(
         _events(s, d)
     )
@@ -2764,6 +2770,8 @@ r AS (SELECT source, event_s, n_tok FROM sequences
     o["events_rollup_5m"] = EV.events_rollup_sql()
     o["events_rfm"] = EV.events_rfm_sql()
     o["events_dau_wau"] = EV.events_dau_wau_sql()
+    o["events_engagement_hist"] = EV.events_engagement_hist_sql()
+    o["events_transitions"] = EV.events_transitions_sql()
     o["events_conversion_lag"] = EV.events_conversion_lag_sql()
     o["events_sessions"] = EV.sessionize_sql()
 

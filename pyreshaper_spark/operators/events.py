@@ -372,3 +372,76 @@ JOIN ff ON ff.user_id = e.user_id
 WHERE e.event_type = '{to_type}' AND {ep} >= ff.from_s
 GROUP BY 1
 """
+def events_engagement_hist(events: DataFrame) -> DataFrame:
+    """Power-user curve: the histogram of active-days-per-user — how
+    many users were active exactly n distinct days (the L28-style
+    engagement-depth readout, here over the full range).
+
+    Two hash aggs over the DISTINCT (user, day) set; output bounded
+    by the day count. Output: (n_days, n_users).
+    """
+    ep = F.unix_timestamp("ts")
+    ud = events.select(
+        "user_id", floor_to(ep, 86400).alias("day_s")
+    ).distinct()
+    return (
+        ud.groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n_days"))
+        .groupBy("n_days")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
+def events_engagement_hist_sql() -> str:
+    """DuckDB twin of :func:`events_engagement_hist`."""
+    ep = "CAST(floor(epoch(ts)) AS BIGINT)"
+    day = floor_sql(ep, 86400)
+    return f"""
+WITH ud AS (SELECT DISTINCT user_id, {day} AS day_s FROM events),
+per_user AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_days FROM ud GROUP BY 1
+)
+SELECT n_days, CAST(count(*) AS BIGINT) AS n_users
+FROM per_user GROUP BY 1
+"""
+
+
+def events_transitions(events: DataFrame) -> DataFrame:
+    """Event-type transition counts — the empirical Markov matrix of
+    user journeys: per user ordered by (epoch second, event_id), count
+    each (previous type → type) step. First events per user have no
+    predecessor and contribute nothing.
+
+    One lag window on a single user-keyed sort + one hash agg — the
+    sessionize plan shape. Output: (from_type, to_type, n_steps).
+    """
+    ep = F.unix_timestamp("ts").alias("ep")
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    steps = (
+        events.select("user_id", "event_id", "event_type", ep)
+        .withColumn("from_type", F.lag("event_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+    )
+    return steps.groupBy("from_type", F.col("event_type").alias("to_type")).agg(
+        F.count("*").cast("long").alias("n_steps")
+    )
+
+
+def events_transitions_sql() -> str:
+    """DuckDB twin of :func:`events_transitions`."""
+    return """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ep
+  FROM events
+),
+steps AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ep, event_id) AS from_type,
+         event_type AS to_type
+  FROM e
+)
+SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_steps
+FROM steps WHERE from_type IS NOT NULL
+GROUP BY 1, 2
+"""

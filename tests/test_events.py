@@ -40,6 +40,32 @@ def test_extract_props(ev):
     assert r.count() == ev.count()
 
 
+def test_engagement_hist_conserves_users_and_days(ev):
+    """Histogram mass: sum(n_users) == distinct users, and the weighted
+    sum(n_days * n_users) == |distinct (user, day)|."""
+    h = EV.events_engagement_hist(ev).collect()
+    ud = ev.select(
+        "user_id",
+        F.expr(
+            "CAST(unix_timestamp(ts) - pmod(unix_timestamp(ts), 86400)"
+            " AS LONG)"
+        ),
+    ).distinct()
+    assert sum(r["n_users"] for r in h) == ev.select("user_id").distinct().count()
+    assert sum(r["n_days"] * r["n_users"] for r in h) == ud.count()
+
+
+def test_transitions_step_count_and_closure(ev):
+    """Every event except each user's first contributes exactly one
+    step, and every from/to type occurs in the raw data."""
+    t = EV.events_transitions(ev).collect()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n_steps"] for r in t) == ev.count() - n_users
+    types = {r[0] for r in ev.select("event_type").distinct().collect()}
+    assert {r["from_type"] for r in t} <= types
+    assert {r["to_type"] for r in t} <= types
+
+
 def test_interval_join_no_nested_loop_and_session_parity(spark, ev):
     """Range join: bucketed equi-join shape (no BroadcastNestedLoopJoin
     / CartesianProduct in the plan) and exact parity with sessionize's

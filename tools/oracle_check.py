@@ -12,6 +12,7 @@ from __future__ import annotations
 import math
 import os
 import sys
+import time
 
 import duckdb
 
@@ -60,11 +61,14 @@ def main() -> int:
 
     qs, os_ = ent.queries(), ent.oracle_sql()
     failures = 0
+    timings = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.monotonic()
         sdf = fn(spark, sf_dir)
         srows = [tuple(r) for r in sdf.collect()]
+        timings[name] = time.monotonic() - t0
         scols = sdf.columns
         if name not in os_:
             print(f"{name}: NO ORACLE (rows={len(srows)})")
@@ -87,6 +91,12 @@ def main() -> int:
                 print("  oracle-only:", diff2)
         else:
             print(f"{name}: OK ({len(srows)} rows)")
+    if os.environ.get("ORACLE_CHECK_TIMINGS") and timings:
+        print("-- slowest spark legs --")
+        for name, dt in sorted(timings.items(), key=lambda kv: -kv[1])[:25]:
+            print(f"{dt:8.2f}s  {name}")
+        print(f"-- total spark wall: {sum(timings.values()):.1f}s "
+              f"over {len(timings)} queries --")
     spark.stop()
     return 1 if failures else 0
 
