@@ -1209,6 +1209,8 @@ def main() -> None:
     from pyreshaper_spark.operators.events import (
         events_conversion_lag,
         events_dau_wau,
+        events_engagement_hist,
+        events_transitions,
     )
     from pyreshaper_spark.operators.kmeans import pq_distortion
     from pyreshaper_spark.operators.rollup import hopping_rollup
@@ -1219,6 +1221,8 @@ def main() -> None:
     p_hop = plan_of(hopping_rollup(t10, 3600, 600, value_col="cnt"))
     p_dw = plan_of(events_dau_wau(ev_df))
     p_cl = plan_of(events_conversion_lag(ev_df))
+    p_eh = plan_of(events_engagement_hist(ev_df))
+    p_tr = plan_of(events_transitions(ev_df))
     p_pqd = plan_of(pq_distortion(emb_df, ks=8, n_iter=1))
     sections.append((
         "Data card, hopping windows, DAU/WAU, conversion lag, "
@@ -1252,6 +1256,14 @@ def main() -> None:
             ("conversion lag: user-keyed equi-joins only, no "
              "cartesian",
              no_cartesian(p_cl)),
+            ("engagement hist: pure hash-agg pipeline over the "
+             "DISTINCT (user, day) set — no join, no window",
+             "Join" not in p_eh and "Window" not in p_eh
+             and p_eh.count("HashAggregate") >= 4),
+            ("transitions: ONE user-keyed lag window + ONE "
+             "partial+final hash agg — no join",
+             p_tr.count("Window") // 2 == 1 and "Join" not in p_tr
+             and p_tr.count("HashAggregate") >= 2),
             ("pq distortion: codebook rides BROADCAST joins; no "
              "shuffle join, no cartesian",
              "SortMergeJoin" not in p_pqd
