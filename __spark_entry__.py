@@ -1428,7 +1428,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             os.path.join(base, "ck"),
         )
         sq.awaitTermination(300)
-        t = IcebergLite(os.path.join(base, "out")).read(spark, LABEL_TABLE)
+        t = IcebergLite(os.path.join(base, "out")).read(
+            spark, LABEL_TABLE, allow_empty=True
+        )
         return t.select(
             "doc_id", "source",
             F.col("event_s").cast("long").alias("event_s"),
@@ -1974,7 +1976,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             os.path.join(base, "ck"), width_s=60,
         )
         sq.awaitTermination(300)
-        t = IcebergLite(os.path.join(base, "out")).read(spark, "tier_stream")
+        t = IcebergLite(os.path.join(base, "out")).read(
+            spark, "tier_stream", allow_empty=True
+        )
         return t.select(
             "source", "bucket_s",
             F.col("cnt").cast("long").alias("cnt"),
@@ -2006,7 +2010,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             table="hop_stream",
         )
         sq.awaitTermination(300)
-        t = IcebergLite(os.path.join(base, "out")).read(spark, "hop_stream")
+        t = IcebergLite(os.path.join(base, "out")).read(
+            spark, "hop_stream", allow_empty=True
+        )
         return t.select(
             "source",
             F.col("bucket_s").cast("long").alias("win_start_s"),
@@ -2041,7 +2047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         sq.awaitTermination(300)
         t = IcebergLite(os.path.join(base, "out")).read(
-            spark, "sequences_raw"
+            spark, "sequences_raw", allow_empty=True
         )
         # tokens excluded: the fixture tokenizer (xxhash64) is
         # engine-specific; token byte-exactness through the sink is
@@ -2084,7 +2090,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             os.path.join(base, "ck"),
         )
         sq.awaitTermination(300)
-        t = IcebergLite(os.path.join(base, "out")).read(spark, DEDUP_TABLE)
+        t = IcebergLite(os.path.join(base, "out")).read(
+            spark, DEDUP_TABLE, allow_empty=True
+        )
         return t.select("content_key")
 
     q["streaming_dedup"] = _q_streaming_dedup
@@ -2152,7 +2160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sq.awaitTermination(300)
         refresh_cascade(spark, os.path.join(base, "out"), [600, 3600])
         t = IcebergLite(os.path.join(base, "out")).read(
-            spark, "tier_stream_3600"
+            spark, "tier_stream_3600", allow_empty=True
         )
         return t.select(
             "source", "bucket_s",

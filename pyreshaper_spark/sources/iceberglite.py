@@ -514,6 +514,19 @@ class IcebergLite:
             files.append(entry)
         return files
 
+    def create_table(self, name: str, schema_json: str) -> int:
+        """Idempotent CREATE TABLE: commit a zero-file snapshot that
+        records the table schema, so the table exists (and an empty
+        read can be typed via ``read(allow_empty=True)``) before any
+        data lands — Iceberg's create-before-stream contract for
+        streaming sinks. No-op when the table already has a snapshot
+        (the current id is returned unchanged; the schema argument is
+        ignored — schema evolution goes through ``add_column``)."""
+        log = self._read_log(name)
+        if log["snapshots"]:
+            return log["current"]
+        return self._commit(name, [], "create", schema_json)
+
     def append(
         self,
         name: str,

@@ -71,6 +71,9 @@ def start_dedup_stream(
     uniqueness, crash-idempotent)."""
     cat = IcebergLite(out_root)
     deduped = dedup_stream(read_sequences_stream(spark, seq_path), watermark)
+    # create-before-stream: a drained-empty backlog still leaves a
+    # typed (zero-row) table for downstream readers
+    cat.create_table(DEDUP_TABLE, deduped.schema.json())
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -88,9 +91,9 @@ def start_dedup_stream(
             )
         )
         if cat.exists(DEDUP_TABLE):
-            seen = cat.read(batch_df.sparkSession, DEDUP_TABLE).select(
-                "content_key"
-            )
+            seen = cat.read(
+                batch_df.sparkSession, DEDUP_TABLE, allow_empty=True
+            ).select("content_key")
             fresh = fresh.join(seen, "content_key", "left_anti")
             if fresh.isEmpty():
                 return

@@ -112,6 +112,9 @@ def start_tier0_stream(
     tier = streaming_tier0(
         read_sequences_stream(spark, seq_path), width_s, slide_s=slide_s
     )
+    # create-before-stream: a drained-empty backlog still leaves a
+    # typed (zero-row) table for downstream readers
+    cat.create_table(table, tier.withColumn("epoch", F.lit(0)).schema.json())
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -121,7 +124,9 @@ def start_tier0_stream(
             # merge: replace only the (source) partitions present in
             # this epoch — update-mode batches re-emit full per-window
             # rows, so combining old+new per key keeps exact aggregates
-            existing = cat.read(batch_df.sparkSession, table)
+            existing = cat.read(
+                batch_df.sparkSession, table, allow_empty=True
+            )
             srcs = [r["source"] for r in updated.select("source").distinct().collect()]
             keep_new = existing.filter(F.col("source").isin(srcs)).unionByName(
                 updated
@@ -170,12 +175,12 @@ def refresh_cascade(
     from pyreshaper_spark.operators.rollup import rollup_cascade
 
     cat = IcebergLite(out_root)
-    prev = cat.read(spark, base_table).select(
+    prev = cat.read(spark, base_table, allow_empty=True).select(
         "source", "bucket_s", "cnt", "sum_n_tok", "min_n_tok", "max_n_tok"
     )
     sids: dict[int, int] = {}
     for w in widths:
         tier = rollup_cascade(prev, w)
         sids[w] = cat.overwrite(f"tier_stream_{w}", tier, ("source",))
-        prev = cat.read(spark, f"tier_stream_{w}")
+        prev = cat.read(spark, f"tier_stream_{w}", allow_empty=True)
     return sids

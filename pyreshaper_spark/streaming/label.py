@@ -67,6 +67,12 @@ def start_label_stream(
         windows, chunk_s,
     )
 
+    # create-before-stream: a drained-empty backlog still leaves a
+    # typed (zero-row) table for downstream readers
+    cat.create_table(
+        LABEL_TABLE, labeled.withColumn("_epoch", F.lit(0)).schema.json()
+    )
+
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             # an epoch whose files have no in-window rows contributes

@@ -64,6 +64,9 @@ def start_raw_append_stream(
     epoch replay). ``available_now=True`` drains the current backlog
     and stops — the incremental-batch ingest pattern."""
     stream = read_sequences_stream(spark, seq_path)
+    # create-before-stream: a drained-empty backlog still leaves a
+    # typed (zero-row) table for downstream readers
+    IcebergLite(out_root).create_table(table, stream.schema.json())
     writer = (
         stream.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)

@@ -166,3 +166,53 @@ def test_raw_append_stream_exactly_once(spark, seq, tmp_path):
     # downstream CDC sees the landed rows exactly once
     ch = cat.read_changes(spark, "sequences_raw", from_snapshot_id=0)
     assert ch.filter(F.col("_change_type") == "insert").count() == seq.count()
+
+
+def test_empty_backlog_leaves_typed_empty_tables(spark, seq, tmp_path):
+    """Create-before-stream contract: draining an EMPTY backlog must
+    still leave a typed zero-row table behind each streaming sink
+    (tier0, raw append, dedup), so downstream readers see schema, not
+    SnapshotNotFound. create_table is idempotent — a later non-empty
+    run lands data in the same table."""
+    from pyreshaper_spark.streaming.dedup import (
+        DEDUP_TABLE,
+        start_dedup_stream,
+    )
+    from pyreshaper_spark.streaming.sink import start_raw_append_stream
+
+    seq_path = str(tmp_path / "seq")
+    seq.limit(0).write.parquet(seq_path)
+    out = str(tmp_path / "out")
+
+    for i, starter in enumerate(
+        (start_tier0_stream, start_raw_append_stream, start_dedup_stream)
+    ):
+        q = starter(spark, seq_path, out, str(tmp_path / f"ck{i}"))
+        q.awaitTermination(120)
+    cat = IcebergLite(out)
+    for table, cols in (
+        ("tier_stream", {"source", "bucket_s", "cnt", "epoch"}),
+        ("sequences_raw", {"doc_id", "tokens", "n_tok"}),
+        (DEDUP_TABLE, {"content_key", "doc_id"}),
+    ):
+        df = cat.read(spark, table, allow_empty=True)
+        assert df.count() == 0
+        assert cols <= set(df.columns)
+
+    # the cascade refresh over the empty tier-0 also yields typed
+    # empty tiers instead of raising
+    from pyreshaper_spark.streaming.ingest import refresh_cascade
+
+    refresh_cascade(spark, out, [600])
+    t = cat.read(spark, "tier_stream_600", allow_empty=True)
+    assert t.count() == 0 and "bucket_s" in t.columns
+
+    # idempotent create: a second, NON-empty run into the same tables
+    seq_path2 = str(tmp_path / "seq2")
+    seq.write.parquet(seq_path2)
+    q = start_tier0_stream(
+        spark, seq_path2, out, str(tmp_path / "ck_full")
+    )
+    q.awaitTermination(120)
+    n = cat.read(spark, "tier_stream").agg(F.sum("cnt")).collect()[0][0]
+    assert n == seq.count()
