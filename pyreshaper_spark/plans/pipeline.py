@@ -233,7 +233,7 @@ def _run_pipeline(
             if cat.exists("series_enc"):
                 done_files = {
                     r[0]
-                    for r in cat.read(spark, "series_enc")
+                    for r in cat.read(spark, "series_enc", allow_empty=True)
                     .select(F.explode("input_files").alias("f"))
                     .distinct()
                     .collect()
@@ -256,7 +256,7 @@ def _run_pipeline(
         sid = ckpt.cycle["bases"].get(tname, 0)
         if not sid:
             return None
-        return cat.read(spark, tname, snapshot_id=sid).select(*cols)
+        return cat.read(spark, tname, snapshot_id=sid, allow_empty=True).select(*cols)
 
     # ---- fused head: ONE raw scan feeds validate + meta + tier 0 ------
     # The head of the pipeline used to be three serialized full scans of
@@ -327,7 +327,7 @@ def _run_pipeline(
             # (they become additional chunk rows; decode and downstream
             # reads treat a series as a bag of chunk rows already)
             done_files = (
-                cat.read(spark, "series_enc")
+                cat.read(spark, "series_enc", allow_empty=True)
                 .select(F.explode("input_files").alias("input_file"))
                 .distinct()
             )
@@ -362,7 +362,7 @@ def _run_pipeline(
         )
         snapshot_ids["series_enc"] = sid
         lineage = (
-            cat.read(spark, "series_enc")
+            cat.read(spark, "series_enc", allow_empty=True)
             .select(*LINEAGE_COLS)
             .withColumn("attempt", F.lit(ckpt.attempt))
             .withColumn("step", F.lit("encode"))
@@ -371,7 +371,7 @@ def _run_pipeline(
         snapshot_ids["metrics"] = cat.overwrite("metrics", lineage)
         chunks = [
             (r["source"], r["salt"])
-            for r in cat.read(spark, "series_enc")
+            for r in cat.read(spark, "series_enc", allow_empty=True)
             .select("source", "salt")
             .distinct()
             .collect()
@@ -520,14 +520,15 @@ def _run_pipeline(
                 # (retention runs after the whole cascade) — exact,
                 # never a raw-data rescan
                 df = rollup_cascade(
-                    cat.read(spark, prev_table), tier.width_s
+                    cat.read(spark, prev_table, allow_empty=True),
+                    tier.width_s
                 )
             if not cfg.meta_once:
                 # metadata replication [U: reshaper.py :: convert
                 # metadata write loop]: without once-file mode, the
                 # per-source metadata rides on every tier row via a
                 # broadcast join (meta is |sources| rows — always tiny)
-                meta_cols = cat.read(spark, "meta_source").select(
+                meta_cols = cat.read(spark, "meta_source", allow_empty=True).select(
                     "source",
                     F.col("n_docs").alias("src_n_docs"),
                     F.col("total_tok").alias("src_total_tok"),
@@ -545,7 +546,9 @@ def _run_pipeline(
             fname = f"{tname}_filled"
 
             def _filled(tier=tier, tname=tname, fname=fname):
-                filled = gapfill_locf(cat.read(spark, tname), tier.width_s)
+                filled = gapfill_locf(
+                    cat.read(spark, tname, allow_empty=True), tier.width_s
+                )
                 snapshot_ids[fname] = cat.overwrite(
                     fname, filled, ("source",), stats_cols=("bucket_s",)
                 )
@@ -589,7 +592,10 @@ def _run_pipeline(
                                 base.unionByName(df), tier.width_s
                             )
                 else:
-                    df = cascade_fn(cat.read(spark, prev_fam), tier.width_s)
+                    df = cascade_fn(
+                    cat.read(spark, prev_fam, allow_empty=True),
+                    tier.width_s,
+                )
                 snapshot_ids[aname] = cat.overwrite(
                     aname, df, ("source",), stats_cols=("bucket_s",)
                 )
@@ -612,7 +618,9 @@ def _run_pipeline(
             cname = f"cal_{unit}"
 
             def _cal(unit=unit, cname=cname):
-                df = calendar_cascade(cat.read(spark, cal_src), unit)
+                df = calendar_cascade(
+                    cat.read(spark, cal_src, allow_empty=True), unit
+                )
                 snapshot_ids[cname] = cat.overwrite(
                     cname, df, ("source",), stats_cols=("bucket_s",)
                 )
@@ -633,7 +641,8 @@ def _run_pipeline(
         def _retention(tier=tier, rname=rname):
             tname = f"tier_{tier.name}"
             pruned = apply_retention(
-                cat.read(spark, tname), tier.width_s, tier.retention_buckets
+                cat.read(spark, tname, allow_empty=True),
+                tier.width_s, tier.retention_buckets
             )
             # stats_cols: a retention commit must not strip the per-file
             # bucket_s stats that read_tier's time-range pruning needs
@@ -663,12 +672,12 @@ def _run_pipeline(
                 # compare against INGESTED files only — input files that
                 # arrived mid-cycle are deferred work, not lost data
                 lin = (
-                    cat.read(spark, "series_enc")
+                    cat.read(spark, "series_enc", allow_empty=True)
                     .select(F.explode("input_files").alias("input_file"))
                     .distinct()
                 )
                 src = seq.join(F.broadcast(lin), "input_file", "left_semi")
-            dec = decode_series_table(cat.read(spark, "series_enc"))
+            dec = decode_series_table(cat.read(spark, "series_enc", allow_empty=True))
             j = src.alias("a").join(dec.alias("b"), "doc_id", "full_outer")
             bad = j.filter(
                 F.col("a.tokens").isNull()
@@ -716,7 +725,7 @@ def run_multi(
 def diagnostics(spark: SparkSession, cfg: RunConfig) -> DataFrame:
     """Global reduction + report [U: reshaper.py :: print_diagnostics]."""
     cat = IcebergLite(cfg.output_path)
-    m = cat.read(spark, "metrics")
+    m = cat.read(spark, "metrics", allow_empty=True)
     return m.agg(
         F.sum("n").alias("points"),
         F.sum("raw_bytes").alias("raw_bytes"),

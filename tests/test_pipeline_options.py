@@ -616,3 +616,22 @@ def test_maintain_job_cli_refresh(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_empty_input_runs_end_to_end(spark, tmp_path):
+    """An empty (zero-row, schema-typed) input corpus is a legitimate
+    state — the pipeline must commit typed empty tables at every step
+    (tiers, fill, encode, metrics, fidelity gate) instead of raising
+    SnapshotNotFound in the cascade."""
+    inp = str(tmp_path / "seq")
+    sequences_df(spark, SF).limit(0).write.parquet(inp)
+    cfg = RunConfig(
+        input_path=inp, output_path=str(tmp_path / "out"),
+        tiers=TIERS, verify_fidelity=True,
+    )
+    res = run_pipeline(spark, cfg, str(tmp_path / "ck"))
+    assert "encode" in res.steps_run and "verify_fidelity" in res.steps_run
+    cat = IcebergLite(str(tmp_path / "out"))
+    for t in ("tier_1m", "tier_10m", "series_enc", "metrics"):
+        df = cat.read(spark, t, allow_empty=True)
+        assert df.count() == 0 and len(df.columns) > 0

@@ -8,7 +8,11 @@ zero / py4j analysis exceptions from scalar subqueries.
 
 Usage::
 
-    python tools/empty_check.py [template_sf_dir]
+    python tools/empty_check.py [template_sf_dir] [query ...]
+
+Set ``EMPTY_CHECK_LIMIT=N`` to clone N rows per table instead of zero
+(the single-row degenerate sweep: catches 1/(n-1) variance
+denominators, lag-window NULL arithmetic, argmax over one candidate).
 
 Exit 0 when every query either returns a DataFrame (collected without
 error) or raises a *documented* typed error (pyreshaper_spark errors
@@ -49,7 +53,8 @@ def main() -> int:
         if not os.path.exists(src):
             continue
         df = spark.read.parquet(src)
-        df.limit(0).write.mode("overwrite").parquet(f"{tmp}/{t}.parquet")
+        n = int(os.environ.get("EMPTY_CHECK_LIMIT", "0"))
+        df.limit(n).write.mode("overwrite").parquet(f"{tmp}/{t}.parquet")
 
     failures: list[str] = []
     for name, fn in ent.queries().items():
