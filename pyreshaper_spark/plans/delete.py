@@ -192,7 +192,7 @@ def restate_docs(
     from pyreshaper_spark.operators.encode import decode_series_table
 
     seq = _load_input(spark, cfg)
-    enc = cat.read(spark, "series_enc")
+    enc = cat.read(spark, "series_enc", allow_empty=True)
     old_chunks = (
         enc.select("source", "salt", F.explode("doc_ids").alias("doc_id"))
         .join(F.broadcast(ids), "doc_id", "left_semi")
@@ -283,7 +283,7 @@ def _repair_run(
 
     # metrics mirrors the live chunk set (same rebuild as the pipeline)
     lineage = (
-        cat.read(spark, "series_enc")
+        cat.read(spark, "series_enc", allow_empty=True)
         .select(*LINEAGE_COLS)
         .withColumn("attempt", F.lit(ckpt.attempt))
         .withColumn("step", F.lit("delete"))
@@ -299,7 +299,7 @@ def _repair_run(
         F.min("event_s").alias("first_event_s"),
         F.max("event_s").alias("last_event_s"),
     )
-    meta_keep = cat.read(spark, "meta_source").filter(
+    meta_keep = cat.read(spark, "meta_source", allow_empty=True).filter(
         ~F.col("source").isin(affected_sources)
     )
     meta = meta_keep.unionByName(meta_new)
@@ -370,14 +370,16 @@ def _repair_run(
             if tier.retention_buckets is not None:
                 # never resurrect aged-out buckets: re-filter against the
                 # live table's high-water mark
-                hw = cat.read(spark, tname).agg(F.max("bucket_s")).collect()[
+                hw = cat.read(
+                    spark, tname, allow_empty=True
+                ).agg(F.max("bucket_s")).collect()[
                     0
                 ][0]
                 written = repaired.filter(
                     F.col("bucket_s") > hw - tier.retention_buckets * w
                 )
             if with_meta and meta_cols:
-                mc = cat.read(spark, "meta_source").select(
+                mc = cat.read(spark, "meta_source", allow_empty=True).select(
                     "source",
                     F.col("n_docs").alias("src_n_docs"),
                     F.col("total_tok").alias("src_total_tok"),
@@ -416,7 +418,8 @@ def _repair_run(
         from pyreshaper_spark.operators.rollup import calendar_cascade
 
         cal_src = cat.read(
-            spark, f"tier_{cfg.calendar_source_tier().name}"
+            spark, f"tier_{cfg.calendar_source_tier().name}",
+            allow_empty=True,
         )
         for unit in cfg.calendar:
             cname = f"cal_{unit}"
@@ -429,7 +432,7 @@ def _repair_run(
     if cfg.verify_fidelity:
         from pyreshaper_spark.operators.encode import decode_series_table
 
-        dec = decode_series_table(cat.read(spark, "series_enc"))
+        dec = decode_series_table(cat.read(spark, "series_enc", allow_empty=True))
         j = remaining.alias("a").join(dec.alias("b"), "doc_id", "full_outer")
         bad_rows = j.filter(
             F.col("a.tokens").isNull()

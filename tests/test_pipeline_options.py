@@ -635,3 +635,10 @@ def test_empty_input_runs_end_to_end(spark, tmp_path):
     for t in ("tier_1m", "tier_10m", "series_enc", "metrics"):
         df = cat.read(spark, t, allow_empty=True)
         assert df.count() == 0 and len(df.columns) > 0
+
+    # maintenance over the empty run output is a clean no-op too
+    from pyreshaper_spark.plans.delete import delete_docs
+
+    rep = delete_docs(spark, cfg, str(tmp_path / "ck"), ["doc-nope"])
+    assert isinstance(rep, dict)
+    assert cat.read(spark, "tier_1m", allow_empty=True).count() == 0
