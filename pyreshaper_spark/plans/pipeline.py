@@ -593,9 +593,9 @@ def _run_pipeline(
                             )
                 else:
                     df = cascade_fn(
-                    cat.read(spark, prev_fam, allow_empty=True),
-                    tier.width_s,
-                )
+                        cat.read(spark, prev_fam, allow_empty=True),
+                        tier.width_s,
+                    )
                 snapshot_ids[aname] = cat.overwrite(
                     aname, df, ("source",), stats_cols=("bucket_s",)
                 )
