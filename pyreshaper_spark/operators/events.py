@@ -234,6 +234,23 @@ GROUP BY 1
 """
 
 
+def _user_days(events: DataFrame) -> DataFrame:
+    """The DISTINCT (user_id, day_s) active set — the shared first
+    stage of every engagement surface (DAU/WAU, engagement histogram):
+    one partial agg collapses raw events to active-user-days."""
+    ep = F.unix_timestamp("ts")
+    return events.select(
+        "user_id", floor_to(ep, 86400).alias("day_s")
+    ).distinct()
+
+
+def _user_days_cte() -> str:
+    """DuckDB twin of :func:`_user_days` (a ``ud`` CTE body)."""
+    ep = "CAST(floor(epoch(ts)) AS BIGINT)"
+    day = floor_sql(ep, 86400)
+    return f"SELECT DISTINCT user_id, {day} AS day_s FROM events"
+
+
 def events_dau_wau(events: DataFrame) -> DataFrame:
     """DAU/WAU engagement curve: per day, distinct active users that
     day and over the trailing 7-day window — the stickiness panel
@@ -250,13 +267,7 @@ def events_dau_wau(events: DataFrame) -> DataFrame:
     partial agg collapses raw events first), so work is bounded by
     active-user-days × 7, not by event volume.
     """
-    ep = F.unix_timestamp("ts")
-    ud = (
-        events.select(
-            "user_id", floor_to(ep, 86400).alias("day_s")
-        )
-        .distinct()
-    )
+    ud = _user_days(events)
     dau = ud.groupBy("day_s").agg(
         F.count("*").cast("long").alias("dau")
     )
@@ -286,11 +297,9 @@ def events_dau_wau(events: DataFrame) -> DataFrame:
 
 def events_dau_wau_sql() -> str:
     """DuckDB twin of :func:`events_dau_wau`."""
-    ep = "CAST(floor(epoch(ts)) AS BIGINT)"
-    day = floor_sql(ep, 86400)
     return f"""
 WITH ud AS (
-  SELECT DISTINCT user_id, {day} AS day_s FROM events
+  {_user_days_cte()}
 ),
 dau AS (
   SELECT day_s, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1
@@ -380,12 +389,8 @@ def events_engagement_hist(events: DataFrame) -> DataFrame:
     Two hash aggs over the DISTINCT (user, day) set; output bounded
     by the day count. Output: (n_days, n_users).
     """
-    ep = F.unix_timestamp("ts")
-    ud = events.select(
-        "user_id", floor_to(ep, 86400).alias("day_s")
-    ).distinct()
     return (
-        ud.groupBy("user_id")
+        _user_days(events).groupBy("user_id")
         .agg(F.count("*").cast("long").alias("n_days"))
         .groupBy("n_days")
         .agg(F.count("*").cast("long").alias("n_users"))
@@ -394,10 +399,8 @@ def events_engagement_hist(events: DataFrame) -> DataFrame:
 
 def events_engagement_hist_sql() -> str:
     """DuckDB twin of :func:`events_engagement_hist`."""
-    ep = "CAST(floor(epoch(ts)) AS BIGINT)"
-    day = floor_sql(ep, 86400)
     return f"""
-WITH ud AS (SELECT DISTINCT user_id, {day} AS day_s FROM events),
+WITH ud AS ({_user_days_cte()}),
 per_user AS (
   SELECT user_id, CAST(count(*) AS BIGINT) AS n_days FROM ud GROUP BY 1
 )

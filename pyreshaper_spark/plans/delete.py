@@ -375,9 +375,12 @@ def _repair_run(
                 ).agg(F.max("bucket_s")).collect()[
                     0
                 ][0]
-                written = repaired.filter(
-                    F.col("bucket_s") > hw - tier.retention_buckets * w
-                )
+                if hw is not None:
+                    # empty live table ⇒ no high-water mark, nothing
+                    # can be resurrected — keep all repaired rows
+                    written = repaired.filter(
+                        F.col("bucket_s") > hw - tier.retention_buckets * w
+                    )
             if with_meta and meta_cols:
                 mc = cat.read(spark, "meta_source", allow_empty=True).select(
                     "source",

@@ -519,11 +519,15 @@ class IcebergLite:
         records the table schema, so the table exists (and an empty
         read can be typed via ``read(allow_empty=True)``) before any
         data lands — Iceberg's create-before-stream contract for
-        streaming sinks. No-op when the table already has a snapshot
-        (the current id is returned unchanged; the schema argument is
-        ignored — schema evolution goes through ``add_column``)."""
+        streaming sinks. No-op when the table is already READABLE
+        (``current > 0``, matching :meth:`exists`; the current id is
+        returned unchanged and the schema argument is ignored — schema
+        evolution goes through ``add_column``). A table holding only
+        STAGED snapshots is not yet readable on main, so create still
+        commits the typed empty head (staged snapshots keep their ids
+        and publish as before)."""
         log = self._read_log(name)
-        if log["snapshots"]:
+        if log["current"]:
             return log["current"]
         return self._commit(name, [], "create", schema_json)
 

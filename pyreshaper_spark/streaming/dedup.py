@@ -90,16 +90,15 @@ def start_dedup_stream(
                 "s.doc_id", "s.source", "s.n_tok", "s.event_s", "content_key"
             )
         )
-        if cat.exists(DEDUP_TABLE):
-            seen = cat.read(
-                batch_df.sparkSession, DEDUP_TABLE, allow_empty=True
-            ).select("content_key")
-            fresh = fresh.join(seen, "content_key", "left_anti")
-            if fresh.isEmpty():
-                return
-            cat.append(DEDUP_TABLE, fresh, ("source",))
-        else:
-            cat.overwrite(DEDUP_TABLE, fresh, ("source",))
+        # the table always exists (create-before-stream above): anti-join
+        # against the seen keys and append — no separate first-write path
+        seen = cat.read(
+            batch_df.sparkSession, DEDUP_TABLE, allow_empty=True
+        ).select("content_key")
+        fresh = fresh.join(seen, "content_key", "left_anti")
+        if fresh.isEmpty():
+            return
+        cat.append(DEDUP_TABLE, fresh, ("source",))
 
     writer = (
         deduped.writeStream.outputMode("append")

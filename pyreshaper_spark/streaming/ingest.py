@@ -120,36 +120,35 @@ def start_tier0_stream(
         if batch_df.isEmpty():
             return
         updated = batch_df.withColumn("epoch", F.lit(epoch_id))
-        if cat.exists(table):
-            # merge: replace only the (source) partitions present in
-            # this epoch — update-mode batches re-emit full per-window
-            # rows, so combining old+new per key keeps exact aggregates
-            existing = cat.read(
-                batch_df.sparkSession, table, allow_empty=True
+        # merge: replace only the (source) partitions present in this
+        # epoch — update-mode batches re-emit full per-window rows, so
+        # combining old+new per key keeps exact aggregates. The table
+        # always exists (create-before-stream above), so there is no
+        # separate first-write path.
+        existing = cat.read(
+            batch_df.sparkSession, table, allow_empty=True
+        )
+        srcs = [r["source"] for r in updated.select("source").distinct().collect()]
+        keep_new = existing.filter(F.col("source").isin(srcs)).unionByName(
+            updated
+        )
+        # newest epoch wins per (source, bucket) — struct max is
+        # deterministic, unlike last() over an unordered union
+        merged = (
+            keep_new.groupBy("source", "bucket_s")
+            .agg(
+                F.max(
+                    F.struct(
+                        "epoch", "cnt", "sum_n_tok", "min_n_tok", "max_n_tok"
+                    )
+                ).alias("s")
             )
-            srcs = [r["source"] for r in updated.select("source").distinct().collect()]
-            keep_new = existing.filter(F.col("source").isin(srcs)).unionByName(
-                updated
+            .select(
+                "source", "bucket_s", "s.cnt", "s.sum_n_tok",
+                "s.min_n_tok", "s.max_n_tok", "s.epoch",
             )
-            # newest epoch wins per (source, bucket) — struct max is
-            # deterministic, unlike last() over an unordered union
-            merged = (
-                keep_new.groupBy("source", "bucket_s")
-                .agg(
-                    F.max(
-                        F.struct(
-                            "epoch", "cnt", "sum_n_tok", "min_n_tok", "max_n_tok"
-                        )
-                    ).alias("s")
-                )
-                .select(
-                    "source", "bucket_s", "s.cnt", "s.sum_n_tok",
-                    "s.min_n_tok", "s.max_n_tok", "s.epoch",
-                )
-            )
-            cat.overwrite_partitions(table, merged, ("source",))
-        else:
-            cat.overwrite(table, updated, ("source",))
+        )
+        cat.overwrite_partitions(table, merged, ("source",))
 
     writer = (
         tier.writeStream.outputMode("update")

@@ -642,3 +642,33 @@ def test_empty_input_runs_end_to_end(spark, tmp_path):
     rep = delete_docs(spark, cfg, str(tmp_path / "ck"), ["doc-nope"])
     assert isinstance(rep, dict)
     assert cat.read(spark, "tier_1m", allow_empty=True).count() == 0
+
+
+def test_delete_after_empty_run_with_late_arriving_input(spark, tmp_path):
+    """Regression: delete_docs on a run whose tiers are still typed-empty
+    (empty first run) but whose INPUT dir has since received files must
+    repair from raw — with a retention tier, the live table's high-water
+    is None and must not poison the resurrect filter (None - int)."""
+    inp = str(tmp_path / "seq")
+    seq = sequences_df(spark, SF)
+    seq.limit(0).write.parquet(inp)
+    cfg = RunConfig(
+        input_path=inp, output_path=str(tmp_path / "out"),
+        tiers=(TierSpec("1m", 60), TierSpec("10m", 600, retention_buckets=4)),
+    )
+    run_pipeline(spark, cfg, str(tmp_path / "ck"))
+
+    # data lands in the input dir AFTER the (empty) run
+    seq.write.mode("append").parquet(inp)
+    victim = seq.select("doc_id").first()["doc_id"]
+
+    from pyreshaper_spark.plans.delete import delete_docs
+
+    rep = delete_docs(spark, cfg, str(tmp_path / "ck"), [victim])
+    assert rep["deleted_rows"] >= 1
+    cat = IcebergLite(str(tmp_path / "out"))
+    # the run output had ingested nothing, so the repaired tier is
+    # still (typed) empty — the point is the hw=None retention filter
+    # ran without crashing; the late files belong to the NEXT append run
+    t = cat.read(spark, "tier_10m", allow_empty=True)
+    assert t.count() == 0 and "bucket_s" in t.columns
