@@ -972,3 +972,29 @@ def test_partition_value_text_survives_directory_roundtrip(spark, cat):
     got = cat.read(spark, "t")
     assert dict(got.dtypes)["source"] == "string"
     assert {r["source"] for r in got.collect()} == {"00", "07", "1.50"}
+
+
+def test_create_table_idempotent_and_staged_interplay(spark, cat):
+    """create_table commits a typed zero-file head; it is a no-op on a
+    READABLE table (matching exists()), but a table holding only STAGED
+    snapshots still gets its empty main head — and publishing the
+    staged snapshot afterwards works unchanged."""
+    df = _df(spark, [("a", 0, 1)])
+    sid = cat.create_table("t", df.schema.json())
+    assert sid == 1 and cat.exists("t")
+    empty = cat.read(spark, "t", allow_empty=True)
+    assert empty.count() == 0 and set(empty.columns) == set(df.columns)
+    # idempotent: second create returns the current head, commits nothing
+    assert cat.create_table("t", df.schema.json()) == sid
+    assert len(cat.snapshots("t")) == 1
+
+    # staged-only table: create still establishes the readable head
+    s_staged = cat.append("t2", df, stage=True)
+    assert not cat.exists("t2")
+    c2 = cat.create_table("t2", df.schema.json())
+    assert cat.exists("t2")
+    assert cat.read(spark, "t2", allow_empty=True).count() == 0
+    # the staged snapshot publishes as before and its data is intact
+    cat.publish("t2", s_staged)
+    assert cat.read(spark, "t2").count() == 1
+    assert c2 != s_staged
