@@ -640,6 +640,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_rate_by_source"] = _q_dedup_rate
 
+    # -- leakage-free split: near-dup cluster members share a split ---
+    def _q_split_leakfree(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.cluster import leakage_free_split
+
+        docs = _docs(spark, sf_dir)
+        pairs = dedup.verified_near_dups(docs, max_df=200)
+        return leakage_free_split(docs, pairs, val_bp=1000, test_bp=1000)
+
+    q["split_leakage_free"] = _q_split_leakfree
+
     # -- eval-contamination check (n-gram overlap across hash splits) -
     def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyreshaper_spark.operators.contamination import (
@@ -683,6 +693,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pack_stats(_seq(spark, sf_dir), 2048)
 
     q["pack_stats_2k"] = _q_pack_stats
+
+    # -- RAG / training-window chunking (overlapping token windows) ---
+    def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.packing import doc_chunks
+
+        return doc_chunks(_md_seq(spark, sf_dir), chunk=128, stride=64)
+
+    q["doc_chunks_128"] = _q_doc_chunks
     # -- similarity search --------------------------------------------
     q["ann_topk_dot"] = lambda s, d: similarity.topk_dot(_emb(s, d))
     # embedding-ingest health: per-label exact norm² stats
@@ -690,6 +708,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # binary-sketch ANN: Hamming-over-sign-codes shortlist + exact rerank
     q["ann_binq_topk"] = lambda s, d: similarity.binq_topk(_emb(s, d))
     q["ann_topk_cosine"] = lambda s, d: similarity.topk_cosine(_emb(s, d))
+    # contrastive-training hard negatives: nearest DIFFERENT-label
+    q["ann_hard_negatives"] = lambda s, d: similarity.hard_negatives(
+        _emb(s, d)
+    )
+
+    # hybrid retrieval: RRF fusion of the lexical (MinHash Jaccard)
+    # and semantic (exact cosine) rankings, vec_id = doc_id linkage
+    def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        lex = dedup.minhash_topk(_docs(spark, sf_dir), k=5).filter(
+            F.col("doc_id").cast("long") < 10
+        )
+        sem = similarity.topk_cosine(_emb(spark, sf_dir))
+        return similarity.rrf_fuse(lex, sem, k=5)
+
+    q["hybrid_topk_rrf"] = _q_hybrid_rrf
+    # diversified retrieval: integer-weighted MMR greedy selection
+    q["ann_mmr_topk"] = lambda s, d: similarity.mmr_topk(
+        _emb(s, d), n_queries=5, k=3
+    )
     q["ann_ivf_probe"] = lambda s, d: similarity.ivf_probe_topk(_emb(s, d))
     q["ann_lsh_pairs"] = lambda s, d: similarity.lsh_bucket_pairs(_emb(s, d))
     # max pairwise cosine in the synthetic embeddings is ~0.48; 2/5
@@ -1575,6 +1612,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         VB.token_stream(_docs(s, d)), 86400, k=5, min_count=2
     )
     q["doc_rarity"] = lambda s, d: VB.doc_rarity(_md_seq(s, d), max_df=2)
+    # vocabulary migration: frequency-dense re-id of every token array
+    q["tok_remap"] = lambda s, d: VB.vocab_remap(_md_seq(s, d))
     q["token_zipf"] = lambda s, d: VB.token_zipf(
         VB.token_stream(_docs(s, d))
     )
@@ -2909,6 +2948,11 @@ FROM tier t JOIN meta m USING (source)
     from pyreshaper_spark.operators.cluster import dedup_rate_by_source_sql
 
     o["dedup_rate_by_source"] = dedup_rate_by_source_sql(_PAIRS_SQL)
+    from pyreshaper_spark.operators.cluster import leakage_free_split_sql
+
+    o["split_leakage_free"] = leakage_free_split_sql(
+        _PAIRS_SQL, val_bp=1000, test_bp=1000
+    )
     from pyreshaper_spark.operators.contamination import (
         split_contamination_sql,
     )
@@ -2940,6 +2984,17 @@ FROM tier t JOIN meta m USING (source)
     o["emb_norm_stats"] = similarity.emb_norm_stats_sql()
     o["ann_binq_topk"] = similarity.binq_topk_sql()
     o["ann_topk_cosine"] = similarity.topk_cosine_sql()
+    o["ann_hard_negatives"] = similarity.hard_negatives_sql()
+    _LEX_TOPK_SQL = (
+        f"WITH pairs AS ({dedup.minhash_lsh_sql(0, 1)})\n"
+        "SELECT * FROM (\n"
+        + dedup.minhash_topk_sql(5)
+        + "\n) WHERE CAST(doc_id AS BIGINT) < 10"
+    )
+    o["hybrid_topk_rrf"] = "WITH " + similarity.rrf_fuse_sql(
+        _LEX_TOPK_SQL, similarity.topk_cosine_sql(), k=5
+    )
+    o["ann_mmr_topk"] = similarity.mmr_topk_sql(n_queries=5, k=3)
     from pyreshaper_spark.operators.kmeans import (
         ivf_kmeans_topk_sql,
         kmeans_assign_sql,
@@ -3208,6 +3263,14 @@ WHERE r.bucket_s < last.mb
         f"WITH {seqs_cte(_V)}," + bigram_pmi_sql(_V, min_count=2)
     )
     o["doc_rarity"] = f"WITH {seqs_cte(_V)}," + doc_rarity_sql(2)
+    from pyreshaper_spark.operators.vocab import vocab_remap_sql
+
+    o["tok_remap"] = f"WITH {seqs_cte(_V)}," + vocab_remap_sql()
+    from pyreshaper_spark.operators.packing import doc_chunks_sql
+
+    o["doc_chunks_128"] = (
+        f"WITH {seqs_cte(_V)}" + doc_chunks_sql(chunk=128, stride=64)
+    )
     from pyreshaper_spark.operators.bpe import word_counts_sql
 
     o["bpe_word_counts"] = word_counts_sql(max_words=200)

@@ -260,3 +260,88 @@ SELECT source,
 FROM ({survivor_flags_sql(pairs_sql)})
 GROUP BY 1
 """
+
+
+def leakage_free_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    val_bp: int = 1000,
+    test_bp: int = 1000,
+) -> DataFrame:
+    """Train/val/test split with NO near-duplicate leakage across
+    splits: every member of a near-dup component is assigned by the
+    hash of the component's canonical representative, so a val/test
+    document can never have a near-duplicate in train — the eval-set
+    integrity property ``sampling.split_assign`` (doc-hash split)
+    cannot give, and the reason dedup must run BEFORE splitting in a
+    real training-data pipeline.
+
+    Output (doc_id, source, group_key, split): ``group_key`` is the
+    component representative (the doc itself when unclustered) and the
+    split is a disjoint hash range over it — ``[0, val_bp) -> val``,
+    ``[val_bp, val_bp+test_bp) -> test``, rest train, in basis points
+    of the cross-engine 32-bit hash space.
+
+    Scale shape: the component labels are the O(log n) contraction of
+    :func:`connected_components`; on top of that, ONE |docs|-row left
+    join on doc_id (only id + source ride — the payload never enters)
+    and a stateless hash projection. Deterministic, rerun-stable, and
+    partition-layout-independent like every split in ``sampling.py``.
+    """
+    from pyreshaper_spark.functions.xhash import h32
+    from pyreshaper_spark.operators.sampling import RATE_DEN
+
+    if val_bp + test_bp > RATE_DEN:
+        raise ValueError("val_bp + test_bp must be <= 10000")
+    cc = connected_components(pairs)
+    gk = F.coalesce(F.col("component"), F.col("doc_id"))
+    r = F.pmod(h32(gk.cast("string")), F.lit(RATE_DEN))
+    return (
+        docs.select("doc_id", "source")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            gk.cast("long").alias("group_key"),
+            F.when(r < val_bp, F.lit("val"))
+            .when(r < val_bp + test_bp, F.lit("test"))
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+    )
+
+
+def leakage_free_split_sql(
+    pairs_sql: str, val_bp: int = 1000, test_bp: int = 1000
+) -> str:
+    """DuckDB twin of :func:`leakage_free_split`."""
+    from pyreshaper_spark.functions.xhash import h32_sql
+    from pyreshaper_spark.operators.sampling import RATE_DEN
+
+    rate = (
+        f"(({h32_sql('CAST(coalesce(c.component, d.doc_id) AS VARCHAR)')})"
+        f" % {RATE_DEN})"
+    )
+    return f"""
+WITH RECURSIVE pairs AS (
+{pairs_sql}
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS doc_id FROM edges),
+walk(doc_id, reach) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT w.doc_id, e.v FROM walk w JOIN edges e ON e.u = w.reach
+),
+comp AS (SELECT doc_id, min(reach) AS component FROM walk GROUP BY 1)
+SELECT d.doc_id, d.source,
+       CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS group_key,
+       CASE WHEN {rate} < {val_bp} THEN 'val'
+            WHEN {rate} < {val_bp + test_bp} THEN 'test'
+            ELSE 'train' END AS split
+FROM documents d LEFT JOIN comp c USING (doc_id)
+"""

@@ -87,3 +87,57 @@ FROM (
   FROM sequences
 )
 """
+
+
+def doc_chunks(seq: DataFrame, chunk: int, stride: int) -> DataFrame:
+    """RAG / training-window CHUNKING: split every token array into
+    overlapping windows of ``chunk`` tokens starting every ``stride``
+    tokens — the retrieval-chunking / long-doc-segmentation op that
+    precedes embedding or example construction (``pack_assign`` packs
+    WHOLE docs into context windows; this SPLITS docs into windows).
+
+    Contract: chunk offsets are 0, stride, 2·stride, … while the
+    offset is inside the document; the tail chunk may be shorter than
+    ``chunk`` (never empty). Zero-token docs emit nothing.
+
+    Output (doc_id, source, chunk_id, chunk_tokens, chunk_len) —
+    ``chunk_id`` dense from 0 in document order.
+
+    Scale shape: pure map-side work — one codegen ``sequence`` +
+    ``Generate`` (explode) + ``slice`` per row; NO shuffle, NO join.
+    Output mass is bounded by (chunk/stride)× the corpus token mass —
+    the overlap factor, chosen by the caller.
+    """
+    if chunk < 1 or stride < 1:
+        raise ValueError("chunk and stride must be >= 1")
+    d = seq.select(
+        "doc_id", "source", "tokens", F.size("tokens").alias("n")
+    ).filter(F.col("n") > 0)
+    offs = F.expr(f"sequence(0, ((n - 1) div {stride}) * {stride}, {stride})")
+    return (
+        d.withColumn("off", F.explode(offs))
+        .select(
+            "doc_id",
+            "source",
+            F.expr(f"off div {stride}").cast("long").alias("chunk_id"),
+            F.expr(f"slice(tokens, off + 1, {chunk})").alias("chunk_tokens"),
+        )
+        .withColumn("chunk_len", F.size("chunk_tokens").cast("long"))
+    )
+
+
+def doc_chunks_sql(chunk: int, stride: int) -> str:
+    """DuckDB twin of :func:`doc_chunks` over the `seqs(doc_id,
+    source, tokens)` CTE. Emits a final SELECT."""
+    return f"""
+SELECT doc_id, source,
+       CAST(o // {stride} AS BIGINT)          AS chunk_id,
+       tokens[o + 1 : o + {chunk}]            AS chunk_tokens,
+       CAST(len(tokens[o + 1 : o + {chunk}]) AS BIGINT) AS chunk_len
+FROM (
+  SELECT doc_id, source, tokens,
+         unnest(range(0, ((len(tokens) - 1) // {stride}) * {stride} + 1,
+                      {stride})) AS o
+  FROM seqs WHERE len(tokens) > 0
+)
+"""

@@ -1017,3 +1017,368 @@ JOIN tot tc ON tc.source = c.source AND tc.day_s = c.day_s
 JOIN tot tp ON tp.source = c.source AND tp.day_s + {day_s} = c.day_s
 GROUP BY 1, 2, 3, 4
 """
+
+
+def hard_negatives(
+    emb: DataFrame, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the ``k`` highest-dot-product neighbors whose ``label``
+    DIFFERS from the query's — the most-confusable wrong-class
+    examples a contrastive/embedding trainer pairs with each anchor
+    (the closest positives are easy; the closest NEGATIVES carry the
+    gradient signal). Same exact fixed-point dot as :func:`topk_dot`;
+    the label inequality is the only new predicate.
+
+    Output (query_id, query_label, neighbor_id, dot, rank), rank ≤ k
+    by (dot desc, neighbor_id asc).
+
+    Scale shape: identical to :func:`topk_dot` — the query side is
+    tiny and broadcast, the corpus streams once, and the rank ≤ k
+    filter plans as WindowGroupLimit (each map task forwards at most
+    k rows per query). For corpus-scale query sets the shortlist
+    would come from the ANN family (IVF/PQ/LSH) with this label mask
+    applied at rerank; this operator is the exact per-anchor face.
+    """
+    from pyspark.sql import Window
+
+    q = quantized(emb).join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    queries = q.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("q").alias("qv"),
+    )
+    scored = (
+        q.alias("n")
+        .crossJoin(F.broadcast(queries))
+        .filter(
+            (F.col("n.vec_id") != F.col("query_id"))
+            & (F.col("n.label") != F.col("query_label"))
+        )
+        .select(
+            "query_id",
+            "query_label",
+            F.col("n.vec_id").alias("neighbor_id"),
+            _dot(F.col("qv"), F.col("n.q")).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("query_label").cast("long").alias("query_label"),
+            "neighbor_id",
+            "dot",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def hard_negatives_sql(n_queries: int = 10, k: int = 5) -> str:
+    """DuckDB twin of :func:`hard_negatives`."""
+    return f"""
+WITH q AS ({quant_sql(("label",))}),
+queries AS (
+  SELECT vec_id AS query_id, label AS query_label, q AS qv
+  FROM q WHERE vec_id < {n_queries}
+),
+scored AS (
+  SELECT query_id, query_label, n.vec_id AS neighbor_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(list_zip(qv, n.q),
+                                    p -> p[1] * p[2])),
+                     (a, b) -> a + b) AS dot
+  FROM q n CROSS JOIN queries
+  WHERE n.vec_id <> query_id AND n.label <> query_label
+),
+ranked AS (
+  SELECT query_id, query_label, neighbor_id, dot,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(query_label AS BIGINT) AS query_label,
+       neighbor_id, dot, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+#: fixed-point scale for reciprocal-rank-fusion contributions: the
+#: per-list contribution of a rank-r hit is RRF_SCALE div (c + r) —
+#: integer truncation, identical in Spark (`div`) and DuckDB (`//`).
+RRF_SCALE = 10**9
+
+
+def rrf_fuse(
+    lex: DataFrame, sem: DataFrame, k: int = 5, c: int = 60
+) -> DataFrame:
+    """Reciprocal-rank fusion of a LEXICAL ranked neighbor list
+    (``dedup.minhash_topk``: doc_id, neighbor, rank) and a SEMANTIC
+    one (:func:`topk_cosine` / :func:`topk_dot`: query_id,
+    neighbor_id, rank) into one hybrid retrieval ranking — the
+    standard two-tower fusion (Cormack et al.'s RRF) every hybrid
+    search stack runs, here with exact integer scores:
+    ``score = Σ_lists RRF_SCALE div (c + rank)`` (a list not
+    containing the pair contributes 0).
+
+    Output (query_id, neighbor_id, rrf, rank), rank ≤ k by
+    (rrf desc, neighbor_id asc). Document ids and vector ids are
+    linked by the corpus convention ``vec_id = doc_id`` (the same
+    linkage ``emb_centroid_drift`` uses).
+
+    Scale shape: both inputs are already rank-≤-k lists (O(queries·k)
+    rows), so the fusion is a full-outer equi-join of two tiny
+    relations plus one WindowGroupLimit ranking — negligible next to
+    the retrieval stages that produced them.
+    """
+    from pyspark.sql import Window
+
+    L = lex.select(
+        F.col("doc_id").cast("long").alias("query_id"),
+        F.col("neighbor").cast("long").alias("neighbor_id"),
+        F.col("rank").alias("r_lex"),
+    )
+    S = sem.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").alias("r_sem"),
+    )
+    j = L.join(S, ["query_id", "neighbor_id"], "full")
+    score = F.coalesce(
+        F.expr(f"{RRF_SCALE} div ({c} + r_lex)"), F.lit(0).cast("long")
+    ) + F.coalesce(
+        F.expr(f"{RRF_SCALE} div ({c} + r_sem)"), F.lit(0).cast("long")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        j.withColumn("rrf", score.cast("long"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rrf",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def rrf_fuse_sql(
+    lex_sql: str, sem_sql: str, k: int = 5, c: int = 60
+) -> str:
+    """DuckDB twin of :func:`rrf_fuse`. ``lex_sql`` must yield
+    (doc_id, neighbor, rank); ``sem_sql`` (query_id, neighbor_id,
+    rank) — the two operators' own oracle renderings."""
+    return f"""
+lexr AS (
+  SELECT CAST(doc_id AS BIGINT) AS query_id,
+         CAST(neighbor AS BIGINT) AS neighbor_id,
+         rank AS r_lex
+  FROM ({lex_sql})
+),
+semr AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id,
+         CAST(neighbor_id AS BIGINT) AS neighbor_id,
+         rank AS r_sem
+  FROM ({sem_sql})
+),
+fused AS (
+  SELECT coalesce(lexr.query_id, semr.query_id)       AS query_id,
+         coalesce(lexr.neighbor_id, semr.neighbor_id) AS neighbor_id,
+         CAST(coalesce({RRF_SCALE} // ({c} + r_lex), 0)
+              + coalesce({RRF_SCALE} // ({c} + r_sem), 0) AS BIGINT)
+           AS rrf
+  FROM lexr FULL OUTER JOIN semr
+    ON lexr.query_id = semr.query_id
+   AND lexr.neighbor_id = semr.neighbor_id
+)
+SELECT query_id, neighbor_id, rrf,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf DESC, neighbor_id ASC)
+            AS BIGINT) AS rank
+FROM fused
+QUALIFY rank <= {k}
+"""
+
+
+def mmr_topk(
+    emb: DataFrame,
+    n_queries: int = 5,
+    k: int = 3,
+    a: int = 7,
+    b: int = 3,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance DIVERSIFIED top-k (Carbonell &
+    Goldstein): greedily select k results per query maximizing
+    ``a·rel(q,d) − b·max_{s∈selected} sim(d,s)`` — relevance traded
+    against redundancy with integer weights (a/(a+b) is the classic
+    λ; default 7/3 ≈ λ=0.7). The op every retrieval stack runs when
+    plain top-k returns k near-copies of the same passage.
+
+    Exact across engines: rel and sim are the fixed-point integer
+    dots, the greedy recursion is unrolled k rounds (the ``kmeans``
+    induction pattern), first pick is argmax rel, every argmax ties
+    by neighbor id ascending. Round-0 ``maxsim`` is 0 by convention.
+
+    Output (query_id, neighbor_id, rel, maxsim, score, mmr_rank) —
+    one row per selection, mmr_rank 1..k in pick order.
+
+    Scale shape: the candidate relation is the broadcast tiny-query
+    cross (the documented exact-baseline shape — at corpus scale the
+    candidate set would be an ANN shortlist instead); each greedy
+    round adds one equi-join against the ≤(round) selected rows per
+    query, one partial+final max-agg, and a WindowGroupLimit rank-1
+    pick. Work per round is O(|candidates|·round), never quadratic
+    in the corpus.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    qn = quantized(emb)
+    queries = qn.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+    cand = (
+        qn.alias("n")
+        .crossJoin(F.broadcast(queries))
+        .filter(F.col("n.vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("n.vec_id").alias("neighbor_id"),
+            F.col("n.q").alias("nv"),
+            _dot(F.col("qv"), F.col("n.q")).alias("rel"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    sel = None  # (query_id, sel_id, sv) — grows one row/query/round
+    picks = []
+    for t in range(k):
+        if sel is None:
+            scored = cand.select(
+                "query_id", "neighbor_id", "rel",
+                F.lit(0).cast("long").alias("maxsim"),
+            )
+        else:
+            avail = cand.join(
+                sel.select(
+                    "query_id", F.col("sel_id").alias("neighbor_id")
+                ),
+                ["query_id", "neighbor_id"],
+                "left_anti",
+            )
+            scored = (
+                avail.join(sel, "query_id")
+                .withColumn("sim", _dot(F.col("nv"), F.col("sv")))
+                .groupBy("query_id", "neighbor_id")
+                .agg(
+                    F.max("rel").alias("rel"),
+                    F.max("sim").alias("maxsim"),
+                )
+            )
+        pick = (
+            scored.withColumn(
+                "score",
+                (F.lit(a).cast("long") * F.col("rel")
+                 - F.lit(b).cast("long") * F.col("maxsim")).cast("long"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id", "neighbor_id", "rel", "maxsim", "score",
+                F.lit(t + 1).cast("long").alias("mmr_rank"),
+            )
+        )
+        picks.append(pick)
+        new_sel = pick.join(cand, ["query_id", "neighbor_id"]).select(
+            "query_id",
+            F.col("neighbor_id").alias("sel_id"),
+            F.col("nv").alias("sv"),
+        )
+        sel = new_sel if sel is None else sel.unionByName(new_sel)
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def mmr_topk_sql(
+    n_queries: int = 5, k: int = 3, a: int = 7, b: int = 3
+) -> str:
+    """DuckDB twin of :func:`mmr_topk` — the greedy recursion
+    unrolled into per-round CTEs (the ``kmeans`` oracle pattern)."""
+    dot = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(list_zip({x}, {y}), p -> p[1] * p[2])), "
+        "(a, b) -> a + b)"
+    )
+    parts = [f"""
+WITH q AS ({QUANT_SQL}),
+queries AS (
+  SELECT vec_id AS query_id, q AS qv FROM q WHERE vec_id < {n_queries}
+),
+cand AS (
+  SELECT query_id, n.vec_id AS neighbor_id, n.q AS nv,
+         {dot.format(x='qv', y='n.q')} AS rel
+  FROM q n CROSS JOIN queries
+  WHERE n.vec_id <> query_id
+),
+pick0 AS (
+  SELECT query_id, neighbor_id, rel, CAST(0 AS BIGINT) AS maxsim,
+         CAST({a} * rel AS BIGINT) AS score, CAST(1 AS BIGINT) AS mmr_rank
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY {a} * rel DESC, neighbor_id ASC
+    ) AS rn FROM cand
+  ) WHERE rn = 1
+),
+sel0 AS (
+  SELECT p.query_id, p.neighbor_id AS sel_id, c.nv AS sv
+  FROM pick0 p JOIN cand c
+    ON c.query_id = p.query_id AND c.neighbor_id = p.neighbor_id
+)"""]
+    for t in range(1, k):
+        prev_sel = f"sel{t - 1}"
+        parts.append(f""",
+scored{t} AS (
+  SELECT c.query_id, c.neighbor_id,
+         max(c.rel) AS rel,
+         max({dot.format(x='c.nv', y='s.sv')}) AS maxsim
+  FROM cand c JOIN {prev_sel} s ON s.query_id = c.query_id
+  WHERE NOT EXISTS (
+    SELECT 1 FROM {prev_sel} x
+    WHERE x.query_id = c.query_id AND x.sel_id = c.neighbor_id
+  )
+  GROUP BY 1, 2
+),
+pick{t} AS (
+  SELECT query_id, neighbor_id, rel, maxsim,
+         CAST({a} * rel - {b} * maxsim AS BIGINT) AS score,
+         CAST({t + 1} AS BIGINT) AS mmr_rank
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY {a} * rel - {b} * maxsim DESC, neighbor_id ASC
+    ) AS rn FROM scored{t}
+  ) WHERE rn = 1
+),
+sel{t} AS (
+  SELECT * FROM {prev_sel}
+  UNION ALL
+  SELECT p.query_id, p.neighbor_id, c.nv
+  FROM pick{t} p JOIN cand c
+    ON c.query_id = p.query_id AND c.neighbor_id = p.neighbor_id
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT query_id, neighbor_id, rel, maxsim, score, mmr_rank "
+        f"FROM pick{t}" for t in range(k)
+    )
+    return "".join(parts) + "\n" + union

@@ -1581,3 +1581,72 @@ JOIN sizes sb ON sa.source < sb.source
 LEFT JOIN inter i
   ON i.source_a = sa.source AND i.source_b = sb.source
 """
+
+
+def vocab_remap(seq: DataFrame) -> DataFrame:
+    """Vocabulary migration: re-id every token FREQUENCY-DENSELY (the
+    corpus's most frequent token becomes 0, next 1, …) and rewrite all
+    token arrays order-preservingly — the remap a tokenizer swap /
+    vocab prune / embedding-table compaction applies to a stored
+    pre-tokenized corpus. Frequency-dense ids are the standard target:
+    they make the embedding table's hot rows contiguous and let a
+    vocab truncation become a plain ``id < V'`` filter.
+
+    Output (doc_id, n_tok, new_tokens) — ``new_tokens`` is the
+    remapped array, same length and order as the input.
+
+    Scale shape: the mapping is VOCABULARY-bounded (≤ V rows — the
+    ranking window sorts V rows, the ``token_zipf`` acceptance) and
+    broadcasts; the rewrite is the honest full-retokenization cost —
+    one token-stream explode, a broadcast equi-join, and ONE
+    doc-keyed exchange to regroup (the same exchange class as the
+    transpose pipeline's series regroup). Nothing is quadratic and
+    nothing shuffles the mapping.
+    """
+    ex = seq.select(
+        "doc_id", F.posexplode("tokens").alias("pos", "token")
+    )
+    counts = ex.groupBy("token").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    mapping = counts.select(
+        "token",
+        (F.row_number().over(w) - 1).cast("int").alias("new_id"),
+    )
+    return (
+        ex.join(F.broadcast(mapping), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "new_id"))
+            ).alias("ps")
+        )
+        .select(
+            "doc_id",
+            F.size("ps").cast("long").alias("n_tok"),
+            F.expr("transform(ps, x -> x.new_id)").alias("new_tokens"),
+        )
+    )
+
+
+def vocab_remap_sql() -> str:
+    """DuckDB twin of :func:`vocab_remap` over the `seqs(doc_id,
+    source, tokens)` CTE (conventional unnest + join + ordered
+    re-list)."""
+    return """
+ex AS (
+  SELECT doc_id, unnest(tokens) AS token,
+         generate_subscripts(tokens, 1) AS pos
+  FROM seqs
+),
+counts AS (SELECT token, count(*) AS cnt FROM ex GROUP BY 1),
+mapping AS (
+  SELECT token,
+         CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) - 1
+              AS INTEGER) AS new_id
+  FROM counts
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       list(new_id ORDER BY pos) AS new_tokens
+FROM ex JOIN mapping USING (token)
+GROUP BY doc_id
+"""

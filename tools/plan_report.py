@@ -1390,6 +1390,78 @@ def main() -> None:
         ],
     ))
 
+    # 23. session-11 additions: leakage-free split, hard negatives,
+    # RRF hybrid fusion, vocabulary remap
+    from pyreshaper_spark.operators.cluster import leakage_free_split
+    from pyreshaper_spark.operators.dedup import minhash_topk
+    from pyreshaper_spark.operators.similarity import (
+        hard_negatives,
+        rrf_fuse,
+        topk_cosine,
+    )
+    from pyreshaper_spark.operators.vocab import vocab_remap
+
+    pairs_lf = verified_near_dups(docs, max_df=200)
+    p_lf = plan_of(leakage_free_split(docs, pairs_lf))
+    p_hn = plan_of(hard_negatives(emb))
+    lex_r = minhash_topk(docs, k=5).filter(F.col("doc_id").cast("long") < 10)
+    p_rrf = plan_of(rrf_fuse(lex_r, topk_cosine(emb), k=5))
+    seq_v = seq.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source", "tokens"
+    )
+    p_vr = plan_of(vocab_remap(seq_v))
+    from pyreshaper_spark.operators.packing import doc_chunks
+    from pyreshaper_spark.operators.similarity import mmr_topk
+
+    p_dc = plan_of(doc_chunks(seq_v, chunk=128, stride=64))
+    p_mmr = plan_of(mmr_topk(emb, n_queries=5, k=3))
+    sections.append((
+        "Leakage-free split, hard negatives, RRF fusion, vocab remap, "
+        "chunking, MMR",
+        "\n".join([
+            "--- leakage_free_split ---", p_lf[:1400],
+            "--- hard_negatives ---", p_hn[:1200],
+            "--- rrf_fuse(minhash_topk, topk_cosine) ---", p_rrf[:1400],
+            "--- vocab_remap ---", p_vr[:1600],
+            "--- doc_chunks(128/64) ---", p_dc[:900],
+            "--- mmr_topk(k=3) ---", p_mmr[:1400],
+        ]),
+        [
+            ("leakage-free split: component join + stateless hash "
+             "projection — no cartesian, no window on top of the "
+             "contraction",
+             no_cartesian(p_lf) and "Window" not in p_lf),
+            ("hard negatives: the only nested loop is the broadcast "
+             "tiny-query cross (the documented exact-baseline shape); "
+             "rank<=k plans as WindowGroupLimit",
+             "CartesianProduct" not in p_hn
+             and p_hn.count("BroadcastNestedLoopJoin") // 2 <= 1
+             and "WindowGroupLimit" in p_hn),
+            ("RRF fusion: rank-list join is an equi full-outer; the "
+             "only nested loop is topk_cosine's own broadcast "
+             "tiny-query cross; fused rank<=k is a WindowGroupLimit",
+             "CartesianProduct" not in p_rrf
+             and p_rrf.count("BroadcastNestedLoopJoin") // 2 <= 1
+             and "FullOuter" in p_rrf
+             and "WindowGroupLimit" in p_rrf),
+            ("vocab remap: the V-bounded mapping joins BROADCAST "
+             "(the token stream never shuffles for the lookup); "
+             "posexplode is map-side Generate",
+             "BroadcastHashJoin" in p_vr and "Generate" in p_vr
+             and no_cartesian(p_vr)),
+            ("doc chunking: pure map-side — Generate (offset explode) "
+             "+ slice, ZERO exchanges, no join",
+             "Generate" in p_dc and "Exchange" not in p_dc
+             and "Join" not in p_dc),
+            ("MMR greedy rounds: selected-set joins stay equi (the "
+             "only nested loop is the shared broadcast query cross); "
+             "each round's argmax is a WindowGroupLimit rank-1",
+             "CartesianProduct" not in p_mmr
+             and "SortMergeJoin Cross" not in p_mmr
+             and "WindowGroupLimit" in p_mmr),
+        ],
+    ))
+
     out = ["# PLANS — physical-plan verification (auto-generated by "
            "tools/plan_report.py)\n"]
     all_ok = True
