@@ -257,6 +257,10 @@ def _md_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: PII snippet appended to ~30% of docs (by cross-engine hash) so the
+#: redaction oracle exercises every pattern on a PII-free corpus.
+_PII_INJECT = " contact bob.smith@example.com or 12345678901 at 10.0.42.7"
+
 #: Names the round-2 driver correctness sweep already verified green.
 _R02_CHECKED = frozenset({
     "ann_ivf_kmeans", "ann_ivf_probe", "ann_lsh_pairs", "ann_topk_cosine",
@@ -649,6 +653,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return leakage_free_split(docs, pairs, val_bp=1000, test_bp=1000)
 
     q["split_leakage_free"] = _q_split_leakfree
+
+    # -- quality-aware survivor policy (keep the longest copy) --------
+    def _q_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.cluster import survivor_flags_pref
+
+        docs = _docs(spark, sf_dir)
+        pairs = dedup.verified_near_dups(docs, max_df=200)
+        return survivor_flags_pref(docs, pairs, "n_chars")
+
+    q["dedup_survivors_quality"] = _q_survivors_quality
+
+    # -- span-level PII redaction over a deterministically PII-injected
+    #    text variant (the raw corpus is PII-free — redaction must be
+    #    shown to FIRE, not only to pass vacuously)
+    def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.functions.xhash import h32
+        from pyreshaper_spark.operators.text import pii_redact
+
+        docs = _docs(spark, sf_dir)
+        inj = F.when(
+            F.pmod(h32(F.col("doc_id").cast("string")), F.lit(10)) < 3,
+            F.lit(_PII_INJECT),
+        ).otherwise(F.lit(""))
+        return pii_redact(
+            docs.withColumn("text", F.concat(F.col("text"), inj))
+        )
+
+    q["pii_redact"] = _q_pii_redact
 
     # -- eval-contamination check (n-gram overlap across hash splits) -
     def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2952,6 +2984,15 @@ FROM tier t JOIN meta m USING (source)
 
     o["split_leakage_free"] = leakage_free_split_sql(
         _PAIRS_SQL, val_bp=1000, test_bp=1000
+    )
+    from pyreshaper_spark.operators.cluster import survivor_flags_pref_sql
+
+    o["dedup_survivors_quality"] = survivor_flags_pref_sql(
+        _PAIRS_SQL, "d.n_chars"
+    )
+    o["pii_redact"] = text.pii_redact_sql(
+        "text || CASE WHEN (" + _h32s("CAST(doc_id AS VARCHAR)")
+        + f") % 10 < 3 THEN '{_PII_INJECT}' ELSE '' END"
     )
     from pyreshaper_spark.operators.contamination import (
         split_contamination_sql,

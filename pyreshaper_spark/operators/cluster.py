@@ -35,7 +35,7 @@ pipeline surface (dedup family, SURVEY.md §2.4).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -344,4 +344,73 @@ SELECT d.doc_id, d.source,
             WHEN {rate} < {val_bp + test_bp} THEN 'test'
             ELSE 'train' END AS split
 FROM documents d LEFT JOIN comp c USING (doc_id)
+"""
+
+
+def survivor_flags_pref(
+    docs: DataFrame, pairs: DataFrame, pref_col: str
+) -> DataFrame:
+    """Quality-AWARE survivor selection: per near-dup component keep
+    the member maximizing ``pref_col`` (ties by doc_id ascending) —
+    the policy a real corpus wants ("keep the most complete / highest
+    quality copy"), vs :func:`survivor_flags`'s arbitrary canonical
+    min-id. Unclustered docs are always kept.
+
+    Output (doc_id, source, kept) — same shape as
+    :func:`survivor_flags` so downstream rate/anti-join faces compose
+    unchanged.
+
+    Scale shape: the contraction plus one CLUSTERED-rows inner join
+    (bounded by the near-dup fraction) whose per-component rank ranks
+    only component members — unclustered docs never enter a window
+    partition (ranking them too would funnel the whole corpus into
+    the NULL-component partition) — and ONE |docs| left join of the
+    resulting flags.
+    """
+    cc = connected_components(pairs)
+    clustered = docs.select("doc_id", pref_col).join(cc, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col(pref_col).desc(), F.col("doc_id").asc()
+    )
+    flags = clustered.withColumn(
+        "kept", F.row_number().over(w) == 1
+    ).select("doc_id", "kept")
+    return (
+        docs.select("doc_id", "source")
+        .join(flags, "doc_id", "left")
+        .withColumn("kept", F.coalesce(F.col("kept"), F.lit(True)))
+    )
+
+
+def survivor_flags_pref_sql(pairs_sql: str, pref_expr: str) -> str:
+    """DuckDB twin of :func:`survivor_flags_pref` over ``documents``."""
+    return f"""
+WITH RECURSIVE pairs AS (
+{pairs_sql}
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS doc_id FROM edges),
+walk(doc_id, reach) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT w.doc_id, e.v FROM walk w JOIN edges e ON e.u = w.reach
+),
+comp AS (SELECT doc_id, min(reach) AS component FROM walk GROUP BY 1),
+flags AS (
+  SELECT doc_id, rk = 1 AS kept
+  FROM (
+    SELECT d.doc_id,
+           row_number() OVER (
+             PARTITION BY c.component
+             ORDER BY {pref_expr} DESC, d.doc_id ASC
+           ) AS rk
+    FROM documents d JOIN comp c USING (doc_id)
+  )
+)
+SELECT d.doc_id, d.source, coalesce(f.kept, TRUE) AS kept
+FROM documents d LEFT JOIN flags f USING (doc_id)
 """

@@ -637,3 +637,64 @@ FROM (
   GROUP BY 1
 )
 """
+
+
+#: redaction placeholders — letters-only so one pass can never create
+#: a match for a later pattern
+PII_PLACEHOLDERS = {"email": "<EMAIL>", "ipv4": "<IP>", "digit": "<NUM>"}
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """SPAN-LEVEL PII redaction — the action :func:`pii_scan` only
+    flags: every email-like, IPv4-like, and 7+-digit-run substring is
+    replaced by a typed placeholder, longest-pattern first (emails
+    before IPs before bare digit runs, so a pattern consumed by an
+    earlier pass is never double-counted). ``n_redacted`` counts the
+    replacements actually performed, measured sequentially on the
+    intermediate strings.
+
+    Output (doc_id, red_text, n_redacted). Pure codegen projection —
+    three fused regexp passes in the scan stage, zero shuffle, the
+    ``pii_scan`` cost shape.
+    """
+    t0 = F.col(text_col)
+    n_e = F.size(F.regexp_extract_all(t0, F.lit(PII_EMAIL_RE), 0))
+    t1 = F.regexp_replace(
+        t0, PII_EMAIL_RE, PII_PLACEHOLDERS["email"]
+    )
+    n_i = F.size(F.regexp_extract_all(t1, F.lit(PII_IPV4_RE), 0))
+    t2 = F.regexp_replace(t1, PII_IPV4_RE, PII_PLACEHOLDERS["ipv4"])
+    n_d = F.size(F.regexp_extract_all(t2, F.lit(PII_DIGITRUN_RE), 0))
+    t3 = F.regexp_replace(t2, PII_DIGITRUN_RE, PII_PLACEHOLDERS["digit"])
+    return docs.select(
+        "doc_id",
+        t3.alias("red_text"),
+        (n_e + n_i + n_d).cast("long").alias("n_redacted"),
+    )
+
+
+def pii_redact_sql(text_expr: str = "text") -> str:
+    """DuckDB twin of :func:`pii_redact` over ``documents`` (or any
+    relation exposing ``doc_id`` and ``{text_expr}``). Emits a final
+    SELECT; DuckDB needs the explicit 'g' flag for global replace."""
+    e, i, d = PII_EMAIL_RE, PII_IPV4_RE, PII_DIGITRUN_RE
+    pe = PII_PLACEHOLDERS["email"]
+    pi = PII_PLACEHOLDERS["ipv4"]
+    pd = PII_PLACEHOLDERS["digit"]
+    return f"""
+SELECT doc_id,
+       regexp_replace(t2, '{d}', '{pd}', 'g') AS red_text,
+       CAST(n_e + n_i
+            + len(regexp_extract_all(t2, '{d}')) AS BIGINT) AS n_redacted
+FROM (
+  SELECT doc_id, n_e,
+         len(regexp_extract_all(t1, '{i}')) AS n_i,
+         regexp_replace(t1, '{i}', '{pi}', 'g') AS t2
+  FROM (
+    SELECT doc_id,
+           len(regexp_extract_all({text_expr}, '{e}')) AS n_e,
+           regexp_replace({text_expr}, '{e}', '{pe}', 'g') AS t1
+    FROM documents
+  )
+)
+"""

@@ -354,3 +354,90 @@ def test_mmr_diversifies_vs_plain_topk(spark):
         for r in mmr_topk(emb, n_queries=1, k=2, a=1, b=2).collect()
     }
     assert mmr[(0, 1)] == 1 and mmr[(0, 2)] == 3
+
+
+# --------------------------------------------------------------------------
+# pii_redact
+# --------------------------------------------------------------------------
+
+def test_pii_redact_patterns_and_counts(spark):
+    from pyreshaper_spark.operators.text import pii_redact
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b@x.io and 1234567890 at 10.0.0.1 end"),
+            (2, "clean text only"),
+            (3, "two mails a@b.co c@d.org"),
+            (4, "ip 192.168.1.100 run 99999999"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_redact(docs).collect()}
+    assert out[1]["red_text"] == "mail <EMAIL> and <NUM> at <IP> end"
+    assert out[1]["n_redacted"] == 3
+    assert out[2]["red_text"] == "clean text only"
+    assert out[2]["n_redacted"] == 0
+    assert out[3]["red_text"] == "two mails <EMAIL> <EMAIL>"
+    assert out[3]["n_redacted"] == 2
+    assert out[4]["red_text"] == "ip <IP> run <NUM>"
+    assert out[4]["n_redacted"] == 2
+
+
+def test_pii_redact_sequential_no_double_count(spark):
+    """Digits inside an email are consumed by the email pass and never
+    counted again; redacting already-redacted text is a no-op."""
+    from pyreshaper_spark.operators.text import pii_redact
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "user12345678@host.com wrote")], "doc_id long, text string"
+    )
+    first = pii_redact(docs).collect()[0]
+    assert first["red_text"] == "<EMAIL> wrote"
+    assert first["n_redacted"] == 1  # the digit run vanished WITH the email
+    again = pii_redact(
+        docs.sparkSession.createDataFrame(
+            [(1, first["red_text"])], "doc_id long, text string"
+        )
+    ).collect()[0]
+    assert again["red_text"] == first["red_text"]
+    assert again["n_redacted"] == 0
+
+
+# --------------------------------------------------------------------------
+# survivor_flags_pref
+# --------------------------------------------------------------------------
+
+def test_survivor_flags_pref_keeps_best(spark):
+    from pyreshaper_spark.operators.cluster import (
+        survivor_flags,
+        survivor_flags_pref,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s0", 10), (2, "s0", 99), (3, "s0", 99),  # comp {1,2,3}
+            (10, "s1", 5), (11, "s1", 4),                 # comp {10,11}
+            (20, "s1", 7),                                # unclustered
+        ],
+        "doc_id long, source string, n_chars long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    kept = {
+        r["doc_id"]: r["kept"]
+        for r in survivor_flags_pref(docs, pairs, "n_chars").collect()
+    }
+    # longest wins; 2 vs 3 tie on pref -> min doc_id
+    assert kept == {1: False, 2: True, 3: False,
+                    10: True, 11: False, 20: True}
+    # min-id policy would instead keep 1 — the policies genuinely differ
+    kept_min = {
+        r["doc_id"]: r["kept"]
+        for r in survivor_flags(docs, pairs).collect()
+    }
+    assert kept_min[1] and not kept_min[2]
+    # invariant both share: exactly one survivor per component
+    for comp in ([1, 2, 3], [10, 11]):
+        assert sum(kept[d] for d in comp) == 1

@@ -1415,9 +1415,15 @@ def main() -> None:
 
     p_dc = plan_of(doc_chunks(seq_v, chunk=128, stride=64))
     p_mmr = plan_of(mmr_topk(emb, n_queries=5, k=3))
+    from pyreshaper_spark.operators.cluster import survivor_flags_pref
+    from pyreshaper_spark.operators.text import pii_redact
+
+    docs_nc = docs.select("doc_id", "source", "n_chars", "text")
+    p_sp = plan_of(survivor_flags_pref(docs_nc, pairs_lf, "n_chars"))
+    p_px = plan_of(pii_redact(docs_nc))
     sections.append((
         "Leakage-free split, hard negatives, RRF fusion, vocab remap, "
-        "chunking, MMR",
+        "chunking, MMR, survivor policy, redaction",
         "\n".join([
             "--- leakage_free_split ---", p_lf[:1400],
             "--- hard_negatives ---", p_hn[:1200],
@@ -1425,6 +1431,8 @@ def main() -> None:
             "--- vocab_remap ---", p_vr[:1600],
             "--- doc_chunks(128/64) ---", p_dc[:900],
             "--- mmr_topk(k=3) ---", p_mmr[:1400],
+            "--- survivor_flags_pref ---", p_sp[:1000],
+            "--- pii_redact ---", p_px[:700],
         ]),
         [
             ("leakage-free split: component join + stateless hash "
@@ -1459,6 +1467,15 @@ def main() -> None:
              "CartesianProduct" not in p_mmr
              and "SortMergeJoin Cross" not in p_mmr
              and "WindowGroupLimit" in p_mmr),
+            ("quality survivor: rank window runs ONLY on clustered "
+             "rows (no NULL-component corpus-wide partition); no "
+             "cartesian",
+             no_cartesian(p_sp) and "Window" in p_sp),
+            ("pii redact: pure projection — zero exchanges, no join, "
+             "text pruned into the scan",
+             "Exchange" not in p_px and "Join" not in p_px
+             and "text" in (p_px.split("ReadSchema")[1].split("\n")[0]
+                            if "ReadSchema" in p_px else "")),
         ],
     ))
 
