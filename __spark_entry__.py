@@ -3026,10 +3026,11 @@ FROM tier t JOIN meta m USING (source)
     o["ann_binq_topk"] = similarity.binq_topk_sql()
     o["ann_topk_cosine"] = similarity.topk_cosine_sql()
     o["ann_hard_negatives"] = similarity.hard_negatives_sql()
+    # wrap the standalone lexical oracle so the fused ranking can never
+    # drift from the one o["minhash_topk"] verifies
     _LEX_TOPK_SQL = (
-        f"WITH pairs AS ({dedup.minhash_lsh_sql(0, 1)})\n"
         "SELECT * FROM (\n"
-        + dedup.minhash_topk_sql(5)
+        + o["minhash_topk"]
         + "\n) WHERE CAST(doc_id AS BIGINT) < 10"
     )
     o["hybrid_topk_rrf"] = "WITH " + similarity.rrf_fuse_sql(

@@ -1042,8 +1042,15 @@ def hard_negatives(
     """
     from pyspark.sql import Window
 
-    q = quantized(emb).join(
-        emb.select("vec_id", "label"), "vec_id"
+    # one projection carries label + quantized vector (the DuckDB twin
+    # quant_sql(("label",)) shape) — no second scan, no re-join
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * QUANT).cast("long"),
+        ).alias("q"),
     )
     queries = q.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),

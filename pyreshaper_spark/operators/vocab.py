@@ -1612,7 +1612,7 @@ def vocab_remap(seq: DataFrame) -> DataFrame:
         "token",
         (F.row_number().over(w) - 1).cast("int").alias("new_id"),
     )
-    return (
+    remapped = (
         ex.join(F.broadcast(mapping), "token")
         .groupBy("doc_id")
         .agg(
@@ -1624,6 +1624,20 @@ def vocab_remap(seq: DataFrame) -> DataFrame:
             "doc_id",
             F.size("ps").cast("long").alias("n_tok"),
             F.expr("transform(ps, x -> x.new_id)").alias("new_tokens"),
+        )
+    )
+    # explode emits nothing for a zero-token doc — restore it so the
+    # "rewrite ALL token arrays" contract holds (doc_id, 0, [])
+    return (
+        seq.select("doc_id")
+        .join(remapped, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tok"), F.lit(0).cast("long")).alias("n_tok"),
+            F.coalesce(
+                F.col("new_tokens"),
+                F.expr("CAST(array() AS array<int>)"),
+            ).alias("new_tokens"),
         )
     )
 
@@ -1644,9 +1658,15 @@ mapping AS (
          CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) - 1
               AS INTEGER) AS new_id
   FROM counts
+),
+remapped AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         list(new_id ORDER BY pos) AS new_tokens
+  FROM ex JOIN mapping USING (token)
+  GROUP BY doc_id
 )
-SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
-       list(new_id ORDER BY pos) AS new_tokens
-FROM ex JOIN mapping USING (token)
-GROUP BY doc_id
+SELECT s.doc_id,
+       coalesce(r.n_tok, 0) AS n_tok,
+       coalesce(r.new_tokens, CAST([] AS INTEGER[])) AS new_tokens
+FROM seqs s LEFT JOIN remapped r USING (doc_id)
 """

@@ -8,8 +8,6 @@ from collections import Counter
 
 from pyspark.sql import functions as F
 
-from tests.conftest import rows_set
-
 
 # --------------------------------------------------------------------------
 # leakage_free_split
@@ -441,3 +439,18 @@ def test_survivor_flags_pref_keeps_best(spark):
     # invariant both share: exactly one survivor per component
     for comp in ([1, 2, 3], [10, 11]):
         assert sum(kept[d] for d in comp) == 1
+
+
+def test_vocab_remap_keeps_zero_token_docs(spark):
+    """The 'rewrite ALL token arrays' contract: an empty-token doc
+    survives as (doc_id, 0, []) instead of silently vanishing."""
+    from pyreshaper_spark.operators.vocab import vocab_remap
+
+    seq = spark.createDataFrame(
+        [("d0", "s0", [3, 3]), ("d1", "s0", [])],
+        "doc_id string, source string, tokens array<int>",
+    )
+    out = {r["doc_id"]: r for r in vocab_remap(seq).collect()}
+    assert set(out) == {"d0", "d1"}
+    assert out["d1"]["n_tok"] == 0 and out["d1"]["new_tokens"] == []
+    assert out["d0"]["new_tokens"] == [0, 0]
