@@ -1,0 +1,158 @@
+"""spark-submit entry point for the END-TO-END corpus curation
+pipeline — the release flow that turns a raw document dump into a
+training-ready, leakage-safe corpus by composing the engine's
+training-data operators in the order a real pipeline runs them:
+
+1. exact dedup          (hash-groupBy, keep min doc_id per text)
+2. near-dup dedup       (MinHash→LSH→verify → connected components →
+                         QUALITY-aware survivors: keep the longest copy)
+3. quality filter       (Gopher-style integer heuristics, `ok` flag)
+4. per-source quotas    (optional deterministic mixture, hash order)
+5. leakage-free split   (train/val/test by near-dup-component hash —
+                         no val/test doc has a near-duplicate in train)
+6. PII redaction        (span-level typed placeholders)
+
+    spark-submit --py-files /tmp/engine.zip jobs/curate_job.py \
+        --docs /data/documents.parquet --out /tmp/curated \
+        [--max-df 200] [--val-bp 1000] [--test-bp 1000] \
+        [--quota src0=1000 --quota src1=500]
+
+Output: parquet (doc_id, source, split, red_text, n_redacted) plus ONE
+JSON metrics line on stdout — per-stage counts that must conserve
+(n_input = n_out + every stage's drops), the lineage a release audit
+reads. Without ``--out`` only the metrics line prints (dry run).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def curate(
+    docs: DataFrame,
+    max_df: int = 200,
+    val_bp: int = 1000,
+    test_bp: int = 1000,
+    quotas: dict[str, int] | None = None,
+) -> tuple[DataFrame, dict]:
+    """Run the curation flow; returns (curated DataFrame, metrics).
+
+    Composition notes (why this order):
+
+    * Dedup BEFORE split — `leakage_free_split` needs the near-dup
+      pair graph, and splitting a corpus that still contains
+      near-duplicates leaks eval data whatever the splitter does.
+    * The SAME pair graph feeds survivor selection and the split, so
+      the two decisions can never disagree about what is a duplicate.
+    * Quotas (mixture) run after cleaning — a quota filled with
+      to-be-dropped duplicates under-delivers its source.
+    * Redaction last, only over rows actually shipped.
+    """
+    from pyreshaper_spark.operators.cluster import (
+        leakage_free_split,
+        survivor_flags_pref,
+    )
+    from pyreshaper_spark.operators.dedup import verified_near_dups
+    from pyreshaper_spark.operators.sampling import mix_sources
+    from pyreshaper_spark.operators.text import pii_redact, quality_score
+
+    m: dict = {"n_input": docs.count()}
+
+    # 1. exact dedup: keep the min doc_id of every identical text
+    keep_min = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    exact_kept = docs.join(keep_min, ["doc_id", "text"])
+    m["n_exact_dropped"] = m["n_input"] - exact_kept.count()
+
+    # 2. near-dup dedup with quality-aware survivor selection
+    pairs = verified_near_dups(exact_kept, max_df=max_df)
+    flags = survivor_flags_pref(exact_kept, pairs, "n_chars")
+    near_kept = exact_kept.join(
+        flags.filter(F.col("kept")).select("doc_id"), "doc_id"
+    )
+    m["n_near_dropped"] = (
+        m["n_input"] - m["n_exact_dropped"] - near_kept.count()
+    )
+
+    # 3. quality filter
+    qual = (
+        quality_score(near_kept).filter(F.col("ok") == 1).select("doc_id")
+    )
+    qual_kept = near_kept.join(qual, "doc_id")
+    m["n_quality_dropped"] = (
+        m["n_input"] - m["n_exact_dropped"] - m["n_near_dropped"]
+        - qual_kept.count()
+    )
+
+    # 4. optional per-source quotas (deterministic hash-order mixture)
+    if quotas:
+        qual_kept = mix_sources(qual_kept, quotas).drop("mix_rank")
+    m["n_after_quota"] = qual_kept.count()
+
+    # 5. leakage-free split over the SAME pair graph; restrict to kept
+    split = leakage_free_split(
+        exact_kept, pairs, val_bp=val_bp, test_bp=test_bp
+    ).select("doc_id", "split")
+
+    # 6. span-level PII redaction of the shipped rows
+    red = pii_redact(qual_kept)
+
+    out = (
+        qual_kept.select("doc_id", "source")
+        .join(split, "doc_id")
+        .join(red, "doc_id")
+        .select("doc_id", "source", "split", "red_text", "n_redacted")
+    )
+    split_counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    m["n_out"] = sum(split_counts.values())
+    for s in ("train", "val", "test"):
+        m[f"n_{s}"] = split_counts.get(s, 0)
+    m["n_docs_redacted"] = out.filter(F.col("n_redacted") > 0).count()
+    return out, m
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", required=True,
+                    help="documents parquet (doc_id, text, source, n_chars)")
+    ap.add_argument("--out", default=None,
+                    help="curated-corpus parquet output path")
+    ap.add_argument("--max-df", type=int, default=200)
+    ap.add_argument("--val-bp", type=int, default=1000)
+    ap.add_argument("--test-bp", type=int, default=1000)
+    ap.add_argument("--quota", action="append", default=[],
+                    metavar="SRC=N", help="per-source doc quota (repeat)")
+    args = ap.parse_args(argv)
+
+    quotas: dict[str, int] = {}
+    for spec in args.quota:
+        src, _, n = spec.partition("=")
+        if not n.isdigit():
+            ap.error(f"--quota expects SRC=N, got {spec!r}")
+        quotas[src] = int(n)
+
+    from pyreshaper_spark.session import get_spark
+
+    spark = SparkSession.getActiveSession() or get_spark("curate-job")
+    docs = spark.read.parquet(args.docs)
+    out, metrics = curate(
+        docs,
+        max_df=args.max_df,
+        val_bp=args.val_bp,
+        test_bp=args.test_bp,
+        quotas=quotas or None,
+    )
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+    print(json.dumps(metrics, sort_keys=True))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,103 @@
+"""End-to-end curation pipeline (jobs/curate_job.py): stage
+conservation, leakage safety, redaction, determinism, CLI round-trip."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "jobs")
+)
+
+
+def _docs(spark):
+    base = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    # inject an exact duplicate and a PII-bearing doc so every stage
+    # demonstrably fires on the fixture
+    src = base.limit(1).collect()[0]
+    extra = spark.createDataFrame(
+        [
+            (900001, src["text"], src["lang"], src["source"],
+             src["n_chars"]),
+            (900002,
+             "the quick brown fox wrote to alice.smith@example.org "
+             "about invoice 123456789 from 10.1.2.3 yesterday morning "
+             "regarding the quarterly shipment of spark parts",
+             "en", src["source"], 150),
+        ],
+        base.schema,
+    )
+    return base.unionByName(extra)
+
+
+def test_curate_conservation_and_leakage(spark):
+    import curate_job
+
+    docs = _docs(spark)
+    out, m = curate_job.curate(docs, max_df=200)
+    # stage conservation: input = out + all drops
+    assert m["n_input"] == (
+        m["n_out"] + m["n_exact_dropped"] + m["n_near_dropped"]
+        + m["n_quality_dropped"]
+    )
+    assert m["n_exact_dropped"] >= 1      # the injected exact dupe
+    assert m["n_out"] == m["n_train"] + m["n_val"] + m["n_test"]
+    assert m["n_docs_redacted"] >= 1      # the injected PII doc
+    rows = out.collect()
+    assert len(rows) == m["n_out"]
+    # no remaining PII in shipped text
+    assert not any("example.org" in r["red_text"] for r in rows)
+    assert any("<EMAIL>" in r["red_text"] for r in rows)
+
+    # leakage safety: recompute the pair graph on the shipped corpus —
+    # near-dup semantics guarantee no surviving pair at all (one
+    # survivor per component), which implies no cross-split pair
+    from pyreshaper_spark.operators.dedup import verified_near_dups
+
+    shipped = docs.join(out.select("doc_id"), "doc_id")
+    assert verified_near_dups(shipped, max_df=200).count() == 0
+
+
+def test_curate_quota_and_determinism(spark):
+    import curate_job
+
+    docs = _docs(spark)
+    out1, m1 = curate_job.curate(docs, quotas={"src0": 5, "src1": 3})
+    assert m1["n_after_quota"] <= 8
+    per_src = {
+        r["source"]: r["n"]
+        for r in out1.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_src.get("src0", 0) <= 5 and per_src.get("src1", 0) <= 3
+    assert set(per_src) <= {"src0", "src1"}
+    # deterministic rerun: identical row set
+    out2, m2 = curate_job.curate(docs, quotas={"src0": 5, "src1": 3})
+    assert m1 == m2
+    assert sorted(map(tuple, out1.collect())) == sorted(
+        map(tuple, out2.collect())
+    )
+
+
+def test_curate_cli_round_trip(spark, tmp_path, capsys):
+    import curate_job
+
+    outp = str(tmp_path / "curated")
+    rc = curate_job.main(
+        ["--docs", f"{SF_SMOKE}/documents.parquet", "--out", outp,
+         "--quota", "src0=4"]
+    )
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    m = json.loads(line)
+    assert m["n_input"] == 500
+    back = spark.read.parquet(outp)
+    assert back.count() == m["n_out"]
+    assert set(back.columns) == {
+        "doc_id", "source", "split", "red_text", "n_redacted"
+    }
