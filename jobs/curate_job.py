@@ -27,9 +27,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def curate(
