@@ -491,6 +491,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_conversion_lag"] = lambda s, d: EV.events_conversion_lag(
         _events(s, d)
     )
+    # first/last-touch conversion attribution (credit per event type)
+    q["events_attribution"] = lambda s, d: EV.events_attribution(
+        _events(s, d)
+    )
 
     def _q_events_in_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyreshaper_spark.operators.rangejoin import events_in_sessions
@@ -1316,6 +1320,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return bucket_moments(_seq(spark, sf_dir), 3600)
 
     q["tier_1h_moments"] = _q_moments
+
+    def _q_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Arrival burstiness: Fano sufficient stats of 10m bucket
+        counts per (source, day)."""
+        from pyreshaper_spark.operators.rollup import bucket_fano
+
+        return bucket_fano(_tiers(spark, sf_dir)[600], day_s=86400)
+
+    q["src_fano_1d"] = _q_fano
 
     def _q_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyreshaper_spark.operators.rollup import slo_burn
@@ -2727,6 +2740,9 @@ SELECT source, count(*) AS n_docs FROM sequences GROUP BY 1
     o["tier_1h_moments"] = (
         f"WITH {seq_cte('base')}\n" + bucket_moments_sql(3600)
     )
+    from pyreshaper_spark.operators.rollup import bucket_fano_sql
+
+    o["src_fano_1d"] = f"WITH {seq_cte('base')}\n" + bucket_fano_sql(600)
     o["slo_burn_1d"] = (
         f"WITH {seq_cte('base')},\n"
         f"t1h AS (SELECT source, bucket_s, sum_n_tok "
@@ -2852,6 +2868,7 @@ r AS (SELECT source, event_s, n_tok FROM sequences
     o["events_engagement_hist"] = EV.events_engagement_hist_sql()
     o["events_transitions"] = EV.events_transitions_sql()
     o["events_conversion_lag"] = EV.events_conversion_lag_sql()
+    o["events_attribution"] = EV.events_attribution_sql()
     o["events_sessions"] = EV.sessionize_sql()
 
     from pyreshaper_spark.operators.rangejoin import events_in_sessions_sql

@@ -448,3 +448,92 @@ SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_steps
 FROM steps WHERE from_type IS NOT NULL
 GROUP BY 1, 2
 """
+
+
+def events_attribution(
+    events: DataFrame, convert_type: str = "purchase"
+) -> DataFrame:
+    """First-touch / last-touch conversion ATTRIBUTION: for each
+    user's FIRST ``convert_type`` event, credit (a) the user's
+    earliest preceding non-conversion event (first touch — what
+    acquired them) and (b) the latest one at or before the conversion
+    (last touch — what closed them), then aggregate credits per
+    event_type — the two classic single-touch attribution models of
+    marketing analytics (the funnel counts conversions; this answers
+    WHICH event type gets the credit).
+
+    Deterministic total order: events tie-break by event_id, so
+    same-second touches attribute identically across engines.
+
+    Output (event_type, first_touch, last_touch), one row per event
+    type that earned any credit.
+
+    Scale shape: one bounded per-user min-aggregate (conversions), a
+    user-keyed equi-join (AQE broadcasts when the converting set is
+    small), and BOTH attribution picks ride one user-keyed exchange
+    (two window orders over the same partitioning); the final credit
+    aggregate is O(event types).
+    """
+    ep = F.unix_timestamp("ts").cast("long")
+    conv = (
+        events.filter(F.col("event_type") == convert_type)
+        .select("user_id", ep.alias("p_s"))
+        .groupBy("user_id")
+        .agg(F.min("p_s").alias("p_s"))
+    )
+    touches = (
+        events.filter(F.col("event_type") != convert_type)
+        .select("user_id", ep.alias("e_s"), "event_type", "event_id")
+        .join(conv, "user_id")
+        .filter(F.col("e_s") <= F.col("p_s"))
+    )
+    w_first = Window.partitionBy("user_id").orderBy(
+        F.col("e_s").asc(), F.col("event_id").asc()
+    )
+    w_last = Window.partitionBy("user_id").orderBy(
+        F.col("e_s").desc(), F.col("event_id").desc()
+    )
+    picked = touches.withColumn(
+        "rf", F.row_number().over(w_first)
+    ).withColumn("rl", F.row_number().over(w_last))
+    return (
+        picked.groupBy("event_type")
+        .agg(
+            F.sum((F.col("rf") == 1).cast("long")).alias("first_touch"),
+            F.sum((F.col("rl") == 1).cast("long")).alias("last_touch"),
+        )
+        .filter((F.col("first_touch") > 0) | (F.col("last_touch") > 0))
+    )
+
+
+def events_attribution_sql(convert_type: str = "purchase") -> str:
+    """DuckDB twin of :func:`events_attribution`."""
+    ep = "CAST(floor(epoch(ts)) AS BIGINT)"
+    return f"""
+WITH conv AS (
+  SELECT user_id, min({ep}) AS p_s
+  FROM events WHERE event_type = '{convert_type}'
+  GROUP BY 1
+),
+touches AS (
+  SELECT e.user_id, {ep} AS e_s, e.event_type, e.event_id
+  FROM events e JOIN conv USING (user_id)
+  WHERE e.event_type <> '{convert_type}' AND {ep} <= conv.p_s
+),
+picked AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY e_s ASC, event_id ASC)  AS rf,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY e_s DESC, event_id DESC) AS rl
+  FROM touches
+)
+SELECT event_type,
+       CAST(sum(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS first_touch,
+       CAST(sum(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS last_touch
+FROM picked
+GROUP BY 1
+HAVING first_touch > 0 OR last_touch > 0
+"""

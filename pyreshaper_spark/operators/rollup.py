@@ -2628,3 +2628,53 @@ FROM (
 )
 GROUP BY 1, 2
 """
+
+
+def bucket_fano(tier: DataFrame, day_s: int = 86400) -> DataFrame:
+    """Arrival-burstiness sufficient statistics per (source, day):
+    over the fine tier's per-bucket event counts, the exact integers
+    (n_buckets, Σc, Σc²) from which the Fano factor — index of
+    dispersion Var(c)/E[c], the standard burstiness test (≈1 for a
+    Poisson arrival process, ≫1 for bursty traffic) — is one float
+    division away. Complements ``bucket_moments`` (which takes the
+    dispersion of VALUES within a bucket; this takes the dispersion
+    of COUNTS across buckets — the arrival process itself).
+
+    NOTE: occupied buckets only — an all-empty bucket contributes no
+    tier row, so the statistic is "dispersion across observed
+    buckets"; run over a gap-filled tier for the calendar-complete
+    reading.
+
+    One partial+final hash agg over the (already tiny) tier — the
+    cascade cost class.
+    """
+    d = tier.select(
+        "source",
+        floor_to(F.col("bucket_s").cast("long"), day_s).alias("day_s"),
+        F.col("cnt").cast("long").alias("c"),
+    )
+    return d.groupBy("source", "day_s").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum("c").cast("long").alias("sum_c"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_c2"),
+    )
+
+
+def bucket_fano_sql(width_s: int, day_s: int = 86400) -> str:
+    """DuckDB twin of :func:`bucket_fano` over ``sequences`` (tier
+    re-derived inline at ``width_s``)."""
+    return f"""
+SELECT source,
+       {floor_sql('bucket_s', day_s)}       AS day_s,
+       CAST(count(*) AS BIGINT)             AS n_buckets,
+       CAST(sum(c) AS BIGINT)               AS sum_c,
+       CAST(sum(c * c) AS BIGINT)           AS sum_c2
+FROM (
+  SELECT source,
+         {floor_sql('CAST(event_s AS BIGINT)', width_s)} AS bucket_s,
+         count(*) AS c
+  FROM sequences
+  GROUP BY 1, 2
+)
+GROUP BY 1, 2
+"""

@@ -454,3 +454,68 @@ def test_vocab_remap_keeps_zero_token_docs(spark):
     assert set(out) == {"d0", "d1"}
     assert out["d1"]["n_tok"] == 0 and out["d1"]["new_tokens"] == []
     assert out["d0"]["new_tokens"] == [0, 0]
+
+
+# --------------------------------------------------------------------------
+# events_attribution
+# --------------------------------------------------------------------------
+
+def test_events_attribution_hand_computed(spark):
+    from datetime import datetime, timezone
+
+    from pyreshaper_spark.operators.events import events_attribution
+
+    def ts(s):
+        return datetime.fromtimestamp(1700000000 + s, tz=timezone.utc) \
+            .replace(tzinfo=None)
+
+    rows = [
+        # user 1: view@1 click@2 purchase@3 -> first=view last=click
+        (1, ts(1), 1, "view"), (2, ts(2), 1, "click"),
+        (3, ts(3), 1, "purchase"),
+        # user 2: click@1 purchase@2 view@3(after, ignored)
+        (4, ts(1), 2, "click"), (5, ts(2), 2, "purchase"),
+        (6, ts(3), 2, "view"),
+        # user 3: purchase only -> no touches, no credit
+        (7, ts(5), 3, "purchase"),
+        # user 4: two views SAME second as purchase: tie-break by
+        # event_id -> first = id 8, last = id 9
+        (8, ts(7), 4, "view"), (9, ts(7), 4, "view"),
+        (10, ts(7), 4, "purchase"),
+        # user 5: never converts -> excluded entirely
+        (11, ts(1), 5, "click"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {
+        r["event_type"]: (r["first_touch"], r["last_touch"])
+        for r in events_attribution(events).collect()
+    }
+    # credits: user1 first=view last=click; user2 first=click last=click;
+    # user4 first=view last=view
+    assert out == {"view": (2, 1), "click": (1, 2)}
+
+
+# --------------------------------------------------------------------------
+# bucket_fano
+# --------------------------------------------------------------------------
+
+def test_bucket_fano_hand_computed(spark):
+    from pyreshaper_spark.operators.rollup import bucket_fano
+
+    # day 0: counts 2, 4 -> n=2, sum=6, sum2=20
+    # day 1: constant counts 3, 3, 3 -> dispersion 0 (Fano numerator
+    # n*sum2 - sum^2 = 3*27 - 81 = 0)
+    tier = spark.createDataFrame(
+        [("s0", 0, 2), ("s0", 600, 4),
+         ("s0", 86400, 3), ("s0", 87000, 3), ("s0", 87600, 3)],
+        "source string, bucket_s long, cnt long",
+    )
+    out = {
+        (r["source"], r["day_s"]): (r["n_buckets"], r["sum_c"], r["sum_c2"])
+        for r in bucket_fano(tier).collect()
+    }
+    assert out == {("s0", 0): (2, 6, 20), ("s0", 86400): (3, 9, 27)}
+    n, s, s2 = out[("s0", 86400)]
+    assert n * s2 - s * s == 0  # constant arrivals -> zero dispersion

@@ -1421,6 +1421,12 @@ def main() -> None:
     docs_nc = docs.select("doc_id", "source", "n_chars", "text")
     p_sp = plan_of(survivor_flags_pref(docs_nc, pairs_lf, "n_chars"))
     p_px = plan_of(pii_redact(docs_nc))
+    from pyreshaper_spark.operators.events import events_attribution
+    from pyreshaper_spark.operators.rollup import bucket_fano
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    p_at = plan_of(events_attribution(ev))
+    p_fa = plan_of(bucket_fano(rollup_all_tiers(seq, [600])[600]))
     sections.append((
         "Leakage-free split, hard negatives, RRF fusion, vocab remap, "
         "chunking, MMR, survivor policy, redaction",
@@ -1433,6 +1439,8 @@ def main() -> None:
             "--- mmr_topk(k=3) ---", p_mmr[:1400],
             "--- survivor_flags_pref ---", p_sp[:1000],
             "--- pii_redact ---", p_px[:700],
+            "--- events_attribution ---", p_at[:1000],
+            "--- bucket_fano(10m tier) ---", p_fa[:700],
         ]),
         [
             ("leakage-free split: component join + stateless hash "
@@ -1476,6 +1484,15 @@ def main() -> None:
              "Exchange" not in p_px and "Join" not in p_px
              and "text" in (p_px.split("ReadSchema")[1].split("\n")[0]
                             if "ReadSchema" in p_px else "")),
+            ("attribution: conversion set joins equi (no cartesian); "
+             "both touch picks ride user-keyed windows; O(types) "
+             "final agg",
+             no_cartesian(p_at) and p_at.count("Window") >= 2
+             and p_at.count("HashAggregate") >= 4),
+            ("fano: two partial+final hash aggs over the tiny tier, "
+             "no join, no window",
+             "Join" not in p_fa and "Window" not in p_fa
+             and p_fa.count("HashAggregate") >= 4),
         ],
     ))
 
