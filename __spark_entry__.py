@@ -763,6 +763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_mmr_topk"] = lambda s, d: similarity.mmr_topk(
         _emb(s, d), n_queries=5, k=3
     )
+    # mislabel/OOD candidates: furthest from own-label centroid
+    q["emb_outliers"] = lambda s, d: similarity.emb_outliers(_emb(s, d))
     q["ann_ivf_probe"] = lambda s, d: similarity.ivf_probe_topk(_emb(s, d))
     q["ann_lsh_pairs"] = lambda s, d: similarity.lsh_bucket_pairs(_emb(s, d))
     # max pairwise cosine in the synthetic embeddings is ~0.48; 2/5
@@ -879,6 +881,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["mix_sources"] = lambda s, d: SMP.mix_sources(
         _docs(s, d), _QUOTAS
     ).select(*_SCOLS, "mix_rank")
+    # temperature (alpha=1/2) source sampling: quotas derived in-engine
+    q["mix_temp_sqrt"] = lambda s, d: SMP.mix_temperature_sqrt(
+        _docs(s, d), budget=200
+    )
     # token-budget mixture (mix weights in TOKENS, the real LLM knob)
     _BUDGETS = {"src0": 5000, "src1": 1500, "src3": 800}
     q["mix_token_budget"] = lambda s, d: SMP.mix_token_budget(
@@ -3054,6 +3060,7 @@ FROM tier t JOIN meta m USING (source)
         _LEX_TOPK_SQL, similarity.topk_cosine_sql(), k=5
     )
     o["ann_mmr_topk"] = similarity.mmr_topk_sql(n_queries=5, k=3)
+    o["emb_outliers"] = similarity.emb_outliers_sql()
     from pyreshaper_spark.operators.kmeans import (
         ivf_kmeans_topk_sql,
         kmeans_assign_sql,
@@ -3133,6 +3140,7 @@ FROM tier t JOIN meta m USING (source)
     )
     o["split_assign"] = SMP.split_assign_sql(val_bp=1000, test_bp=1000)
     o["mix_sources"] = SMP.mix_sources_sql({"src0": 10, "src1": 5, "src2": 20})
+    o["mix_temp_sqrt"] = SMP.mix_temperature_sqrt_sql(budget=200)
     o["mix_token_budget"] = (
         f"WITH {seq_cte('base')},\n"
         "seqs AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, source, "

@@ -555,3 +555,93 @@ FROM (
 )
 GROUP BY 1
 """
+
+
+def _isqrt_expr(n: str) -> str:
+    """Exact integer sqrt as a SQL expression (engine-neutral): start
+    from the float sqrt, then correct the possible off-by-one in both
+    directions — floor(sqrt(float)) alone can misround near perfect
+    squares for large n."""
+    s = f"CAST(floor(sqrt(CAST({n} AS DOUBLE))) AS BIGINT)"
+    return (
+        f"({s} - (CASE WHEN {s} * {s} > {n} THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN ({s} + 1) * ({s} + 1) <= {n} THEN 1 ELSE 0 END))"
+    )
+
+
+def mix_temperature_sqrt(docs: DataFrame, budget: int) -> DataFrame:
+    """TEMPERATURE-sampled source mixture at α = 1/2: per-source
+    quotas proportional to √n_s (the T5/multilingual α-sampling rule
+    that up-weights small sources relative to proportional sampling),
+    computed ENTIRELY in-engine with exact integers — w_s = isqrt(n_s)
+    (float sqrt corrected to the true integer root), quota_s =
+    budget·w_s div Σw — then the first quota_s docs of each source in
+    cross-engine hash order (the :func:`mix_sources` ordering).
+
+    Unlike :func:`mix_sources` the quotas are DERIVED from the corpus,
+    so the mixture re-balances automatically as sources grow.
+
+    Output: the kept docs with their ``mix_rank`` and the computed
+    ``quota``. Σ quota ≤ budget (floor division; the remainder is
+    deliberately unassigned — deterministic beats exactly-full).
+
+    Scale shape: one O(sources) count agg, a broadcast quota join, and
+    the single (source) window shuffle — the mix_sources cost.
+    """
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    w_s = F.expr(_isqrt_expr("n_s"))
+    weights = counts.select("source", "n_s", w_s.alias("w_s"))
+    tot = weights.agg(F.sum("w_s").alias("tot_w"))
+    quota = (
+        weights.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.expr(f"CAST({budget} AS BIGINT) * w_s div tot_w")
+            .alias("quota"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        _rate_col(), F.col("doc_id").cast("string")
+    )
+    return (
+        docs.withColumn("mix_rank", F.row_number().over(w))
+        .join(F.broadcast(quota), "source")
+        .filter(F.col("mix_rank") <= F.col("quota"))
+        .select(
+            "doc_id", "source",
+            F.col("mix_rank").cast("long").alias("mix_rank"),
+            F.col("quota").cast("long").alias("quota"),
+        )
+    )
+
+
+def mix_temperature_sqrt_sql(budget: int) -> str:
+    """DuckDB twin of :func:`mix_temperature_sqrt` over ``documents``."""
+    return f"""
+WITH counts AS (
+  SELECT source, count(*) AS n_s FROM documents GROUP BY 1
+),
+weights AS (
+  SELECT source, n_s, {_isqrt_expr('n_s')} AS w_s FROM counts
+),
+quota AS (
+  SELECT source,
+         CAST({budget} AS BIGINT) * w_s
+           // (SELECT sum(w_s) FROM weights) AS quota
+  FROM weights
+),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_rate_sql()}, CAST(doc_id AS VARCHAR)
+         ) AS mix_rank
+  FROM documents
+)
+SELECT r.doc_id, r.source, CAST(r.mix_rank AS BIGINT) AS mix_rank,
+       CAST(q.quota AS BIGINT) AS quota
+FROM ranked r JOIN quota q USING (source)
+WHERE r.mix_rank <= q.quota
+"""

@@ -1389,3 +1389,108 @@ sel{t} AS (
         f"FROM pick{t}" for t in range(k)
     )
     return "".join(parts) + "\n" + union
+
+
+def emb_outliers(emb: DataFrame, k: int = 5) -> DataFrame:
+    """Per-label embedding OUTLIERS: the k vectors furthest from their
+    own label's centroid — the mislabeled / out-of-distribution
+    candidate miner every embedding-curation pass runs (SemDeDup finds
+    what's too close; this finds what doesn't belong).
+
+    Exact fixed-point, no division: with per-label per-dim sums S_d
+    and row count n, rank by
+
+        n^2 * ||q - mu||^2  =  sum_d (n * q_d - S_d)^2
+
+    in decimal(38,0) — monotone in the true distance within a label
+    (n is constant per label). Ties by vec_id ascending.
+
+    Output (label, vec_id, d2_num, rank), rank <= k.
+
+    Scale shape: one posexplode collapsed map-side to |labels| x D
+    centroid rows, re-assembled into a broadcast per-label array; the
+    corpus then streams ONCE through a zip_with distance projection,
+    and rank <= k plans as WindowGroupLimit per label.
+    """
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * QUANT).cast("long"),
+        ).alias("q"),
+    )
+    per = (
+        q.select("label", F.posexplode("q").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.sum("v").alias("s"))
+    )
+    cent = per.groupBy("label").agg(
+        F.expr("transform(array_sort(collect_list(struct(dim, s))), "
+               "x -> x.s)").alias("S")
+    )
+    n = q.groupBy("label").agg(F.count("*").cast("long").alias("n"))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("q"),
+            F.col("S"),
+            lambda x, s: (
+                F.col("n").cast(dec) * x.cast(dec) - s.cast(dec)
+            ) * (
+                F.col("n").cast(dec) * x.cast(dec) - s.cast(dec)
+            ),
+        ),
+        F.lit(0).cast(dec),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        q.join(F.broadcast(cent), "label")
+        .join(F.broadcast(n), "label")
+        .select("label", "vec_id", d2.cast(dec).alias("d2_num"))
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("d2_num").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("label").cast("long").alias("label"),
+            "vec_id", "d2_num",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def emb_outliers_sql(k: int = 5, dim: int = 64) -> str:
+    """DuckDB twin of :func:`emb_outliers` (constant ``dim`` per the
+    fixture, the centroid-d2 oracle pattern)."""
+    return f"""
+WITH q AS ({quant_sql(("label",))}),
+per AS (
+  SELECT label, i AS dim, CAST(sum(q[i]) AS BIGINT) AS s
+  FROM q CROSS JOIN generate_series(1, {dim}) AS t(i)
+  GROUP BY 1, 2
+),
+cent AS (
+  SELECT label, list(s ORDER BY dim) AS S FROM per GROUP BY 1
+),
+tot AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM q GROUP BY 1),
+scored AS (
+  SELECT q.label, q.vec_id,
+         CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                list_transform(list_zip(q.q, cent.S),
+                  p -> (CAST(tot.n AS HUGEINT) * p[1] - p[2])
+                       * (CAST(tot.n AS HUGEINT) * p[1] - p[2]))),
+                (a, b) -> a + b) AS DECIMAL(38,0)) AS d2_num
+  FROM q JOIN cent USING (label) JOIN tot USING (label)
+)
+SELECT CAST(label AS BIGINT) AS label, vec_id, d2_num,
+       CAST(row_number() OVER (PARTITION BY label
+              ORDER BY d2_num DESC, vec_id ASC) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""

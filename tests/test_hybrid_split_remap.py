@@ -519,3 +519,91 @@ def test_bucket_fano_hand_computed(spark):
     assert out == {("s0", 0): (2, 6, 20), ("s0", 86400): (3, 9, 27)}
     n, s, s2 = out[("s0", 86400)]
     assert n * s2 - s * s == 0  # constant arrivals -> zero dispersion
+
+
+# --------------------------------------------------------------------------
+# mix_temperature_sqrt
+# --------------------------------------------------------------------------
+
+def test_isqrt_expr_exact(spark):
+    from pyreshaper_spark.operators.sampling import _isqrt_expr
+    import math
+
+    vals = []
+    for k in (1, 2, 7, 1000, 10**6, 2**26):
+        vals += [k * k - 1, k * k, k * k + 1]
+    df = spark.createDataFrame([(v,) for v in vals], "n long")
+    got = {
+        r["n"]: r["s"]
+        for r in df.selectExpr("n", f"{_isqrt_expr('n')} AS s").collect()
+    }
+    assert got == {v: math.isqrt(v) for v in vals}
+
+
+def test_mix_temperature_upweights_small_sources(spark):
+    from pyreshaper_spark.operators.sampling import mix_temperature_sqrt
+    import math
+
+    rows = [(i, "big") for i in range(400)] + [
+        (1000 + i, "small") for i in range(25)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mix_temperature_sqrt(docs, budget=100)
+    per = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    wb, ws = math.isqrt(400), math.isqrt(25)  # 20, 5
+    assert per == {
+        "big": 100 * wb // (wb + ws), "small": 100 * ws // (wb + ws)
+    }
+    # alpha=1/2 gives 'small' 20% of the budget vs 5.9% proportional
+    assert per["small"] / sum(per.values()) > 25 / 425
+    assert sum(per.values()) <= 100
+    # deterministic rerun
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, mix_temperature_sqrt(docs, budget=100).collect()))
+    assert a == b
+
+
+# --------------------------------------------------------------------------
+# emb_outliers
+# --------------------------------------------------------------------------
+
+def test_emb_outliers_brute_force(spark):
+    from pyreshaper_spark.operators.similarity import QUANT, emb_outliers
+
+    rows = []
+    for i in range(24):
+        v = [((i * 3 + d * 7) % 11) / 10.0 for d in range(4)]
+        rows.append((i, v, i % 2))
+    # an injected far-away point must rank 1 in its label
+    rows.append((99, [9.0, -9.0, 9.0, -9.0], 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = emb_outliers(emb, k=3).collect()
+
+    q = {i: [round(float(x) * QUANT) for x in v] for i, v, _ in rows}
+    by_label: dict[int, list[int]] = {}
+    for i, _, l in rows:
+        by_label.setdefault(l, []).append(i)
+    for lab, ids in by_label.items():
+        n = len(ids)
+        S = [sum(q[i][d] for i in ids) for d in range(4)]
+        scored = sorted(
+            (
+                (-sum((n * q[i][d] - S[d]) ** 2 for d in range(4)), i)
+                for i in ids
+            ),
+        )
+        expect = [(i, -neg, r + 1) for r, (neg, i) in enumerate(scored[:3])]
+        got = sorted(
+            [(r["vec_id"], int(r["d2_num"]), r["rank"])
+             for r in out if r["label"] == lab],
+            key=lambda t: t[2],
+        )
+        assert got == expect, (lab, got, expect)
+    assert [r["vec_id"] for r in out if r["label"] == 0][0] == 99 or any(
+        r["vec_id"] == 99 and r["rank"] == 1 for r in out
+    )

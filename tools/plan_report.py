@@ -1427,6 +1427,11 @@ def main() -> None:
     ev = spark.read.parquet(f"{sf}/events.parquet")
     p_at = plan_of(events_attribution(ev))
     p_fa = plan_of(bucket_fano(rollup_all_tiers(seq, [600])[600]))
+    from pyreshaper_spark.operators.sampling import mix_temperature_sqrt
+    from pyreshaper_spark.operators.similarity import emb_outliers
+
+    p_mt = plan_of(mix_temperature_sqrt(docs, budget=200))
+    p_eo = plan_of(emb_outliers(emb))
     sections.append((
         "Leakage-free split, hard negatives, RRF fusion, vocab remap, "
         "chunking, MMR, survivor policy, redaction",
@@ -1441,6 +1446,8 @@ def main() -> None:
             "--- pii_redact ---", p_px[:700],
             "--- events_attribution ---", p_at[:1000],
             "--- bucket_fano(10m tier) ---", p_fa[:700],
+            "--- mix_temperature_sqrt ---", p_mt[:1000],
+            "--- emb_outliers ---", p_eo[:1000],
         ]),
         [
             ("leakage-free split: component join + stateless hash "
@@ -1493,6 +1500,17 @@ def main() -> None:
              "no join, no window",
              "Join" not in p_fa and "Window" not in p_fa
              and p_fa.count("HashAggregate") >= 4),
+            ("temperature mixture: quota table joins BROADCAST; one "
+             "source-keyed window; the only nested loop is the 1-row "
+             "total cross",
+             "BroadcastHashJoin" in p_mt
+             and p_mt.count("BroadcastNestedLoopJoin") // 2 <= 1
+             and "CartesianProduct" not in p_mt),
+            ("embedding outliers: centroid + count join BROADCAST "
+             "(corpus streams once); rank<=k is WindowGroupLimit; no "
+             "cartesian",
+             p_eo.count("BroadcastHashJoin") >= 2
+             and "WindowGroupLimit" in p_eo and no_cartesian(p_eo)),
         ],
     ))
 
