@@ -730,6 +730,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pack_stats_2k"] = _q_pack_stats
 
+    # materialized packed windows: the actual training-example arrays
+    # (md5 token stream — the sequences table's xxhash64 ids are
+    # Spark-only, so array equality needs the cross-engine stream)
+    def _q_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.packing import pack_materialize
+
+        return pack_materialize(
+            _md_seq(spark, sf_dir).withColumn(
+                "n_tok", F.size("tokens").cast("long")
+            ),
+            512,
+        )
+
+    q["pack_windows_512"] = _q_pack_windows
+
     # -- RAG / training-window chunking (overlapping token windows) ---
     def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyreshaper_spark.operators.packing import doc_chunks
@@ -3034,6 +3049,16 @@ FROM tier t JOIN meta m USING (source)
     o["seqdup_intradoc"] = intradoc_repetition_sql(5, _V)
     from pyreshaper_spark.operators.packing import pack_assign_sql
 
+    from pyreshaper_spark.operators.packing import pack_materialize_sql
+    from pyreshaper_spark.fixtures import VOCAB_SIZE as _Vp
+    from pyreshaper_spark.operators.vocab import seqs_cte as _seqs_cte_p
+
+    o["pack_windows_512"] = (
+        f"WITH {_seqs_cte_p(_Vp)},\n"
+        "seqn AS (SELECT doc_id, source, tokens, "
+        "CAST(len(tokens) AS BIGINT) AS n_tok FROM seqs)\n"
+        + pack_materialize_sql(512, "seqn")
+    )
     o["pack_assign_2k"] = (
         f"WITH {seq_cte('base')}" + pack_assign_sql(2048)
     )

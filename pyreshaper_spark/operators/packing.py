@@ -29,20 +29,24 @@ from pyspark.sql import functions as F
 from pyreshaper_spark.functions.xhash import h32, h32_sql
 
 
-def pack_assign(seq: DataFrame, context_len: int) -> DataFrame:
+def pack_assign(
+    seq: DataFrame, context_len: int, carry_tokens: bool = False
+) -> DataFrame:
     """Per-doc stream layout: (doc_id, source, n_tok, tok_offset,
     pack_id, n_span) where ``tok_offset`` is the doc's first-token
     position in its source's concatenated stream, ``pack_id =
     tok_offset DIV context_len`` the window its first token lands in,
-    and ``n_span`` how many windows it touches."""
+    and ``n_span`` how many windows it touches. ``carry_tokens`` keeps
+    the token arrays on the output (for :func:`pack_materialize`)."""
     w = (
         Window.partitionBy("source")
         .orderBy(h32(F.col("doc_id").cast("string")), "doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     off = F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("long")
+    extra = ["tokens"] if carry_tokens else []
     out = seq.select(
-        "doc_id", "source", "n_tok", off.alias("tok_offset")
+        "doc_id", "source", "n_tok", off.alias("tok_offset"), *extra
     )
     return out.select(
         "*",
@@ -140,4 +144,97 @@ FROM (
                       {stride})) AS o
   FROM seqs WHERE len(tokens) > 0
 )
+"""
+
+
+def pack_materialize(seq: DataFrame, context_len: int) -> DataFrame:
+    """MATERIALIZE the packed context windows ``pack_assign`` only
+    lays out: each per-source window's actual token array, built by
+    concatenating (pieces of) documents in stream order — the final
+    example-construction step of an LLM data pipeline, document
+    spanning included (a doc crossing a window boundary contributes
+    its tail to one window and its head to the next).
+
+    Output (source, pack_id, n_pieces, window_tokens, fill): every
+    window is exactly ``context_len`` tokens except each source's
+    last. Zero-token docs contribute nothing (they hold no stream
+    positions either).
+
+    Scale shape: the layout window's single (source) exchange, a
+    map-side Generate over each doc's ≤n_span spanned windows, and
+    ONE (source, pack_id) regroup of the pieces — the same exchange
+    class as the series transpose. No joins beyond the layout.
+    """
+    L = context_len
+    d = pack_assign(seq, L, carry_tokens=True).filter(F.col("n_tok") > 0)
+    d = d.withColumn(
+        "w",
+        F.explode(
+            F.expr(f"sequence(pack_id, (tok_offset + n_tok - 1) DIV {L})")
+        ),
+    )
+    start = F.expr(f"greatest(CAST(0 AS BIGINT), w * {L} - tok_offset)")
+    stop = F.expr(f"least(n_tok, (w + 1) * {L} - tok_offset)")
+    piece = F.slice(
+        F.col("tokens"),
+        (start + 1).cast("int"),
+        (stop - start).cast("int"),
+    )
+    return (
+        d.select(
+            "source",
+            F.col("w").cast("long").alias("pack_id"),
+            "tok_offset",
+            piece.alias("piece"),
+        )
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count("*").cast("long").alias("n_pieces"),
+            F.flatten(
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "struct(tok_offset, piece))), x -> x.piece)"
+                )
+            ).alias("window_tokens"),
+        )
+        .withColumn("fill", F.size("window_tokens").cast("long"))
+    )
+
+
+def pack_materialize_sql(
+    context_len: int, relation: str = "sequences"
+) -> str:
+    """DuckDB twin of :func:`pack_materialize` over ``relation``
+    (which must expose doc_id, source, n_tok, tokens — the md5 token
+    stream for cross-engine array equality). Emits a final SELECT."""
+    L = context_len
+    h = h32_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT source, pack_id,
+       CAST(count(*) AS BIGINT) AS n_pieces,
+       flatten(list(piece ORDER BY tok_offset)) AS window_tokens,
+       CAST(len(flatten(list(piece ORDER BY tok_offset))) AS BIGINT)
+         AS fill
+FROM (
+  SELECT source, tok_offset,
+         CAST(w AS BIGINT) AS pack_id,
+         tokens[CAST(greatest(0, w * {L} - tok_offset) AS BIGINT) + 1 :
+                CAST(least(n_tok, (w + 1) * {L} - tok_offset) AS BIGINT)]
+           AS piece
+  FROM (
+    SELECT source, n_tok, tok_offset, tokens,
+           unnest(range(tok_offset // {L},
+                        (tok_offset + n_tok - 1) // {L} + 1)) AS w
+    FROM (
+      SELECT doc_id, source, n_tok, tokens,
+             CAST(coalesce(sum(n_tok) OVER (
+               PARTITION BY source ORDER BY {h}, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS tok_offset
+      FROM {relation}
+    )
+    WHERE n_tok > 0
+  )
+)
+GROUP BY 1, 2
 """

@@ -607,3 +607,56 @@ def test_emb_outliers_brute_force(spark):
     assert [r["vec_id"] for r in out if r["label"] == 0][0] == 99 or any(
         r["vec_id"] == 99 and r["rank"] == 1 for r in out
     )
+
+
+# --------------------------------------------------------------------------
+# pack_materialize
+# --------------------------------------------------------------------------
+
+def test_pack_materialize_reconstructs_stream(spark):
+    """Concatenating each source's windows in pack order must equal
+    the concatenated doc stream in (h32, doc_id) order — the exact
+    contract of the example builder — and every window but the last
+    is exactly full."""
+    import hashlib
+
+    from pyreshaper_spark.operators.packing import pack_materialize
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    rows = []
+    for i in range(12):
+        rows.append(
+            (str(i), "sA" if i % 2 else "sB",
+             list(range(i * 100, i * 100 + 7 + i)))
+        )
+    rows.append(("99", "sA", []))  # zero-token doc: no stream position
+    seq = spark.createDataFrame(
+        rows, "doc_id string, source string, tokens array<int>"
+    ).withColumn("n_tok", F.size("tokens").cast("long"))
+
+    L = 10
+    out = pack_materialize(seq, L).collect()
+    by_src: dict[str, dict[int, list[int]]] = {}
+    for r in out:
+        by_src.setdefault(r["source"], {})[r["pack_id"]] = list(
+            r["window_tokens"]
+        )
+        assert r["fill"] == len(r["window_tokens"])
+        assert r["n_pieces"] >= 1
+
+    for src in ("sA", "sB"):
+        docs = sorted(
+            (r for r in rows if r[1] == src and r[2]),
+            key=lambda r: (h(r[0]), r[0]),
+        )
+        stream = [t for _, _, toks in docs for t in toks]
+        wins = by_src[src]
+        assert sorted(wins) == list(range(len(wins)))
+        rebuilt = [t for w in sorted(wins) for t in wins[w]]
+        assert rebuilt == stream
+        # every window but the last is exactly full
+        for w in sorted(wins)[:-1]:
+            assert len(wins[w]) == L
+        assert 1 <= len(wins[max(wins)]) <= L

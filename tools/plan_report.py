@@ -1432,6 +1432,13 @@ def main() -> None:
 
     p_mt = plan_of(mix_temperature_sqrt(docs, budget=200))
     p_eo = plan_of(emb_outliers(emb))
+    from pyreshaper_spark.operators.packing import pack_materialize
+
+    p_pm = plan_of(
+        pack_materialize(
+            seq_v.withColumn("n_tok", F.size("tokens").cast("long")), 512
+        )
+    )
     sections.append((
         "Leakage-free split, hard negatives, RRF fusion, vocab remap, "
         "chunking, MMR, survivor policy, redaction",
@@ -1448,6 +1455,7 @@ def main() -> None:
             "--- bucket_fano(10m tier) ---", p_fa[:700],
             "--- mix_temperature_sqrt ---", p_mt[:1000],
             "--- emb_outliers ---", p_eo[:1000],
+            "--- pack_materialize(512) ---", p_pm[:1000],
         ]),
         [
             ("leakage-free split: component join + stateless hash "
@@ -1511,6 +1519,10 @@ def main() -> None:
              "cartesian",
              p_eo.count("BroadcastHashJoin") >= 2
              and "WindowGroupLimit" in p_eo and no_cartesian(p_eo)),
+            ("pack materialize: layout window + map-side Generate + "
+             "one (source, pack) regroup — NO joins",
+             "Join" not in p_pm and "Generate" in p_pm
+             and "Window" in p_pm),
         ],
     ))
 
