@@ -18,8 +18,9 @@ training-data operators in the order a real pipeline runs them:
         [--quota src0=1000 --quota src1=500]
 
 Output: parquet (doc_id, source, split, red_text, n_redacted) plus ONE
-JSON metrics line on stdout — per-stage counts that must conserve
-(n_input = n_out + every stage's drops), the lineage a release audit
+JSON metrics line on stdout — per-stage counts that must conserve:
+``n_input = n_out + n_null_text + n_exact_dropped + n_near_dropped +
+n_quality_dropped + n_quota_dropped`` — the lineage a release audit
 reads. Without ``--out`` only the metrics line prints (dry run).
 """
 
@@ -50,13 +51,24 @@ def curate(
     * Dedup BEFORE split — `leakage_free_split` needs the near-dup
       pair graph, and splitting a corpus that still contains
       near-duplicates leaks eval data whatever the splitter does.
-    * The SAME pair graph feeds survivor selection and the split, so
-      the two decisions can never disagree about what is a duplicate.
+    * The SAME component labels feed survivor selection and the split
+      (computed once, passed to both), so the two decisions can never
+      disagree about what is a duplicate.
     * Quotas (mixture) run after cleaning — a quota filled with
       to-be-dropped duplicates under-delivers its source.
     * Redaction last, only over rows actually shipped.
+
+    Metrics conservation (the release-audit identity):
+    ``n_input == n_out + n_null_text + n_exact_dropped +
+    n_near_dropped + n_quality_dropped + n_quota_dropped``.
+
+    The expensive intermediates (exact survivors, the pair graph, the
+    component labels, the shipped set) are persisted for the multiple
+    actions this flow takes and unpersisted before returning — the
+    output DataFrame depends only on committed lineage.
     """
     from pyreshaper_spark.operators.cluster import (
+        connected_components,
         leakage_free_split,
         survivor_flags_pref,
     )
@@ -66,19 +78,39 @@ def curate(
 
     m: dict = {"n_input": docs.count()}
 
-    # 1. exact dedup: keep the min doc_id of every identical text
-    keep_min = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    exact_kept = docs.join(keep_min, ["doc_id", "text"])
-    m["n_exact_dropped"] = m["n_input"] - exact_kept.count()
+    # 0. NULL text is invalid input, not a duplicate — count it apart
+    docs_t = docs.filter(F.col("text").isNotNull())
+    m["n_null_text"] = m["n_input"] - docs_t.count()
 
-    # 2. near-dup dedup with quality-aware survivor selection
-    pairs = verified_near_dups(exact_kept, max_df=max_df)
-    flags = survivor_flags_pref(exact_kept, pairs, "n_chars")
+    cached = []
+
+    def _persist(df: DataFrame) -> DataFrame:
+        cached.append(df.persist())
+        return df
+
+    # 1. exact dedup: keep the min doc_id per md5(text) — the hash is
+    # the join/group key, so the text payload never shuffles
+    keep = (
+        docs_t.groupBy(F.md5(F.col("text").cast("binary")).alias("k"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    exact_kept = _persist(docs_t.join(keep, "doc_id"))
+    m["n_exact_dropped"] = (
+        m["n_input"] - m["n_null_text"] - exact_kept.count()
+    )
+
+    # 2. near-dup pair graph + components, computed ONCE for both the
+    # survivor selection and the split
+    pairs = _persist(verified_near_dups(exact_kept, max_df=max_df))
+    cc = _persist(connected_components(pairs))
+    flags = survivor_flags_pref(exact_kept, pairs, "n_chars", components=cc)
     near_kept = exact_kept.join(
         flags.filter(F.col("kept")).select("doc_id"), "doc_id"
     )
     m["n_near_dropped"] = (
-        m["n_input"] - m["n_exact_dropped"] - near_kept.count()
+        m["n_input"] - m["n_null_text"] - m["n_exact_dropped"]
+        - near_kept.count()
     )
 
     # 3. quality filter
@@ -86,19 +118,21 @@ def curate(
         quality_score(near_kept).filter(F.col("ok") == 1).select("doc_id")
     )
     qual_kept = near_kept.join(qual, "doc_id")
+    n_qual = qual_kept.count()
     m["n_quality_dropped"] = (
-        m["n_input"] - m["n_exact_dropped"] - m["n_near_dropped"]
-        - qual_kept.count()
+        m["n_input"] - m["n_null_text"] - m["n_exact_dropped"]
+        - m["n_near_dropped"] - n_qual
     )
 
     # 4. optional per-source quotas (deterministic hash-order mixture)
     if quotas:
         qual_kept = mix_sources(qual_kept, quotas).drop("mix_rank")
-    m["n_after_quota"] = qual_kept.count()
+    qual_kept = _persist(qual_kept)
+    m["n_quota_dropped"] = n_qual - qual_kept.count()
 
-    # 5. leakage-free split over the SAME pair graph; restrict to kept
+    # 5. leakage-free split over the SAME component labels
     split = leakage_free_split(
-        exact_kept, pairs, val_bp=val_bp, test_bp=test_bp
+        exact_kept, pairs, val_bp=val_bp, test_bp=test_bp, components=cc
     ).select("doc_id", "split")
 
     # 6. span-level PII redaction of the shipped rows
@@ -118,6 +152,9 @@ def curate(
     for s in ("train", "val", "test"):
         m[f"n_{s}"] = split_counts.get(s, 0)
     m["n_docs_redacted"] = out.filter(F.col("n_redacted") > 0).count()
+    out = out.localCheckpoint()
+    for df in cached:
+        df.unpersist()
     return out, m
 
 

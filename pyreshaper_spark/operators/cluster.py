@@ -267,6 +267,7 @@ def leakage_free_split(
     pairs: DataFrame,
     val_bp: int = 1000,
     test_bp: int = 1000,
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Train/val/test split with NO near-duplicate leakage across
     splits: every member of a near-dup component is assigned by the
@@ -293,7 +294,10 @@ def leakage_free_split(
 
     if val_bp + test_bp > RATE_DEN:
         raise ValueError("val_bp + test_bp must be <= 10000")
-    cc = connected_components(pairs)
+    # a caller that also runs survivor selection passes the SAME
+    # component labels so the two dedup decisions cannot disagree
+    # (and the contraction runs once)
+    cc = components if components is not None else connected_components(pairs)
     gk = F.coalesce(F.col("component"), F.col("doc_id"))
     r = F.pmod(h32(gk.cast("string")), F.lit(RATE_DEN))
     return (
@@ -348,7 +352,10 @@ FROM documents d LEFT JOIN comp c USING (doc_id)
 
 
 def survivor_flags_pref(
-    docs: DataFrame, pairs: DataFrame, pref_col: str
+    docs: DataFrame,
+    pairs: DataFrame,
+    pref_col: str,
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Quality-AWARE survivor selection: per near-dup component keep
     the member maximizing ``pref_col`` (ties by doc_id ascending) —
@@ -367,7 +374,7 @@ def survivor_flags_pref(
     the NULL-component partition) — and ONE |docs| left join of the
     resulting flags.
     """
-    cc = connected_components(pairs)
+    cc = components if components is not None else connected_components(pairs)
     clustered = docs.select("doc_id", pref_col).join(cc, "doc_id")
     w = Window.partitionBy("component").orderBy(
         F.col(pref_col).desc(), F.col("doc_id").asc()

@@ -2648,15 +2648,21 @@ def bucket_fano(tier: DataFrame, day_s: int = 86400) -> DataFrame:
     One partial+final hash agg over the (already tiny) tier — the
     cascade cost class.
     """
+    dec = "decimal(38,0)"
     d = tier.select(
         "source",
         floor_to(F.col("bucket_s").cast("long"), day_s).alias("day_s"),
         F.col("cnt").cast("long").alias("c"),
     )
+    # Σc² in decimal(38,0): c ~ 3.1e9 already wraps c*c in int64, and
+    # non-ANSI Spark wraps SILENTLY while the DuckDB twin errors — the
+    # module's standard decimal width removes the divergence
     return d.groupBy("source", "day_s").agg(
         F.count("*").cast("long").alias("n_buckets"),
         F.sum("c").cast("long").alias("sum_c"),
-        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_c2"),
+        F.sum(F.col("c").cast(dec) * F.col("c").cast(dec))
+        .cast(dec)
+        .alias("sum_c2"),
     )
 
 
@@ -2668,7 +2674,7 @@ SELECT source,
        {floor_sql('bucket_s', day_s)}       AS day_s,
        CAST(count(*) AS BIGINT)             AS n_buckets,
        CAST(sum(c) AS BIGINT)               AS sum_c,
-       CAST(sum(c * c) AS BIGINT)           AS sum_c2
+       CAST(sum(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS sum_c2
 FROM (
   SELECT source,
          {floor_sql('CAST(event_s AS BIGINT)', width_s)} AS bucket_s,

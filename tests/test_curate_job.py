@@ -30,6 +30,7 @@ def _docs(spark):
              "about invoice 123456789 from 10.1.2.3 yesterday morning "
              "regarding the quarterly shipment of spark parts",
              "en", src["source"], 150),
+            (900003, None, "en", src["source"], 0),  # invalid input
         ],
         base.schema,
     )
@@ -43,9 +44,12 @@ def test_curate_conservation_and_leakage(spark):
     out, m = curate_job.curate(docs, max_df=200)
     # stage conservation: input = out + all drops
     assert m["n_input"] == (
-        m["n_out"] + m["n_exact_dropped"] + m["n_near_dropped"]
-        + m["n_quality_dropped"]
+        m["n_out"] + m["n_null_text"] + m["n_exact_dropped"]
+        + m["n_near_dropped"] + m["n_quality_dropped"]
+        + m["n_quota_dropped"]
     )
+    assert m["n_null_text"] == 1          # the injected NULL-text row
+    assert m["n_quota_dropped"] == 0      # no quotas on this run
     assert m["n_exact_dropped"] >= 1      # the injected exact dupe
     assert m["n_out"] == m["n_train"] + m["n_val"] + m["n_test"]
     assert m["n_docs_redacted"] >= 1      # the injected PII doc
@@ -69,7 +73,14 @@ def test_curate_quota_and_determinism(spark):
 
     docs = _docs(spark)
     out1, m1 = curate_job.curate(docs, quotas={"src0": 5, "src1": 3})
-    assert m1["n_after_quota"] <= 8
+    # the conservation identity must hold ON A QUOTA RUN too
+    assert m1["n_input"] == (
+        m1["n_out"] + m1["n_null_text"] + m1["n_exact_dropped"]
+        + m1["n_near_dropped"] + m1["n_quality_dropped"]
+        + m1["n_quota_dropped"]
+    )
+    assert m1["n_quota_dropped"] > 0
+    assert m1["n_out"] <= 8
     per_src = {
         r["source"]: r["n"]
         for r in out1.groupBy("source").agg(F.count("*").alias("n")).collect()
