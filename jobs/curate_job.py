@@ -164,6 +164,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="documents parquet (doc_id, text, source, n_chars)")
     ap.add_argument("--out", default=None,
                     help="curated-corpus parquet output path")
+    ap.add_argument("--table", default=None, metavar="ROOT::NAME",
+                    help="write to an IcebergLite table instead "
+                         "(atomic snapshot per release; time travel "
+                         "across corpus versions)")
     ap.add_argument("--max-df", type=int, default=200)
     ap.add_argument("--val-bp", type=int, default=1000)
     ap.add_argument("--test-bp", type=int, default=1000)
@@ -191,6 +195,19 @@ def main(argv: list[str] | None = None) -> int:
     )
     if args.out:
         out.write.mode("overwrite").parquet(args.out)
+    if args.table:
+        root, _, name = args.table.partition("::")
+        if not name:
+            ap.error("--table expects ROOT::NAME")
+        from pyreshaper_spark.sources.iceberglite import IcebergLite
+
+        cat = IcebergLite(root)
+        # each curation run is ONE atomic release snapshot — readers
+        # see the previous corpus until the commit lands, and every
+        # past release stays time-travelable
+        metrics["snapshot_id"] = cat.overwrite(
+            name, out, partition_by=("split",)
+        )
     print(json.dumps(metrics, sort_keys=True))
     return 0
 

@@ -112,3 +112,38 @@ def test_curate_cli_round_trip(spark, tmp_path, capsys):
     assert set(back.columns) == {
         "doc_id", "source", "split", "red_text", "n_redacted"
     }
+
+
+def test_curate_cli_iceberglite_releases(spark, tmp_path, capsys):
+    """--table commits one atomic snapshot per curation run: the
+    current read equals the latest release, and the previous release
+    stays time-travelable with split-partition pruning intact."""
+    import curate_job
+    from pyreshaper_spark.sources.iceberglite import IcebergLite
+
+    root = str(tmp_path / "warehouse")
+    spec = f"{root}::curated"
+    rc = curate_job.main(
+        ["--docs", f"{SF_SMOKE}/documents.parquet", "--table", spec]
+    )
+    assert rc == 0
+    m1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    rc = curate_job.main(
+        ["--docs", f"{SF_SMOKE}/documents.parquet", "--table", spec,
+         "--quota", "src0=4"]
+    )
+    assert rc == 0
+    m2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m2["snapshot_id"] > m1["snapshot_id"]
+
+    cat = IcebergLite(root)
+    live = cat.read(spark, "curated")
+    assert live.count() == m2["n_out"]
+    past = cat.read(spark, "curated", snapshot_id=m1["snapshot_id"])
+    assert past.count() == m1["n_out"]
+    # split is a hive partition: a partition_filter prunes to one split
+    val_only = cat.read(
+        spark, "curated",
+        partition_filter=lambda p: p.get("split") == "val",
+    )
+    assert val_only.count() == m2["n_val"]
