@@ -488,6 +488,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_transitions"] = lambda s, d: EV.events_transitions(
         _events(s, d)
     )
+    # 3-step journey path mining (one level up from the Markov matrix)
+    q["events_paths3"] = lambda s, d: EV.events_paths3(_events(s, d))
     q["events_conversion_lag"] = lambda s, d: EV.events_conversion_lag(
         _events(s, d)
     )
@@ -1683,6 +1685,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["token_zipf"] = lambda s, d: VB.token_zipf(
         VB.token_stream(_docs(s, d))
     )
+    # head-coverage curve: occurrences covered by the top-k tokens
+    q["tok_coverage"] = lambda s, d: VB.token_coverage(
+        VB.token_stream(_docs(s, d))
+    )
     q["token_gini_1h"] = lambda s, d: VB.token_gini(
         VB.token_stream(_docs(s, d)), 3600
     )
@@ -2517,6 +2523,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["validate_input"] = _q_validate
 
+    # release-to-release rollup diff: changed (source, bucket) cells
+    # between the base corpus and the gappy release, at the 10m tier
+    def _q_rollup_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.rollup import rollup_diff
+
+        return rollup_diff(
+            _tiers(spark, sf_dir)[600],
+            _tiers(spark, sf_dir, variant="gappy")[600],
+        )
+
+    q["rollup_diff_10m"] = _q_rollup_diff
+
+    # declarative DQ suite (Deequ face) — whole rule set in ONE scan
+    def _q_dq_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.checks import dq_documents
+
+        return dq_documents(_docs(spark, sf_dir))
+
+    q["dq_docs"] = _q_dq_docs
+
     def _q_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Lineage accounting invariant: every input row is counted in
         exactly one encoded chunk's metrics (sum of per-chunk n and of
@@ -2888,6 +2914,7 @@ r AS (SELECT source, event_s, n_tok FROM sequences
     o["events_dau_wau"] = EV.events_dau_wau_sql()
     o["events_engagement_hist"] = EV.events_engagement_hist_sql()
     o["events_transitions"] = EV.events_transitions_sql()
+    o["events_paths3"] = EV.events_paths3_sql()
     o["events_conversion_lag"] = EV.events_conversion_lag_sql()
     o["events_attribution"] = EV.events_attribution_sql()
     o["events_sessions"] = EV.sessionize_sql()
@@ -3220,6 +3247,19 @@ WITH {seq_cte('base')}
 SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tok
 FROM sequences GROUP BY 1
 """
+    from pyreshaper_spark.operators.checks import dq_documents_sql
+
+    o["dq_docs"] = dq_documents_sql()
+    from pyreshaper_spark.operators.rollup import rollup_diff_sql
+
+    o["rollup_diff_10m"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"ta AS ({_TIER_AGG.format(w=600)}),\n"
+        "gappy AS (SELECT * FROM sequences WHERE NOT "
+        "(source = 'src1' AND ((event_s // 60) % 5) = 3)),\n"
+        f"tb AS ({_TIER_AGG.format(w=600).replace('FROM sequences', 'FROM gappy')})\n"
+        + rollup_diff_sql("ta", "tb")
+    )
     from pyreshaper_spark.operators.correlate import corr_moments_sql
     from pyreshaper_spark.operators.gapfill import staleness_sql
     from pyreshaper_spark.operators.rollup import cumulative_sql, m4_sql
@@ -3370,6 +3410,12 @@ WHERE r.bucket_s < last.mb
     from pyreshaper_spark.operators.vocab import token_zipf_sql
 
     o["token_zipf"] = f"WITH {token_cte()}\n" + token_zipf_sql()
+    from pyreshaper_spark.operators.vocab import token_coverage_sql
+
+    o["tok_coverage"] = (
+        f"WITH {token_cte()}\n"
+        + token_coverage_sql().replace("WITH counts", ", counts", 1)
+    )
     from pyreshaper_spark.operators.vocab import (
         doc_ngram_repetition_sql,
         token_gini_sql,

@@ -450,6 +450,51 @@ GROUP BY 1, 2
 """
 
 
+def events_paths3(events: DataFrame) -> DataFrame:
+    """Frequent 3-step journey paths — the path-mining view one level
+    up from :func:`events_transitions`' Markov matrix: count every
+    (type → type → type) trigram of consecutive events per user, over
+    the same deterministic (epoch second, event_id) total order.
+
+    Same plan shape as transitions: ONE user-keyed sort carrying two
+    lags + one hash agg; output is bounded by |event_types|³ regardless
+    of corpus size. Users with fewer than 3 events contribute nothing.
+    """
+    ep = F.unix_timestamp("ts").alias("ep")
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    steps = (
+        events.select("user_id", "event_id", "event_type", ep)
+        .withColumn("t1", F.lag("event_type", 2).over(w))
+        .withColumn("t2", F.lag("event_type", 1).over(w))
+        .filter(F.col("t1").isNotNull() & F.col("t2").isNotNull())
+    )
+    return steps.groupBy(
+        "t1", "t2", F.col("event_type").alias("t3")
+    ).agg(F.count("*").cast("long").alias("n_paths"))
+
+
+def events_paths3_sql() -> str:
+    """DuckDB twin of :func:`events_paths3`."""
+    return """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ep
+  FROM events
+),
+steps AS (
+  SELECT lag(event_type, 2) OVER (PARTITION BY user_id
+                                  ORDER BY ep, event_id) AS t1,
+         lag(event_type, 1) OVER (PARTITION BY user_id
+                                  ORDER BY ep, event_id) AS t2,
+         event_type AS t3
+  FROM e
+)
+SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n_paths
+FROM steps WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+GROUP BY 1, 2, 3
+"""
+
+
 def events_attribution(
     events: DataFrame, convert_type: str = "purchase"
 ) -> DataFrame:

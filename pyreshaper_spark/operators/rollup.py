@@ -175,6 +175,69 @@ def rollup_cascade(prev_tier: DataFrame, width_s: int) -> DataFrame:
     )
 
 
+def rollup_diff(tier_a: DataFrame, tier_b: DataFrame) -> DataFrame:
+    """Release-to-release rollup diff: which (source, bucket) cells
+    changed between two corpus releases (two snapshots of the same
+    tier), and by how much — the audit view behind "what did this
+    curation run / deletion / restatement actually do to the
+    aggregates". Emits ONLY changed cells: a_cnt/b_cnt (0 where the
+    cell is absent on one side), and the deltas b − a.
+
+    Scale shape: one full-outer equi-join of two TIER-sized tables on
+    (source, bucket_s) — never raw data; AQE handles relative sizing.
+    Output is bounded by the touched cells, which for a targeted
+    delete/restate is the victim buckets only.
+    """
+    keys = ["source", "bucket_s"]
+    a = tier_a.select(
+        *keys,
+        F.col("cnt").cast("long").alias("a_cnt"),
+        F.col("sum_n_tok").cast("long").alias("a_sum"),
+    )
+    b = tier_b.select(
+        *keys,
+        F.col("cnt").cast("long").alias("b_cnt"),
+        F.col("sum_n_tok").cast("long").alias("b_sum"),
+    )
+    z = F.lit(0).cast("long")
+    j = a.join(b, keys, "full_outer").select(
+        "source",
+        F.col("bucket_s").cast("long").alias("bucket_s"),
+        F.coalesce("a_cnt", z).alias("a_cnt"),
+        F.coalesce("b_cnt", z).alias("b_cnt"),
+        F.coalesce("a_sum", z).alias("a_sum"),
+        F.coalesce("b_sum", z).alias("b_sum"),
+    )
+    return j.filter(
+        (F.col("a_cnt") != F.col("b_cnt")) | (F.col("a_sum") != F.col("b_sum"))
+    ).select(
+        "source",
+        "bucket_s",
+        "a_cnt",
+        "b_cnt",
+        (F.col("b_cnt") - F.col("a_cnt")).alias("d_cnt"),
+        (F.col("b_sum") - F.col("a_sum")).alias("d_sum"),
+    )
+
+
+def rollup_diff_sql(tier_a_rel: str, tier_b_rel: str) -> str:
+    """DuckDB twin of :func:`rollup_diff` over two tier CTE names."""
+    return f"""
+SELECT coalesce(a.source, b.source) AS source,
+       CAST(coalesce(a.bucket_s, b.bucket_s) AS BIGINT) AS bucket_s,
+       CAST(coalesce(a.cnt, 0) AS BIGINT) AS a_cnt,
+       CAST(coalesce(b.cnt, 0) AS BIGINT) AS b_cnt,
+       CAST(coalesce(b.cnt, 0) - coalesce(a.cnt, 0) AS BIGINT) AS d_cnt,
+       CAST(coalesce(b.sum_n_tok, 0) - coalesce(a.sum_n_tok, 0)
+            AS BIGINT) AS d_sum
+FROM {tier_a_rel} a
+FULL OUTER JOIN {tier_b_rel} b
+  ON a.source = b.source AND a.bucket_s = b.bucket_s
+WHERE coalesce(a.cnt, 0) != coalesce(b.cnt, 0)
+   OR coalesce(a.sum_n_tok, 0) != coalesce(b.sum_n_tok, 0)
+"""
+
+
 def apply_retention(
     tier: DataFrame, width_s: int, keep_buckets: int
 ) -> DataFrame:

@@ -670,6 +670,93 @@ FROM (SELECT token, count(*) AS cnt FROM tok GROUP BY 1)
 """
 
 
+def token_coverage(
+    tok: DataFrame, ks: tuple[int, ...] = (16, 64, 256, 1024)
+) -> DataFrame:
+    """Head-coverage curve of the token distribution: for each budget
+    ``k``, how many token OCCURRENCES the top-``k`` most frequent
+    tokens cover — the tokenizer-health view behind "how big a
+    vocabulary do we actually need" / "is the corpus boilerplate-heavy"
+    (a flat curve means a fat tail; 1024 tokens covering 99% means a
+    flooded head).
+
+    Exact integers: covered_ppm = covered·10⁶ div total. Ties rank by
+    token id ascending, so the curve is engine-portable.
+
+    Scale shape: the corpus-sized work is the per-token count
+    (partial+final agg, output ≤ V rows); the rank + running-sum
+    windows run on that VOCABULARY-bounded table (same documented
+    O(V log V) bound as :func:`token_zipf`); the k-budget table is a
+    handful of literal rows joined broadcast, and the grand total rides
+    a 1-row broadcast.
+    """
+    counts = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # the grand total rides the SAME single-partition sort as the
+    # running sum (unbounded frame) — no second pass over the corpus
+    wall = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = counts.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.sum("cnt").over(wsum).cast("long").alias("cum"),
+        F.sum("cnt").over(wall).cast("long").alias("total"),
+    )
+    ks_rows = (
+        tok.sparkSession.range(1)
+        .select(
+            F.explode(
+                F.array(*[F.lit(int(k)).cast("long") for k in sorted(ks)])
+            ).alias("k")
+        )
+    )
+    return (
+        ranked.join(F.broadcast(ks_rows), F.col("rank") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.max("rank").cast("long").alias("top_tokens"),
+            F.max("cum").cast("long").alias("covered_cnt"),
+            F.max("total").cast("long").alias("total_cnt"),
+        )
+        .select(
+            "k",
+            "top_tokens",
+            "covered_cnt",
+            "total_cnt",
+            F.expr("covered_cnt * 1000000L div total_cnt").alias(
+                "covered_ppm"
+            ),
+        )
+    )
+
+
+def token_coverage_sql(ks: tuple[int, ...] = (16, 64, 256, 1024)) -> str:
+    """DuckDB twin of :func:`token_coverage` over the `tok` CTE."""
+    klist = ", ".join(str(int(k)) for k in sorted(ks))
+    return f"""
+WITH counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank,
+         CAST(sum(cnt) OVER (ORDER BY cnt DESC, token ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER () AS BIGINT) AS total
+  FROM counts
+),
+ks AS (SELECT unnest([{klist}]) AS k)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(max(rank) AS BIGINT) AS top_tokens,
+       CAST(max(cum) AS BIGINT)  AS covered_cnt,
+       CAST(max(total) AS BIGINT) AS total_cnt,
+       CAST(max(cum) AS BIGINT) * 1000000
+         // CAST(max(total) AS BIGINT) AS covered_ppm
+FROM ranked, ks
+WHERE rank <= k
+GROUP BY k
+"""
+
+
 def token_burst(
     tok: DataFrame,
     width_s: int,

@@ -1526,6 +1526,57 @@ def main() -> None:
         ],
     ))
 
+    # 24. declarative DQ suite, token coverage, 3-step paths, release diff
+    from pyreshaper_spark.operators.checks import dq_documents
+    from pyreshaper_spark.operators.events import events_paths3
+    from pyreshaper_spark.operators.rollup import rollup_diff
+    from pyreshaper_spark.operators.vocab import token_coverage, token_stream
+
+    p_dq = plan_of(dq_documents(docs))
+    p_tc = plan_of(token_coverage(token_stream(docs)))
+    p_p3 = plan_of(events_paths3(ev))
+    t600 = rollup_all_tiers(seq, [600])[600]
+    p_rd = plan_of(rollup_diff(t600, t600.filter(F.col("cnt") > 1)))
+    sections.append((
+        "DQ suite, token coverage, 3-step paths, rollup release diff",
+        "\n".join([
+            "--- dq_documents (9-rule suite) ---", p_dq[:1400],
+            "--- token_coverage ---", p_tc[:1400],
+            "--- events_paths3 ---", p_p3[:900],
+            "--- rollup_diff ---", p_rd[:1000],
+        ]),
+        [
+            ("DQ suite: the WHOLE rule set is ONE scan of documents "
+             "(rule count adds agg columns, not passes); per-rule "
+             "explode runs on the 1-row aggregate",
+             p_dq.count("Scan parquet") // 2 <= 1 and "Join" not in p_dq
+             and "Generate" in p_dq),
+            ("DQ suite: uniqueness rides the same pass (distinct "
+             "rewritten to a two-level keyed aggregate, partial+final "
+             "at each level)",
+             p_dq.count("HashAggregate") // 2 >= 3
+             and "Expand" not in p_dq),
+            ("token coverage: ONE corpus scan — grand total rides the "
+             "same V-bounded window sort as the running sum; the only "
+             "nested loop is the broadcast k-budget literal table",
+             p_tc.count("Scan parquet") // 2 <= 1
+             and p_tc.count("HashAggregate") >= 2
+             and p_tc.count("BroadcastNestedLoopJoin") // 2 <= 1
+             and "CartesianProduct" not in p_tc
+             and "SortMergeJoin" not in p_tc),
+            ("3-step paths: ONE user-keyed sort carries both lags "
+             "(single window, single exchange before it), one hash "
+             "agg, no join",
+             p_p3.count("Window") // 2 <= 1 and "Join" not in p_p3
+             and p_p3.count("HashAggregate") >= 2),
+            ("rollup diff: tier-vs-tier FULL OUTER equi-join on "
+             "(source, bucket) — no cartesian, no window, raw data "
+             "never rescanned",
+             "FullOuter" in p_rd and no_cartesian(p_rd)
+             and "Window" not in p_rd),
+        ],
+    ))
+
     out = ["# PLANS — physical-plan verification (auto-generated by "
            "tools/plan_report.py)\n"]
     all_ok = True
