@@ -324,6 +324,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tier_1h_retention"] = _q_retention
 
+    # -- per-source retention policy (multi-tenant TTLs) --------------
+    _POLICY = {"src0": 24, "src1": 48}
+
+    def _q_retention_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.rollup import apply_retention_policy
+
+        tier = _tiers(spark, sf_dir)[3600]
+        return _norm_tier(
+            apply_retention_policy(tier, 3600, _POLICY, default_buckets=72)
+        )
+
+    q["tier_1h_policy"] = _q_retention_policy
+
+    # -- hysteresis threshold alert over the 10m tier -----------------
+    def _q_alert_hyst(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.gapfill import alert_hysteresis
+
+        return alert_hysteresis(_tiers(spark, sf_dir)[600], hi=70, lo=40)
+
+    q["alert_hyst_10m"] = _q_alert_hyst
+
     # -- calendar tiers (week/month): cascaded from a 1d tier ---------
     # The fixture horizon is ~7 days (a single week/month — vacuous for
     # boundary logic), so the calendar queries spread event times ×40
@@ -2906,6 +2927,21 @@ r AS (SELECT source, event_s, n_tok FROM sequences
         f"tier AS ({_TIER_AGG.format(w=3600)})\n"
         "SELECT * FROM tier "
         "WHERE bucket_s > (SELECT max(bucket_s) FROM tier) - 24 * 3600"
+    )
+    from pyreshaper_spark.operators.gapfill import alert_hysteresis_sql
+    from pyreshaper_spark.operators.rollup import retention_policy_sql
+
+    o["tier_1h_policy"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"tier AS ({_TIER_AGG.format(w=3600)})\n"
+        + retention_policy_sql(
+            "tier", 3600, {"src0": 24, "src1": 48}, default_buckets=72
+        )
+    )
+    o["alert_hyst_10m"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"tier AS ({_TIER_AGG.format(w=600)}),\n"
+        + alert_hysteresis_sql("tier", hi=70, lo=40)
     )
     from pyreshaper_spark.operators import events as EV
 

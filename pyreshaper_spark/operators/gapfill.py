@@ -845,6 +845,81 @@ GROUP BY 1
 """
 
 
+def alert_hysteresis(
+    tier: DataFrame, hi: int, lo: int, value_col: str = "sum_n_tok"
+) -> DataFrame:
+    """Threshold alerting with hysteresis — the Prometheus/Grafana
+    alert-rule shape: a series ENTERS the alerting state when its value
+    reaches ``hi``, LEAVES only when it falls to ``lo``, and HOLDS the
+    previous state in between (the dead band that stops a value
+    oscillating around a single threshold from flapping the alert).
+
+    Exact batch recursion via LOCF: mark each bucket 1 (≥ hi), 0
+    (≤ lo) or null (dead band), then the state is the last non-null
+    mark so far — initial state 0. ``event`` labels the transitions
+    ('fire' on 0→1, 'clear' on 1→0, null otherwise), the rows a
+    notifier would act on.
+
+    Scale shape: both window passes (LOCF state, lag for transitions)
+    share ONE source-keyed sort — a single exchange, no joins; output
+    is tier-sized with the alert columns attached.
+    """
+    if not lo <= hi:
+        raise ValueError("need lo <= hi for a hysteresis band")
+    v = F.col(value_col)
+    mark = (
+        F.when(v >= F.lit(hi), F.lit(1))
+        .when(v <= F.lit(lo), F.lit(0))
+        .otherwise(F.lit(None))
+        .cast("long")
+    )
+    w = Window.partitionBy("source").orderBy("bucket_s")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    state = F.coalesce(F.last(mark, ignorenulls=True).over(wrun), F.lit(0))
+    out = tier.select(
+        "source",
+        F.col("bucket_s").cast("long").alias("bucket_s"),
+        v.cast("long").alias("value"),
+        state.alias("alert"),
+    )
+    prev = F.coalesce(F.lag("alert").over(w), F.lit(0))
+    return out.withColumn(
+        "event",
+        F.when((F.col("alert") == 1) & (prev == 0), F.lit("fire"))
+        .when((F.col("alert") == 0) & (prev == 1), F.lit("clear")),
+    )
+
+
+def alert_hysteresis_sql(
+    relation: str, hi: int, lo: int, value_col: str = "sum_n_tok"
+) -> str:
+    """DuckDB twin of :func:`alert_hysteresis` over a tier relation."""
+    return f"""
+marked AS (
+  SELECT source, CAST(bucket_s AS BIGINT) AS bucket_s,
+         CAST({value_col} AS BIGINT) AS value,
+         CASE WHEN {value_col} >= {hi} THEN 1
+              WHEN {value_col} <= {lo} THEN 0 END AS mark
+  FROM {relation}
+),
+st AS (
+  SELECT source, bucket_s, value,
+         CAST(coalesce(last_value(mark IGNORE NULLS) OVER (
+           PARTITION BY source ORDER BY bucket_s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ), 0) AS BIGINT) AS alert
+  FROM marked
+)
+SELECT source, bucket_s, value, alert,
+       CASE WHEN alert = 1 AND coalesce(lag(alert) OVER (
+              PARTITION BY source ORDER BY bucket_s), 0) = 0 THEN 'fire'
+            WHEN alert = 0 AND lag(alert) OVER (
+              PARTITION BY source ORDER BY bucket_s) = 1 THEN 'clear'
+       END AS event
+FROM st
+"""
+
+
 # --------------------------------------------------------------------------
 # Inter-arrival stats — feed-cadence monitoring over raw event times
 # --------------------------------------------------------------------------

@@ -220,6 +220,61 @@ def rollup_diff(tier_a: DataFrame, tier_b: DataFrame) -> DataFrame:
     )
 
 
+def apply_retention_policy(
+    tier: DataFrame,
+    width_s: int,
+    policy: dict[str, int],
+    default_buckets: int | None = None,
+) -> DataFrame:
+    """Per-source retention: each source keeps its own newest-N-buckets
+    window — the multi-tenant generalization of
+    :func:`apply_retention`'s single global TTL (hot/debug sources kept
+    short, contractual sources kept long; TimescaleDB's per-hypertable
+    ``drop_after`` recast per series key). ``default_buckets=None``
+    keeps unlisted sources forever.
+
+    Scale shape: the policy is an O(|sources|)-entry literal map
+    compiled into the filter predicate (no join at all — the CASE
+    folds into the scan-side filter alongside the broadcast scalar
+    high-water mark, so partition pruning on bucket ranges still
+    applies per the most-generous policy).
+    """
+    hw = tier.agg(F.max("bucket_s").alias("hw"))
+    keep = F.lit(None).cast("long")
+    for src, n in sorted(policy.items()):
+        keep = F.when(F.col("source") == src, F.lit(int(n))).otherwise(keep)
+    if default_buckets is not None:
+        keep = F.coalesce(keep, F.lit(int(default_buckets)))
+    return (
+        tier.crossJoin(F.broadcast(hw))
+        .filter(
+            keep.isNull()
+            | (F.col("bucket_s") > F.col("hw") - keep * F.lit(width_s))
+        )
+        .drop("hw")
+    )
+
+
+def retention_policy_sql(
+    tier_rel: str,
+    width_s: int,
+    policy: dict[str, int],
+    default_buckets: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`apply_retention_policy`."""
+    whens = "".join(
+        f" WHEN '{s}' THEN {int(n)}" for s, n in sorted(policy.items())
+    )
+    dflt = "NULL" if default_buckets is None else str(int(default_buckets))
+    return f"""
+SELECT t.* FROM {tier_rel} t,
+     (SELECT max(bucket_s) AS hw FROM {tier_rel}) h
+WHERE (CASE t.source{whens} ELSE {dflt} END) IS NULL
+   OR t.bucket_s > h.hw
+        - {width_s} * (CASE t.source{whens} ELSE {dflt} END)
+"""
+
+
 def rollup_diff_sql(tier_a_rel: str, tier_b_rel: str) -> str:
     """DuckDB twin of :func:`rollup_diff` over two tier CTE names."""
     return f"""

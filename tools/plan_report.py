@@ -1537,6 +1537,15 @@ def main() -> None:
     p_p3 = plan_of(events_paths3(ev))
     t600 = rollup_all_tiers(seq, [600])[600]
     p_rd = plan_of(rollup_diff(t600, t600.filter(F.col("cnt") > 1)))
+    from pyreshaper_spark.operators.gapfill import alert_hysteresis
+    from pyreshaper_spark.operators.rollup import apply_retention_policy
+
+    p_rp = plan_of(
+        apply_retention_policy(
+            t600, 600, {"src0": 24, "src1": 48}, default_buckets=72
+        )
+    )
+    p_ah = plan_of(alert_hysteresis(t600, hi=70, lo=40))
     sections.append((
         "DQ suite, token coverage, 3-step paths, rollup release diff",
         "\n".join([
@@ -1544,6 +1553,8 @@ def main() -> None:
             "--- token_coverage ---", p_tc[:1400],
             "--- events_paths3 ---", p_p3[:900],
             "--- rollup_diff ---", p_rd[:1000],
+            "--- apply_retention_policy ---", p_rp[:800],
+            "--- alert_hysteresis ---", p_ah[:800],
         ]),
         [
             ("DQ suite: the WHOLE rule set is ONE scan of documents "
@@ -1574,6 +1585,21 @@ def main() -> None:
              "never rescanned",
              "FullOuter" in p_rd and no_cartesian(p_rd)
              and "Window" not in p_rd),
+            ("per-source retention policy: the policy map folds into "
+             "the filter predicate (NO policy join — the only nested "
+             "loop is the 1-row high-water broadcast); no window",
+             p_rp.count("BroadcastNestedLoopJoin") // 2 <= 1
+             and "CartesianProduct" not in p_rp
+             and "BroadcastHashJoin" not in p_rp
+             and "SortMergeJoin" not in p_rp
+             and "Window" not in p_rp),
+            ("hysteresis alert: LOCF state + transition lag share ONE "
+             "source-keyed sort (both Window nodes above a single "
+             "Sort; exchanges = tier agg + one window regroup), no "
+             "join",
+             p_ah.count("Sort") // 2 <= 1 and "Join" not in p_ah
+             and p_ah.count("Exchange") // 2 <= 2
+             and p_ah.count("Window") // 2 == 2),
         ],
     ))
 
