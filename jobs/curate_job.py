@@ -43,6 +43,8 @@ def curate(
     val_bp: int = 1000,
     test_bp: int = 1000,
     quotas: dict[str, int] | None = None,
+    dq_rules: list | None = None,
+    dq_strict: bool = False,
 ) -> tuple[DataFrame, dict]:
     """Run the curation flow; returns (curated DataFrame, metrics).
 
@@ -77,6 +79,27 @@ def curate(
     from pyreshaper_spark.operators.text import pii_redact, quality_score
 
     m: dict = {"n_input": docs.count()}
+
+    # -1. optional declarative DQ gate on the RAW input (one extra
+    # scan — the whole rule suite is a single aggregate pass). The
+    # per-rule results ship in the release metrics either way; strict
+    # mode refuses to curate a corpus that breaks a contract, the
+    # fail-fast a scheduled release job wants.
+    if dq_rules:
+        from pyreshaper_spark.operators.checks import check_suite
+
+        dq_rows = check_suite(docs, dq_rules).collect()
+        m["dq"] = [
+            {
+                "rule": r["rule"],
+                "violations": r["violations"],
+                "passed": r["passed"],
+            }
+            for r in dq_rows
+        ]
+        failed = sorted(r["rule"] for r in dq_rows if not r["passed"])
+        if dq_strict and failed:
+            raise ValueError(f"DQ gate failed: {failed}")
 
     # 0. NULL text is invalid input, not a duplicate — count it apart
     docs_t = docs.filter(F.col("text").isNotNull())
@@ -173,6 +196,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--test-bp", type=int, default=1000)
     ap.add_argument("--quota", action="append", default=[],
                     metavar="SRC=N", help="per-source doc quota (repeat)")
+    ap.add_argument("--dq", action="store_true",
+                    help="run the documents DQ rule suite on the raw "
+                         "input and ship per-rule results in metrics")
+    ap.add_argument("--dq-strict", action="store_true",
+                    help="with --dq: refuse to release if any "
+                         "zero-tolerance rule fails")
     args = ap.parse_args(argv)
 
     quotas: dict[str, int] = {}
@@ -186,12 +215,19 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = SparkSession.getActiveSession() or get_spark("curate-job")
     docs = spark.read.parquet(args.docs)
+    dq_rules = None
+    if args.dq or args.dq_strict:
+        from pyreshaper_spark.operators.checks import documents_rules
+
+        dq_rules = documents_rules()
     out, metrics = curate(
         docs,
         max_df=args.max_df,
         val_bp=args.val_bp,
         test_bp=args.test_bp,
         quotas=quotas or None,
+        dq_rules=dq_rules,
+        dq_strict=args.dq_strict,
     )
     if args.out:
         out.write.mode("overwrite").parquet(args.out)

@@ -12,6 +12,9 @@ the fact — the ``rewrite_data_files`` / ``expire_snapshots`` /
     ... compact --table tier_1m --sort-by bucket_s   # sorted rewrite
     ... expire --table tier_1m --keep-last 2         # reclaim snapshots
     ... changes --table tier_1m --from-snapshot 3    # CDC changelog
+    ... diff --table tier_1m --from-snapshot 3       # rollup-cell audit
+                                                     # (aggregate deltas
+                                                     #  between snapshots)
     ... refresh --from-snapshot 3                    # CDC-driven refresh
                                                      # (iceberglite input)
     ... remove-orphans --table tier_1m               # GC unreferenced files
@@ -114,6 +117,12 @@ def main(argv: list[str] | None = None) -> dict:
     p = sub.add_parser("refresh")
     p.add_argument("--from-snapshot", type=int, required=True)
     p.add_argument("--to-snapshot", type=int, default=None)
+
+    p = sub.add_parser("diff")
+    p.add_argument("--table", required=True)
+    p.add_argument("--from-snapshot", type=int, required=True)
+    p.add_argument("--to-snapshot", type=int, default=None)
+    p.add_argument("--with-rows", action="store_true")
 
     p = sub.add_parser("inspect")
     p.add_argument("--table", required=True)
@@ -245,6 +254,46 @@ def main(argv: list[str] | None = None) -> dict:
         rows = [r.asDict() for r in df.collect()]
         out = {"op": "inspect", "table": args.table, "what": args.what,
                "n": len(rows), "rows": rows}
+    elif args.op == "diff":
+        # rollup audit: which (source, bucket) cells changed between
+        # two snapshots of a tier table, and by how much — the
+        # release-diff view of a delete/restate/append (contrast
+        # `changes`, which reports row-level CDC; this reports the
+        # aggregate-cell deltas a dashboard reader would see).
+        from pyspark.sql import functions as F
+
+        from pyreshaper_spark.operators.rollup import rollup_diff
+
+        a = cat.read(
+            spark, args.table, snapshot_id=args.from_snapshot,
+            allow_empty=True,
+        )
+        b = cat.read(
+            spark, args.table, snapshot_id=args.to_snapshot,
+            allow_empty=True,
+        )
+        d = rollup_diff(a, b).cache()
+        summary = d.agg(
+            F.count("*").alias("n_cells"),
+            F.coalesce(F.sum("d_cnt"), F.lit(0)).alias("d_cnt_total"),
+            F.coalesce(F.sum("d_sum"), F.lit(0)).alias("d_sum_total"),
+            F.count_distinct("source").alias("n_sources"),
+        ).collect()[0]
+        out = {
+            "op": "diff", "table": args.table,
+            "from_snapshot": args.from_snapshot,
+            "to_snapshot": args.to_snapshot,
+            "n_cells_changed": summary["n_cells"],
+            "d_cnt_total": summary["d_cnt_total"],
+            "d_sum_total": summary["d_sum_total"],
+            "n_sources_touched": summary["n_sources"],
+        }
+        if args.with_rows:
+            out["rows"] = [
+                r.asDict()
+                for r in d.orderBy("source", "bucket_s").collect()
+            ]
+        d.unpersist()
     else:  # changes
         ch = cat.read_changes(
             spark,

@@ -147,3 +147,29 @@ def test_curate_cli_iceberglite_releases(spark, tmp_path, capsys):
         partition_filter=lambda p: p.get("split") == "val",
     )
     assert val_only.count() == m2["n_val"]
+
+
+def test_curate_dq_gate(spark):
+    import curate_job
+    import pytest
+    from pyreshaper_spark.operators.checks import documents_rules
+
+    docs = _docs(spark)  # carries one NULL-text row -> text_not_null fails
+    out, m = curate_job.curate(docs, dq_rules=documents_rules())
+    by_rule = {d["rule"]: d for d in m["dq"]}
+    assert len(by_rule) == 9
+    assert by_rule["text_not_null"]["violations"] == 1
+    assert not by_rule["text_not_null"]["passed"]
+    assert by_rule["doc_id_unique"]["passed"]
+    # the injected doc with a wrong n_chars trips the consistency rule
+    assert by_rule["n_chars_consistent"]["violations"] == 1
+    # strict mode refuses the release on the same input
+    with pytest.raises(ValueError, match="text_not_null"):
+        curate_job.curate(docs, dq_rules=documents_rules(), dq_strict=True)
+    # the shipped corpus (no injections) passes strict end-to-end
+    clean = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out2, m2 = curate_job.curate(
+        clean, dq_rules=documents_rules(), dq_strict=True
+    )
+    assert all(d["passed"] for d in m2["dq"])
+    assert m2["n_out"] > 0

@@ -395,6 +395,18 @@ def test_maintain_job_cli(spark, tmp_path):
     ])
     assert out["deleted_rows"] == 2 and "tier_1m" in out["tables_committed"]
 
+    # rollup-cell audit of the delete: exactly the victims' cells
+    # changed, total cnt delta == -2, every delta shrinking
+    out = maintain([
+        "--config", cfg_p, "--checkpoint", ck, "diff",
+        "--table", "tier_1m", "--from-snapshot", str(base_sid),
+        "--with-rows",
+    ])
+    assert out["n_cells_changed"] >= 1
+    assert out["d_cnt_total"] == -2
+    assert all(r["d_cnt"] <= 0 for r in out["rows"])
+    assert len(out["rows"]) == out["n_cells_changed"]
+
     # restate ids whose input didn't change → exact no-op semantics
     ids_file = tmp_path / "ids.txt"
     ids_file.write_text("\n".join(
