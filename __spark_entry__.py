@@ -1701,6 +1701,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         VB.token_stream(_docs(s, d)), 86400, k=5, min_count=2
     )
     q["doc_rarity"] = lambda s, d: VB.doc_rarity(_md_seq(s, d), max_df=2)
+    # exact-integer TF-IDF doc informativeness (tf-weighted mean idf)
+    q["doc_tfidf"] = lambda s, d: VB.doc_tfidf(_md_seq(s, d))
     # vocabulary migration: frequency-dense re-id of every token array
     q["tok_remap"] = lambda s, d: VB.vocab_remap(_md_seq(s, d))
     q["token_zipf"] = lambda s, d: VB.token_zipf(
@@ -3431,6 +3433,9 @@ WHERE r.bucket_s < last.mb
         f"WITH {seqs_cte(_V)}," + bigram_pmi_sql(_V, min_count=2)
     )
     o["doc_rarity"] = f"WITH {seqs_cte(_V)}," + doc_rarity_sql(2)
+    from pyreshaper_spark.operators.vocab import doc_tfidf_sql
+
+    o["doc_tfidf"] = f"WITH {seqs_cte(_V)}," + doc_tfidf_sql()
     from pyreshaper_spark.operators.vocab import vocab_remap_sql
 
     o["tok_remap"] = f"WITH {seqs_cte(_V)}," + vocab_remap_sql()

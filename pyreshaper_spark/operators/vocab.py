@@ -670,6 +670,84 @@ FROM (SELECT token, count(*) AS cnt FROM tok GROUP BY 1)
 """
 
 
+def doc_tfidf(seq: DataFrame) -> DataFrame:
+    """Exact-integer TF-IDF document scoring — the classic
+    informativeness ranking (a doc of boilerplate/stopword-like tokens
+    scores low; a doc of corpus-rare terms scores high), complementing
+    :func:`doc_rarity`'s binary rare-token counter with the standard
+    frequency-weighted form.
+
+    Integer quantization: ``idf_ppm(t) = N·10⁶ div df(t)`` (N = corpus
+    docs, df = docs containing t; the raw N/df odds in ppm — monotone
+    in textbook log-idf, exact across engines), and the doc score is
+    the tf-weighted mean ``tfidf_ppm = Σ_t c_td·idf_ppm(t) div n_occ``.
+    The weighted sum accumulates in decimal(38,0) (HUGEINT in the
+    oracle) — c·idf_ppm wraps int64 once N·10⁶ passes ~9·10¹⁸/c, the
+    same wrap class bucket_fano guards against.
+
+    Scale shape: one corpus-sized (doc, token) aggregate; document
+    frequency is its VOCABULARY-bounded re-aggregate joined back
+    BROADCAST; N rides a 1-row broadcast cross. Same plan family as
+    :func:`doc_rarity`.
+    """
+    tok = seq.select("doc_id", F.explode("tokens").alias("token"))
+    ctd = tok.groupBy("doc_id", "token").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    dfx = ctd.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    nd = seq.agg(F.count("*").cast("long").alias("nd"))
+    return (
+        ctd.join(F.broadcast(dfx), "token")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "idf_ppm",
+            F.expr(
+                "CAST(CAST(nd AS DECIMAL(19,0)) * 1000000 "
+                "div df AS BIGINT)"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_occ"),
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum(
+                F.expr("CAST(c AS DECIMAL(19,0)) * idf_ppm")
+            ).cast("decimal(38,0)").alias("_s"),
+        )
+        .select(
+            "doc_id",
+            "n_occ",
+            "n_terms",
+            F.expr("CAST(_s div n_occ AS BIGINT)").alias("tfidf_ppm"),
+        )
+    )
+
+
+def doc_tfidf_sql() -> str:
+    """DuckDB twin of :func:`doc_tfidf` over a `seqs(doc_id, tokens)`
+    CTE."""
+    return """
+tokstream AS (SELECT doc_id, unnest(tokens) AS token FROM seqs),
+ctd AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+        FROM tokstream GROUP BY 1, 2),
+dfx AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM ctd GROUP BY 1),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM seqs),
+wt AS (
+  SELECT ctd.doc_id, ctd.c,
+         CAST(CAST(nd.nd AS HUGEINT) * 1000000 // dfx.df AS BIGINT)
+           AS idf_ppm
+  FROM ctd JOIN dfx USING (token) CROSS JOIN nd
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT)  AS n_occ,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(CAST(c AS HUGEINT) * idf_ppm) // sum(c) AS BIGINT)
+         AS tfidf_ppm
+FROM wt
+GROUP BY 1
+"""
+
+
 def token_coverage(
     tok: DataFrame, ks: tuple[int, ...] = (16, 64, 256, 1024)
 ) -> DataFrame:

@@ -267,3 +267,49 @@ def test_rollup_diff_base_vs_gappy(spark, seq):
         for r in tb.select("source", "bucket_s", "cnt", "sum_n_tok").collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# doc_tfidf
+# --------------------------------------------------------------------------
+
+def test_doc_tfidf_hand_fixture(spark):
+    from pyreshaper_spark.operators.vocab import doc_tfidf
+
+    # 4 docs: token 1 appears in all (df=4), token 9 only in d4 (df=1)
+    rows = [
+        ("d1", [1, 1, 1]),
+        ("d2", [1, 1]),
+        ("d3", [1]),
+        ("d4", [1, 9]),
+    ]
+    seq = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    out = {r["doc_id"]: r for r in doc_tfidf(seq).collect()}
+    # idf_ppm: token1 = 4e6 div 4 = 1_000_000; token9 = 4e6 div 1
+    assert out["d1"]["tfidf_ppm"] == 1_000_000
+    assert out["d1"]["n_occ"] == 3 and out["d1"]["n_terms"] == 1
+    # d4 = mean(1e6, 4e6) = 2_500_000 — the rare-term doc ranks top
+    assert out["d4"]["tfidf_ppm"] == 2_500_000
+    assert out["d4"]["n_terms"] == 2
+    ranks = sorted(out, key=lambda d: -out[d]["tfidf_ppm"])
+    assert ranks[0] == "d4"
+
+
+def test_doc_tfidf_invariants_real(spark):
+    from pyreshaper_spark.operators.vocab import doc_tfidf
+
+    seq = spark.createDataFrame(
+        [(str(r["doc_id"]),
+          [hash(w) % 101 for w in (r["text"] or "").split()])
+         for r in _docs(spark).collect()],
+        "doc_id string, tokens array<int>",
+    )
+    n_docs = seq.count()
+    out = doc_tfidf(seq)
+    # every doc with tokens scores in [1e6, N*1e6]
+    bad = out.filter(
+        (F.col("tfidf_ppm") < 1_000_000)
+        | (F.col("tfidf_ppm") > n_docs * 1_000_000)
+    )
+    assert bad.count() == 0
+    assert out.count() == seq.filter(F.size("tokens") > 0).count()

@@ -1546,6 +1546,9 @@ def main() -> None:
         )
     )
     p_ah = plan_of(alert_hysteresis(t600, hi=70, lo=40))
+    from pyreshaper_spark.operators.vocab import doc_tfidf
+
+    p_tf = plan_of(doc_tfidf(seq_v))
     sections.append((
         "DQ suite, token coverage, 3-step paths, rollup release diff",
         "\n".join([
@@ -1555,6 +1558,7 @@ def main() -> None:
             "--- rollup_diff ---", p_rd[:1000],
             "--- apply_retention_policy ---", p_rp[:800],
             "--- alert_hysteresis ---", p_ah[:800],
+            "--- doc_tfidf ---", p_tf[:800],
         ]),
         [
             ("DQ suite: the WHOLE rule set is ONE scan of documents "
@@ -1600,6 +1604,13 @@ def main() -> None:
              p_ah.count("Sort") // 2 <= 1 and "Join" not in p_ah
              and p_ah.count("Exchange") // 2 <= 2
              and p_ah.count("Window") // 2 == 2),
+            ("TF-IDF: document frequency is a V-bounded re-aggregate "
+             "joined back BROADCAST; N is the only nested loop (1-row "
+             "cross); no cartesian, no window",
+             "BroadcastHashJoin" in p_tf
+             and p_tf.count("BroadcastNestedLoopJoin") // 2 <= 1
+             and "CartesianProduct" not in p_tf
+             and "Window" not in p_tf),
         ],
     ))
 
