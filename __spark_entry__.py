@@ -2270,6 +2270,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_lastseen"] = _q_streaming_lastseen
 
+    def _q_streaming_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """DQ rule suite as a continuously-updated counter (complete
+        mode, availableNow): the final counters ≡ the batch suite on
+        the same relation minus its unique rules — full value oracle."""
+        import os
+        import tempfile
+
+        from pyreshaper_spark.operators.checks import documents_rules
+        from pyreshaper_spark.streaming.dq import (
+            dq_verdicts,
+            streaming_dq,
+            streaming_rules,
+        )
+
+        rules = streaming_rules(documents_rules())
+        base = tempfile.mkdtemp(prefix="stream_dq_")
+        src = os.path.join(base, "src")
+        _docs(spark, sf_dir).write.parquet(src)
+        last: dict[str, list] = {}
+
+        def capture(batch_df, _epoch):
+            rows = batch_df.collect()
+            if rows:
+                last["row"] = rows
+
+        stream = spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint"
+        ).parquet(src)
+        sq = (
+            streaming_dq(stream, rules)
+            .writeStream.outputMode("complete")
+            .foreachBatch(capture)
+            .option("checkpointLocation", os.path.join(base, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination(300)
+        wide = spark.createDataFrame(last["row"])
+        return dq_verdicts(wide, rules)
+
+    q["streaming_dq"] = _q_streaming_dq
+
     def _q_streaming_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Streaming tier-0 ingest run to completion, then the scheduled
         cascade refresh up to 1h — the materialized coarse tier must
@@ -3453,10 +3496,7 @@ WHERE r.bucket_s < last.mb
     o["token_zipf"] = f"WITH {token_cte()}\n" + token_zipf_sql()
     from pyreshaper_spark.operators.vocab import token_coverage_sql
 
-    o["tok_coverage"] = (
-        f"WITH {token_cte()}\n"
-        + token_coverage_sql().replace("WITH counts", ", counts", 1)
-    )
+    o["tok_coverage"] = f"WITH {token_cte()},\n" + token_coverage_sql()
     from pyreshaper_spark.operators.vocab import (
         doc_ngram_repetition_sql,
         token_gini_sql,
@@ -3737,6 +3777,15 @@ FROM sequences GROUP BY 1
         + _TIER_AGG.format(w=3600).replace(
             "count(*)", "CAST(count(*) AS BIGINT)"
         )
+    )
+    from pyreshaper_spark.operators.checks import (
+        check_suite_sql,
+        documents_rules,
+    )
+    from pyreshaper_spark.streaming.dq import streaming_rules
+
+    o["streaming_dq"] = "WITH " + check_suite_sql(
+        "documents", streaming_rules(documents_rules())
     )
     # rate emits exactly the CLOSED buckets: batch counter_rate over
     # tier-0(10m) minus each source's final (still-open) bucket; one

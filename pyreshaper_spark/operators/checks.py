@@ -118,12 +118,13 @@ def matches(col: str, pattern: str, tol: int = 0) -> Rule:
     """Non-null value NOT matching the regex. Keep patterns in the
     portable subset (anchors, classes, quantifiers) — Spark evaluates
     Java regex, the oracle RE2; both use find-anywhere semantics."""
+    quoted = pattern.replace("'", "''")
     return Rule(
         f"{col}_matches",
         cond=lambda: F.col(col).isNotNull() & ~F.col(col).rlike(pattern),
         sql_cond=(
             f"{col} IS NOT NULL AND NOT regexp_matches({col}, "
-            f"'{pattern}')"
+            f"'{quoted}')"
         ),
         tol=tol,
     )
@@ -149,16 +150,18 @@ def expr_rule(
     return Rule(name, cond=cond, sql_cond=sql_cond, tol=tol)
 
 
-def check_suite(df: DataFrame, rules: list[Rule]) -> DataFrame:
-    """Run the suite in one scan. Output one row per rule:
-    (rule, violations, n_rows, passed) — exact integers, engine-stable
-    (``coalesce`` keeps an EMPTY input total: every count is 0 and
-    every rule passes, rather than nulling out)."""
+def _validate_rules(rules: list[Rule]) -> None:
     if not rules:
         raise ValueError("empty rule suite")
     names = [r.name for r in rules]
     if len(set(names)) != len(names):
-        raise ValueError(f"duplicate rule names: {sorted(names)}")
+        dups = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(f"duplicate rule names: {dups}")
+
+
+def suite_aggs(rules: list[Rule]) -> list[Column]:
+    """The suite compiled to aggregate columns (_n, _v0.._vk) — shared
+    by the batch scan and the streaming monitor."""
     aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
     for i, r in enumerate(rules):
         if r.distinct_col is not None:
@@ -169,7 +172,11 @@ def check_suite(df: DataFrame, rules: list[Rule]) -> DataFrame:
             c = r.cond() if callable(r.cond) else r.cond
             v = F.coalesce(F.sum(c.cast("long")), F.lit(0))
         aggs.append(v.cast("long").alias(f"_v{i}"))
-    row = df.agg(*aggs)
+    return aggs
+
+
+def suite_rows(row_df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """Explode the 1-row wide aggregate into per-rule verdict rows."""
     structs = [
         F.struct(
             F.lit(r.name).alias("rule"),
@@ -179,7 +186,18 @@ def check_suite(df: DataFrame, rules: list[Rule]) -> DataFrame:
         )
         for i, r in enumerate(rules)
     ]
-    return row.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+    return row_df.select(F.explode(F.array(*structs)).alias("r")).select(
+        "r.*"
+    )
+
+
+def check_suite(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """Run the suite in one scan. Output one row per rule:
+    (rule, violations, n_rows, passed) — exact integers, engine-stable
+    (``coalesce`` keeps an EMPTY input total: every count is 0 and
+    every rule passes, rather than nulling out)."""
+    _validate_rules(rules)
+    return suite_rows(df.agg(*suite_aggs(rules)), rules)
 
 
 def check_suite_sql(relation: str, rules: list[Rule]) -> str:

@@ -183,6 +183,12 @@ def rollup_diff(tier_a: DataFrame, tier_b: DataFrame) -> DataFrame:
     aggregates". Emits ONLY changed cells: a_cnt/b_cnt (0 where the
     cell is absent on one side), and the deltas b − a.
 
+    A cell counts as changed when ANY of cnt/sum/min/max differ —
+    a restate that swaps values between docs in one cell preserves cnt
+    and sum but moves min/max, and an audit must not miss it
+    (``minmax_changed`` flags that case; min/max have no meaningful
+    delta, so only the flag ships).
+
     Scale shape: one full-outer equi-join of two TIER-sized tables on
     (source, bucket_s) — never raw data; AQE handles relative sizing.
     Output is bounded by the touched cells, which for a targeted
@@ -193,11 +199,15 @@ def rollup_diff(tier_a: DataFrame, tier_b: DataFrame) -> DataFrame:
         *keys,
         F.col("cnt").cast("long").alias("a_cnt"),
         F.col("sum_n_tok").cast("long").alias("a_sum"),
+        F.col("min_n_tok").cast("long").alias("a_min"),
+        F.col("max_n_tok").cast("long").alias("a_max"),
     )
     b = tier_b.select(
         *keys,
         F.col("cnt").cast("long").alias("b_cnt"),
         F.col("sum_n_tok").cast("long").alias("b_sum"),
+        F.col("min_n_tok").cast("long").alias("b_min"),
+        F.col("max_n_tok").cast("long").alias("b_max"),
     )
     z = F.lit(0).cast("long")
     j = a.join(b, keys, "full_outer").select(
@@ -207,9 +217,16 @@ def rollup_diff(tier_a: DataFrame, tier_b: DataFrame) -> DataFrame:
         F.coalesce("b_cnt", z).alias("b_cnt"),
         F.coalesce("a_sum", z).alias("a_sum"),
         F.coalesce("b_sum", z).alias("b_sum"),
+        # null-safe: an absent side differs from any present min/max
+        (
+            ~F.col("a_min").eqNullSafe(F.col("b_min"))
+            | ~F.col("a_max").eqNullSafe(F.col("b_max"))
+        ).alias("minmax_changed"),
     )
     return j.filter(
-        (F.col("a_cnt") != F.col("b_cnt")) | (F.col("a_sum") != F.col("b_sum"))
+        (F.col("a_cnt") != F.col("b_cnt"))
+        | (F.col("a_sum") != F.col("b_sum"))
+        | F.col("minmax_changed")
     ).select(
         "source",
         "bucket_s",
@@ -217,6 +234,7 @@ def rollup_diff(tier_a: DataFrame, tier_b: DataFrame) -> DataFrame:
         "b_cnt",
         (F.col("b_cnt") - F.col("a_cnt")).alias("d_cnt"),
         (F.col("b_sum") - F.col("a_sum")).alias("d_sum"),
+        "minmax_changed",
     )
 
 
@@ -284,12 +302,16 @@ SELECT coalesce(a.source, b.source) AS source,
        CAST(coalesce(b.cnt, 0) AS BIGINT) AS b_cnt,
        CAST(coalesce(b.cnt, 0) - coalesce(a.cnt, 0) AS BIGINT) AS d_cnt,
        CAST(coalesce(b.sum_n_tok, 0) - coalesce(a.sum_n_tok, 0)
-            AS BIGINT) AS d_sum
+            AS BIGINT) AS d_sum,
+       (a.min_n_tok IS DISTINCT FROM b.min_n_tok
+        OR a.max_n_tok IS DISTINCT FROM b.max_n_tok) AS minmax_changed
 FROM {tier_a_rel} a
 FULL OUTER JOIN {tier_b_rel} b
   ON a.source = b.source AND a.bucket_s = b.bucket_s
 WHERE coalesce(a.cnt, 0) != coalesce(b.cnt, 0)
    OR coalesce(a.sum_n_tok, 0) != coalesce(b.sum_n_tok, 0)
+   OR a.min_n_tok IS DISTINCT FROM b.min_n_tok
+   OR a.max_n_tok IS DISTINCT FROM b.max_n_tok
 """
 
 

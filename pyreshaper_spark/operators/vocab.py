@@ -802,18 +802,22 @@ def token_coverage(
             "top_tokens",
             "covered_cnt",
             "total_cnt",
-            F.expr("covered_cnt * 1000000L div total_cnt").alias(
-                "covered_ppm"
-            ),
+            # decimal(38,0) product — covered·10⁶ wraps int64 once the
+            # corpus passes ~9·10¹² occurrences (same guard as doc_tfidf)
+            F.expr(
+                "CAST(CAST(covered_cnt AS DECIMAL(38,0)) * 1000000 "
+                "div total_cnt AS BIGINT)"
+            ).alias("covered_ppm"),
         )
     )
 
 
 def token_coverage_sql(ks: tuple[int, ...] = (16, 64, 256, 1024)) -> str:
-    """DuckDB twin of :func:`token_coverage` over the `tok` CTE."""
+    """DuckDB twin of :func:`token_coverage` over the `tok` CTE
+    (CTE continuation — append after a WITH chain)."""
     klist = ", ".join(str(int(k)) for k in sorted(ks))
     return f"""
-WITH counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
 ranked AS (
   SELECT row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank,
          CAST(sum(cnt) OVER (ORDER BY cnt DESC, token ASC
@@ -827,8 +831,8 @@ SELECT CAST(k AS BIGINT) AS k,
        CAST(max(rank) AS BIGINT) AS top_tokens,
        CAST(max(cum) AS BIGINT)  AS covered_cnt,
        CAST(max(total) AS BIGINT) AS total_cnt,
-       CAST(max(cum) AS BIGINT) * 1000000
-         // CAST(max(total) AS BIGINT) AS covered_ppm
+       CAST(CAST(max(cum) AS HUGEINT) * 1000000
+            // CAST(max(total) AS BIGINT) AS BIGINT) AS covered_ppm
 FROM ranked, ks
 WHERE rank <= k
 GROUP BY k

@@ -313,3 +313,22 @@ def test_doc_tfidf_invariants_real(spark):
     )
     assert bad.count() == 0
     assert out.count() == seq.filter(F.size("tokens") > 0).count()
+
+
+def test_rollup_diff_minmax_only_change(spark):
+    """A restate that preserves cnt and sum but moves min/max must
+    still be reported (the audit false-negative case)."""
+    from pyreshaper_spark.operators.rollup import rollup_diff
+
+    schema = (
+        "source string, bucket_s long, cnt long, sum_n_tok long, "
+        "min_n_tok long, max_n_tok long"
+    )
+    a = spark.createDataFrame([("s", 0, 2, 30, 10, 20)], schema)
+    b = spark.createDataFrame([("s", 0, 2, 30, 5, 25)], schema)
+    rows = rollup_diff(a, b).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["d_cnt"] == 0 and r["d_sum"] == 0 and r["minmax_changed"]
+    # and an identical cell still produces no diff row
+    assert rollup_diff(a, a).count() == 0
