@@ -2313,6 +2313,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_dq"] = _q_streaming_dq
 
+    def _q_streaming_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Hysteresis alerts emitted as buckets close: one in-order
+        availableNow batch ≡ batch alert_hysteresis minus each
+        source's final (still-open) bucket — full value oracle."""
+        import os
+        import tempfile
+
+        from pyreshaper_spark.streaming.alert import streaming_alert
+
+        base = tempfile.mkdtemp(prefix="stream_al_")
+        src = os.path.join(base, "src")
+        (
+            _seq(spark, sf_dir)
+            .select("source", "event_s", "n_tok")
+            .orderBy("event_s")
+            .coalesce(1)
+            .write.parquet(src)
+        )
+        rows: list = []
+
+        def sink(batch_df, _epoch):
+            rows.extend(batch_df.collect())
+
+        stream = spark.readStream.schema(
+            "source string, event_s long, n_tok long"
+        ).parquet(src)
+        sq = (
+            streaming_alert(stream, 600, hi=70, lo=40)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(base, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination(300)
+        return spark.createDataFrame(
+            rows,
+            "source string, bucket_s long, value long, alert long, "
+            "event string, late_rows long",
+        )
+
+    q["streaming_alert"] = _q_streaming_alert
+
     def _q_streaming_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Streaming tier-0 ingest run to completion, then the scheduled
         cascade refresh up to 1h — the materialized coarse tier must
@@ -3786,6 +3829,20 @@ FROM sequences GROUP BY 1
 
     o["streaming_dq"] = "WITH " + check_suite_sql(
         "documents", streaming_rules(documents_rules())
+    )
+    from pyreshaper_spark.operators.gapfill import alert_hysteresis_sql
+
+    o["streaming_alert"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"tier AS ({_TIER_AGG.format(w=600)}),"
+        + alert_hysteresis_sql("tier", 70, 40, final_cte="hyst")
+        + """,
+last AS (SELECT source, max(bucket_s) AS mb FROM tier GROUP BY 1)
+SELECT h.source, h.bucket_s, h.value, h.alert, h.event,
+       CAST(0 AS BIGINT) AS late_rows
+FROM hyst h JOIN last l ON l.source = h.source
+WHERE h.bucket_s < l.mb
+"""
     )
     # rate emits exactly the CLOSED buckets: batch counter_rate over
     # tier-0(10m) minus each source's final (still-open) bucket; one

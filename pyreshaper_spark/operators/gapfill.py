@@ -891,10 +891,16 @@ def alert_hysteresis(
 
 
 def alert_hysteresis_sql(
-    relation: str, hi: int, lo: int, value_col: str = "sum_n_tok"
+    relation: str,
+    hi: int,
+    lo: int,
+    value_col: str = "sum_n_tok",
+    final_cte: str | None = None,
 ) -> str:
-    """DuckDB twin of :func:`alert_hysteresis` over a tier relation."""
-    return f"""
+    """DuckDB twin of :func:`alert_hysteresis` over a tier relation.
+    With ``final_cte`` the result SELECT is wrapped as one more named
+    CTE so callers can keep composing (no string surgery)."""
+    body = f"""
 marked AS (
   SELECT source, CAST(bucket_s AS BIGINT) AS bucket_s,
          CAST({value_col} AS BIGINT) AS value,
@@ -909,7 +915,8 @@ st AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
          ), 0) AS BIGINT) AS alert
   FROM marked
-)
+)"""
+    final = """
 SELECT source, bucket_s, value, alert,
        CASE WHEN alert = 1 AND coalesce(lag(alert) OVER (
               PARTITION BY source ORDER BY bucket_s), 0) = 0 THEN 'fire'
@@ -918,6 +925,9 @@ SELECT source, bucket_s, value, alert,
        END AS event
 FROM st
 """
+    if final_cte is not None:
+        return f"{body},\n{final_cte} AS ({final})"
+    return body + final
 
 
 # --------------------------------------------------------------------------
