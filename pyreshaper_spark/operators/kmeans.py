@@ -863,6 +863,34 @@ def ivfpq_topk(
     queries = quantized(emb).filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
     )
+    return ivfpq_probe(
+        index, cb, cents, queries, m_sub=m_sub, topk=topk,
+        nprobe=nprobe, dim=dim,
+    )
+
+
+def ivfpq_probe(
+    index: DataFrame,
+    cb: DataFrame,
+    cents: DataFrame,
+    queries: DataFrame,
+    m_sub: int = PQ_M,
+    topk: int = 5,
+    nprobe: int = 2,
+    dim: int = DIM,
+) -> DataFrame:
+    """Search a STORED IVFADC index — the production read path (train
+    once with :func:`ivfpq_train`, persist (index, codebook,
+    centroids), probe many). ``queries`` is (query_id, qv:array<long>).
+
+    Scale shape: the coarse probe and the LUT are query-batch-sized
+    broadcasts; the only corpus-sized relation is ``index``, touched by
+    ONE broadcast equi-join keyed (cluster, m, code). With the index
+    table PARTITIONED BY cluster, pre-filtering it to the probed lists
+    turns the scan into an O(nprobe·|query batch|)-list read — see
+    jobs/index_job.py, which pushes exactly that partition filter into
+    the catalog read.
+    """
     probes = _probe_lists(queries, cents, nprobe)
     qres = probes.join(
         F.broadcast(cents), probes["cluster"] == cents["cid"]
