@@ -96,3 +96,72 @@ def test_streaming_dq_rejects_unique_rules(spark, tmp_path):
     assert len(documents_rules()) - len(rules) == 1
     with pytest.raises(ValueError, match="unbounded"):
         streaming_dq(stream, [unique("doc_id")])
+
+
+def test_streaming_dq_resumes_from_checkpoint(spark, tmp_path):
+    """Two availableNow runs over ONE checkpoint: the second run picks
+    up only the files added since, and the counters keep accumulating
+    from recovered state (exactly-once across restarts)."""
+    import glob
+    import shutil
+
+    from pyreshaper_spark.operators.checks import (
+        check_suite,
+        documents_rules,
+    )
+    from pyreshaper_spark.streaming.dq import (
+        dq_verdicts,
+        streaming_dq,
+        streaming_rules,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    src = str(tmp_path / "src")
+    stage = str(tmp_path / "stage")
+    half_a.coalesce(1).write.parquet(src)
+    half_b.coalesce(1).write.parquet(stage)
+    ck = os.path.join(str(tmp_path), "ck")
+    rules = streaming_rules(documents_rules())
+    last: dict[str, list] = {}
+
+    def capture(batch_df, _epoch):
+        rows = batch_df.collect()
+        if rows:
+            last["row"] = rows
+
+    def run_once():
+        stream = spark.readStream.schema(DOCS_SCHEMA).parquet(src)
+        sq = (
+            streaming_dq(stream, rules)
+            .writeStream.outputMode("complete")
+            .foreachBatch(capture)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination(300)
+
+    run_once()
+    n_a = {r["rule"]: r["n_rows"] for r in dq_verdicts(
+        spark.createDataFrame(last["row"]), rules
+    ).collect()}
+    assert set(n_a.values()) == {half_a.count()}
+
+    # drop in the second half and RESTART from the same checkpoint
+    for f in glob.glob(os.path.join(stage, "part-*")):
+        shutil.copy(f, os.path.join(src, os.path.basename(f)))
+    run_once()
+    got = {
+        r["rule"]: (r["violations"], r["n_rows"])
+        for r in dq_verdicts(
+            spark.createDataFrame(last["row"]), rules
+        ).collect()
+    }
+    want = {
+        r["rule"]: (r["violations"], r["n_rows"])
+        for r in check_suite(docs, rules).collect()
+    }
+    assert got == want
+    assert set(v[1] for v in got.values()) == {docs.count()}
