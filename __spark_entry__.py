@@ -56,6 +56,48 @@ def _cached(spark: SparkSession, key: tuple, make) -> DataFrame:
     return df
 
 
+def _static_parquet(spark: SparkSession, sf_dir: str, key: str, writer) -> str:
+    """Memoized static-input parquet for the streaming oracle queries:
+    several entries feed the SAME projection of the sequences/token
+    relation through availableNow — write it once per (session,
+    sf_dir) instead of once per query (checkpoint dirs stay per-query
+    and fresh). ``writer(path)`` materializes on first use."""
+    import os
+    import tempfile
+
+    k = (spark.sparkContext.applicationId, "static", sf_dir, key)
+    base = _MEMO.get(k)
+    if base is None:
+        base = tempfile.mkdtemp(prefix=f"stream_in_{key}_")
+        writer(os.path.join(base, "src"))
+        _MEMO[k] = base
+    return os.path.join(base, "src")
+
+
+def _seq3_sorted_path(spark: SparkSession, sf_dir: str) -> str:
+    """(source, event_s, n_tok) sorted single-file input — one in-order
+    availableNow batch (the bucket-close operators' documented
+    contract)."""
+    return _static_parquet(
+        spark, sf_dir, "seq3",
+        lambda p: (
+            _seq(spark, sf_dir)
+            .select("source", "event_s", "n_tok")
+            .orderBy("event_s")
+            .coalesce(1)
+            .write.parquet(p)
+        ),
+    )
+
+
+def _seq_full_path(spark: SparkSession, sf_dir: str) -> str:
+    """The full sequences relation as a static stream source."""
+    return _static_parquet(
+        spark, sf_dir, "seqfull",
+        lambda p: _seq(spark, sf_dir).write.parquet(p),
+    )
+
+
 def _seq(spark: SparkSession, sf_dir: str, variant: str = "base") -> DataFrame:
     _utc(spark)
     return _cached(
@@ -2103,8 +2145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pyreshaper_spark.streaming.ingest import start_tier0_stream
 
         base = tempfile.mkdtemp(prefix="stream_q_")
-        seq_path = os.path.join(base, "seq")
-        _seq(spark, sf_dir).write.parquet(seq_path)
+        seq_path = _seq_full_path(spark, sf_dir)
         sq = start_tier0_stream(
             spark, seq_path, os.path.join(base, "out"),
             os.path.join(base, "ck"), width_s=60,
@@ -2136,8 +2177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pyreshaper_spark.streaming.ingest import start_tier0_stream
 
         base = tempfile.mkdtemp(prefix="stream_hop_")
-        seq_path = os.path.join(base, "seq")
-        _seq(spark, sf_dir).write.parquet(seq_path)
+        seq_path = _seq_full_path(spark, sf_dir)
         sq = start_tier0_stream(
             spark, seq_path, os.path.join(base, "out"),
             os.path.join(base, "ck"), width_s=3600, slide_s=600,
@@ -2323,14 +2363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pyreshaper_spark.streaming.alert import streaming_alert
 
         base = tempfile.mkdtemp(prefix="stream_al_")
-        src = os.path.join(base, "src")
-        (
-            _seq(spark, sf_dir)
-            .select("source", "event_s", "n_tok")
-            .orderBy("event_s")
-            .coalesce(1)
-            .write.parquet(src)
-        )
+        src = _seq3_sorted_path(spark, sf_dir)
         rows: list = []
 
         def sink(batch_df, _epoch):
@@ -2371,8 +2404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         base = tempfile.mkdtemp(prefix="stream_casc_")
-        seq_path = os.path.join(base, "seq")
-        _seq(spark, sf_dir).write.parquet(seq_path)
+        seq_path = _seq_full_path(spark, sf_dir)
         sq = start_tier0_stream(
             spark, seq_path, os.path.join(base, "out"),
             os.path.join(base, "ck"), width_s=60,
@@ -2399,17 +2431,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pyreshaper_spark.streaming.rate import streaming_rate
 
         base = tempfile.mkdtemp(prefix="stream_rt_")
-        src = os.path.join(base, "src")
         # one sorted file → one in-order availableNow batch (the
         # operator's documented contract; late/multi-batch behavior is
-        # state-machine unit-tested)
-        (
-            _seq(spark, sf_dir)
-            .select("source", "event_s", "n_tok")
-            .orderBy("event_s")
-            .coalesce(1)
-            .write.parquet(src)
-        )
+        # state-machine unit-tested); input shared across the
+        # bucket-close streaming queries (_seq3_sorted_path)
+        src = _seq3_sorted_path(spark, sf_dir)
         rows: list = []
 
         def sink(batch_df, _epoch):
@@ -2442,14 +2468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pyreshaper_spark.streaming.quota import streaming_quota
 
         base = tempfile.mkdtemp(prefix="stream_qt_")
-        src = os.path.join(base, "src")
-        (
-            _seq(spark, sf_dir)
-            .select("source", "event_s", "n_tok")
-            .orderBy("event_s")
-            .coalesce(1)
-            .write.parquet(src)
-        )
+        src = _seq3_sorted_path(spark, sf_dir)
         rows: list = []
 
         def sink(batch_df, _epoch):
@@ -2480,14 +2499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pyreshaper_spark.streaming.anomaly import streaming_anomaly
 
         base = tempfile.mkdtemp(prefix="stream_an_")
-        src = os.path.join(base, "src")
-        (
-            _seq(spark, sf_dir)
-            .select("source", "event_s", "n_tok")
-            .orderBy("event_s")
-            .coalesce(1)
-            .write.parquet(src)
-        )
+        src = _seq3_sorted_path(spark, sf_dir)
         rows: list = []
 
         def sink(batch_df, _epoch):
@@ -2520,14 +2532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pyreshaper_spark.streaming.cusum import streaming_cusum
 
         base = tempfile.mkdtemp(prefix="stream_cu_")
-        src = os.path.join(base, "src")
-        (
-            _seq(spark, sf_dir)
-            .select("source", "event_s", "n_tok")
-            .orderBy("event_s")
-            .coalesce(1)
-            .write.parquet(src)
-        )
+        src = _seq3_sorted_path(spark, sf_dir)
         rows: list = []
 
         def sink(batch_df, _epoch):
