@@ -1509,6 +1509,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["forecast_accuracy_10m"] = _q_forecast_acc
 
+    def _q_forecast_pi(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Split-conformal prediction intervals around the naive
+        forecast: exact integer residual order statistic per source,
+        per-bucket coverage flags over the evaluation window."""
+        from pyreshaper_spark.operators.forecast import conformal_interval
+
+        return conformal_interval(_tiers(spark, sf_dir)[600], season_s=3600)
+
+    q["forecast_pi_10m"] = _q_forecast_pi
+
     def _q_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Active session-seconds + session counts per hour (uptime /
         concurrency panel) from gap-based sessions."""
@@ -3582,6 +3592,13 @@ WHERE r.bucket_s < last.mb
     o["forecast_accuracy_10m"] = (
         _GAPFILL_CTES + _LOCF_CTE
         + forecast_accuracy_sql("locf", 3600, value_col="sum_n_tok_locf")
+    )
+    from pyreshaper_spark.operators.forecast import conformal_interval_sql
+
+    o["forecast_pi_10m"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"tier AS ({_TIER_AGG.format(w=600)}),"
+        + conformal_interval_sql("tier", 3600)
     )
     from pyreshaper_spark.operators.events import session_coverage_sql
     from pyreshaper_spark.operators.rollup import quota_cross_sql

@@ -232,3 +232,133 @@ SELECT source,
             END AS BIGINT) AS err_scaled
 FROM {relation}
 """
+
+
+def conformal_interval(
+    tier: DataFrame,
+    season_s: int,
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+    split_num: int = 4,
+    split_den: int = 5,
+    value_col: str = "sum_n_tok",
+) -> DataFrame:
+    """Split-conformal prediction intervals around the naive forecast
+    — the distribution-free uncertainty band an alerting/forecasting
+    consumer actually wants next to a point forecast (Vovk's conformal
+    guarantee: ≥ 1−α marginal coverage under exchangeability, NO
+    distributional assumption).
+
+    Per source: the earliest ``split_num/split_den`` of buckets are
+    the CALIBRATION window; q̂ = the ⌈(n_cal+1)(1−α)⌉-th smallest
+    absolute naive-backtest residual there (an exact integer order
+    statistic — never a float quantile; clamped to the largest
+    residual when the rank exceeds n_cal, i.e. too little calibration
+    data for the requested α). Every later bucket gets
+    ``[fc − q̂, fc + q̂]`` and a coverage flag.
+
+    Output: (source, bucket_s, actual, fc, qhat, lo, hi, covered) over
+    the evaluation buckets.
+
+    Scale shape: runs on the O(buckets) tier — the position/count and
+    residual-rank windows share the per-source sort every tier
+    analytic pays; q̂ is ONE row per source joined back broadcast.
+    """
+    if not (0 < alpha_num < alpha_den and 0 < split_num < split_den):
+        raise ValueError("need 0 < alpha < 1 and 0 < split < 1")
+    bt = snaive_backtest(tier, season_s, value_col).select(
+        "source", "bucket_s", "actual", "fc_naive", "err_naive"
+    )
+    w = Window.partitionBy("source").orderBy("bucket_s")
+    wall = Window.partitionBy("source")
+    rows = bt.withColumn("pos", F.row_number().over(w)).withColumn(
+        "n_all", F.count("*").over(wall)
+    )
+    split_pos = F.expr(f"n_all * {split_num} div {split_den}")
+    cal = rows.filter(
+        (F.col("pos") <= split_pos) & F.col("err_naive").isNotNull()
+    )
+    wr = Window.partitionBy("source").orderBy(
+        F.col("err_naive").asc(), F.col("bucket_s").asc()
+    )
+    ranked = cal.select(
+        "source", "err_naive", F.row_number().over(wr).alias("r")
+    ).withColumn("n_cal", F.count("*").over(wall))
+    r_target = F.expr(
+        f"((n_cal + 1) * {alpha_den - alpha_num} + {alpha_den - 1}) "
+        f"div {alpha_den}"
+    )
+    qhat = ranked.filter(
+        F.col("r") == F.least(r_target, F.col("n_cal"))
+    ).select("source", F.col("err_naive").alias("qhat"))
+    ev = rows.filter(
+        (F.col("pos") > split_pos) & F.col("fc_naive").isNotNull()
+    )
+    return ev.join(F.broadcast(qhat), "source").select(
+        "source",
+        "bucket_s",
+        "actual",
+        F.col("fc_naive").alias("fc"),
+        "qhat",
+        (F.col("fc_naive") - F.col("qhat")).alias("lo"),
+        (F.col("fc_naive") + F.col("qhat")).alias("hi"),
+        (
+            (F.col("actual") >= F.col("fc_naive") - F.col("qhat"))
+            & (F.col("actual") <= F.col("fc_naive") + F.col("qhat"))
+        ).alias("covered"),
+    )
+
+
+def conformal_interval_sql(
+    relation: str,
+    season_s: int,
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+    split_num: int = 4,
+    split_den: int = 5,
+    value_col: str = "sum_n_tok",
+) -> str:
+    """DuckDB twin of :func:`conformal_interval` over a named tier
+    relation (CTE continuation — append after a WITH chain)."""
+    width = alpha_den - alpha_num
+    return f"""
+cbt AS (
+  SELECT source, CAST(bucket_s AS BIGINT) AS bucket_s,
+         CAST({value_col} AS BIGINT) AS actual,
+         lag(CAST({value_col} AS BIGINT)) OVER
+           (PARTITION BY source ORDER BY bucket_s) AS fc_naive
+  FROM {relation}
+),
+crows AS (
+  SELECT *,
+         abs(actual - fc_naive) AS err_naive,
+         row_number() OVER (PARTITION BY source ORDER BY bucket_s)
+           AS pos,
+         count(*) OVER (PARTITION BY source) AS n_all
+  FROM cbt
+),
+ccal AS (
+  SELECT source, err_naive,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY err_naive ASC, bucket_s ASC) AS r,
+         count(*) OVER (PARTITION BY source) AS n_cal
+  FROM crows
+  WHERE pos <= n_all * {split_num} // {split_den}
+    AND err_naive IS NOT NULL
+),
+cq AS (
+  SELECT source, CAST(err_naive AS BIGINT) AS qhat
+  FROM ccal
+  WHERE r = least(((n_cal + 1) * {width} + {alpha_den - 1})
+                  // {alpha_den}, n_cal)
+)
+SELECT e.source, e.bucket_s, e.actual,
+       CAST(e.fc_naive AS BIGINT) AS fc, q.qhat,
+       CAST(e.fc_naive - q.qhat AS BIGINT) AS lo,
+       CAST(e.fc_naive + q.qhat AS BIGINT) AS hi,
+       e.actual BETWEEN e.fc_naive - q.qhat AND e.fc_naive + q.qhat
+         AS covered
+FROM crows e JOIN cq q ON q.source = e.source
+WHERE e.pos > e.n_all * {split_num} // {split_den}
+  AND e.fc_naive IS NOT NULL
+"""

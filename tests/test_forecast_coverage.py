@@ -92,3 +92,68 @@ def test_quota_cross_first_bucket_only(spark):
     r = rows[0]
     assert r["source"] == "a"
     assert r["cross_bucket_s"] == 10 and r["cum_at_cross"] == 7
+
+
+# --------------------------------------------------------------------------
+# conformal prediction intervals
+# --------------------------------------------------------------------------
+
+def _one_source_tier(spark, vals):
+    return spark.createDataFrame(
+        [("s", i * 600, 1, v, v, v) for i, v in enumerate(vals)],
+        "source string, bucket_s long, cnt long, sum_n_tok long, "
+        "min_n_tok long, max_n_tok long",
+    )
+
+
+def test_conformal_hand_fixture(spark):
+    from pyreshaper_spark.operators.forecast import conformal_interval
+
+    # 11 buckets: split 4/5 → 8 calibration positions (7 residuals,
+    # all = 10) → q̂ = 10; eval = positions 9-11
+    vals = [0, 10, 0, 10, 0, 10, 0, 10, 5, 5, 100]
+    out = sorted(
+        conformal_interval(
+            _one_source_tier(spark, vals), season_s=3600
+        ).collect(),
+        key=lambda r: r["bucket_s"],
+    )
+    assert [r["qhat"] for r in out] == [10, 10, 10]
+    assert [(r["actual"], r["fc"], r["covered"]) for r in out] == [
+        (5, 10, True),    # |5-10| <= 10
+        (5, 5, True),
+        (100, 5, False),  # |100-5| > 10
+    ]
+    assert all(
+        r["lo"] == r["fc"] - 10 and r["hi"] == r["fc"] + 10 for r in out
+    )
+
+
+def test_conformal_coverage_on_real_tier(spark, seq):
+    from pyreshaper_spark.operators.forecast import conformal_interval
+    from pyreshaper_spark.operators.rollup import rollup_tier0
+
+    out = conformal_interval(rollup_tier0(seq, 600), season_s=3600)
+    rows = out.collect()
+    assert rows
+    # flag consistency: covered <=> |actual - fc| <= qhat
+    for r in rows:
+        assert r["covered"] == (abs(r["actual"] - r["fc"]) <= r["qhat"])
+        assert r["lo"] == r["fc"] - r["qhat"]
+        assert r["hi"] == r["fc"] + r["qhat"]
+    # conformal guarantee is >= 1 - alpha in expectation; allow slack
+    # on one realization
+    frac = sum(1 for r in rows if r["covered"]) / len(rows)
+    assert frac >= 0.75
+
+
+def test_conformal_rejects_bad_params(spark):
+    import pytest
+
+    from pyreshaper_spark.operators.forecast import conformal_interval
+
+    t = _one_source_tier(spark, [1, 2, 3])
+    with pytest.raises(ValueError):
+        conformal_interval(t, 3600, alpha_num=0)
+    with pytest.raises(ValueError):
+        conformal_interval(t, 3600, split_num=5, split_den=5)
