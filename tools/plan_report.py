@@ -1549,6 +1549,9 @@ def main() -> None:
     from pyreshaper_spark.operators.vocab import doc_tfidf
 
     p_tf = plan_of(doc_tfidf(seq_v))
+    from pyreshaper_spark.operators.forecast import conformal_interval
+
+    p_ci = plan_of(conformal_interval(t600, season_s=3600))
     sections.append((
         "DQ suite, token coverage, 3-step paths, rollup release diff",
         "\n".join([
@@ -1559,6 +1562,7 @@ def main() -> None:
             "--- apply_retention_policy ---", p_rp[:800],
             "--- alert_hysteresis ---", p_ah[:800],
             "--- doc_tfidf ---", p_tf[:800],
+            "--- conformal_interval ---", p_ci[:800],
         ]),
         [
             ("DQ suite: the WHOLE rule set is ONE scan of documents "
@@ -1611,6 +1615,11 @@ def main() -> None:
              and p_tf.count("BroadcastNestedLoopJoin") // 2 <= 1
              and "CartesianProduct" not in p_tf
              and "Window" not in p_tf),
+            ("conformal intervals: q-hat (one row per source) joins "
+             "back BROADCAST; no cartesian; windows ride per-source "
+             "sorts of the tiny tier",
+             "BroadcastHashJoin" in p_ci and no_cartesian(p_ci)
+             and "SortMergeJoin" not in p_ci),
         ],
     ))
 
