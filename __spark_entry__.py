@@ -924,6 +924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # -- multimodal ---------------------------------------------------
     q["mm_meta"] = lambda s, d: multimodal.media_meta(_docs(s, d))
+    # DQ suite generalized to the multimodal/binary-payload table
+    q["dq_media"] = lambda s, d: multimodal.dq_media(_docs(s, d))
     # frame sampling over fixed-size planes is pure codegen (binary
     # substring) — md5 emitted so the frames themselves hash-compare.
     # Small planes (w 4..16, h 3..9) so fixture payloads hold several
@@ -3314,6 +3316,7 @@ FROM tier t JOIN meta m USING (source)
     o["ngram_novelty_1d"] = ngram_novelty_sql(5, _V, _day_expr)
     o["emb_pc1_proj"] = pc1_projection_sql(n_iter=3)
     o["mm_meta"] = multimodal.media_meta_sql()
+    o["dq_media"] = multimodal.dq_media_sql()
     o["mm_frame_sample"] = multimodal.sample_frames_planar_sql(
         every_k=4,
         width_sql="(doc_id % 13) + 4",

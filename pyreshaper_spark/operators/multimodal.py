@@ -363,3 +363,74 @@ def resize_media(
         "doc_id long, media_type string, out_w int, out_h int, "
         "resized binary, px_sum long",
     )
+
+
+def media_rules() -> list:
+    """Release-gate DQ suite for the multimodal table — the binary
+    payload's contracts (typed meta consistent with the payload and
+    the modality) expressed in the generic declarative engine
+    (operators.checks): identity, modality set, payload presence and
+    non-emptiness (byte length — octet_length on the BLOB side),
+    plausible plane dims, and the audio-only sample-rate invariant."""
+    from pyreshaper_spark.operators.checks import (
+        bounds,
+        expr_rule,
+        in_set,
+        not_null,
+        unique,
+    )
+
+    return [
+        not_null("doc_id"),
+        unique("doc_id"),
+        in_set("media_type", list(MEDIA_TYPES)),
+        not_null("payload"),
+        expr_rule(
+            "payload_nonempty",
+            lambda: F.col("payload").isNotNull()
+            & (F.length("payload") < 1),
+            "payload IS NOT NULL AND octet_length(payload) < 1",
+        ),
+        bounds("width", lo=16, hi=79),
+        bounds("height", lo=16, hi=63),
+        expr_rule(
+            "audio_rate_consistent",
+            lambda: (
+                (F.col("media_type") == "audio")
+                & (F.col("sample_rate") != 16000)
+            )
+            | (
+                (F.col("media_type") != "audio")
+                & (F.col("sample_rate") != 0)
+            ),
+            "(media_type = 'audio' AND sample_rate != 16000) OR "
+            "(media_type != 'audio' AND sample_rate != 0)",
+        ),
+    ]
+
+
+def dq_media(docs: DataFrame) -> DataFrame:
+    """`dq_media` query entry: the suite over the synthesized table."""
+    from pyreshaper_spark.operators.checks import check_suite
+
+    return check_suite(media_table(docs), media_rules())
+
+
+def dq_media_sql() -> str:
+    from pyreshaper_spark.operators.checks import check_suite_sql
+
+    types = ", ".join(f"'{t}'" for t in MEDIA_TYPES)
+    return (
+        f"""WITH media AS (
+  SELECT doc_id,
+         ([{types}])[(doc_id % 3) + 1] AS media_type,
+         encode(text)                  AS payload,
+         CAST((n_chars % 64) + 16 AS INT) AS width,
+         CAST((n_chars % 48) + 16 AS INT) AS height,
+         CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS INT)
+           AS sample_rate
+  FROM documents
+),
+"""
+        + check_suite_sql("media", media_rules())
+    )
