@@ -1517,7 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         per-bucket coverage flags over the evaluation window."""
         from pyreshaper_spark.operators.forecast import conformal_interval
 
-        return conformal_interval(_tiers(spark, sf_dir)[600], season_s=3600)
+        return conformal_interval(_tiers(spark, sf_dir)[600])
 
     q["forecast_pi_10m"] = _q_forecast_pi
 
@@ -3601,7 +3601,7 @@ WHERE r.bucket_s < last.mb
     o["forecast_pi_10m"] = (
         f"WITH {seq_cte('base')},\n"
         f"tier AS ({_TIER_AGG.format(w=600)}),"
-        + conformal_interval_sql("tier", 3600)
+        + conformal_interval_sql("tier")
     )
     from pyreshaper_spark.operators.events import session_coverage_sql
     from pyreshaper_spark.operators.rollup import quota_cross_sql

@@ -9,12 +9,16 @@
             --n-queries 10 --topk 5 --nprobe 2     # search the stored index
 
 ``build`` trains the IVFADC index (coarse Lloyd lists + product
-quantizer over the residuals) and commits THREE IcebergLite tables —
+quantizer over the residuals) and commits FOUR IcebergLite tables —
 ``ann_index`` (vec_id, cluster, m, code) PARTITIONED BY the coarse
-list id, ``ann_codebook`` (m, cid, c), ``ann_centroids`` (cid, c) —
-each an atomic snapshot, so a rebuild swaps in while readers keep the
-previous index (and past builds stay time-travelable). A build-metrics
-JSON line carries the shape + the FAISS imbalance factor.
+list id, ``ann_codebook`` (m, cid, c), ``ann_centroids`` (cid, c),
+then LAST the one-row ``ann_manifest`` pinning the trio's snapshot ids
+plus the training params. The manifest makes the three-table publish
+atomic AS A UNIT: probes resolve a consistent build through the
+manifest head (never mixing a new index with an old codebook mid-
+rebuild), past builds stay time-travelable, and probe-time parameters
+come from the build itself. A build-metrics JSON line carries the
+shape + the FAISS imbalance factor.
 
 ``probe`` is the production read path: centroids + codebook load from
 the catalog (tiny, broadcast), the coarse probe picks each query's
@@ -40,6 +44,13 @@ from pyspark.sql import functions as F  # noqa: E402
 INDEX_TABLE = "ann_index"
 CODEBOOK_TABLE = "ann_codebook"
 CENTROIDS_TABLE = "ann_centroids"
+#: single-row pointer committed LAST: the pinned (index, codebook,
+#: centroids) snapshot ids of one CONSISTENT build plus its training
+#: params. Multi-table atomicity the Iceberg way — concurrent probes
+#: resolve the trio through the manifest head, so a rebuild's partial
+#: commits are never mixed across builds, and probe-time params come
+#: from the build instead of caller guesses.
+MANIFEST_TABLE = "ann_manifest"
 
 
 def build_index(
@@ -96,6 +107,15 @@ def build_index(
         else None
     )
     index.unpersist()
+    manifest = spark.createDataFrame(
+        [(
+            sids[INDEX_TABLE], sids[CODEBOOK_TABLE],
+            sids[CENTROIDS_TABLE], k_coarse, ks, m_sub, dim, n_total,
+        )],
+        "index_sid long, codebook_sid long, centroids_sid long, "
+        "k_coarse long, ks long, m_sub long, dim long, n_vectors long",
+    )
+    sids[MANIFEST_TABLE] = cat.overwrite(MANIFEST_TABLE, manifest)
     return {
         "op": "build",
         "n_vectors": n_total,
@@ -117,47 +137,57 @@ def probe_index(
     nprobe: int = 2,
     dim: int | None = None,
 ) -> DataFrame:
-    from pyreshaper_spark.operators.kmeans import (
-        DIM,
-        PQ_M,
-        _probe_lists,
-        ivfpq_probe,
-    )
-
-    m_sub = PQ_M if m_sub is None else m_sub
-    dim = DIM if dim is None else dim
+    from pyreshaper_spark.operators.kmeans import ivfpq_probe, probe_lists
     from pyreshaper_spark.sources.iceberglite import IcebergLite
 
     cat = IcebergLite(table_root)
-    cents = cat.read(spark, CENTROIDS_TABLE)
-    cb = cat.read(spark, CODEBOOK_TABLE)
+    # resolve ONE consistent build through the manifest head: pinned
+    # snapshot ids + the build's own params (caller overrides are
+    # validated, not trusted — probing with a different m_sub/dim than
+    # the build silently corrupts distances otherwise)
+    man = cat.read(spark, MANIFEST_TABLE).collect()[0]
+    for pname, given in (("m_sub", m_sub), ("dim", dim)):
+        if given is not None and given != man[pname]:
+            raise ValueError(
+                f"{pname}={given} does not match the stored build "
+                f"({pname}={man[pname]} in {MANIFEST_TABLE})"
+            )
+    m_sub, dim = int(man["m_sub"]), int(man["dim"])
+    cents = cat.read(
+        spark, CENTROIDS_TABLE, snapshot_id=int(man["centroids_sid"])
+    )
+    cb = cat.read(
+        spark, CODEBOOK_TABLE, snapshot_id=int(man["codebook_sid"])
+    )
     # which lists does this query batch touch? O(nprobe · |queries|)
-    # ids, collected driver-side, pushed into the catalog read as a
-    # PARTITION filter — only those lists' files are ever opened
-    probed = {
-        str(r["cluster"])
-        for r in _probe_lists(queries, cents, nprobe)
-        .select("cluster")
-        .distinct()
-        .collect()
-    }
+    # rows, collected driver-side (a probe batch is bounded by
+    # construction): the cluster ids become the catalog read's
+    # PARTITION filter — only those lists' files are ever opened — and
+    # the rows feed ivfpq_probe directly, so the coarse assign runs
+    # once, not twice
+    probe_rows = probe_lists(queries, cents, nprobe).collect()
+    probed = {str(r["cluster"]) for r in probe_rows}
+    probes = spark.createDataFrame(
+        [(r["query_id"], r["qv"], r["cluster"]) for r in probe_rows],
+        "query_id long, qv array<long>, cluster long",
+    )
     index = cat.read(
         spark,
         INDEX_TABLE,
+        snapshot_id=int(man["index_sid"]),
         partition_filter=lambda p: p.get("cluster") in probed,
+        allow_empty=True,  # all-empty probed lists → zero results
     )
     return ivfpq_probe(
         index, cb, cents, queries,
-        m_sub=m_sub, topk=topk, nprobe=nprobe, dim=dim,
+        m_sub=m_sub, topk=topk, nprobe=nprobe, dim=dim, probes=probes,
     )
 
 
 def _queries_from_emb(emb: DataFrame, n_queries: int) -> DataFrame:
-    from pyreshaper_spark.operators.similarity import quantized
+    from pyreshaper_spark.operators.kmeans import query_batch
 
-    return quantized(emb).filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
-    )
+    return query_batch(emb, n_queries)
 
 
 def main(argv: list[str] | None = None) -> dict:

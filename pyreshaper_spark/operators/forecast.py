@@ -236,7 +236,6 @@ FROM {relation}
 
 def conformal_interval(
     tier: DataFrame,
-    season_s: int,
     alpha_num: int = 1,
     alpha_den: int = 10,
     split_num: int = 4,
@@ -258,7 +257,10 @@ def conformal_interval(
     ``[fc − q̂, fc + q̂]`` and a coverage flag.
 
     Output: (source, bucket_s, actual, fc, qhat, lo, hi, covered) over
-    the evaluation buckets.
+    the evaluation buckets. A source with NO usable calibration
+    residual (under ~2 buckets of history) keeps its evaluation rows
+    with NULL qhat/lo/hi/covered — visible to the consumer, never
+    silently dropped.
 
     Scale shape: runs on the O(buckets) tier — the position/count and
     residual-rank windows share the per-source sort every tier
@@ -266,10 +268,15 @@ def conformal_interval(
     """
     if not (0 < alpha_num < alpha_den and 0 < split_num < split_den):
         raise ValueError("need 0 < alpha < 1 and 0 < split < 1")
-    bt = snaive_backtest(tier, season_s, value_col).select(
-        "source", "bucket_s", "actual", "fc_naive", "err_naive"
-    )
     w = Window.partitionBy("source").orderBy("bucket_s")
+    actual = F.col(value_col).cast("long")
+    bt = tier.select(
+        "source",
+        F.col("bucket_s").cast("long").alias("bucket_s"),
+        actual.alias("actual"),
+    ).withColumn("fc_naive", F.lag("actual").over(w)).withColumn(
+        "err_naive", F.abs(F.col("actual") - F.col("fc_naive"))
+    )
     wall = Window.partitionBy("source")
     rows = bt.withColumn("pos", F.row_number().over(w)).withColumn(
         "n_all", F.count("*").over(wall)
@@ -294,7 +301,7 @@ def conformal_interval(
     ev = rows.filter(
         (F.col("pos") > split_pos) & F.col("fc_naive").isNotNull()
     )
-    return ev.join(F.broadcast(qhat), "source").select(
+    return ev.join(F.broadcast(qhat), "source", "left").select(
         "source",
         "bucket_s",
         "actual",
@@ -311,7 +318,6 @@ def conformal_interval(
 
 def conformal_interval_sql(
     relation: str,
-    season_s: int,
     alpha_num: int = 1,
     alpha_den: int = 10,
     split_num: int = 4,
@@ -358,7 +364,7 @@ SELECT e.source, e.bucket_s, e.actual,
        CAST(e.fc_naive + q.qhat AS BIGINT) AS hi,
        e.actual BETWEEN e.fc_naive - q.qhat AND e.fc_naive + q.qhat
          AS covered
-FROM crows e JOIN cq q ON q.source = e.source
+FROM crows e LEFT JOIN cq q ON q.source = e.source
 WHERE e.pos > e.n_all * {split_num} // {split_den}
   AND e.fc_naive IS NOT NULL
 """

@@ -184,6 +184,27 @@ def _probe_lists(
     )
 
 
+def probe_lists(
+    queries: DataFrame, cents: DataFrame, nprobe: int
+) -> DataFrame:
+    """Public face of :func:`_probe_lists` for stored-index consumers
+    (jobs/index_job.py computes the probed-list set for partition
+    pruning with exactly the prober's nprobe/tie-break semantics)."""
+    return _probe_lists(queries, cents, nprobe)
+
+
+def query_batch(emb: DataFrame, n_queries: int) -> DataFrame:
+    """The first ``n_queries`` vectors as a (query_id, qv) probe batch
+    — ONE definition shared by the inline searchers and the stored-
+    index CLI, so 'probe ≡ inline' can never drift on the query
+    projection."""
+    from pyreshaper_spark.operators.similarity import quantized
+
+    return quantized(emb).filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+
+
 def ivf_kmeans_topk(
     emb: DataFrame,
     k: int = 8,
@@ -860,12 +881,9 @@ def ivfpq_topk(
     exact squared L2 distance between the query's residual and the
     neighbor's RESIDUAL RECONSTRUCTION within each probed list."""
     index, cb, cents = ivfpq_train(emb, k_coarse, ks, n_iter, m_sub, dim)
-    queries = quantized(emb).filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
-    )
     return ivfpq_probe(
-        index, cb, cents, queries, m_sub=m_sub, topk=topk,
-        nprobe=nprobe, dim=dim,
+        index, cb, cents, query_batch(emb, n_queries), m_sub=m_sub,
+        topk=topk, nprobe=nprobe, dim=dim,
     )
 
 
@@ -878,6 +896,7 @@ def ivfpq_probe(
     topk: int = 5,
     nprobe: int = 2,
     dim: int = DIM,
+    probes: DataFrame | None = None,
 ) -> DataFrame:
     """Search a STORED IVFADC index — the production read path (train
     once with :func:`ivfpq_train`, persist (index, codebook,
@@ -890,8 +909,13 @@ def ivfpq_probe(
     turns the scan into an O(nprobe·|query batch|)-list read — see
     jobs/index_job.py, which pushes exactly that partition filter into
     the catalog read.
+
+    ``probes`` lets a caller that already ran :func:`probe_lists` (for
+    that partition filter) pass the result in instead of paying the
+    coarse assign twice.
     """
-    probes = _probe_lists(queries, cents, nprobe)
+    if probes is None:
+        probes = _probe_lists(queries, cents, nprobe)
     qres = probes.join(
         F.broadcast(cents), probes["cluster"] == cents["cid"]
     ).select(

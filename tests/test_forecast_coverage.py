@@ -113,9 +113,7 @@ def test_conformal_hand_fixture(spark):
     # all = 10) → q̂ = 10; eval = positions 9-11
     vals = [0, 10, 0, 10, 0, 10, 0, 10, 5, 5, 100]
     out = sorted(
-        conformal_interval(
-            _one_source_tier(spark, vals), season_s=3600
-        ).collect(),
+        conformal_interval(_one_source_tier(spark, vals)).collect(),
         key=lambda r: r["bucket_s"],
     )
     assert [r["qhat"] for r in out] == [10, 10, 10]
@@ -133,11 +131,12 @@ def test_conformal_coverage_on_real_tier(spark, seq):
     from pyreshaper_spark.operators.forecast import conformal_interval
     from pyreshaper_spark.operators.rollup import rollup_tier0
 
-    out = conformal_interval(rollup_tier0(seq, 600), season_s=3600)
+    out = conformal_interval(rollup_tier0(seq, 600))
     rows = out.collect()
     assert rows
     # flag consistency: covered <=> |actual - fc| <= qhat
     for r in rows:
+        assert r["qhat"] is not None  # every source has history here
         assert r["covered"] == (abs(r["actual"] - r["fc"]) <= r["qhat"])
         assert r["lo"] == r["fc"] - r["qhat"]
         assert r["hi"] == r["fc"] + r["qhat"]
@@ -147,6 +146,18 @@ def test_conformal_coverage_on_real_tier(spark, seq):
     assert frac >= 0.75
 
 
+def test_conformal_short_history_kept_with_null_band(spark):
+    """A 2-bucket source has no calibration residual: its evaluation
+    row survives with a NULL band instead of silently vanishing."""
+    from pyreshaper_spark.operators.forecast import conformal_interval
+
+    out = conformal_interval(_one_source_tier(spark, [7, 9])).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["actual"] == 9 and r["fc"] == 7
+    assert r["qhat"] is None and r["lo"] is None and r["covered"] is None
+
+
 def test_conformal_rejects_bad_params(spark):
     import pytest
 
@@ -154,6 +165,6 @@ def test_conformal_rejects_bad_params(spark):
 
     t = _one_source_tier(spark, [1, 2, 3])
     with pytest.raises(ValueError):
-        conformal_interval(t, 3600, alpha_num=0)
+        conformal_interval(t, alpha_num=0)
     with pytest.raises(ValueError):
-        conformal_interval(t, 3600, split_num=5, split_den=5)
+        conformal_interval(t, split_num=5, split_den=5)

@@ -29,7 +29,7 @@ def test_build_then_probe_equals_inline(spark, tmp_path):
     assert 1 <= m["n_lists"] <= m["k_coarse"]
     assert m["imbalance_ppm"] >= 1_000_000  # k·Σn²/N² ≥ 1 always
     assert set(m["snapshot_ids"]) == {
-        "ann_index", "ann_codebook", "ann_centroids",
+        "ann_index", "ann_codebook", "ann_centroids", "ann_manifest",
     }
 
     got = {
@@ -113,3 +113,31 @@ def test_index_cli_round_trip(spark, tmp_path, capsys):
         cat.current_snapshot_id("ann_index")
         == rebuilt["snapshot_ids"]["ann_index"]
     )
+
+
+def test_probe_validates_params_and_handles_empty_lists(spark, tmp_path):
+    import index_job
+    import pytest
+
+    from pyreshaper_spark.operators.kmeans import ivfpq_probe
+    from pyreshaper_spark.sources.iceberglite import IcebergLite
+
+    emb = spark.read.parquet(EMB)
+    root = str(tmp_path / "ann")
+    index_job.build_index(spark, emb, root)
+    q = index_job._queries_from_emb(emb, 3)
+    # probe-time params that contradict the stored build are refused
+    with pytest.raises(ValueError, match="m_sub"):
+        index_job.probe_index(spark, q, root, m_sub=2)
+    with pytest.raises(ValueError, match="dim"):
+        index_job.probe_index(spark, q, root, dim=32)
+    # a fully-pruned index read (no vectors in any probed list) is a
+    # typed empty relation and yields zero results, not a crash
+    cat = IcebergLite(root)
+    empty_index = cat.read(
+        spark, "ann_index",
+        partition_filter=lambda p: False, allow_empty=True,
+    )
+    cents = cat.read(spark, "ann_centroids")
+    cb = cat.read(spark, "ann_codebook")
+    assert ivfpq_probe(empty_index, cb, cents, q).count() == 0

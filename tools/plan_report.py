@@ -1551,7 +1551,7 @@ def main() -> None:
     p_tf = plan_of(doc_tfidf(seq_v))
     from pyreshaper_spark.operators.forecast import conformal_interval
 
-    p_ci = plan_of(conformal_interval(t600, season_s=3600))
+    p_ci = plan_of(conformal_interval(t600))
     sections.append((
         "DQ suite, token coverage, 3-step paths, rollup release diff",
         "\n".join([
