@@ -2401,6 +2401,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_alert"] = _q_streaming_alert
 
+    def _q_streaming_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Bottom-k streaming sample: the final per-source samples of
+        an availableNow run ≡ the batch sample_k_per_source rows
+        (bottom-k is arrival-order independent) — full value oracle."""
+        import os
+        import tempfile
+
+        from pyreshaper_spark.streaming.sample import streaming_sample
+
+        base = tempfile.mkdtemp(prefix="stream_sm_")
+        src = os.path.join(base, "src")
+        _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+        ).write.parquet(src)
+        table: dict[str, list] = {}
+
+        def upsert(batch_df, _epoch):
+            rows = batch_df.collect()
+            by_src: dict[str, list] = {}
+            for r in rows:
+                by_src.setdefault(r["source"], []).append(
+                    (r["doc_id"], r["n_chars"], r["rk"])
+                )
+            table.update(by_src)
+
+        stream = spark.readStream.schema(
+            "doc_id string, source string, n_chars long"
+        ).parquet(src)
+        sq = (
+            streaming_sample(stream, k=15)
+            .writeStream.outputMode("update")
+            .foreachBatch(upsert)
+            .option("checkpointLocation", os.path.join(base, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination(300)
+        return spark.createDataFrame(
+            [
+                (doc_id, s, n_chars, rk)
+                for s, rows in sorted(table.items())
+                for (doc_id, n_chars, rk) in rows
+            ],
+            "doc_id string, source string, n_chars long, rk long",
+        )
+
+    q["streaming_sample"] = _q_streaming_sample
+
     def _q_streaming_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Streaming tier-0 ingest run to completion, then the scheduled
         cascade refresh up to 1h — the materialized coarse tier must
@@ -3327,6 +3377,9 @@ FROM tier t JOIN meta m USING (source)
 
     o["sample_30pct"] = SMP.hash_sample_sql(3000)
     o["sample_k_per_source"] = SMP.sample_k_per_source_sql(15)
+    # bottom-k is arrival-order independent: the streaming run's final
+    # table IS the batch sample
+    o["streaming_sample"] = SMP.sample_k_per_source_sql(15)
     o["doc_len_deciles"] = SMP.doc_len_deciles_sql()
     o["quality_pctl"] = SMP.quality_pctl_sql()
     o["stratified_sample"] = SMP.stratified_sample_sql(
