@@ -2719,6 +2719,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dq_docs"] = _q_dq_docs
 
+    # keyed form: one verdict row per (source, rule) — which feed broke
+    def _q_dq_docs_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.checks import (
+            check_suite_by,
+            documents_rules,
+        )
+
+        return check_suite_by(_docs(spark, sf_dir), documents_rules())
+
+    q["dq_docs_by_source"] = _q_dq_docs_by
+
     def _q_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Lineage accounting invariant: every input row is counted in
         exactly one encoded chunk's metrics (sum of per-chunk n and of
@@ -3445,6 +3456,14 @@ FROM sequences GROUP BY 1
     from pyreshaper_spark.operators.checks import dq_documents_sql
 
     o["dq_docs"] = dq_documents_sql()
+    from pyreshaper_spark.operators.checks import (
+        check_suite_by_sql,
+        documents_rules as _doc_rules,
+    )
+
+    o["dq_docs_by_source"] = "WITH " + check_suite_by_sql(
+        "documents", _doc_rules()
+    )
     from pyreshaper_spark.operators.rollup import rollup_diff_sql
 
     o["rollup_diff_10m"] = (

@@ -361,3 +361,41 @@ def test_dq_media_clean_and_injected(spark):
     assert got["width_bounds"] == 1 and got["height_bounds"] == 1
     assert got["audio_rate_consistent"] == 1
     assert got["doc_id_unique"] == 0
+
+
+def test_check_suite_by_source_attribution(spark):
+    """The keyed suite pins violations to the offending feed, and its
+    cond-rule counts decompose the global suite exactly."""
+    from pyreshaper_spark.operators.checks import (
+        check_suite,
+        check_suite_by,
+        documents_rules,
+    )
+
+    docs = _docs(spark)
+    bad = spark.createDataFrame(
+        [(990001, None, "xx", "src3", 7)], docs.schema
+    )
+    both = docs.unionByName(bad)
+    by = check_suite_by(both, documents_rules()).collect()
+    # the injected row's violations land on src3 and nowhere else
+    for r in by:
+        if r["rule"] in ("text_not_null", "lang_in_set"):
+            want = 1 if r["source"] == "src3" else 0
+            assert r["violations"] == want, (r["source"], r["rule"])
+    # decomposition: per-source counts sum to the global suite for
+    # every cond rule (unique is per-group by design)
+    glob = {
+        r["rule"]: r["violations"]
+        for r in check_suite(both, documents_rules()).collect()
+    }
+    sums: dict = {}
+    n_total = 0
+    for r in by:
+        sums[r["rule"]] = sums.get(r["rule"], 0) + r["violations"]
+        if r["rule"] == "doc_id_not_null":
+            n_total += r["n_rows"]
+    assert n_total == both.count()
+    for rule, v in sums.items():
+        if rule != "doc_id_unique":
+            assert v == glob[rule], rule
