@@ -2365,6 +2365,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_dq"] = _q_streaming_dq
 
+    def _q_streaming_dq_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Keyed DQ monitor (update mode, one counter row per source):
+        availableNow final counters ≡ the batch keyed suite minus its
+        unique rules — full value oracle."""
+        import os
+        import tempfile
+
+        from pyreshaper_spark.operators.checks import documents_rules
+        from pyreshaper_spark.streaming.dq import (
+            dq_verdicts,
+            streaming_dq_by,
+            streaming_rules,
+        )
+
+        rules = streaming_rules(documents_rules())
+        base = tempfile.mkdtemp(prefix="stream_dqb_")
+        src = os.path.join(base, "src")
+        _docs(spark, sf_dir).write.parquet(src)
+        table: dict[str, tuple] = {}
+
+        def upsert(batch_df, _epoch):
+            for r in batch_df.collect():
+                table[r["source"]] = tuple(r)
+
+        stream = spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint"
+        ).parquet(src)
+        sq = (
+            streaming_dq_by(stream, rules)
+            .writeStream.outputMode("update")
+            .foreachBatch(upsert)
+            .option("checkpointLocation", os.path.join(base, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination(300)
+        cols = ["source", "_n"] + [f"_v{i}" for i in range(len(rules))]
+        wide = spark.createDataFrame(
+            [table[s] for s in sorted(table)],
+            ", ".join(f"{c} {'string' if c == 'source' else 'long'}"
+                      for c in cols),
+        )
+        return dq_verdicts(wide, rules, keys=("source",))
+
+    q["streaming_dq_by_source"] = _q_streaming_dq_by
+
     def _q_streaming_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Hysteresis alerts emitted as buckets close: one in-order
         availableNow batch ≡ batch alert_hysteresis minus each
@@ -3925,6 +3972,11 @@ FROM sequences GROUP BY 1
     from pyreshaper_spark.streaming.dq import streaming_rules
 
     o["streaming_dq"] = "WITH " + check_suite_sql(
+        "documents", streaming_rules(documents_rules())
+    )
+    from pyreshaper_spark.operators.checks import check_suite_by_sql
+
+    o["streaming_dq_by_source"] = "WITH " + check_suite_by_sql(
         "documents", streaming_rules(documents_rules())
     )
     from pyreshaper_spark.operators.gapfill import alert_hysteresis_sql

@@ -53,7 +53,29 @@ def streaming_dq(stream: DataFrame, rules: list[Rule]) -> DataFrame:
     return stream.agg(*suite_aggs(rules))
 
 
-def dq_verdicts(wide_row: DataFrame, rules: list[Rule]) -> DataFrame:
-    """Per-rule (rule, violations, n_rows, passed) from the
-    materialized counter row."""
-    return suite_rows(wide_row, rules)
+def dq_verdicts(
+    wide_row: DataFrame, rules: list[Rule], keys: tuple[str, ...] = ()
+) -> DataFrame:
+    """Per-rule (…, rule, violations, n_rows, passed) from the
+    materialized counter row(s), carrying any group keys."""
+    return suite_rows(wide_row, rules, keys)
+
+
+def streaming_dq_by(
+    stream: DataFrame,
+    rules: list[Rule],
+    keys: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """The keyed monitor — running counters per feed (update mode, one
+    wide row per group): a bad upstream deploy shows up against ITS
+    source the moment it streams, not as an anonymous global bump.
+    State is O(rules · |groups|). Same streamability rule: ``unique``
+    needs unbounded distinct state and is rejected."""
+    _validate_rules(rules)
+    bad = [r.name for r in rules if r.distinct_col is not None]
+    if bad:
+        raise ValueError(
+            f"unique rules need unbounded distinct state in a stream "
+            f"— run them in the batch release gate instead: {bad}"
+        )
+    return stream.groupBy(*keys).agg(*suite_aggs(rules))

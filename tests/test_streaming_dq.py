@@ -165,3 +165,67 @@ def test_streaming_dq_resumes_from_checkpoint(spark, tmp_path):
     }
     assert got == want
     assert set(v[1] for v in got.values()) == {docs.count()}
+
+
+def test_streaming_dq_by_source_multibatch(spark, tmp_path):
+    """Keyed monitor: multi-batch run lands on the batch keyed suite,
+    violations attributed to the right feed; unique rules rejected."""
+    from pyreshaper_spark.operators.checks import (
+        check_suite_by,
+        documents_rules,
+    )
+    from pyreshaper_spark.streaming.dq import (
+        dq_verdicts,
+        streaming_dq_by,
+        streaming_rules,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    bad = spark.createDataFrame(
+        [(990001, None, "en", "src5", 0)], docs.schema
+    )
+    docs = docs.unionByName(bad)
+    src = str(tmp_path / "src")
+    docs.repartition(3).write.parquet(src)
+    rules = streaming_rules(documents_rules())
+    table: dict[str, tuple] = {}
+
+    def upsert(batch_df, _epoch):
+        for r in batch_df.collect():
+            table[r["source"]] = tuple(r)
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sq = (
+        streaming_dq_by(stream, rules)
+        .writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(300)
+    cols = ["source", "_n"] + [f"_v{i}" for i in range(len(rules))]
+    wide = spark.createDataFrame(
+        [table[s] for s in sorted(table)],
+        ", ".join(f"{c} {'string' if c == 'source' else 'long'}"
+                  for c in cols),
+    )
+    got = {
+        (r["source"], r["rule"]): (r["violations"], r["n_rows"])
+        for r in dq_verdicts(wide, rules, keys=("source",)).collect()
+    }
+    want = {
+        (r["source"], r["rule"]): (r["violations"], r["n_rows"])
+        for r in check_suite_by(docs, rules).collect()
+    }
+    assert got == want
+    assert got[("src5", "text_not_null")][0] == 1
+
+    from pyreshaper_spark.operators.checks import unique
+
+    with pytest.raises(ValueError, match="unbounded"):
+        streaming_dq_by(stream, [unique("doc_id")])
