@@ -580,6 +580,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pyreshaper_spark.operators import funnel as FN
 
     q["events_funnel"] = lambda s, d: FN.funnel(_events(s, d))
+    # windowed form: every later step within 1h of the user's t_1 (the
+    # standard product-analytics conversion-window funnel)
+    q["events_funnel_1h"] = lambda s, d: FN.funnel(
+        _events(s, d), within_s=3600
+    )
     q["events_cohorts"] = lambda s, d: FN.cohort_retention(_events(s, d))
     q["events_type_pivot"] = lambda s, d: FN.type_pivot(_events(s, d))
 
@@ -3175,6 +3180,7 @@ r AS (SELECT source, event_s, n_tok FROM sequences
     from pyreshaper_spark.operators import funnel as FN
 
     o["events_funnel"] = FN.funnel_sql()
+    o["events_funnel_1h"] = FN.funnel_sql(within_s=3600)
     o["events_cohorts"] = FN.cohort_retention_sql()
     o["events_type_pivot"] = FN.type_pivot_sql()
     o["events_ab_test"] = FN.ab_test_sql(("purchase", "signup"))
