@@ -1552,6 +1552,12 @@ def main() -> None:
     from pyreshaper_spark.operators.forecast import conformal_interval
 
     p_ci = plan_of(conformal_interval(t600))
+    from pyreshaper_spark.operators.checks import (
+        check_suite_by,
+        documents_rules,
+    )
+
+    p_db = plan_of(check_suite_by(docs, documents_rules()))
     sections.append((
         "DQ suite, token coverage, 3-step paths, rollup release diff",
         "\n".join([
@@ -1563,6 +1569,7 @@ def main() -> None:
             "--- alert_hysteresis ---", p_ah[:800],
             "--- doc_tfidf ---", p_tf[:800],
             "--- conformal_interval ---", p_ci[:800],
+            "--- check_suite_by (keyed DQ) ---", p_db[:800],
         ]),
         [
             ("DQ suite: the WHOLE rule set is ONE scan of documents "
@@ -1620,6 +1627,11 @@ def main() -> None:
              "sorts of the tiny tier",
              "BroadcastHashJoin" in p_ci and no_cartesian(p_ci)
              and "SortMergeJoin" not in p_ci),
+            ("keyed DQ suite: still ONE scan — the whole rule set "
+             "rides a single source-keyed partial+final agg, per-rule "
+             "explode on the per-group rows, no join",
+             p_db.count("Scan parquet") // 2 <= 1 and "Join" not in p_db
+             and "Generate" in p_db),
         ],
     ))
 
