@@ -258,6 +258,44 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bigintify(df: DataFrame, *cols: str) -> DataFrame:
+    """Driver-canonicalizable output face: CAST named decimal(38,0)
+    columns to BIGINT in place (column order preserved). The operator
+    keeps its decimal math internally — this is the `queries()` face
+    only, because the driver's hash compares DuckDB's DECIMAL(38,0)
+    fetch (float64 in pandas) against Spark's exact Decimal objects
+    and mismatches on identical values. Values are asserted to fit
+    int64 at every fixture sf by the oracle dtype lint."""
+    for c in cols:
+        df = df.withColumn(c, F.col(c).cast("long"))
+    return df
+
+
+def _bigintify_sql(sql: str, *cols: str) -> str:
+    """DuckDB twin of :func:`_bigintify` — wraps the oracle statement
+    in `SELECT * REPLACE (CAST(c AS BIGINT) AS c)` so both engines
+    ship identical int64 output columns."""
+    rep = ", ".join(f"CAST({c} AS BIGINT) AS {c}" for c in cols)
+    return f"SELECT * REPLACE ({rep}) FROM (\n{sql}\n) _t"
+
+
+def _md5_arr(col: str):
+    """Spark face for token-ARRAY outputs: md5 of the comma-joined
+    element string, so the driver's pandas canonicalizer (which cannot
+    hash lists) sees a plain string. Pairs with :func:`_md5_arr_sql`;
+    the `mm_frame_sample` idiom."""
+    return F.md5(
+        F.concat_ws(",", F.expr(f"transform({col}, x -> cast(x as string))"))
+    )
+
+
+def _md5_arr_sql(col: str) -> str:
+    """DuckDB twin of :func:`_md5_arr`. `coalesce(…, '')` matches
+    Spark's concat_ws('' on empty array) — DuckDB's array_to_string
+    returns NULL for []."""
+    return f"md5(coalesce(array_to_string({col}, ','), ''))"
+
+
 def _md_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, tokens) with md5-derived token ids — the cross-engine
     token stream (vocab.py pattern) for oracles over token ARRAYS."""
@@ -319,6 +357,70 @@ _R02_CHECKED = frozenset({
     "text_stats", "tier_10m", "tier_1d", "tier_1h", "tier_1h_retention",
     "tier_1h_skew", "tier_1h_with_meta", "tier_1m", "topk_buckets",
 })
+
+#: Every key any driver correctness board (r1–r3) ever sampled; keys
+#: NOT here have never been driver-verified and sort ahead of the rest
+#: so the round-4 sweep reaches first-time surface first.
+_DRIVER_SAMPLED = _R02_CHECKED | frozenset({
+    "alert_hyst_10m", "ann_hard_negatives", "ann_binq_topk",
+    "ann_mmr_topk", "asof_fwd_tol", "asof_nearest_tol", "cusum_1h",
+    "cusum_fixed_10m", "datacard_by_source", "dedup_cluster_sizes",
+    "dedup_containment", "dedup_minhash_incr", "dedup_rate_by_source",
+    "dedup_survivors_quality", "dedup_winnow", "doc_chunks_128",
+    "dup_rate_1d", "emb_centroid_drift_1d", "emb_cluster_sample",
+    "emb_near_dup_bucketcap", "emb_norm_stats", "emb_outliers",
+    "emb_pc1_proj", "emb_src_centroid_d2", "events_attribution",
+    "events_conversion_lag", "events_dau_wau", "events_engagement_hist",
+    "events_funnel_1h", "events_paths3", "events_rfm",
+    "events_transitions", "fertility_by_source", "hybrid_topk_rrf",
+    "interarrival_1h", "ivf_balance", "lang_confusion",
+    "levelshift_1h", "minhash_topk", "ngram_novelty_1d",
+    "pack_stats_2k", "pack_windows_512", "pii_rate_1d", "pii_redact",
+    "pq_codes", "pq_distortion", "split_leakage_free", "tier_1h_policy",
+    "tier_1mo", "tier_1w",
+})
+
+#: Keys that appeared RED on any driver board (r1–r3). All are fixed
+#: (adjudicated value-correct, output shape made driver-hashable) and
+#: sort FIRST so the round-4 board re-samples them green.
+_EVER_RED = (
+    "pack_windows_512", "doc_chunks_128", "emb_norm_stats",
+    "emb_outliers", "emb_src_centroid_d2", "emb_centroid_drift_1d",
+    "pq_distortion", "kmeans_assign", "events_sessions",
+)
+
+#: Query faces whose operators carry decimal(38,0) sums internally
+#: (exact integer math — overflow-safe at 100 TB) but whose OUTPUT
+#: must ship as BIGINT: the driver's hash compares DuckDB's
+#: DECIMAL(38,0)→float64 fetch against Spark's exact Decimal objects
+#: and mismatches on identical values (round-2 `kmeans_assign`,
+#: round-3's five embedding queries). Applied uniformly at the end of
+#: queries()/oracle_sql(); values are fixture-bounded « 2^63 and the
+#: dtype lint in tests/test_oracle_types.py enforces the discipline.
+_FACE_BIGINT: dict[str, tuple[str, ...]] = {
+    "drift_tvd_1d": ("tvd_num", "tvd_den"),
+    "ks_drift_1d": ("ks_num", "ks_den"),
+    "similar_days_1h": ("d2",),
+    "discord_days_1h": ("d2",),
+    "tier_1h_moments": ("s1", "s2", "s3", "s4"),
+    "src_fano_1d": ("sum_c2",),
+    "decomp_seasonal_10m": ("sum_det",),
+    "src_token_tvd": ("tvd_num",),
+    "acf_10m": ("sx", "sy", "sxy", "sxx", "syy"),
+    "theilsen_1d": ("slope_lo", "slope_hi"),
+    "changepoint_1d": ("gain_num",),
+    "src_corr_1h": ("sx", "sy", "sxy", "sxx", "syy"),
+    "src_corr_1h_lag1": ("sx", "sy", "sxy", "sxx", "syy"),
+    "src_spearman_1h": ("sx", "sy", "sxy", "sxx", "syy"),
+    "src_ccf_1h": ("sx", "sy", "sxy", "sxx", "syy"),
+}
+
+#: Query faces with token-ARRAY output columns: pandas cannot hash
+#: lists, so the face ships md5 digests in place of the arrays (the
+#: `mm_frame_sample` idiom); the operator API keeps the real arrays.
+_FACE_MD5ARR: dict[str, tuple[str, ...]] = {
+    "tok_remap": ("new_tokens",),
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -806,11 +908,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _q_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyreshaper_spark.operators.packing import pack_materialize
 
-        return pack_materialize(
+        win = pack_materialize(
             _md_seq(spark, sf_dir).withColumn(
                 "n_tok", F.size("tokens").cast("long")
             ),
             512,
+        )
+        # driver face: md5 the window's token array (pandas cannot
+        # hash lists); the operator API keeps the real array
+        return win.select(
+            "source", "pack_id", "n_pieces",
+            _md5_arr("window_tokens").alias("window_md5"),
+            "fill",
         )
 
     q["pack_windows_512"] = _q_pack_windows
@@ -819,13 +928,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyreshaper_spark.operators.packing import doc_chunks
 
-        return doc_chunks(_md_seq(spark, sf_dir), chunk=128, stride=64)
+        ch = doc_chunks(_md_seq(spark, sf_dir), chunk=128, stride=64)
+        return ch.select(
+            "doc_id", "source", "chunk_id",
+            _md5_arr("chunk_tokens").alias("chunk_md5"),
+            "chunk_len",
+        )
 
     q["doc_chunks_128"] = _q_doc_chunks
     # -- similarity search --------------------------------------------
     q["ann_topk_dot"] = lambda s, d: similarity.topk_dot(_emb(s, d))
     # embedding-ingest health: per-label exact norm² stats
-    q["emb_norm_stats"] = lambda s, d: similarity.emb_norm_stats(_emb(s, d))
+    q["emb_norm_stats"] = lambda s, d: _bigintify(
+        similarity.emb_norm_stats(_emb(s, d)), "sum_norm2"
+    )
     # binary-sketch ANN: Hamming-over-sign-codes shortlist + exact rerank
     q["ann_binq_topk"] = lambda s, d: similarity.binq_topk(_emb(s, d))
     q["ann_topk_cosine"] = lambda s, d: similarity.topk_cosine(_emb(s, d))
@@ -849,7 +965,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb(s, d), n_queries=5, k=3
     )
     # mislabel/OOD candidates: furthest from own-label centroid
-    q["emb_outliers"] = lambda s, d: similarity.emb_outliers(_emb(s, d))
+    q["emb_outliers"] = lambda s, d: _bigintify(
+        similarity.emb_outliers(_emb(s, d)), "d2_num"
+    )
     q["ann_ivf_probe"] = lambda s, d: similarity.ivf_probe_topk(_emb(s, d))
     q["ann_lsh_pairs"] = lambda s, d: similarity.lsh_bucket_pairs(_emb(s, d))
     # max pairwise cosine in the synthetic embeddings is ~0.48; 2/5
@@ -866,8 +984,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # embedding-space source separation: pairwise centroid distance
     # (exact fixed-point — the vector twin of src_token_tvd)
-    q["emb_src_centroid_d2"] = lambda s, d: similarity.source_centroid_d2(
-        _docs(s, d), _emb(s, d)
+    q["emb_src_centroid_d2"] = lambda s, d: _bigintify(
+        similarity.source_centroid_d2(_docs(s, d), _emb(s, d)), "d2_num"
     )
 
     def _q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -876,7 +994,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs_days = _docs_days(spark, sf_dir).select(
             F.col("doc_id").alias("vec_id"), "source", "day_s"
         )
-        return similarity.centroid_drift(docs_days, _emb(spark, sf_dir))
+        return _bigintify(
+            similarity.centroid_drift(docs_days, _emb(spark, sf_dir)),
+            "d2_num",
+        )
 
     q["emb_centroid_drift_1d"] = _q_centroid_drift
 
@@ -894,8 +1015,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ivf_balance"] = lambda s, d: KM.ivf_balance(
         _emb(s, d), k=8, n_iter=2
     )
-    q["pq_distortion"] = lambda s, d: KM.pq_distortion(
-        _emb(s, d), ks=16, n_iter=2
+    q["pq_distortion"] = lambda s, d: _bigintify(
+        KM.pq_distortion(_emb(s, d), ks=16, n_iter=2), "sum_d2"
     )
     q["kmeans_assign"] = lambda s, d: KM.kmeans_assign(
         _emb(s, d), k=8, n_iter=2
@@ -2832,13 +2953,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mad_1h"] = _q_mad
 
-    # Order: entries the round-2 driver sweep did NOT reach come FIRST,
-    # so a time-boxed correctness sweep covers the so-far-unverified
-    # surface before re-verifying known-green queries.
-    q = {
-        **{k: v for k, v in q.items() if k not in _R02_CHECKED},
-        **{k: v for k, v in q.items() if k in _R02_CHECKED},
-    }
+    # Driver-hashable output faces (see _FACE_BIGINT / _FACE_MD5ARR):
+    # cast internal decimal(38,0) sums to BIGINT and token arrays to
+    # md5 digests, identically mirrored in oracle_sql().
+    for name, cols in _FACE_BIGINT.items():
+        q[name] = (
+            lambda f, cs: lambda s, d: _bigintify(f(s, d), *cs)
+        )(q[name], cols)
+    for name, cols in _FACE_MD5ARR.items():
+        def _wrap_md5(f, cs):
+            def inner(s, d):
+                df = f(s, d)
+                for c in cs:
+                    df = df.withColumn(c, _md5_arr(c))
+                return df
+            return inner
+        q[name] = _wrap_md5(q[name], cols)
+
+    # Order: (1) keys that were ever RED on a driver board (all fixed —
+    # re-sample them green first), (2) keys NO board has ever sampled,
+    # (3) previously-verified-green keys last.
+    def _prio(k: str) -> tuple[int, int]:
+        if k in _EVER_RED:
+            return (0, _EVER_RED.index(k))
+        if k not in _DRIVER_SAMPLED:
+            return (1, 0)
+        return (2, 0)
+
+    names = list(q)
+    q = {k: q[k] for k in sorted(names, key=lambda k: (_prio(k), names.index(k)))}
     return q
 
 
@@ -3339,7 +3482,10 @@ FROM tier t JOIN meta m USING (source)
         f"WITH {_seqs_cte_p(_Vp)},\n"
         "seqn AS (SELECT doc_id, source, tokens, "
         "CAST(len(tokens) AS BIGINT) AS n_tok FROM seqs)\n"
-        + pack_materialize_sql(512, "seqn")
+        "SELECT source, pack_id, n_pieces,\n"
+        f"       {_md5_arr_sql('window_tokens')} AS window_md5,\n"
+        "       fill\n"
+        f"FROM (\n{pack_materialize_sql(512, 'seqn')}\n) _pm"
     )
     o["pack_assign_2k"] = (
         f"WITH {seq_cte('base')}" + pack_assign_sql(2048)
@@ -3352,7 +3498,9 @@ FROM tier t JOIN meta m USING (source)
         "FROM pk GROUP BY 1, 2"
     )
     o["ann_topk_dot"] = similarity.topk_dot_sql()
-    o["emb_norm_stats"] = similarity.emb_norm_stats_sql()
+    o["emb_norm_stats"] = _bigintify_sql(
+        similarity.emb_norm_stats_sql(), "sum_norm2"
+    )
     o["ann_binq_topk"] = similarity.binq_topk_sql()
     o["ann_topk_cosine"] = similarity.topk_cosine_sql()
     o["ann_hard_negatives"] = similarity.hard_negatives_sql()
@@ -3367,7 +3515,9 @@ FROM tier t JOIN meta m USING (source)
         _LEX_TOPK_SQL, similarity.topk_cosine_sql(), k=5
     )
     o["ann_mmr_topk"] = similarity.mmr_topk_sql(n_queries=5, k=3)
-    o["emb_outliers"] = similarity.emb_outliers_sql()
+    o["emb_outliers"] = _bigintify_sql(
+        similarity.emb_outliers_sql(), "d2_num"
+    )
     from pyreshaper_spark.operators.kmeans import (
         ivf_kmeans_topk_sql,
         kmeans_assign_sql,
@@ -3390,7 +3540,9 @@ FROM tier t JOIN meta m USING (source)
     o["pq_codes"] = pq_codes_sql(ks=16, n_iter=2)
     from pyreshaper_spark.operators.kmeans import pq_distortion_sql
 
-    o["pq_distortion"] = pq_distortion_sql(ks=16, n_iter=2)
+    o["pq_distortion"] = _bigintify_sql(
+        pq_distortion_sql(ks=16, n_iter=2), "sum_d2"
+    )
     from pyreshaper_spark.operators.kmeans import ivf_balance_sql
 
     o["ivf_balance"] = ivf_balance_sql(k=8, n_iter=2)
@@ -3411,7 +3563,9 @@ FROM tier t JOIN meta m USING (source)
     o["emb_near_dup_bucketcap"] = similarity.cosine_near_dups_sql(
         num=2, den=5, max_bucket=40
     )
-    o["emb_src_centroid_d2"] = similarity.source_centroid_d2_sql()
+    o["emb_src_centroid_d2"] = _bigintify_sql(
+        similarity.source_centroid_d2_sql(), "d2_num"
+    )
     from pyreshaper_spark.config import EPOCH0, HORIZON_S
     from pyreshaper_spark.operators.pca import pc1_projection_sql
     from pyreshaper_spark.operators.rollup import floor_sql
@@ -3419,7 +3573,9 @@ FROM tier t JOIN meta m USING (source)
     _day_expr = floor_sql(
         f"{EPOCH0} + (doc_id * 48271 + 11) % {HORIZON_S}", 86400
     )
-    o["emb_centroid_drift_1d"] = similarity.centroid_drift_sql(_day_expr)
+    o["emb_centroid_drift_1d"] = _bigintify_sql(
+        similarity.centroid_drift_sql(_day_expr), "d2_num"
+    )
     o["pii_rate_1d"] = text.pii_rate_sql(_day_expr)
     o["datacard_by_source"] = text.datacard_by_source_sql()
     from pyreshaper_spark.operators.dedup import dup_rate_by_day_sql
@@ -3671,7 +3827,11 @@ WHERE r.bucket_s < last.mb
     from pyreshaper_spark.operators.packing import doc_chunks_sql
 
     o["doc_chunks_128"] = (
-        f"WITH {seqs_cte(_V)}" + doc_chunks_sql(chunk=128, stride=64)
+        f"WITH {seqs_cte(_V)}\n"
+        "SELECT doc_id, source, chunk_id,\n"
+        f"       {_md5_arr_sql('chunk_tokens')} AS chunk_md5,\n"
+        "       chunk_len\n"
+        f"FROM (\n{doc_chunks_sql(chunk=128, stride=64)}\n) _ch"
     )
     from pyreshaper_spark.operators.bpe import word_counts_sql
 
@@ -4088,4 +4248,15 @@ FROM s JOIN (SELECT user_id, max(session_idx) AS mx FROM s GROUP BY 1) m
   ON s.user_id = m.user_id
 WHERE s.session_idx < m.mx
 """
+    # Driver-hashable output faces, mirroring queries() exactly:
+    # DuckDB's `SELECT * REPLACE` rewrites the named columns in place
+    # (same names, same positions) so both engines ship identical
+    # int64 / md5-string outputs.
+    for name, cols in _FACE_BIGINT.items():
+        o[name] = _bigintify_sql(o[name], *cols)
+    for name, cols in _FACE_MD5ARR.items():
+        rep = ", ".join(
+            f"{_md5_arr_sql(c)} AS {c}" for c in cols
+        )
+        o[name] = f"SELECT * REPLACE ({rep}) FROM (\n{o[name]}\n) _t"
     return o

@@ -109,7 +109,12 @@ def main(argv: list[str] | None = None) -> int:
     verdicts = check_suite(df, rules)
     rows = verdicts.collect()
     if args.out:
-        verdicts.write.mode("append").parquet(args.out)
+        # verdict output is tiny (one row per rule) — rebuild from the
+        # already-collected rows instead of re-running the whole suite
+        # aggregation (a second full scan of the audited table)
+        spark.createDataFrame(rows, verdicts.schema).write.mode(
+            "append"
+        ).parquet(args.out)
     report = {
         "op": "dq",
         "table": args.table,

@@ -132,7 +132,7 @@ def sequences_df(
         seq = seq.filter(
             ~(
                 (F.col("source") == "src1")
-                & (F.pmod((F.col("event_s") / 60).cast("long"), F.lit(5)) == 3)
+                & (F.pmod(F.expr("event_s DIV 60"), F.lit(5)) == 3)
             )
         )
     elif variant == "skew":

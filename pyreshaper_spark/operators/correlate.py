@@ -340,6 +340,7 @@ def source_kendall_counts(
     tier: DataFrame,
     value_col: str = "sum_n_tok",
     sources: Sequence[str] | None = None,
+    max_buckets: int | None = None,
 ) -> DataFrame:
     """Kendall tau-b pair counts for every source pair over their
     shared time buckets: one row per (source_a < source_b) with the
@@ -361,8 +362,27 @@ def source_kendall_counts(
     dashboard regime (B = hundreds for a month of hourly buckets).
     For wide scans pass ``sources=`` or pre-slice the tier's time
     range — the knob is selection, the join stays equi-keyed.
+
+    ``max_buckets`` is the hard misuse guard (the `max_bucket` /
+    `max_df` pattern from the dedup stack): source pairs sharing MORE
+    than ``max_buckets`` buckets are dropped BEFORE the triangular
+    self-join, bounding its cost at pairs × max_buckets² even when a
+    caller points the operator at an unsliced multi-year tier. Dropped
+    pairs are absent from the output (compute them on a pre-sliced
+    range instead); ``None`` keeps the unbounded dashboard regime.
     """
+    from pyspark.sql import Window
+
     pairs = _pair_series(tier, value_col, sources)
+    if max_buckets is not None:
+        if max_buckets < 2:
+            raise ValueError("max_buckets must be >= 2")
+        wcnt = Window.partitionBy("source_a", "source_b")
+        pairs = (
+            pairs.withColumn("_nb", F.count("*").over(wcnt))
+            .filter(F.col("_nb") <= max_buckets)
+            .drop("_nb")
+        )
     p, q = pairs.alias("p"), pairs.alias("q")
     dx0 = F.col("p.va") == F.col("q.va")
     dy0 = F.col("p.vb") == F.col("q.vb")

@@ -45,19 +45,27 @@ def interval_join(
     columns of both inputs (interval columns win name clashes — rename
     upstream if both sides share non-key column names).
     """
+    from pyreshaper_spark.operators.rollup import floor_to
+
+    # int64-exact chunk grid (floor_to, never float `/` + truncate):
+    # double division loses exactness past 2^53 and truncates toward
+    # zero for pre-epoch timestamps — both sides must bucket on the
+    # identical grid or boundary pairs silently drop. The chunk id is
+    # the floored epoch itself (a multiple of chunk_s), so the explode
+    # is a step-chunk_s sequence: pure integer arithmetic end to end.
     end_chunk = F.col(end_col) - 1 if end_exclusive else F.col(end_col)
+    chunk_of = lambda c: floor_to(c.cast("long"), chunk_s)
     iv = intervals.withColumn(
         "_chunk",
         F.explode(
             F.sequence(
-                (F.col(start_col) / chunk_s).cast("long"),
-                (end_chunk / chunk_s).cast("long"),
+                chunk_of(F.col(start_col)),
+                chunk_of(end_chunk),
+                F.lit(chunk_s).cast("long"),
             )
         ),
     )
-    pts = points.withColumn(
-        "_chunk", (F.col(point_ts) / chunk_s).cast("long")
-    )
+    pts = points.withColumn("_chunk", chunk_of(F.col(point_ts)))
     upper = (
         F.col(point_ts) < F.col(end_col)
         if end_exclusive

@@ -244,11 +244,16 @@ def apply_retention_policy(
     policy: dict[str, int],
     default_buckets: int | None = None,
 ) -> DataFrame:
-    """Per-source retention: each source keeps its own newest-N-buckets
-    window — the multi-tenant generalization of
+    """Per-source retention DEPTH: each source keeps the newest N
+    buckets measured from the TABLE-WIDE high-water mark (the
+    ``max(bucket_s)`` over all sources — TimescaleDB's
+    ``drop_after``-relative-to-now semantics, with the table's newest
+    bucket standing in for "now"), not from the source's own newest
+    bucket — so a source that stopped emitting ages out once the rest
+    of the table moves past its window, exactly like wall-clock TTL
+    retention would. The multi-tenant generalization of
     :func:`apply_retention`'s single global TTL (hot/debug sources kept
-    short, contractual sources kept long; TimescaleDB's per-hypertable
-    ``drop_after`` recast per series key). ``default_buckets=None``
+    short, contractual sources kept long). ``default_buckets=None``
     keeps unlisted sources forever.
 
     Scale shape: the policy is an O(|sources|)-entry literal map

@@ -246,7 +246,7 @@ def bigram_counts(seq: DataFrame, vocab_size: int = VOCAB_SIZE) -> DataFrame:
         .agg(F.count("*").alias("c_xy"))
         .select(
             "source",
-            (F.col("bg") / vocab_size).cast("long").alias("t1"),
+            F.expr(f"CAST(bg DIV {vocab_size} AS BIGINT)").alias("t1"),
             F.pmod(F.col("bg"), F.lit(vocab_size)).cast("long").alias("t2"),
             F.col("c_xy").cast("long").alias("c_xy"),
         )

@@ -10,8 +10,10 @@ row for a LATER bucket closes the open one, runs the enter-at-hi /
 exit-at-lo automaton on its final sum, and emits an append-mode row
 carrying the new state and the transition label (null when the state
 held — a notifier filters to ``event IS NOT NULL``). Rows for buckets
-older than the open one are counted late and dropped, surfaced in
-``late_rows`` (the watermark contract, as in streaming_rate).
+older than the open one are counted late and dropped; ``late_rows``
+on an emitted row is the source's CUMULATIVE late counter captured at
+the moment that bucket closed (the watermark contract, as in
+streaming_rate).
 
 Batch parity: on an in-order stream the emitted rows equal the batch
 ``alert_hysteresis`` over tier-0 for every bucket strictly before each
@@ -64,7 +66,10 @@ def alert_fn(width_s: int, hi: int, lo: int):
                     event = "clear"
                 else:
                     event = None
-                closed.append((source, ob, osum, alert, event))
+                # late counter captured AT CLOSE TIME: a row closed
+                # before late arrivals in the same micro-batch must
+                # not retroactively report them
+                closed.append((source, ob, osum, alert, event, late))
             ob, osum = new_bucket, new_sum
 
         for pdf in pdfs:
@@ -85,7 +90,7 @@ def alert_fn(width_s: int, hi: int, lo: int):
         state.update((alert, ob, osum, late))
         if closed:
             yield pd.DataFrame(
-                [(*c, late) for c in closed],
+                closed,
                 columns=[
                     "source", "bucket_s", "value", "alert", "event",
                     "late_rows",

@@ -109,3 +109,30 @@ def test_kendall_monotone_transform_invariance(spark):
     t1 = kendall_finish(source_kendall_counts(base)).collect()[0]["tau_b"]
     t2 = kendall_finish(source_kendall_counts(cubed)).collect()[0]["tau_b"]
     assert abs(t1 - t2) < 1e-15
+
+
+def test_kendall_max_buckets_guard(spark):
+    # pair (a,b) shares 8 buckets, pair (a,c) shares 3: a cap of 4
+    # drops the wide pair BEFORE the triangular self-join and keeps
+    # the narrow one bit-identical to the uncapped run
+    import pytest
+
+    xs = [3, 1, 4, 1, 5, 9, 2, 6]
+    rows = [("a", i, x) for i, x in enumerate(xs)]
+    rows += [("b", i, x + 1) for i, x in enumerate(xs)]
+    rows += [("c", i, 7 - x) for i, x in enumerate(xs[:3])]
+    tier = _tier(spark, rows)
+    capped = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_kendall_counts(tier, max_buckets=4).collect()
+    }
+    assert set(capped) == {("a", "c"), ("b", "c")}
+    full = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_kendall_counts(tier).collect()
+    }
+    assert ("a", "b") in full
+    for k, r in capped.items():
+        assert tuple(r) == tuple(full[k])
+    with pytest.raises(ValueError):
+        source_kendall_counts(tier, max_buckets=1)

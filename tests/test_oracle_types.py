@@ -38,3 +38,37 @@ def test_no_hugeint_in_oracle_outputs():
             offenders[name] = bad
     con.close()
     assert not offenders, f"HUGEINT reaches oracle output columns: {offenders}"
+
+
+def test_no_decimal_or_nested_in_oracle_outputs():
+    """Round-3 driver board: DuckDB DECIMAL(38,0) outputs fetch as
+    float64 while Spark ships exact Decimal objects (5 hash-red rows),
+    and LIST outputs crash pandas' sort-based canonicalizer entirely
+    (2 err rows). Bind every oracle and assert neither type class
+    reaches an output column — decimal math must be CAST to BIGINT (or
+    STRING) at the query face, arrays must ship as md5 digests."""
+    con = duckdb.connect()
+    import os
+
+    for t in TABLES:
+        p = f"{SF_SMOKE}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    offenders = {}
+    for name, sql in ent.oracle_sql().items():
+        rel = con.sql(sql)  # binds + plans only; no execution
+        bad = [
+            f"{col}:{typ}"
+            for col, typ in zip(rel.columns, rel.types)
+            if any(
+                k in str(typ).upper()
+                for k in ("DECIMAL", "LIST", "STRUCT", "MAP", "[]")
+            )
+        ]
+        if bad:
+            offenders[name] = bad
+    con.close()
+    assert not offenders, (
+        f"driver-unhashable types reach oracle outputs: {offenders}"
+    )

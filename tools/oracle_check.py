@@ -76,6 +76,37 @@ def main() -> int:
         ores = con.sql(os_[name])
         orows = ores.fetchall()
         ocols = [d[0] for d in ores.description]
+        # Driver-canonicalization lint: the driver fetches the DuckDB
+        # side as a pandas frame and sort_values over every column —
+        # list cells crash it, and DECIMAL→float64 dtype hashes
+        # differently than Spark's exact Decimal/int64. Assert the
+        # fetch is hashable and dtype-faithful so the round-2/3
+        # artifact class cannot recur.
+        lint_bad = []
+        try:
+            odf = con.sql(os_[name]).df()
+            sfields = {f.name: f.dataType.simpleString() for f in sdf.schema}
+            for c in odf.columns:
+                st = sfields.get(c, "")
+                # NULL-free float64 against a Spark integer column is
+                # the DECIMAL/HUGEINT artifact (driver hash-red even on
+                # identical values). Float64 WITH nulls is just pandas'
+                # nullable-int representation — driver-green (gapfill,
+                # asof tolerance, funnel steps all sampled green).
+                if (
+                    odf[c].dtype == "float64"
+                    and not st.startswith(("double", "float"))
+                    and odf[c].notna().all()
+                ):
+                    lint_bad.append(f"{c}: duckdb float64 vs spark {st}")
+                if st.startswith(("array", "map", "struct", "decimal")):
+                    lint_bad.append(f"{c}: spark {st} not driver-hashable")
+            odf.sort_values(list(odf.columns))
+        except Exception as exc:  # pragma: no cover - lint face
+            lint_bad.append(f"canonicalize raised: {exc!r}")
+        if lint_bad:
+            failures += 1
+            print(f"{name}: LINT {lint_bad}")
         ok_cols = sorted(scols) == sorted(ocols)
         ok_cnt = len(srows) == len(orows)
         ok_vals = canon(srows, scols) == canon(orows, ocols) if ok_cols else False
