@@ -56,6 +56,65 @@ def _cached(spark: SparkSession, key: tuple, make) -> DataFrame:
     return df
 
 
+def _cached_tuple(spark: SparkSession, key: tuple, make) -> tuple:
+    """Memoized tuple of DataFrames (trained models: assignments +
+    codebooks/centroids), each .cache()d — the train-once face of the
+    `trained=` kwargs on the k-means/PQ consumers, so one training
+    chain feeds every query that shares its parameters."""
+    k = (spark.sparkContext.applicationId, *key)
+    t = _MEMO.get(k)
+    if t is None:
+        t = tuple(df.cache() for df in make())
+        _MEMO[k] = t
+    return t
+
+
+def _lloyd8(spark: SparkSession, sf_dir: str) -> tuple:
+    """Shared Lloyd training (k=8, n_iter=2) for every k-means face."""
+    from pyreshaper_spark.operators import kmeans as KM
+
+    return _cached_tuple(
+        spark,
+        ("lloyd8", sf_dir),
+        lambda: KM.lloyd(_emb(spark, sf_dir), k=8, n_iter=2),
+    )
+
+
+def _pq16(spark: SparkSession, sf_dir: str) -> tuple:
+    """Shared PQ training (ks=16, n_iter=2) for every flat-PQ face."""
+    from pyreshaper_spark.operators import kmeans as KM
+
+    return _cached_tuple(
+        spark,
+        ("pq16", sf_dir),
+        lambda: KM.pq_train(_emb(spark, sf_dir), ks=16, n_iter=2),
+    )
+
+
+def _pairs200(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared MinHash-verified near-dup pair list (max_df=200) — six
+    dedup-decision faces consume the same pair graph."""
+    from pyreshaper_spark.operators import dedup
+
+    return _cached(
+        spark,
+        ("pairs200", sf_dir),
+        lambda: dedup.verified_near_dups(_docs(spark, sf_dir), max_df=200),
+    )
+
+
+def _cc200(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared connected-components labelling over :func:`_pairs200` —
+    the iterative star-contraction runs once per (session, sf_dir)."""
+    from pyreshaper_spark.operators.cluster import connected_components
+
+    return _cached(
+        spark,
+        ("cc200", sf_dir),
+        lambda: connected_components(_pairs200(spark, sf_dir)),
+    )
+
+
 def _static_parquet(spark: SparkSession, sf_dir: str, key: str, writer) -> str:
     """Memoized static-input parquet for the streaming oracle queries:
     several entries feed the SAME projection of the sequences/token
@@ -143,9 +202,25 @@ def _norm_tier(df: DataFrame) -> DataFrame:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: cascade all four retention tiers on sf0.001, return 1h."""
-    tiers = _tiers(spark, "/root/testdata/sf0.001")
-    return _norm_tier(tiers[3600])
+    """Flagship: the full headline pipeline on sf0.001 — the 1h tier
+    of the cascade joined with the per-source encode-path accounting
+    (transpose → Gorilla encode byte totals), so the driver smoke
+    exercises scan → rollup cascade AND transpose → encode in one
+    result. Schema: the 1h tier columns + (raw_bytes, enc_bytes,
+    enc_points) per source."""
+    sf = "/root/testdata/sf0.001"
+    tier1h = _norm_tier(_tiers(spark, sf)[3600])
+    series = transpose_to_series(_seq(spark, sf), nsalt=4, num_partitions=8)
+    comp = (
+        encode_series_table(series)
+        .groupBy("source")
+        .agg(
+            F.sum("raw_bytes").cast("long").alias("raw_bytes"),
+            F.sum("enc_bytes").cast("long").alias("enc_bytes"),
+            F.sum("n").cast("long").alias("enc_points"),
+        )
+    )
+    return tier1h.join(F.broadcast(comp), "source")
 
 
 # --------------------------------------------------------------------------
@@ -729,8 +804,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_exact"] = lambda s, d: dedup.exact_dup_groups(_docs(s, d))
     q["dedup_minhash_lsh"] = lambda s, d: dedup.verified_near_dups(_docs(s, d))
     # lexical similarity search: top-k most-similar docs by exact
-    # Jaccard over the LSH candidate set
-    q["minhash_topk"] = lambda s, d: dedup.minhash_topk(_docs(s, d), k=5)
+    # Jaccard over the LSH candidate set (cached: the RRF fusion face
+    # consumes the same ranking)
+    def _mh_topk5(s: SparkSession, d: str) -> DataFrame:
+        return _cached(
+            s, ("mh_topk5", d), lambda: dedup.minhash_topk(_docs(s, d), k=5)
+        )
+
+    q["minhash_topk"] = _mh_topk5
     # hot-shingle guard variant: words in >40% of docs excluded — the
     # boundedness knob a web-scale dedup must have
     q["dedup_minhash_capped"] = lambda s, d: dedup.verified_near_dups(
@@ -779,8 +860,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyreshaper_spark.operators.cluster import components_with_size
 
-        pairs = dedup.verified_near_dups(_docs(spark, sf_dir), max_df=200)
-        return components_with_size(pairs)
+        return components_with_size(
+            _pairs200(spark, sf_dir), components=_cc200(spark, sf_dir)
+        )
 
     q["dedup_components"] = _q_dedup_components
 
@@ -790,8 +872,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         clusters)."""
         from pyreshaper_spark.operators.cluster import components_with_size
 
-        pairs = dedup.verified_near_dups(_docs(spark, sf_dir), max_df=200)
-        comp = components_with_size(pairs)
+        comp = components_with_size(
+            _pairs200(spark, sf_dir), components=_cc200(spark, sf_dir)
+        )
         return (
             comp.groupBy("csize")
             .agg(F.count("*").cast("long").alias("n_docs"))
@@ -804,8 +887,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pyreshaper_spark.operators.cluster import survivor_flags
 
         docs = _docs(spark, sf_dir)
-        pairs = dedup.verified_near_dups(docs, max_df=200)
-        return survivor_flags(docs, pairs)
+        return survivor_flags(
+            docs, _pairs200(spark, sf_dir), components=_cc200(spark, sf_dir)
+        )
 
     q["dedup_survivors"] = _q_dedup_survivors
 
@@ -815,8 +899,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pyreshaper_spark.operators.cluster import dedup_rate_by_source
 
         docs = _docs(spark, sf_dir)
-        pairs = dedup.verified_near_dups(docs, max_df=200)
-        return dedup_rate_by_source(docs, pairs)
+        return dedup_rate_by_source(
+            docs, _pairs200(spark, sf_dir), components=_cc200(spark, sf_dir)
+        )
 
     q["dedup_rate_by_source"] = _q_dedup_rate
 
@@ -825,8 +910,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pyreshaper_spark.operators.cluster import leakage_free_split
 
         docs = _docs(spark, sf_dir)
-        pairs = dedup.verified_near_dups(docs, max_df=200)
-        return leakage_free_split(docs, pairs, val_bp=1000, test_bp=1000)
+        return leakage_free_split(
+            docs, _pairs200(spark, sf_dir), val_bp=1000, test_bp=1000,
+            components=_cc200(spark, sf_dir),
+        )
 
     q["split_leakage_free"] = _q_split_leakfree
 
@@ -835,8 +922,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pyreshaper_spark.operators.cluster import survivor_flags_pref
 
         docs = _docs(spark, sf_dir)
-        pairs = dedup.verified_near_dups(docs, max_df=200)
-        return survivor_flags_pref(docs, pairs, "n_chars")
+        return survivor_flags_pref(
+            docs, _pairs200(spark, sf_dir), "n_chars",
+            components=_cc200(spark, sf_dir),
+        )
 
     q["dedup_survivors_quality"] = _q_survivors_quality
 
@@ -953,7 +1042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hybrid retrieval: RRF fusion of the lexical (MinHash Jaccard)
     # and semantic (exact cosine) rankings, vec_id = doc_id linkage
     def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-        lex = dedup.minhash_topk(_docs(spark, sf_dir), k=5).filter(
+        lex = _mh_topk5(spark, sf_dir).filter(
             F.col("doc_id").cast("long") < 10
         )
         sem = similarity.topk_cosine(_emb(spark, sf_dir))
@@ -1013,40 +1102,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pyreshaper_spark.operators import kmeans as KM
 
     q["ivf_balance"] = lambda s, d: KM.ivf_balance(
-        _emb(s, d), k=8, n_iter=2
+        _emb(s, d), k=8, n_iter=2, trained=_lloyd8(s, d)
     )
     q["pq_distortion"] = lambda s, d: _bigintify(
-        KM.pq_distortion(_emb(s, d), ks=16, n_iter=2), "sum_d2"
+        KM.pq_distortion(_emb(s, d), ks=16, n_iter=2, trained=_pq16(s, d)),
+        "sum_d2",
     )
     q["kmeans_assign"] = lambda s, d: KM.kmeans_assign(
-        _emb(s, d), k=8, n_iter=2
+        _emb(s, d), k=8, n_iter=2, trained=_lloyd8(s, d)
     )
     q["ann_ivf_kmeans"] = lambda s, d: KM.ivf_kmeans_topk(
-        _emb(s, d), k=8, n_iter=2, n_queries=10, topk=5, nprobe=2
+        _emb(s, d), k=8, n_iter=2, n_queries=10, topk=5, nprobe=2,
+        trained=_lloyd8(s, d),
     )
     # cluster-balanced diversity sample (≤k vectors per trained cluster)
     q["emb_cluster_sample"] = lambda s, d: KM.cluster_sample(
-        _emb(s, d), k=8, n_iter=2, per_cluster=5
+        _emb(s, d), k=8, n_iter=2, per_cluster=5, trained=_lloyd8(s, d)
     )
     # SemDeDup: cluster-then-verify semantic near-dup (within-cluster
     # exact cosine threshold; same 2/5 threshold as emb_near_dup)
     q["semdedup_pairs"] = lambda s, d: KM.semdedup_pairs(
-        _emb(s, d), k=8, n_iter=2, num=2, den=5
+        _emb(s, d), k=8, n_iter=2, num=2, den=5, trained=_lloyd8(s, d)
     )
     # product quantization: the stored PQ index (M codes per vector)
     # and the ADC top-k search over it (FAISS IndexPQ shape)
-    q["pq_codes"] = lambda s, d: KM.pq_codes(_emb(s, d), ks=16, n_iter=2)
+    q["pq_codes"] = lambda s, d: KM.pq_codes(
+        _emb(s, d), ks=16, n_iter=2, trained=_pq16(s, d)
+    )
     q["ann_pq_topk"] = lambda s, d: KM.pq_topk(
-        _emb(s, d), ks=16, n_iter=2, n_queries=10, topk=5
+        _emb(s, d), ks=16, n_iter=2, n_queries=10, topk=5,
+        trained=_pq16(s, d),
     )
     q["ann_pq_refined"] = lambda s, d: KM.pq_topk_refined(
-        _emb(s, d), ks=16, n_iter=2, n_queries=10, topk=5, refine=4
+        _emb(s, d), ks=16, n_iter=2, n_queries=10, topk=5, refine=4,
+        trained=_pq16(s, d),
     )
     # IVFADC (FAISS IndexIVFPQ): PQ over coarse-list residuals, probed
-    # per query with a per-(query, list) broadcast LUT
+    # per query with a per-(query, list) broadcast LUT; the coarse
+    # stage reuses the shared Lloyd training (identical params)
     q["ann_ivfpq_topk"] = lambda s, d: KM.ivfpq_topk(
         _emb(s, d), k_coarse=8, ks=16, n_iter=2, n_queries=10,
-        topk=5, nprobe=2,
+        topk=5, nprobe=2, coarse=_lloyd8(s, d),
     )
     # -- multimodal ---------------------------------------------------
     q["mm_meta"] = lambda s, d: multimodal.media_meta(_docs(s, d))

@@ -235,9 +235,9 @@ def main(argv: list[str] | None = None) -> int:
         root, _, name = args.table.partition("::")
         if not name:
             ap.error("--table expects ROOT::NAME")
-        from pyreshaper_spark.sources.iceberglite import IcebergLite
+        from pyreshaper_spark.sources.catalog import get_catalog
 
-        cat = IcebergLite(root)
+        cat = get_catalog(root)
         # each curation run is ONE atomic release snapshot — readers
         # see the previous corpus until the commit lands, and every
         # past release stays time-travelable

@@ -73,11 +73,11 @@ def build_index(
     ks = PQ_KS if ks is None else ks
     m_sub = PQ_M if m_sub is None else m_sub
     dim = DIM if dim is None else dim
-    from pyreshaper_spark.sources.iceberglite import IcebergLite
+    from pyreshaper_spark.sources.catalog import get_catalog
 
     index, cb, cents = ivfpq_train(emb, k_coarse, ks, n_iter, m_sub, dim)
     index = index.persist()
-    cat = IcebergLite(table_root)
+    cat = get_catalog(table_root)
     sids = {
         INDEX_TABLE: cat.overwrite(
             INDEX_TABLE,
@@ -138,9 +138,9 @@ def probe_index(
     dim: int | None = None,
 ) -> DataFrame:
     from pyreshaper_spark.operators.kmeans import ivfpq_probe, probe_lists
-    from pyreshaper_spark.sources.iceberglite import IcebergLite
+    from pyreshaper_spark.sources.catalog import get_catalog
 
-    cat = IcebergLite(table_root)
+    cat = get_catalog(table_root)
     # resolve ONE consistent build through the manifest head: pinned
     # snapshot ids + the build's own params (caller overrides are
     # validated, not trusted — probing with a different m_sub/dim than

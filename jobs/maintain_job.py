@@ -136,7 +136,7 @@ def main(argv: list[str] | None = None) -> dict:
     args = ap.parse_args(argv)
 
     from pyreshaper_spark.config import RunConfig
-    from pyreshaper_spark.sources.iceberglite import IcebergLite
+    from pyreshaper_spark.sources.catalog import get_catalog
 
     cfg = RunConfig.read(args.config)
     spark = (
@@ -145,7 +145,7 @@ def main(argv: list[str] | None = None) -> dict:
         .config("spark.sql.adaptive.enabled", "true")
         .getOrCreate()
     )
-    cat = IcebergLite(cfg.output_path)
+    cat = get_catalog(cfg.output_path)
 
     if args.op in ("delete", "restate"):
         from pyreshaper_spark.plans.delete import delete_docs, restate_docs

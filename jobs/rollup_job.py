@@ -65,9 +65,9 @@ def main(argv: list[str] | None = None) -> None:
         diagnostics(spark, cfg).show(truncate=False)
     if args.emit_timing:
         d = diagnostics(spark, cfg).collect()[0]
-        from pyreshaper_spark.sources.iceberglite import IcebergLite
+        from pyreshaper_spark.sources.catalog import get_catalog
 
-        cat = IcebergLite(cfg.output_path)
+        cat = get_catalog(cfg.output_path)
         tier_points = sum(
             cat.read(spark, f"tier_{t.name}").count() for t in cfg.tiers
         )

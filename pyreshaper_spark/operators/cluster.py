@@ -138,25 +138,38 @@ def connected_components(
 
 
 def components_with_size(
-    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, component, csize) for every clustered doc — the cluster
     report a dedup audit reads. The size join is keyed on component
     (O(components) distinct keys; giant components are one group each —
-    partial-agg collapses them map-side)."""
-    cc = connected_components(pairs, src, dst)
+    partial-agg collapses them map-side). ``components`` reuses a
+    precomputed :func:`connected_components` labelling (compute the
+    iterative star-contraction once, feed every audit face)."""
+    cc = (
+        components
+        if components is not None
+        else connected_components(pairs, src, dst)
+    )
     sz = cc.groupBy("component").agg(F.count("*").cast("long").alias("csize"))
     return cc.join(sz, "component").select("doc_id", "component", "csize")
 
 
-def survivor_flags(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+def survivor_flags(
+    docs: DataFrame,
+    pairs: DataFrame,
+    components: DataFrame | None = None,
+) -> DataFrame:
     """Every document flagged ``kept`` = (not clustered) or (is its
     component's canonical min). Exactly one survivor per component —
     the materialized dedup decision. Left join against the (small
     relative to the corpus) non-survivor list; at web scale broadcast
     applies when the near-dup fraction is low, else it is a plain
     hash join on doc_id."""
-    cc = connected_components(pairs)
+    cc = components if components is not None else connected_components(pairs)
     losers = cc.filter(F.col("doc_id") != F.col("component")).select(
         "doc_id", F.lit(False).alias("kept")
     )
@@ -230,7 +243,11 @@ FROM documents d LEFT JOIN comp c USING (doc_id)
 """
 
 
-def dedup_rate_by_source(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+def dedup_rate_by_source(
+    docs: DataFrame,
+    pairs: DataFrame,
+    components: DataFrame | None = None,
+) -> DataFrame:
     """Near-duplicate RATE per source — the corpus-health dashboard's
     per-source face of :func:`survivor_flags` ("which ingestion source
     ships duplicated content?"). Exact integer counts (n_docs,
@@ -240,7 +257,7 @@ def dedup_rate_by_source(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     (payload never shuffled — only doc_id, source ride) and an
     O(sources) aggregate."""
     return (
-        survivor_flags(docs, pairs)
+        survivor_flags(docs, pairs, components=components)
         .groupBy("source")
         .agg(
             F.count("*").cast("long").alias("n_docs"),

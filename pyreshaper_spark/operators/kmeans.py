@@ -116,10 +116,19 @@ def lloyd(
 
 
 def kmeans_assign(
-    emb: DataFrame, k: int = 8, n_iter: int = 2, dim: int = DIM
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    dim: int = DIM,
+    trained: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
-    """(vec_id, cluster, d2) after ``n_iter`` Lloyd iterations."""
-    a, _ = lloyd(emb, k, n_iter, dim)
+    """(vec_id, cluster, d2) after ``n_iter`` Lloyd iterations.
+
+    ``trained`` short-circuits training with a precomputed
+    :func:`lloyd` result — the train-once/consume-many production
+    shape (every consumer here accepts it, so one cached training
+    chain feeds assignment, sampling, balance, and search)."""
+    a, _ = trained if trained is not None else lloyd(emb, k, n_iter, dim)
     return a.select(
         "vec_id", F.col("cluster").cast("long").alias("cluster"), "d2"
     )
@@ -131,6 +140,7 @@ def cluster_sample(
     n_iter: int = 2,
     per_cluster: int = 5,
     dim: int = DIM,
+    trained: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Cluster-balanced diversity sample — the embedding-space analog
     of stratified sampling: k-means the corpus, then keep at most
@@ -149,7 +159,7 @@ def cluster_sample(
     """
     from pyreshaper_spark.functions.xhash import h32
 
-    a = kmeans_assign(emb, k, n_iter, dim)
+    a = kmeans_assign(emb, k, n_iter, dim, trained=trained)
     w = Window.partitionBy("cluster").orderBy(
         F.pmod(h32(F.col("vec_id").cast("string")), F.lit(10_000)),
         F.col("vec_id"),
@@ -213,6 +223,7 @@ def ivf_kmeans_topk(
     topk: int = 5,
     nprobe: int = 2,
     dim: int = DIM,
+    trained: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF top-k with the trained quantizer: vectors live in their
     nearest-centroid inverted list; a query probes its ``nprobe``
@@ -220,7 +231,9 @@ def ivf_kmeans_topk(
     FAISS ``IndexIVFFlat.search`` shape. The probe is an equi-join on
     ``cluster`` (the list id), so a cluster-partitioned table prunes.
     Output (query_id, neighbor_id, dot, rank)."""
-    lists, cents = lloyd(emb, k, n_iter, dim)
+    lists, cents = trained if trained is not None else lloyd(
+        emb, k, n_iter, dim
+    )
     queries = lists.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
     )
@@ -366,6 +379,7 @@ def semdedup_pairs(
     den: int = 5,
     dim: int = DIM,
     max_cluster: int | None = None,
+    trained: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., 2023): semantic near-dup pairs found by
     clustering first and comparing WITHIN clusters only — the recipe
@@ -389,7 +403,9 @@ def semdedup_pairs(
     the self-join — the same boundedness knob as the LSH paths' bucket
     cap, for corpora where k alone cannot break a dense cluster.
     """
-    lists, _ = lloyd(emb, k, n_iter, dim)
+    lists, _ = trained if trained is not None else lloyd(
+        emb, k, n_iter, dim
+    )
     if max_cluster is not None:
         from pyreshaper_spark.operators.similarity import _cap_buckets
 
@@ -554,9 +570,16 @@ def pq_codes(
     n_iter: int = 2,
     m_sub: int = PQ_M,
     dim: int = DIM,
+    trained: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
-    """The stored PQ index, long face: (vec_id, m, code)."""
-    a, _ = pq_train(emb, ks, n_iter, m_sub, dim)
+    """The stored PQ index, long face: (vec_id, m, code).
+
+    ``trained`` short-circuits training with a precomputed
+    :func:`pq_train` result (codes, codebook) — train once, consume
+    from every PQ face."""
+    a, _ = trained if trained is not None else pq_train(
+        emb, ks, n_iter, m_sub, dim
+    )
     return a.select(
         "vec_id",
         F.col("m").cast("long").alias("m"),
@@ -572,6 +595,7 @@ def pq_topk(
     n_queries: int = 10,
     topk: int = 5,
     dim: int = DIM,
+    trained: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """ADC top-k over the PQ index: (query_id, neighbor_id, ad2, rank).
 
@@ -580,7 +604,9 @@ def pq_topk(
     layout) and probed with M broadcast equi-joins; ad2 is the row-local
     sum of the M looked-up partial distances; top-k is a per-query rank
     window whose ``rank ≤ k`` predicate pushes below the exchange."""
-    a, cb = pq_train(emb, ks, n_iter, m_sub, dim)
+    a, cb = trained if trained is not None else pq_train(
+        emb, ks, n_iter, m_sub, dim
+    )
     sub_dim = dim // m_sub
     wide = (
         a.groupBy("vec_id")
@@ -747,6 +773,7 @@ def pq_topk_refined(
     topk: int = 5,
     refine: int = 4,
     dim: int = DIM,
+    trained: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """ADC shortlist + exact re-rank (FAISS ``IndexRefineFlat`` shape):
     PQ screens the corpus down to ``topk·refine`` candidates per query,
@@ -754,7 +781,10 @@ def pq_topk_refined(
     standard recall fix that touches original vectors only for the
     shortlist (an equi-join on vec_id bounded by Q·topk·refine rows).
     Output (query_id, neighbor_id, d2, rank) with exact d2."""
-    short = pq_topk(emb, ks, n_iter, m_sub, n_queries, topk * refine, dim)
+    short = pq_topk(
+        emb, ks, n_iter, m_sub, n_queries, topk * refine, dim,
+        trained=trained,
+    )
     q = quantized(emb)
     queries = q.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
@@ -841,13 +871,18 @@ def ivfpq_train(
     n_iter: int = 2,
     m_sub: int = PQ_M,
     dim: int = DIM,
+    coarse: tuple[DataFrame, DataFrame] | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Train the IVFADC index: coarse Lloyd lists + PQ codebooks over
     the residuals. Returns (index (vec_id, cluster, m, code),
     codebook (m, cid, c), centroids (cid, c)). Init mirrors the flat
     PQ (codeword j of every subspace = residual of vec_id==j);
-    ``n_iter`` updates then one final assign, for both stages."""
-    lists, cents = lloyd(emb, k_coarse, n_iter, dim)
+    ``n_iter`` updates then one final assign, for both stages.
+    ``coarse`` reuses a precomputed :func:`lloyd` result for the
+    coarse stage."""
+    lists, cents = coarse if coarse is not None else lloyd(
+        emb, k_coarse, n_iter, dim
+    )
     res = lists.join(
         F.broadcast(cents), lists["cluster"] == cents["cid"]
     ).select(
@@ -876,11 +911,14 @@ def ivfpq_topk(
     topk: int = 5,
     nprobe: int = 2,
     dim: int = DIM,
+    coarse: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """IVFADC search: (query_id, neighbor_id, ad2, rank) — ad2 is the
     exact squared L2 distance between the query's residual and the
     neighbor's RESIDUAL RECONSTRUCTION within each probed list."""
-    index, cb, cents = ivfpq_train(emb, k_coarse, ks, n_iter, m_sub, dim)
+    index, cb, cents = ivfpq_train(
+        emb, k_coarse, ks, n_iter, m_sub, dim, coarse=coarse
+    )
     return ivfpq_probe(
         index, cb, cents, query_batch(emb, n_queries), m_sub=m_sub,
         topk=topk, nprobe=nprobe, dim=dim,
@@ -1032,6 +1070,7 @@ def pq_distortion(
     n_iter: int = 2,
     m_sub: int = PQ_M,
     dim: int = DIM,
+    trained: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """PQ index-health panel: per subspace m, the exact reconstruction
     error of the trained quantizer — n vectors, Σd² and max d² between
@@ -1045,7 +1084,9 @@ def pq_distortion(
     the (m·ks)-row codebook against the final assignment, one hash agg
     keyed m — output is m rows.
     """
-    a, cb = pq_train(emb, ks, n_iter, m_sub, dim)
+    a, cb = trained if trained is not None else pq_train(
+        emb, ks, n_iter, m_sub, dim
+    )
     scored = a.join(
         F.broadcast(cb),
         on=[a.m == cb.m, a.code == cb.cid],
@@ -1084,7 +1125,12 @@ GROUP BY 1
 """
 
 
-def ivf_balance(emb: DataFrame, k: int = 8, n_iter: int = 2) -> DataFrame:
+def ivf_balance(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    trained: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
     """IVF list-balance diagnostic: per trained list, its population,
     plus FAISS's imbalance factor ``k·Σn_c² / N²`` as an exact ppm
     integer on every row (1.0 = perfectly balanced lists; a high
@@ -1094,7 +1140,7 @@ def ivf_balance(emb: DataFrame, k: int = 8, n_iter: int = 2) -> DataFrame:
     One k-row aggregate over the assignment (the training chain's own
     output), then a broadcast of the 1-row total back onto k rows.
     """
-    asg = kmeans_assign(emb, k=k, n_iter=n_iter)
+    asg = kmeans_assign(emb, k=k, n_iter=n_iter, trained=trained)
     per = asg.groupBy("cluster").agg(
         F.count("*").cast("long").alias("n_c")
     )

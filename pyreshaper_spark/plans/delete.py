@@ -61,7 +61,7 @@ from pyreshaper_spark.operators.transpose import (
 )
 from pyreshaper_spark.plans.checkpoint import Checkpoint
 from pyreshaper_spark.plans.pipeline import LINEAGE_COLS, _load_input
-from pyreshaper_spark.sources.iceberglite import IcebergLite
+from pyreshaper_spark.sources.catalog import get_catalog
 
 
 def _bucket(width_s: int) -> F.Column:
@@ -100,7 +100,7 @@ def _load_run(
     op: str, spark: SparkSession, cfg: RunConfig, checkpoint_path: str
 ) -> tuple[IcebergLite, Checkpoint, int]:
     cfg.validate()
-    cat = IcebergLite(cfg.output_path)
+    cat = get_catalog(cfg.output_path)
     ckpt = Checkpoint.load(checkpoint_path)
     if ckpt.cycle is not None:
         raise RuntimeError(
@@ -488,7 +488,7 @@ def refresh_from_changes(
     parts = cfg.input_path.split("::")
     root, table = parts[0], parts[1]
     pin = int(parts[2]) if len(parts) > 2 and parts[2] else None
-    cat_in = IcebergLite(root)
+    cat_in = get_catalog(root)
     to_sid = (
         to_snapshot_id if to_snapshot_id is not None
         else cat_in.current_snapshot_id(table)

@@ -81,7 +81,7 @@ from pyreshaper_spark.operators.validate import (
     check_schema,
 )
 from pyreshaper_spark.plans.checkpoint import Checkpoint
-from pyreshaper_spark.sources.iceberglite import IcebergLite
+from pyreshaper_spark.sources.catalog import get_catalog
 
 LINEAGE_COLS = (
     "source",
@@ -150,7 +150,7 @@ def _run_pipeline(
     persisted: list[DataFrame],
 ) -> PipelineResult:
     cfg.validate()
-    cat = IcebergLite(cfg.output_path)
+    cat = get_catalog(cfg.output_path)
     if cfg.write_mode == "overwrite":
         # reference overwrite mode: ignore prior progress, redo every
         # step (tables get fresh snapshots; old ones stay time-travelable)
@@ -724,7 +724,7 @@ def run_multi(
 
 def diagnostics(spark: SparkSession, cfg: RunConfig) -> DataFrame:
     """Global reduction + report [U: reshaper.py :: print_diagnostics]."""
-    cat = IcebergLite(cfg.output_path)
+    cat = get_catalog(cfg.output_path)
     m = cat.read(spark, "metrics", allow_empty=True)
     return m.agg(
         F.sum("n").alias("points"),
@@ -756,7 +756,7 @@ def maintain(
 
     Returns {table: {"compacted_snapshot": id|None, "expired_files": n}}.
     """
-    cat = IcebergLite(cfg.output_path)
+    cat = get_catalog(cfg.output_path)
     stats_for = {"series_enc": ("source",)}
     report: dict[str, dict] = {}
     if not os.path.isdir(cfg.output_path):

@@ -100,7 +100,7 @@ def read_sequences_iceberglite(spark: SparkSession, path: str) -> DataFrame:
     ``<catalog_root>::<table>`` (optionally ``::<snapshot_id>``);
     reading via the catalog sees exactly the LIVE snapshot's files,
     never dead files awaiting expiry."""
-    from pyreshaper_spark.sources.iceberglite import IcebergLite
+    from pyreshaper_spark.sources.catalog import get_catalog
 
     parts = path.split("::")
     if len(parts) not in (2, 3):
@@ -110,7 +110,7 @@ def read_sequences_iceberglite(spark: SparkSession, path: str) -> DataFrame:
         )
     root, table = parts[0], parts[1]
     snap = int(parts[2]) if len(parts) == 3 else None
-    df = IcebergLite(root).read(spark, table, snapshot_id=snap)
+    df = get_catalog(root).read(spark, table, snapshot_id=snap)
     return df.select(*[c for c in _COLS if c in df.columns],
                      *[c for c in df.columns if c not in _COLS])
 

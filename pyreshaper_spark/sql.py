@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 from pyreshaper_spark.config import RunConfig
-from pyreshaper_spark.sources.iceberglite import IcebergLite
+from pyreshaper_spark.sources.catalog import get_catalog
 
 
 def register_views(
@@ -25,7 +25,7 @@ def register_views(
 ) -> list[str]:
     """Register a temp view per catalog table (+ ``sequences`` for the
     input). Returns the registered view names."""
-    cat = IcebergLite(cfg.output_path)
+    cat = get_catalog(cfg.output_path)
     names: list[str] = []
     spark.read.parquet(cfg.input_path).createOrReplaceTempView("sequences")
     names.append("sequences")
@@ -85,7 +85,7 @@ def read_rollup(
     for b in (t_min, t_max):
         if b is not None and b % width_s:
             raise ValueError(f"t_min/t_max must be multiples of {width_s}")
-    cat = IcebergLite(cfg.output_path)
+    cat = get_catalog(cfg.output_path)
     names = {t.width_s: t.name for t in cfg.tiers}
     w = pick_tier(list(names), width_s)
     mat = rollup_cascade(

@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from pyreshaper_spark.sources.iceberglite import IcebergLite
+from pyreshaper_spark.sources.catalog import get_catalog
 from pyreshaper_spark.streaming.ingest import read_sequences_stream
 
 DEDUP_TABLE = "seq_dedup"
@@ -69,7 +69,7 @@ def start_dedup_stream(
     """Run the streaming dedup into an IcebergLite table: in-stream
     watermarked dedup + sink-side anti-join append (exact global key
     uniqueness, crash-idempotent)."""
-    cat = IcebergLite(out_root)
+    cat = get_catalog(out_root)
     deduped = dedup_stream(read_sequences_stream(spark, seq_path), watermark)
     # create-before-stream: a drained-empty backlog still leaves a
     # typed (zero-row) table for downstream readers

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from pyreshaper_spark.sources.iceberglite import IcebergLite
+from pyreshaper_spark.sources.catalog import get_catalog
 
 SEQ_SCHEMA = (
     "doc_id string, tokens array<int>, n_tok int, source string, event_s long"
@@ -108,7 +108,7 @@ def start_tier0_stream(
     Each micro-batch merges via overwrite_partitions keyed by source,
     so epoch replay after failure is idempotent.
     """
-    cat = IcebergLite(out_root)
+    cat = get_catalog(out_root)
     tier = streaming_tier0(
         read_sequences_stream(spark, seq_path), width_s, slide_s=slide_s
     )
@@ -173,7 +173,7 @@ def refresh_cascade(
     below, never raw data. Returns {width_s: snapshot_id}."""
     from pyreshaper_spark.operators.rollup import rollup_cascade
 
-    cat = IcebergLite(out_root)
+    cat = get_catalog(out_root)
     prev = cat.read(spark, base_table, allow_empty=True).select(
         "source", "bucket_s", "cnt", "sum_n_tok", "min_n_tok", "max_n_tok"
     )

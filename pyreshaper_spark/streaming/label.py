@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from pyreshaper_spark.operators.rangejoin import interval_join
-from pyreshaper_spark.sources.iceberglite import IcebergLite
+from pyreshaper_spark.sources.catalog import get_catalog
 from pyreshaper_spark.streaming.ingest import read_sequences_stream
 
 LABEL_TABLE = "labels_stream"
@@ -59,7 +59,7 @@ def start_label_stream(
     """Run the labeling stream into an IcebergLite table
     (``labels_stream``), one idempotent ``_epoch`` partition per
     micro-batch."""
-    cat = IcebergLite(out_root)
+    cat = get_catalog(out_root)
     labeled = streaming_interval_label(
         read_sequences_stream(spark, seq_path).select(
             "doc_id", "source", "event_s"

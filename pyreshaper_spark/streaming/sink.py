@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
-from pyreshaper_spark.sources.iceberglite import IcebergLite
+from pyreshaper_spark.sources.catalog import get_catalog
 from pyreshaper_spark.streaming.ingest import read_sequences_stream
 
 
@@ -33,7 +33,7 @@ def make_append_sink(
     partition_by: tuple[str, ...] = ("source",),
 ):
     """foreachBatch function committing each epoch exactly once."""
-    cat = IcebergLite(out_root)
+    cat = get_catalog(out_root)
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         # no isEmpty() pre-scan: that is an extra Spark action per
@@ -66,7 +66,7 @@ def start_raw_append_stream(
     stream = read_sequences_stream(spark, seq_path)
     # create-before-stream: a drained-empty backlog still leaves a
     # typed (zero-row) table for downstream readers
-    IcebergLite(out_root).create_table(table, stream.schema.json())
+    get_catalog(out_root).create_table(table, stream.schema.json())
     writer = (
         stream.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
