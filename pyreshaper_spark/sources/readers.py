@@ -115,11 +115,41 @@ def read_sequences_iceberglite(spark: SparkSession, path: str) -> DataFrame:
                      *[c for c in df.columns if c not in _COLS])
 
 
+def read_sequences_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro delivery (Kafka-archive / schema-registry ecosystems ship
+    it). The `spark-avro` datasource is an EXTERNAL Spark module — not
+    bundled in this container's pyspark — so this reader is
+    import-gated like the media decoders: when the datasource is
+    missing it raises immediately with the deploy instruction instead
+    of a bare AnalysisException deep in a job. With the module on the
+    classpath (``spark-submit --packages
+    org.apache.spark:spark-avro_2.13:<spark version>``) the read is
+    schema-pinned and column-pruned exactly like the parquet/orc
+    paths."""
+    try:
+        return (
+            spark.read.schema(SEQ_SCHEMA)
+            .format("avro")
+            .load(path)
+            .select(*_COLS)
+        )
+    except Exception as exc:  # AnalysisException: missing datasource
+        if "Failed to find data source: avro" in str(exc):
+            raise NotImplementedError(
+                "the spark-avro external module is not on the "
+                "classpath; launch with `spark-submit --packages "
+                "org.apache.spark:spark-avro_2.13:<spark-version>` "
+                "(or add the jar) to read Avro sequence deliveries"
+            ) from exc
+        raise
+
+
 READERS = {
     "parquet": read_sequences_parquet,
     "orc": read_sequences_orc,
     "json": read_sequences_json,
     "csv": read_sequences_csv,
+    "avro": read_sequences_avro,
     "iceberglite": read_sequences_iceberglite,
 }
 

@@ -67,7 +67,7 @@ def test_failfast_on_malformed_json(spark, tmp_path):
 
 def test_unknown_format_rejected(spark):
     with pytest.raises(ValueError, match="unknown sequences format"):
-        read_sequences(spark, "/nowhere", "avro")
+        read_sequences(spark, "/nowhere", "xml")
 
 
 def test_pipeline_end_to_end_from_jsonl(spark, seq, tmp_path):
@@ -110,5 +110,20 @@ def test_runconfig_rejects_bad_input_format():
 
     with pytest.raises(ValueError, match="input_format"):
         RunConfig(
-            input_path="/x", output_path="/y", input_format="avro"
+            input_path="/x", output_path="/y", input_format="xml"
         ).validate()
+
+
+def test_avro_reader_is_gated_not_broken(spark, tmp_path):
+    # spark-avro is an external module absent from this container: the
+    # dispatch must exist (avro is a valid input_format) and fail AT
+    # THE READER with the deploy instruction, not a bare
+    # AnalysisException deep in a job
+    from pyreshaper_spark.config import RunConfig
+    from pyreshaper_spark.sources.readers import read_sequences
+
+    RunConfig(
+        input_path="/x", output_path="/y", input_format="avro"
+    ).validate()
+    with pytest.raises(NotImplementedError, match="spark-avro"):
+        read_sequences(spark, str(tmp_path / "in.avro"), fmt="avro")
