@@ -433,10 +433,29 @@ _R02_CHECKED = frozenset({
     "tier_1h_skew", "tier_1h_with_meta", "tier_1m", "topk_buckets",
 })
 
-#: Every key any driver correctness board (r1–r3) ever sampled; keys
+#: Names the round-4 driver correctness board verified (48 hash-green
+#: + 2 rows-only sketch faces — no red rows).
+_R04_CHECKED = frozenset({
+    "ann_ivfpq_topk", "ann_pq_refined", "ann_pq_topk", "benford_n_tok",
+    "changepoint_1d", "doc_chunks_128", "doc_len_deciles", "dq_media",
+    "drift_tvd_1d", "emb_centroid_drift_1d", "emb_norm_stats",
+    "emb_outliers", "emb_src_centroid_d2", "eta_threshold_1d",
+    "events_ab_test", "events_sessions", "filter_verdict", "gaps_10m",
+    "hist_1h", "hopping_1h_10m", "kmeans_assign", "ks_drift_1d",
+    "mix_quality_budget", "mix_sources", "mix_temp_sqrt",
+    "mix_token_budget", "mk_trend_1d", "pack_windows_512", "pettitt_1d",
+    "pq_distortion", "quality_pctl", "rate_10m", "rolling_10m_6",
+    "rolling_median_10m", "rolling_slope_10m", "sample_30pct",
+    "sample_k_per_source", "smk_trend", "split_assign",
+    "stratified_sample", "theilsen_1d", "tier_1h_cube", "tier_1h_ndv",
+    "tier_1h_ndv_approx", "tier_1h_ohlc", "tier_1h_pct",
+    "tier_1h_pct_approx", "trend_1d", "twa_1h", "uptime_islands_10m",
+})
+
+#: Every key any driver correctness board (r1–r4) ever sampled; keys
 #: NOT here have never been driver-verified and sort ahead of the rest
-#: so the round-4 sweep reaches first-time surface first.
-_DRIVER_SAMPLED = _R02_CHECKED | frozenset({
+#: so the round-5 sweep reaches first-time surface first.
+_DRIVER_SAMPLED = _R02_CHECKED | _R04_CHECKED | frozenset({
     "alert_hyst_10m", "ann_hard_negatives", "ann_binq_topk",
     "ann_mmr_topk", "asof_fwd_tol", "asof_nearest_tol", "cusum_1h",
     "cusum_fixed_10m", "datacard_by_source", "dedup_cluster_sizes",
@@ -455,14 +474,27 @@ _DRIVER_SAMPLED = _R02_CHECKED | frozenset({
     "tier_1mo", "tier_1w",
 })
 
-#: Keys that appeared RED on any driver board (r1–r3). All are fixed
-#: (adjudicated value-correct, output shape made driver-hashable) and
-#: sort FIRST so the round-4 board re-samples them green.
-_EVER_RED = (
-    "pack_windows_512", "doc_chunks_128", "emb_norm_stats",
-    "emb_outliers", "emb_src_centroid_d2", "emb_centroid_drift_1d",
-    "pq_distortion", "kmeans_assign", "events_sessions",
-)
+#: Keys that appeared RED on any driver board (r1–r3). The r4 board
+#: re-sampled every one of them green — the class is retired; the
+#: slot is now used for faces whose OUTPUT CHANGED this round (they
+#: were sampled green before, but against the old output, so they
+#: must re-sample ahead of already-verified surface).
+_EVER_RED: tuple[str, ...] = ()
+
+#: Faces whose output changed in round 5: `dedup_exact` gained the
+#: injected-duplicate variant (it was vacuously green at 0 rows
+#: through r4; the oracle now has 4 dup groups with real mass).
+_CHANGED_R5 = ("dedup_exact",)
+
+#: Rows-only sketch faces (no SQL oracle by design — t-digest /
+#: Datasketches / HLL / BPE outputs are engine-specific; pytest holds
+#: the accuracy bound). They sort LAST within the never-sampled class:
+#: the board's value-hash check adds nothing over the rows-only check
+#: they already get.
+_NO_ORACLE = frozenset({
+    "bpe_segment", "tier_1h_ndv_sketch",
+    "tier_1h_pct_approx", "tier_1h_ndv_approx",
+})
 
 #: Query faces whose operators carry decimal(38,0) sums internally
 #: (exact integer math — overflow-safe at 100 TB) but whose OUTPUT
@@ -801,7 +833,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pii_scan"] = lambda s, d: text.pii_scan(_docs(s, d))
     q["lang_confusion"] = lambda s, d: text.lang_confusion(_docs(s, d))
     # -- deduplication ------------------------------------------------
-    q["dedup_exact"] = lambda s, d: dedup.exact_dup_groups(_docs(s, d))
+    # The fixture corpus has no natural exact duplicates (the face was
+    # vacuously green at 0 rows through r4), so — the pii_redact
+    # injected-variant idiom — ~20% of docs (cross-engine h32 of
+    # doc_id) get one of 4 canonical boilerplate payloads, giving the
+    # oracle 4 dup groups with real mass while the operator API stays
+    # corpus-agnostic.
+    def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.functions.xhash import h32
+
+        docs = _docs(spark, sf_dir)
+        marker = F.pmod(h32(F.col("doc_id").cast("string")), F.lit(20))
+        injected = docs.withColumn(
+            "text",
+            F.when(
+                marker < 4,
+                F.concat(
+                    F.lit("duplicated boilerplate payload #"),
+                    marker.cast("string"),
+                ),
+            ).otherwise(F.col("text")),
+        )
+        return dedup.exact_dup_groups(injected)
+
+    q["dedup_exact"] = _q_dedup_exact
     q["dedup_minhash_lsh"] = lambda s, d: dedup.verified_near_dups(_docs(s, d))
     # lexical similarity search: top-k most-similar docs by exact
     # Jaccard over the LSH candidate set (cached: the RRF fusion face
@@ -2340,6 +2395,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["src_kendall_1h"] = _q_kendall
 
+    # Same operator with the hard misuse guard engaged: source pairs
+    # sharing more than 8 one-hour buckets are dropped BEFORE the
+    # triangular self-join (cost bounded at pairs × 8² regardless of
+    # scan width). 8 splits the fixture's 2–15 shared-bucket
+    # distribution, so both the kept and the dropped classes have
+    # mass — the guard is driver-verified, not just pytest-proven.
+    def _q_kendall_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.operators.correlate import (
+            source_kendall_counts,
+        )
+
+        tier = _tiers(spark, sf_dir)[3600]
+        return source_kendall_counts(_norm_tier(tier), max_buckets=8)
+
+    q["src_kendall_1h_capped"] = _q_kendall_capped
+
     # cross-correlation function: all lags 0..3h in one pass
     def _q_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyreshaper_spark.operators.correlate import source_ccf_moments
@@ -3066,14 +3137,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return inner
         q[name] = _wrap_md5(q[name], cols)
 
-    # Order: (1) keys that were ever RED on a driver board (all fixed —
-    # re-sample them green first), (2) keys NO board has ever sampled,
-    # (3) previously-verified-green keys last.
+    # Order: (0) faces whose output changed this round (green before,
+    # but against the old output), (1) keys NO board has ever sampled —
+    # streaming faces lead (the likeliest residual-risk class: 18
+    # availableNow micro-batch surfaces, none driver-verified), then
+    # value-oracled faces, then the rows-only sketch faces last —
+    # (2) previously-verified-green keys.
     def _prio(k: str) -> tuple[int, int]:
+        if k in _CHANGED_R5:
+            return (0, _CHANGED_R5.index(k))
         if k in _EVER_RED:
-            return (0, _EVER_RED.index(k))
+            return (0, 100 + _EVER_RED.index(k))
         if k not in _DRIVER_SAMPLED:
-            return (1, 0)
+            if k.startswith("streaming_"):
+                return (1, 0)
+            return (1, 2 if k in _NO_ORACLE else 1)
         return (2, 0)
 
     names = list(q)
@@ -3505,7 +3583,20 @@ FROM tier t JOIN meta m USING (source)
     o["fingerprint"] = text.fingerprint_sql()
     o["pii_scan"] = text.pii_scan_sql()
     o["lang_confusion"] = text.lang_confusion_sql()
-    o["dedup_exact"] = dedup.EXACT_DUP_SQL
+    # injected-duplicate variant twin (see the queries() face): same
+    # h32 marker, same 4 canonical payloads, then the stock group-by.
+    from pyreshaper_spark.functions.xhash import h32_sql as _h32e
+
+    _mark = f"({_h32e('CAST(doc_id AS VARCHAR)')} % 20)"
+    o["dedup_exact"] = f"""
+WITH documents AS (
+  SELECT * REPLACE (
+    CASE WHEN {_mark} < 4
+         THEN 'duplicated boilerplate payload #' || CAST({_mark} AS VARCHAR)
+         ELSE text END AS text)
+  FROM main.documents
+)
+{dedup.EXACT_DUP_SQL}"""
     o["dedup_minhash_lsh"] = dedup.minhash_lsh_sql()
     o["minhash_topk"] = (
         f"WITH pairs AS ({dedup.minhash_lsh_sql(0, 1)})\n"
@@ -4138,6 +4229,11 @@ FROM filled
         f"WITH {seq_cte('base')},\n"
         f"tier AS ({_TIER_AGG.format(w=3600)})\n"
         + kendall_counts_sql("tier")
+    )
+    o["src_kendall_1h_capped"] = (
+        f"WITH {seq_cte('base')},\n"
+        f"tier AS ({_TIER_AGG.format(w=3600)})\n"
+        + kendall_counts_sql("tier", max_buckets=8)
     )
     from pyreshaper_spark.operators.correlate import ccf_sql
 

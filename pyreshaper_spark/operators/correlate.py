@@ -436,9 +436,21 @@ def kendall_finish(counts: DataFrame) -> DataFrame:
     )
 
 
-def kendall_counts_sql(relation: str, value_col: str = "sum_n_tok") -> str:
+def kendall_counts_sql(
+    relation: str,
+    value_col: str = "sum_n_tok",
+    max_buckets: int | None = None,
+) -> str:
     """DuckDB twin of :func:`source_kendall_counts` (same comparison
-    classification, same triangular n_buckets recovery)."""
+    classification, same triangular n_buckets recovery;
+    ``max_buckets`` mirrors the pre-self-join guard — source pairs
+    sharing more buckets are dropped before classification)."""
+    qualify = (
+        "\n    QUALIFY count(*) OVER (PARTITION BY a.source, b.source)"
+        f" <= {max_buckets}"
+        if max_buckets is not None
+        else ""
+    )
     return f"""
 SELECT source_a, source_b,
        CAST((1 + sqrt(1 + 8 * count(*))) / 2 AS BIGINT) AS n_buckets,
@@ -460,7 +472,7 @@ FROM (
            CAST(a.{value_col} AS BIGINT) AS va,
            CAST(b.{value_col} AS BIGINT) AS vb
     FROM {relation} a JOIN {relation} b USING (bucket_s)
-    WHERE a.source < b.source
+    WHERE a.source < b.source{qualify}
   )
   SELECT p.source_a, p.source_b,
          p.va AS p_va, p.vb AS p_vb, q.va AS q_va, q.vb AS q_vb

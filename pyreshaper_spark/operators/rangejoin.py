@@ -55,12 +55,21 @@ def interval_join(
     # is a step-chunk_s sequence: pure integer arithmetic end to end.
     end_chunk = F.col(end_col) - 1 if end_exclusive else F.col(end_col)
     chunk_of = lambda c: floor_to(c.cast("long"), chunk_s)
+    # Degenerate totality: a zero-width half-open interval (end==start
+    # with end_exclusive) or a reversed interval (end < start) makes
+    # floor(start) > floor(end_chunk), and the explicit positive step
+    # would raise "Illegal sequence boundaries" at runtime. Clamp the
+    # stop to at least the start chunk — the spurious single candidate
+    # chunk is filtered out by the exact range predicate below, so
+    # degenerate intervals still contribute zero pairs (the behavior
+    # the old step-less sequence gave, without its descending-step
+    # accident).
     iv = intervals.withColumn(
         "_chunk",
         F.explode(
             F.sequence(
                 chunk_of(F.col(start_col)),
-                chunk_of(end_chunk),
+                F.greatest(chunk_of(end_chunk), chunk_of(F.col(start_col))),
                 F.lit(chunk_s).cast("long"),
             )
         ),

@@ -61,7 +61,7 @@ from pyreshaper_spark.operators.transpose import (
 )
 from pyreshaper_spark.plans.checkpoint import Checkpoint
 from pyreshaper_spark.plans.pipeline import LINEAGE_COLS, _load_input
-from pyreshaper_spark.sources.catalog import get_catalog
+from pyreshaper_spark.sources.catalog import TableCatalog, get_catalog
 
 
 def _bucket(width_s: int) -> F.Column:
@@ -98,7 +98,7 @@ def _resolve_ids(
 
 def _load_run(
     op: str, spark: SparkSession, cfg: RunConfig, checkpoint_path: str
-) -> tuple[IcebergLite, Checkpoint, int]:
+) -> tuple[TableCatalog, Checkpoint, int]:
     cfg.validate()
     cat = get_catalog(cfg.output_path)
     ckpt = Checkpoint.load(checkpoint_path)
@@ -229,7 +229,7 @@ def restate_docs(
 def _repair_run(
     spark: SparkSession,
     cfg: RunConfig,
-    cat: IcebergLite,
+    cat: TableCatalog,
     ckpt: Checkpoint,
     nsalt: int,
     victims: DataFrame,

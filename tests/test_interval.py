@@ -95,3 +95,24 @@ def test_interval_join_plans_as_equi_join(spark):
         )._jdf.queryExecution().executedPlan().toString()
     )
     assert "NestedLoop" in naive or "Cartesian" in naive
+
+
+def test_interval_join_degenerate_intervals_total(spark):
+    """Totality on degenerate inputs: a zero-width half-open window
+    whose start sits ON a chunk boundary (floor(start) > floor(end-1))
+    and a reversed window (end < start) must both yield zero pairs —
+    not an 'Illegal sequence boundaries' runtime error from the
+    explicit-step chunk explode (the stop is clamped to the start
+    chunk; the exact range predicate filters the spurious candidate)."""
+    wins = _wins(spark, [
+        ("a", 3600, 3600),     # zero-width, start on chunk boundary
+        ("a", 5000, 4000),     # reversed
+        ("a", 0, 3600),        # sane window riding along
+    ])
+    facts = _facts(spark, [
+        ("d1", "a", 3600),     # at the zero-width point → no match
+        ("d2", "a", 4500),     # inside the reversed range → no match
+        ("d3", "a", 60),       # inside the sane window
+    ])
+    rows = _join(facts, wins).collect()
+    assert {(r["doc_id"], r["start_s"]) for r in rows} == {("d3", 0)}

@@ -81,27 +81,43 @@ def main() -> int:
         # list cells crash it, and DECIMAL→float64 dtype hashes
         # differently than Spark's exact Decimal/int64. Assert the
         # fetch is hashable and dtype-faithful so the round-2/3
-        # artifact class cannot recur.
+        # artifact class cannot recur. Dtypes come from the already-
+        # bound relation's `types` plus the fetched rows' null mask —
+        # NOT a second `.df()` execution of every oracle (that doubled
+        # DuckDB-side sweep wall).
         lint_bad = []
         try:
-            odf = con.sql(os_[name]).df()
+            otypes = [str(t).lower() for t in ores.types]
             sfields = {f.name: f.dataType.simpleString() for f in sdf.schema}
-            for c in odf.columns:
+            for i, c in enumerate(ocols):
                 st = sfields.get(c, "")
-                # NULL-free float64 against a Spark integer column is
-                # the DECIMAL/HUGEINT artifact (driver hash-red even on
-                # identical values). Float64 WITH nulls is just pandas'
-                # nullable-int representation — driver-green (gapfill,
-                # asof tolerance, funnel steps all sampled green).
+                # A DuckDB DECIMAL / HUGEINT / DOUBLE column fetches
+                # into pandas as float64; against a Spark integer
+                # column with no NULLs that is the driver hash-red
+                # artifact even on identical values. (An INTEGER duck
+                # column WITH nulls also fetches float64, but carries
+                # NaNs — pandas' nullable-int representation, driver-
+                # green: gapfill, asof tolerance, funnel steps all
+                # sampled green — so only the type-driven cases flag.)
+                to_f64 = otypes[i].startswith(
+                    ("decimal", "hugeint", "double", "float", "real")
+                )
+                null_free = all(r[i] is not None for r in orows)
                 if (
-                    odf[c].dtype == "float64"
+                    to_f64
                     and not st.startswith(("double", "float"))
-                    and odf[c].notna().all()
+                    and null_free
                 ):
-                    lint_bad.append(f"{c}: duckdb float64 vs spark {st}")
+                    lint_bad.append(
+                        f"{c}: duckdb {otypes[i]}→float64 vs spark {st}"
+                    )
                 if st.startswith(("array", "map", "struct", "decimal")):
                     lint_bad.append(f"{c}: spark {st} not driver-hashable")
-            odf.sort_values(list(odf.columns))
+            # sortability (list cells crash the driver's sort_values):
+            # rebuild the frame from the rows already fetched.
+            import pandas as pd
+
+            pd.DataFrame(orows, columns=ocols).sort_values(list(ocols))
         except Exception as exc:  # pragma: no cover - lint face
             lint_bad.append(f"canonicalize raised: {exc!r}")
         if lint_bad:
