@@ -3137,6 +3137,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return inner
         q[name] = _wrap_md5(q[name], cols)
 
+    # Streaming oracle faces run their availableNow query to
+    # completion INSIDE the callable, so the state-store partition
+    # count (fixed by spark.sql.shuffle.partitions at first
+    # checkpoint) can be dropped to 2 for just that window: the faces
+    # carry ~500 rows and 8 state instances per stateful operator is
+    # pure setup overhead (measured 2.6 s → 2.0 s per face; ~18 faces
+    # ≈ 11 s of sweep wall). Results are partition-count invariant
+    # (the SHUFFLE_PARTITIONS=1 sweep leg proves it); production
+    # streams keep the session default — this wraps only the oracle
+    # faces.
+    def _lowstate(f):
+        def inner(s, d):
+            key = "spark.sql.shuffle.partitions"
+            old = s.conf.get(key)
+            s.conf.set(key, "2")
+            try:
+                return f(s, d)
+            finally:
+                s.conf.set(key, old)
+
+        return inner
+
+    for k in list(q):
+        if k.startswith("streaming_"):
+            q[k] = _lowstate(q[k])
+
     # Order: (0) faces whose output changed this round (green before,
     # but against the old output), (1) keys NO board has ever sampled —
     # streaming faces lead (the likeliest residual-risk class: 18

@@ -101,16 +101,22 @@ def run_bench(sf_dir: str, cpus: int, repeat: int = 1) -> dict:
     # floor (5 passes: the floor typically appears on pass 2-4 after
     # page cache + JIT settle; costs ~5 s extra at sf0.1).
     passes = int(os.environ.get("SPARK_GRAFT_PASSES", "5"))
+    # Every timed pass is reported (`all_runs` in the JSON) so
+    # round-over-round deltas are interpretable against the shared-VM
+    # jitter band instead of comparing two opaque minima.
+    all_runs: dict[str, list[float]] = {}
 
     warm_tiers, _, _ = run_cascade()
     for w in widths:
         warm_tiers[w].unpersist()
     tiers = total_points = t_cascade = None
+    all_runs["tier_cascade"] = []
     for _ in range(passes):
         if tiers is not None:
             for w in widths:
                 tiers[w].unpersist()
         t2, p2, w2 = run_cascade()
+        all_runs["tier_cascade"].append(round(w2, 3))
         if t_cascade is None or w2 < t_cascade:
             t_cascade = w2
         tiers, total_points = t2, p2
@@ -118,10 +124,12 @@ def run_bench(sf_dir: str, cpus: int, repeat: int = 1) -> dict:
 
     # q2: gap-fill + LOCF on the 10m tier.
     best = None
+    all_runs["gapfill_locf_10m"] = []
     for _ in range(passes):
         t0 = time.perf_counter()
         gapfill_locf(tiers[600], 600).count()
         dt = time.perf_counter() - t0
+        all_runs["gapfill_locf_10m"].append(round(dt, 3))
         best = dt if best is None else min(best, dt)
     queries["gapfill_locf_10m"] = round(best, 3)
 
@@ -129,6 +137,7 @@ def run_bench(sf_dir: str, cpus: int, repeat: int = 1) -> dict:
     from pyreshaper_spark.operators.encode import decode_series_table
 
     best, enc = None, None
+    all_runs["transpose_encode"] = []
     for _ in range(passes):
         if enc is not None:
             enc.unpersist()
@@ -139,6 +148,7 @@ def run_bench(sf_dir: str, cpus: int, repeat: int = 1) -> dict:
         enc = encode_series_table(series).persist()
         enc.agg(F.sum("n").alias("n")).collect()
         dt = time.perf_counter() - t0
+        all_runs["transpose_encode"].append(round(dt, 3))
         best = dt if best is None else min(best, dt)
     queries["transpose_encode"] = round(best, 3)
 
@@ -146,10 +156,12 @@ def run_bench(sf_dir: str, cpus: int, repeat: int = 1) -> dict:
     # (encoded chunks → per-doc rows with token arrays), stream-split
     # vectorized decode.
     best = None
+    all_runs["decode_rehydrate"] = []
     for _ in range(passes):
         t0 = time.perf_counter()
         decode_series_table(enc).agg(F.sum("n_tok").alias("t")).collect()
         dt = time.perf_counter() - t0
+        all_runs["decode_rehydrate"].append(round(dt, 3))
         best = dt if best is None else min(best, dt)
     queries["decode_rehydrate"] = round(best, 3)
     enc.unpersist()
@@ -160,6 +172,7 @@ def run_bench(sf_dir: str, cpus: int, repeat: int = 1) -> dict:
         "value": round(total_points / t_cascade, 1),
         "unit": "sec",
         "queries": queries,
+        "all_runs": all_runs,
         "sf": float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0),
         "cpus": cpus,
         "n_sequences": n_seq,

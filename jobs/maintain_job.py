@@ -136,7 +136,7 @@ def main(argv: list[str] | None = None) -> dict:
     args = ap.parse_args(argv)
 
     from pyreshaper_spark.config import RunConfig
-    from pyreshaper_spark.sources.catalog import get_catalog
+    from pyreshaper_spark.sources.catalog import get_catalog, require_caps
 
     cfg = RunConfig.read(args.config)
     spark = (
@@ -146,6 +146,19 @@ def main(argv: list[str] | None = None) -> dict:
         .getOrCreate()
     )
     cat = get_catalog(cfg.output_path)
+    # binding-time capability gate per subcommand (a core-only adapter
+    # fails here with one clear error, never deep inside the op)
+    _OP_CAPS = {
+        "delete": {"mutation"}, "restate": {"mutation"},
+        "refresh": {"cdc", "mutation"}, "mor-delete": {"mutation"},
+        "compact": {"maintenance"}, "expire": {"maintenance"},
+        "remove-orphans": {"maintenance"}, "tag": {"refs"},
+        "publish": {"refs"}, "create-branch": {"refs"},
+        "fast-forward": {"refs"}, "changes": {"cdc"},
+        "inspect": {"refs"}, "diff": {"snapshots"},
+    }
+    if args.op in _OP_CAPS:
+        require_caps(cat, _OP_CAPS[args.op], f"maintain {args.op}")
 
     if args.op in ("delete", "restate"):
         from pyreshaper_spark.plans.delete import delete_docs, restate_docs
@@ -175,7 +188,7 @@ def main(argv: list[str] | None = None) -> dict:
         from pyspark.sql import functions as F
         from pyspark.sql.types import StructType
 
-        schema_json = cat._snapshot(args.table, None).get("schema")
+        schema_json = cat.table_schema_json(args.table)
         keys = spark.createDataFrame(
             [(v,) for v in _ids(args)], f"{args.key_col} string"
         )

@@ -61,7 +61,11 @@ from pyreshaper_spark.operators.transpose import (
 )
 from pyreshaper_spark.plans.checkpoint import Checkpoint
 from pyreshaper_spark.plans.pipeline import LINEAGE_COLS, _load_input
-from pyreshaper_spark.sources.catalog import TableCatalog, get_catalog
+from pyreshaper_spark.sources.catalog import (
+    TableCatalog,
+    get_catalog,
+    require_caps,
+)
 
 
 def _bucket(width_s: int) -> F.Column:
@@ -101,6 +105,9 @@ def _load_run(
 ) -> tuple[TableCatalog, Checkpoint, int]:
     cfg.validate()
     cat = get_catalog(cfg.output_path)
+    # binding-time gate: the repair walk commits via replace_rows /
+    # overwrite_partitions against pinned snapshot state
+    require_caps(cat, {"mutation", "snapshots"}, op)
     ckpt = Checkpoint.load(checkpoint_path)
     if ckpt.cycle is not None:
         raise RuntimeError(
@@ -489,6 +496,9 @@ def refresh_from_changes(
     root, table = parts[0], parts[1]
     pin = int(parts[2]) if len(parts) > 2 and parts[2] else None
     cat_in = get_catalog(root)
+    require_caps(
+        cat_in, {"cdc", "snapshots"}, "refresh_from_changes(input)"
+    )
     to_sid = (
         to_snapshot_id if to_snapshot_id is not None
         else cat_in.current_snapshot_id(table)

@@ -81,7 +81,7 @@ from pyreshaper_spark.operators.validate import (
     check_schema,
 )
 from pyreshaper_spark.plans.checkpoint import Checkpoint
-from pyreshaper_spark.sources.catalog import get_catalog
+from pyreshaper_spark.sources.catalog import get_catalog, require_caps
 
 LINEAGE_COLS = (
     "source",
@@ -221,6 +221,11 @@ def _run_pipeline(
     # 10^12 rows the per-append cost is O(new data) + O(tier rows).
     delta = None  # pending-file subset of seq (None = full recompute)
     if cfg.write_mode == "append":
+        # incremental merge pins base SNAPSHOTS — gate at binding time
+        # (overwrite/skip runs stay within the core protocol)
+        require_caps(
+            cat, {"snapshots"}, "run_pipeline(write_mode='append')"
+        )
         if ckpt.cycle is None:
             base_tables = (
                 ["meta_source"]
@@ -757,19 +762,14 @@ def maintain(
     Returns {table: {"compacted_snapshot": id|None, "expired_files": n}}.
     """
     cat = get_catalog(cfg.output_path)
+    require_caps(cat, {"maintenance"}, "pipeline.maintain")
     stats_for = {"series_enc": ("source",)}
     report: dict[str, dict] = {}
-    if not os.path.isdir(cfg.output_path):
-        return report
-    for t in sorted(os.listdir(cfg.output_path)):
-        if not os.path.exists(cat._log_path(t)):
-            continue
+    for t in cat.list_tables():
         entry: dict = {"compacted_snapshot": None, "expired_files": 0}
         # tier/filled/retention tables are hive-partitioned by source;
         # series_enc and metrics are unpartitioned (stats-pruned)
-        partitioned = any(
-            f["partition"] for f in cat._snapshot(t, None)["files"]
-        )
+        partitioned = cat.is_partitioned(t)
         entry["compacted_snapshot"] = cat.compact(
             spark, t,
             partition_by=("source",) if partitioned else (),

@@ -14,6 +14,9 @@ Scheme dispatch on the table root:
 
     /data/warehouse            → IcebergLite (default: plain path)
     file:///data/warehouse     → IcebergLite
+    hivedir:///data/warehouse  → HiveDirCatalog (plain hive-layout
+                                 parquet directories; core capability
+                                 set only — no snapshots/CDC/refs)
     rest://host/prefix         → Iceberg REST catalog binding (stub —
                                  raises until a real client factory is
                                  registered / the client lib exists)
@@ -37,18 +40,99 @@ from typing import Any, Protocol, runtime_checkable
 from pyspark.sql import DataFrame
 
 
+#: Optional capability groups and the adapter methods each one
+#: promises, beyond the always-required core protocol below. Jobs
+#: capability-check AT BINDING TIME (:func:`require_caps`) before
+#: calling into a group, so a third-party adapter that implements only
+#: the core surface fails with one clear error naming the missing
+#: capability — never deep inside a job. ``tests/test_catalog_seam.py``
+#: cross-checks this table against every ``cat.<method>(`` call site
+#: in ``plans/``, ``streaming/``, and ``jobs/``, so the documented
+#: surface cannot drift from the consumed one again.
+CAPABILITY_METHODS: dict[str, tuple[str, ...]] = {
+    # snapshot log + time travel (read(snapshot_id=...), pinned-base
+    # incremental merges, checkpoint/resume exactly-once bookkeeping)
+    "snapshots": ("snapshots", "current_snapshot_id"),
+    # CDC changelog between snapshots (incremental view maintenance,
+    # downstream invalidation)
+    "cdc": ("read_changes",),
+    # targeted row mutation (copy-on-write replace, merge-on-read
+    # equality deletes) — delete/restate jobs
+    "mutation": ("replace_rows", "delete_rows_mor"),
+    # table maintenance (file compaction, snapshot expiry, orphan
+    # reclamation, warehouse enumeration + layout introspection)
+    "maintenance": (
+        "compact",
+        "expire_snapshots",
+        "remove_orphan_files",
+        "list_tables",
+        "is_partitioned",
+        "table_schema_json",
+    ),
+    # named refs: tags, write-audit-publish, branches, and the
+    # metadata inspection tables the curate CLI surfaces
+    "refs": (
+        "tag",
+        "tags",
+        "resolve_tag",
+        "publish",
+        "create_branch",
+        "resolve_branch",
+        "fast_forward",
+        "inspect_snapshots",
+        "inspect_refs",
+        "inspect_history",
+        "inspect_files",
+    ),
+}
+
+
+class CatalogCapabilityError(RuntimeError):
+    """A job needs a capability group the bound adapter doesn't declare."""
+
+
+def require_caps(cat: "TableCatalog", caps: set[str], op: str) -> None:
+    """Binding-time capability gate: raise one clear error naming the
+    operation and the missing group(s) instead of letting the job fail
+    deep inside with an AttributeError."""
+    have = cat.capabilities()
+    missing = sorted(set(caps) - set(have))
+    if missing:
+        raise CatalogCapabilityError(
+            f"{op} needs catalog capability {missing} but the bound "
+            f"adapter ({type(cat).__name__}) declares only "
+            f"{sorted(have)}; bind a catalog with "
+            f"{'/'.join(missing)} support (e.g. IcebergLite) or use an "
+            "operation within the adapter's capabilities"
+        )
+
+
 @runtime_checkable
 class TableCatalog(Protocol):
-    """Minimal catalog surface the engine's jobs consume.
+    """Core catalog surface EVERY adapter must provide — exactly what
+    the batch pipeline (``write_mode='overwrite'``) and the streaming
+    sinks consume.
 
-    Matches the IcebergLite call signatures exactly (it is the
-    reference binding); any adapter must preserve these semantics:
-    ``append_once`` is idempotent on ``once_key`` (exactly-once
-    ingest), ``overwrite`` replaces the whole table in one atomic
-    snapshot, ``read`` returns an empty TYPED frame for an empty
-    table when ``allow_empty`` (schema from the table log), and
-    ``read_changes`` yields the CDC changelog between snapshots.
+    Matches the IcebergLite call signatures (it is the reference
+    binding); any adapter must preserve these semantics:
+    ``append``/``overwrite`` accept ``gate=`` (a pre-commit barrier: a
+    raising gate must leave the table unchanged), ``append_once`` is
+    idempotent on its once key (exactly-once ingest, empty epochs
+    skipped), ``overwrite`` replaces the whole table in one commit,
+    ``overwrite_partitions`` replaces exactly the partitions present
+    in the frame, and ``read`` returns an empty TYPED frame for an
+    empty table when ``allow_empty`` (schema from the table metadata).
+
+    Everything else jobs consume is grouped into optional capability
+    sets (:data:`CAPABILITY_METHODS`): an adapter declares what it
+    supports via :meth:`capabilities` and jobs gate on
+    :func:`require_caps` at binding time. The reference IcebergLite
+    binding declares every group; the hive-layout directory binding
+    (:class:`~pyreshaper_spark.sources.hivedir.HiveDirCatalog`)
+    declares none (core only).
     """
+
+    def capabilities(self) -> frozenset[str]: ...
 
     def exists(self, name: str) -> bool: ...
 
@@ -64,13 +148,9 @@ class TableCatalog(Protocol):
 
     def overwrite(self, name: str, df: DataFrame, **kwargs: Any) -> int: ...
 
-    def snapshots(self, name: str) -> list[dict]: ...
-
-    def current_snapshot_id(self, name: str) -> int: ...
-
-    def read_changes(
-        self, name: str, *args: Any, **kwargs: Any
-    ) -> DataFrame: ...
+    def overwrite_partitions(
+        self, name: str, df: DataFrame, keys: tuple[str, ...]
+    ) -> int: ...
 
 
 class RestCatalogStub:
@@ -108,8 +188,15 @@ def _default_factory(root: str) -> TableCatalog:
     return IcebergLite(root)
 
 
+def _hivedir_factory(root: str) -> TableCatalog:
+    from pyreshaper_spark.sources.hivedir import HiveDirCatalog
+
+    return HiveDirCatalog(root.split("://", 1)[1] if "://" in root else root)
+
+
 _REGISTRY: dict[str, Callable[[str], TableCatalog]] = {
     "file": _default_factory,
+    "hivedir": _hivedir_factory,
     "rest": RestCatalogStub,
 }
 

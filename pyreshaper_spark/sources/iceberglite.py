@@ -1105,6 +1105,41 @@ class IcebergLite:
     def exists(self, name: str) -> bool:
         return self.current_snapshot_id(name) > 0
 
+    def capabilities(self) -> frozenset[str]:
+        """The reference binding declares every optional group (see
+        ``catalog.CAPABILITY_METHODS``)."""
+        return frozenset(
+            {"snapshots", "cdc", "mutation", "maintenance", "refs"}
+        )
+
+    def list_tables(self) -> list[str]:
+        """All table names under the warehouse root that carry a
+        snapshot log — including tables whose only commits are staged
+        (``current == 0``), which :meth:`exists` reports False for but
+        maintenance still owns. Public face of the old private
+        ``_log_path`` probe the maintenance walk used."""
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            d
+            for d in os.listdir(self.root)
+            if os.path.exists(self._log_path(d))
+        )
+
+    def is_partitioned(self, name: str) -> bool:
+        """Whether the current snapshot's files carry hive partition
+        values — manifest-only, no parquet opened. Drives the
+        compaction grouping choice in ``pipeline.maintain``."""
+        return any(
+            f["partition"] for f in self._snapshot(name, None)["files"]
+        )
+
+    def table_schema_json(self, name: str) -> str | None:
+        """The current snapshot's recorded schema (Spark JSON), or
+        None when the table predates schema recording. Public face of
+        the ``_snapshot(...)["schema"]`` probe the maintain CLI used."""
+        return self._snapshot(name, None).get("schema")
+
     # -- metadata tables (Iceberg's t.snapshots / t.files / t.history /
     # t.refs inspection surface). Built driver-side from the manifest —
     # exactly where Iceberg itself plans from — so they are O(manifest),
