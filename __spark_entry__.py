@@ -1229,8 +1229,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sample_k_per_source"] = lambda s, d: SMP.sample_k_per_source(
         _docs(s, d), 15
     )
-    q["doc_len_deciles"] = lambda s, d: SMP.doc_len_deciles(_docs(s, d))
-    q["quality_pctl"] = lambda s, d: SMP.quality_pctl(_docs(s, d))
+    # two_pass=True: the faces run the 10^12-row boundary-broadcast
+    # rank path (no corpus-wide single-partition window) against the
+    # ntile/window SQL oracle — the scale path is what gets
+    # driver-verified; the exact windowed form is pytest-parity-locked
+    # to it (tests/test_sampling.py).
+    q["doc_len_deciles"] = lambda s, d: SMP.doc_len_deciles(
+        _docs(s, d), two_pass=True
+    )
+    q["quality_pctl"] = lambda s, d: SMP.quality_pctl(
+        _docs(s, d), two_pass=True
+    )
     q["stratified_sample"] = lambda s, d: SMP.stratified_sample(
         _docs(s, d), _STRATA, default_bp=5000
     ).select(*_SCOLS)

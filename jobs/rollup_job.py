@@ -50,15 +50,20 @@ def main(argv: list[str] | None = None) -> None:
         .getOrCreate()
     )
     walls = []
+    step_walls = []  # per-run step breakdown, parallel to walls — the
+    # reported step_wall_s must describe the RUN whose wall is chosen,
+    # not whichever run happened to finish last
     for i in range(max(args.bench_runs - 1, 0)):
         warm_cfg = cfg.with_(output_path=f"{cfg.output_path}_warm{i}")
         t0 = time.perf_counter()
-        run_pipeline(spark, warm_cfg, f"{args.checkpoint}.warm{i}")
+        r = run_pipeline(spark, warm_cfg, f"{args.checkpoint}.warm{i}")
         walls.append(round(time.perf_counter() - t0, 3))
+        step_walls.append(r.step_wall_s)
     t0 = time.perf_counter()
     result = run_pipeline(spark, cfg, args.checkpoint, stop_after=args.stop_after)
     wall_s = time.perf_counter() - t0
     walls.append(round(wall_s, 3))
+    step_walls.append(result.step_wall_s)
     print(f"steps run: {result.steps_run}")
     print(f"steps skipped (already committed): {result.steps_skipped}")
     if "encode" in result.steps_run or "encode" in result.steps_skipped:
@@ -78,6 +83,7 @@ def main(argv: list[str] | None = None) -> None:
                     "wall_s": round(wall_s, 3),
                     "all_runs_wall_s": walls,
                     "step_wall_s": result.step_wall_s,
+                    "all_runs_step_wall_s": step_walls,
                     "sequences": d["points"],
                     "tier_points": tier_points,
                     "enc_bytes": d["enc_bytes"],

@@ -265,27 +265,84 @@ SELECT doc_id, source, n_chars, rk FROM (
 """
 
 
-def doc_len_deciles(docs: DataFrame) -> DataFrame:
+def doc_len_deciles(docs: DataFrame, two_pass: bool = False) -> DataFrame:
     """Corpus length-decile assignment: which tenth of the (n_chars,
     doc_id)-ordered corpus each doc falls in — the input to
     length-balanced mixture sampling. ntile is deterministic here
     because the ordering is a total order (doc_id tiebreak).
 
     Scale note: ntile is a GLOBAL window (single-partition sort of
-    doc-id-sized rows). The 10^12-row path replaces it with a two-pass
-    quantile-boundary broadcast (approx_percentile → range filter);
-    this exact form is the oracle for that path and the right tool
-    through ~10^8 docs."""
+    doc-id-sized rows) — the right tool through ~10^8 docs and the
+    oracle for the scale path. ``two_pass=True`` is that 10^12-row
+    path: EXACT global ranks with no corpus-wide sort —
+
+    1. histogram pass: count docs per distinct ``n_chars`` value (the
+       boundary set — O(distinct lengths), driver/broadcast scale: a
+       length histogram, not the corpus), running-sum it over the tiny
+       distinct-length relation, broadcast-join ``cum_below`` back;
+    2. rank pass: ``row_number`` partitioned BY ``n_chars`` (hash
+       exchange, per-length groups) + ``cum_below`` = the exact global
+       rank; the ntile bucket is then closed-form from (rank, N)
+       (first ``N%10`` buckets take ``ceil(N/10)`` rows — Spark's
+       ntile contract).
+
+    Both forms return identical rows (parity pytest). The per-length
+    group sort is the residual hotspot if one single length dominates
+    the corpus — the same tie-skew caveat every distributed exact-rank
+    scheme carries.
+    """
     from pyspark.sql import Window
 
-    w = Window.orderBy(
-        F.col("n_chars").cast("long"), F.col("doc_id").cast("string")
-    )
-    return docs.select(
+    base = docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         "source",
         F.col("n_chars").cast("long").alias("n_chars"),
-        F.ntile(10).over(w).cast("long").alias("len_decile"),
+    )
+    if not two_pass:
+        w = Window.orderBy(F.col("n_chars"), F.col("doc_id"))
+        return base.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.ntile(10).over(w).cast("long").alias("len_decile"),
+        )
+
+    hist = base.groupBy("n_chars").agg(F.count("*").alias("_cnt"))
+    # running sum over DISTINCT lengths only — the single-partition
+    # window here is O(boundary set), never O(corpus)
+    cum = hist.select(
+        "n_chars",
+        (
+            F.sum("_cnt").over(
+                Window.orderBy("n_chars").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            - F.col("_cnt")
+        ).alias("_cum_below"),
+    )
+    n_total = base.count()
+    q, rem = divmod(n_total, 10)
+    rn = F.row_number().over(
+        Window.partitionBy("n_chars").orderBy("doc_id")
+    )
+    ranked = base.join(F.broadcast(cum), "n_chars").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.col("_cum_below") + rn - 1).alias("_r0"),  # 0-based rank
+    )
+    # bucket sizes: rem buckets of (q+1), then 10-rem of q. Integer
+    # `div`, never float `/` + floor — exact past 2^53 ranks.
+    head = rem * (q + 1)
+    decile = F.when(
+        F.lit(head) > F.col("_r0"), F.expr(f"_r0 div {q + 1}")
+    ).otherwise(F.expr(f"{rem} + (_r0 - {head}) div {max(q, 1)}"))
+    return ranked.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (decile + 1).cast("long").alias("len_decile"),
     )
 
 
@@ -300,7 +357,7 @@ FROM documents
 """
 
 
-def quality_pctl(docs: DataFrame) -> DataFrame:
+def quality_pctl(docs: DataFrame, two_pass: bool = False) -> DataFrame:
     """Per-source percentile-rank normalization of a document quality
     score — the step that makes scores COMPARABLE ACROSS SOURCES
     before a global quality threshold or mixture weight is applied
@@ -315,9 +372,14 @@ def quality_pctl(docs: DataFrame) -> DataFrame:
     No float in the comparable output.
 
     Scale note: rank+count are per-SOURCE windows (one exchange on
-    source, a per-source sort). At 10^12 docs the same two-pass
-    boundary-broadcast that :func:`doc_len_deciles` documents applies
-    per source; this exact form is that path's oracle.
+    source, a per-source sort) — this exact form is the scale path's
+    oracle. ``two_pass=True`` is the 10^12-doc path, the per-source
+    instance of :func:`doc_len_deciles`'s boundary broadcast: the
+    score domain is a bounded permille (0..1000), so the (source,
+    score) count histogram is O(sources × 1001); its running sum gives
+    ``cum_below`` per boundary, a broadcast join plus a ``row_number``
+    partitioned by (source, score) reconstructs the EXACT per-source
+    rank, and no per-source corpus-wide sort ever runs.
     """
     from pyspark.sql import Window
 
@@ -334,17 +396,44 @@ def quality_pctl(docs: DataFrame) -> DataFrame:
     scored = base.select(
         "doc_id", "source", score.cast("long").alias("score")
     )
-    w = Window.partitionBy("source").orderBy(
-        F.col("score").asc(), F.col("doc_id").asc()
-    )
-    n = F.count("*").over(Window.partitionBy("source"))
-    return scored.select(
-        "doc_id",
-        "source",
-        "score",
-        F.row_number().over(w).cast("long").alias("rk"),
-        n.alias("n"),
-    ).select(
+    if two_pass:
+        hist = scored.groupBy("source", "score").agg(
+            F.count("*").alias("_cnt")
+        )
+        wsrc = Window.partitionBy("source").orderBy("score").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cum = hist.select(
+            "source",
+            "score",
+            (F.sum("_cnt").over(wsrc) - F.col("_cnt")).alias("_cum_below"),
+            F.sum("_cnt")
+            .over(Window.partitionBy("source"))
+            .alias("n"),
+        )
+        rn = F.row_number().over(
+            Window.partitionBy("source", "score").orderBy("doc_id")
+        )
+        ranked = scored.join(F.broadcast(cum), ["source", "score"]).select(
+            "doc_id",
+            "source",
+            "score",
+            (F.col("_cum_below") + rn).cast("long").alias("rk"),
+            F.col("n").cast("long").alias("n"),
+        )
+    else:
+        w = Window.partitionBy("source").orderBy(
+            F.col("score").asc(), F.col("doc_id").asc()
+        )
+        n = F.count("*").over(Window.partitionBy("source"))
+        ranked = scored.select(
+            "doc_id",
+            "source",
+            "score",
+            F.row_number().over(w).cast("long").alias("rk"),
+            n.alias("n"),
+        )
+    return ranked.select(
         "doc_id",
         "source",
         "score",

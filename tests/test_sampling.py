@@ -126,3 +126,73 @@ def test_mix_quality_budget_cleanest_first(spark):
         assert total >= budget and total - got[-1]["n_tok"] < budget
     # the selected docs are exactly the cleanest prefix per source
     assert [r["doc_id"] for r in sorted(by_src["s0"], key=lambda r: r["mix_rank"])][:2] == ["d0", "d1"]
+
+
+def test_two_pass_global_ranks_parity(spark):
+    """The 10^12-row boundary-broadcast path must reproduce the exact
+    windowed forms row for row — including heavy length/score ties and
+    N not divisible by 10 — and its plan must carry no corpus-global
+    window (the only empty-partition window runs over the tiny
+    distinct-boundary relation)."""
+    from pyreshaper_spark.operators.sampling import (
+        doc_len_deciles,
+        quality_pctl,
+    )
+
+    rows = []
+    for i in range(137):  # 137 % 10 == 7: uneven buckets
+        # heavy ties: only 5 distinct lengths; texts with repeated words
+        rows.append(
+            (str(i), f"s{i % 3}", (i % 5) * 10 + 3,
+             " ".join(f"w{j % (1 + i % 7)}" for j in range(1 + i % 11)))
+        )
+    docs = spark.createDataFrame(
+        rows, "doc_id string, source string, n_chars long, text string"
+    )
+
+    exact = sorted(tuple(r) for r in doc_len_deciles(docs).collect())
+    fast = sorted(
+        tuple(r) for r in doc_len_deciles(docs, two_pass=True).collect()
+    )
+    assert exact == fast
+
+    exact_q = sorted(tuple(r) for r in quality_pctl(docs).collect())
+    fast_q = sorted(
+        tuple(r) for r in quality_pctl(docs, two_pass=True).collect()
+    )
+    assert exact_q == fast_q
+
+    # plan shape: the exact form sorts the corpus in ONE partition
+    # (ntile's empty partitionBy); the two-pass form must not — its
+    # docs-sized window partitions by the boundary column instead.
+    exact_plan = (
+        doc_len_deciles(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    fast_plan = (
+        doc_len_deciles(docs, two_pass=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ntile" in exact_plan
+    assert "ntile" not in fast_plan
+    # every docs-sized Window in the fast plan is hash-partitioned by
+    # the boundary column (physical node prints
+    # `Window [exprs], [n_chars#..], [doc_id#..]`)
+    import re
+
+    assert re.search(r"Window \[[^\n]*\], \[n_chars#\d+", fast_plan)
+
+
+def test_two_pass_deciles_small_corpus_total(spark):
+    """N < 10 (q = 0): every doc its own decile prefix — the closed-
+    form bucket mapping must not divide by zero."""
+    from pyreshaper_spark.operators.sampling import doc_len_deciles
+
+    docs = spark.createDataFrame(
+        [(str(i), "s", i + 1, "x") for i in range(4)],
+        "doc_id string, source string, n_chars long, text string",
+    )
+    exact = sorted(tuple(r) for r in doc_len_deciles(docs).collect())
+    fast = sorted(
+        tuple(r) for r in doc_len_deciles(docs, two_pass=True).collect()
+    )
+    assert exact == fast

@@ -127,8 +127,17 @@ def run_once(
         sys.stderr.write(proc.stdout[-3000:] + "\n" + proc.stderr[-3000:])
         raise RuntimeError(f"no TIMING line from {master} run "
                            f"(full logs in {workdir})")
-    warm = timing["all_runs_wall_s"][1:] or timing["all_runs_wall_s"]
+    walls = timing["all_runs_wall_s"]
+    warm = walls[1:] or walls
     timing["wall_s"] = min(warm)
+    # step breakdown FROM THE SELECTED RUN (r4 advice: a min-of-warm
+    # wall with step walls from a different, stalled run cannot
+    # support any per-step reading)
+    sel = walls.index(timing["wall_s"], 1 if len(walls) > 1 else 0)
+    steps_all = timing.get("all_runs_step_wall_s")
+    if steps_all:
+        timing["step_wall_s"] = steps_all[sel]
+    timing["selected_run"] = sel
     timing["execs"] = execs
     timing["cores"] = execs * CORES_PER_EXEC
     timing["seq_per_sec"] = round(timing["sequences"] / timing["wall_s"], 1)
