@@ -2407,9 +2407,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Same operator with the hard misuse guard engaged: source pairs
     # sharing more than 8 one-hour buckets are dropped BEFORE the
     # triangular self-join (cost bounded at pairs × 8² regardless of
-    # scan width). 8 splits the fixture's 2–15 shared-bucket
+    # scan width). 8 splits the sf0.01 fixture's 2–15 shared-bucket
     # distribution, so both the kept and the dropped classes have
-    # mass — the guard is driver-verified, not just pytest-proven.
+    # mass at the driver's check scale — the guard is driver-verified,
+    # not just pytest-proven. (At sf0.1 every pair shares exactly 168
+    # buckets, so the capped face is 0 rows there — that IS the guard
+    # firing on an unsliced dense scan, oracle-matched either way.)
     def _q_kendall_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyreshaper_spark.operators.correlate import (
             source_kendall_counts,
