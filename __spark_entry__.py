@@ -44,16 +44,33 @@ def _utc(spark: SparkSession) -> None:
 # this, ~20 entries each re-derive the sequences table (md5 hashing over
 # documents) and re-cascade the tiers from raw. Keyed on the session's
 # applicationId so a restarted session never serves stale cached plans.
+# Compute-once under concurrency: tools/oracle_check.py runs faces from
+# a thread pool, so each key holds a lock — two faces sharing a
+# training chain wait for one fill instead of both computing it.
+import threading as _threading
+
 _MEMO: dict = {}
+_MEMO_GUARD = _threading.Lock()
+_MEMO_LOCKS: dict = {}
+
+
+def _memo_fill(k, make_value):
+    v = _MEMO.get(k)
+    if v is not None:
+        return v
+    with _MEMO_GUARD:
+        lk = _MEMO_LOCKS.setdefault(k, _threading.Lock())
+    with lk:
+        v = _MEMO.get(k)
+        if v is None:
+            v = make_value()
+            _MEMO[k] = v
+    return v
 
 
 def _cached(spark: SparkSession, key: tuple, make) -> DataFrame:
     k = (spark.sparkContext.applicationId, *key)
-    df = _MEMO.get(k)
-    if df is None:
-        df = make().cache()
-        _MEMO[k] = df
-    return df
+    return _memo_fill(k, lambda: make().cache())
 
 
 def _cached_tuple(spark: SparkSession, key: tuple, make) -> tuple:
@@ -62,11 +79,7 @@ def _cached_tuple(spark: SparkSession, key: tuple, make) -> tuple:
     `trained=` kwargs on the k-means/PQ consumers, so one training
     chain feeds every query that shares its parameters."""
     k = (spark.sparkContext.applicationId, *key)
-    t = _MEMO.get(k)
-    if t is None:
-        t = tuple(df.cache() for df in make())
-        _MEMO[k] = t
-    return t
+    return _memo_fill(k, lambda: tuple(df.cache() for df in make()))
 
 
 def _lloyd8(spark: SparkSession, sf_dir: str) -> tuple:
@@ -125,12 +138,13 @@ def _static_parquet(spark: SparkSession, sf_dir: str, key: str, writer) -> str:
     import tempfile
 
     k = (spark.sparkContext.applicationId, "static", sf_dir, key)
-    base = _MEMO.get(k)
-    if base is None:
+
+    def _fill():
         base = tempfile.mkdtemp(prefix=f"stream_in_{key}_")
         writer(os.path.join(base, "src"))
-        _MEMO[k] = base
-    return os.path.join(base, "src")
+        return base
+
+    return os.path.join(_memo_fill(k, _fill), "src")
 
 
 def _seq3_sorted_path(spark: SparkSession, sf_dir: str) -> str:
@@ -3159,15 +3173,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (the SHUFFLE_PARTITIONS=1 sweep leg proves it); production
     # streams keep the session default — this wraps only the oracle
     # faces.
+    # refcounted (concurrent sweeps run faces from a thread pool: the
+    # LAST face out restores the value captured by the FIRST one in,
+    # so overlapping enters can't restore "2" as the session default)
+    import threading
+
+    _ls_lock = threading.Lock()
+    _ls_state = {"depth": 0, "old": None}
+
     def _lowstate(f):
         def inner(s, d):
             key = "spark.sql.shuffle.partitions"
-            old = s.conf.get(key)
-            s.conf.set(key, "2")
+            with _ls_lock:
+                if _ls_state["depth"] == 0:
+                    _ls_state["old"] = s.conf.get(key)
+                    s.conf.set(key, "2")
+                _ls_state["depth"] += 1
             try:
                 return f(s, d)
             finally:
-                s.conf.set(key, old)
+                with _ls_lock:
+                    _ls_state["depth"] -= 1
+                    if _ls_state["depth"] == 0:
+                        s.conf.set(key, _ls_state["old"])
 
         return inner
 
