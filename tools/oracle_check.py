@@ -142,7 +142,16 @@ def main() -> int:
     import __spark_entry__ as ent
     from pyreshaper_spark.session import get_spark
 
-    spark = get_spark("oracle_check", master="local[8]", shuffle_partitions=8)
+    # honor SPARK_GRAFT_SHUFFLE_PARTITIONS so the partition-count
+    # invariance leg of the round ritual actually varies the session
+    # (an explicit arg would override the env inside get_spark)
+    spark = get_spark(
+        "oracle_check",
+        master="local[8]",
+        shuffle_partitions=int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
+        ),
+    )
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
