@@ -282,3 +282,40 @@ def test_hivedir_capability_gates_block_at_binding(spark, tmp_path):
     append_cfg = dataclasses.replace(cfg, write_mode="append")
     with pytest.raises(CatalogCapabilityError, match="snapshots"):
         run_pipeline(spark, append_cfg, ck)
+
+
+def test_streaming_ingest_through_hivedir(spark, tmp_path):
+    """The streaming tier-0 sink consumes only core catalog surface
+    (create_table / read / overwrite_partitions), so an availableNow
+    ingest into a hive-layout warehouse must land the same table the
+    IcebergLite binding does — the seam's streaming path proven on the
+    second adapter."""
+    from pyspark.sql import functions as F
+
+    from pyreshaper_spark.fixtures import sequences_df
+    from pyreshaper_spark.streaming.ingest import start_tier0_stream
+
+    seq_path = str(tmp_path / "seq")
+    sequences_df(spark, "/root/testdata/sf0.001").select(
+        "doc_id", "source", "event_s", "n_tok", "tokens"
+    ).write.parquet(seq_path)
+
+    results = {}
+    for label, root in (
+        ("iceberg", str(tmp_path / "wh_ice")),
+        ("hivedir", f"hivedir://{tmp_path / 'wh_hive'}"),
+    ):
+        sq = start_tier0_stream(
+            spark, seq_path, root, str(tmp_path / f"ck_{label}"),
+            width_s=3600,
+        )
+        sq.awaitTermination(300)
+        cat = get_catalog(root)
+        results[label] = sorted(
+            tuple(r)
+            for r in cat.read(spark, "tier_stream")
+            .select("source", "bucket_s", "cnt", "sum_n_tok")
+            .collect()
+        )
+    assert results["iceberg"] == results["hivedir"]
+    assert len(results["hivedir"]) > 0
