@@ -1028,6 +1028,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["contamination_3g"] = _q_contamination
 
+    # -- benchmark decontamination (external eval set, any-hit fatal) -
+    # The eval set is carved from the corpus deterministically (~2% by
+    # cross-engine h32) so the oracle can reproduce it; n=4 gives both
+    # verdict classes mass on the fixture (5 dropped / 490 kept at
+    # sf0.01).
+    def _q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyreshaper_spark.functions.xhash import h32
+        from pyreshaper_spark.operators.contamination import (
+            benchmark_decontaminate,
+        )
+
+        docs = _docs(spark, sf_dir)
+        mark = F.pmod(h32(F.col("doc_id").cast("string")), F.lit(50))
+        return benchmark_decontaminate(
+            docs.filter(mark >= 1), docs.filter(mark < 1), n=4
+        )
+
+    q["decontam_benchmark"] = _q_decontam
+
     # -- sequence-level duplication (token k-gram granularity) --------
     def _q_seqdup_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyreshaper_spark.operators.subdup import crossdoc_dup_stats
@@ -3714,6 +3733,14 @@ WITH documents AS (
         split_contamination_sql,
     )
 
+    from pyreshaper_spark.operators.contamination import (
+        benchmark_decontaminate_sql,
+    )
+
+    _dmark = f"({_h32s('CAST(doc_id AS VARCHAR)')} % 50)"
+    o["decontam_benchmark"] = benchmark_decontaminate_sql(
+        bench_pred=f"{_dmark} < 1", corpus_pred=f"{_dmark} >= 1", n=4
+    )
     o["contamination_3g"] = split_contamination_sql(
         n=3, val_bp=1000, test_bp=1000
     )

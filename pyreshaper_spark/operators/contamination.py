@@ -109,3 +109,82 @@ SELECT b.doc_id, b.split, b.n_sh,
        coalesce(h2.n_hit, 0) * {den} >= b.n_sh * {num} AS contaminated
 FROM base b LEFT JOIN hits h2 USING (doc_id)
 """
+
+
+def benchmark_decontaminate(
+    docs: DataFrame, bench_docs: DataFrame, n: int = 5
+) -> DataFrame:
+    """Benchmark decontamination — the OTHER eval-integrity operator
+    every LLM pipeline runs (GPT-3 appendix-C / Llama style): a corpus
+    document is dropped when it shares ANY word n-gram with an
+    EXTERNAL benchmark/eval set. Output is one row per corpus doc:
+    (doc_id, source, n_sh, n_hit, keep) with ``keep = (n_hit == 0)``;
+    docs shorter than ``n`` words carry n_sh=0 and are kept (nothing
+    to leak at this n).
+
+    Contrast :func:`split_contamination`: there the eval side is a
+    hash split OF the corpus and the verdict is a ratio threshold;
+    here the benchmark is a second relation and one hit is fatal.
+
+    Scale shape: the benchmark reduces to DISTINCT shingle hashes —
+    benchmarks are tiny next to a 100 TB corpus, so the left-semi
+    probe becomes a broadcast join under AQE automatically, but
+    nothing ASSUMES it fits (both sides hash-partition on ``sh`` when
+    it doesn't). The corpus side is one shingle explode + two hash
+    aggs; nothing quadratic, output exact integers + a boolean.
+    """
+    bench_sh = ngram_sets(bench_docs, n).select("sh").distinct()
+    corpus_sh = ngram_sets(docs, n)
+    per_doc = corpus_sh.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_sh")
+    )
+    hits = (
+        corpus_sh.join(bench_sh, "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )
+    base = docs.select(F.col("doc_id").cast("string").alias("doc_id"), "source")
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .na.fill({"n_sh": 0, "n_hit": 0})
+        .withColumn("keep", F.col("n_hit") == 0)
+    )
+
+
+def benchmark_decontaminate_sql(
+    bench_pred: str, corpus_pred: str, n: int = 5
+) -> str:
+    """DuckDB twin of :func:`benchmark_decontaminate` where the
+    benchmark and corpus sides are ``documents`` rows selected by the
+    given SQL predicates (the oracle face derives its benchmark from
+    the corpus deterministically)."""
+    h = h32_sql("shingle")
+    return f"""
+WITH w AS (SELECT doc_id, source, {WORDS_SQL} AS words FROM documents),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(words) - {n - 1}, 0)),
+                i -> array_to_string(words[i:i+{n - 1}], ' '))) AS shingle
+  FROM w
+),
+ns AS (SELECT DISTINCT doc_id, {h} AS sh FROM shingles),
+bench_sh AS (
+  SELECT DISTINCT sh FROM ns
+  WHERE {bench_pred}
+),
+corpus AS (SELECT doc_id, sh FROM ns WHERE {corpus_pred}),
+per_doc AS (SELECT doc_id, count(*) AS n_sh FROM corpus GROUP BY 1),
+hits AS (
+  SELECT doc_id, count(*) AS n_hit
+  FROM corpus WHERE sh IN (SELECT sh FROM bench_sh) GROUP BY 1
+)
+SELECT CAST(d.doc_id AS VARCHAR) AS doc_id, d.source,
+       coalesce(p.n_sh, 0)  AS n_sh,
+       coalesce(h2.n_hit, 0) AS n_hit,
+       coalesce(h2.n_hit, 0) = 0 AS keep
+FROM documents d
+LEFT JOIN per_doc p ON CAST(d.doc_id AS VARCHAR) = CAST(p.doc_id AS VARCHAR)
+LEFT JOIN hits h2   ON CAST(d.doc_id AS VARCHAR) = CAST(h2.doc_id AS VARCHAR)
+WHERE {corpus_pred.replace('doc_id', 'd.doc_id')}
+"""

@@ -163,3 +163,36 @@ def test_drift_disjoint_distributions_is_one(spark):
     )
     r = histogram_drift_tvd(hist, 86400).collect()[0]
     assert Fraction(int(r["tvd_num"]), int(r["tvd_den"])) == 1
+
+
+def test_benchmark_decontaminate_semantics(spark):
+    """Any shared n-gram with the benchmark is fatal; short docs have
+    nothing to leak; untouched docs keep."""
+    from pyreshaper_spark.operators.contamination import (
+        benchmark_decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [("b1", "s", "the quick brown fox jumps over")],
+        "doc_id string, source string, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # contains 'quick brown fox jumps' → dropped
+            ("d1", "s", "a very quick brown fox jumps today"),
+            # shares only a 3-gram ('quick brown fox' broken at 4) → kept
+            ("d2", "s", "quick brown fox sleeps all day long"),
+            ("d3", "s", "completely unrelated text about spark plans"),
+            ("d4", "s", "too short"),  # < n words: n_sh = 0, kept
+        ],
+        "doc_id string, source string, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_sh"], r["n_hit"], r["keep"])
+        for r in benchmark_decontaminate(docs, bench, n=4).collect()
+    }
+    assert got["d1"][2] is False and got["d1"][1] >= 1
+    assert got["d2"] == (4, 0, True)
+    assert got["d3"][2] is True
+    assert got["d4"] == (0, 0, True)
+    assert set(got) == {"d1", "d2", "d3", "d4"}
