@@ -326,7 +326,11 @@ def doc_len_deciles(docs: DataFrame, two_pass: bool = False) -> DataFrame:
     rn = F.row_number().over(
         Window.partitionBy("n_chars").orderBy("doc_id")
     )
-    ranked = base.join(F.broadcast(cum), "n_chars").select(
+    # no forced broadcast: the boundary relation is a LENGTH histogram
+    # (small in any real corpus), but its cardinality is not bounded by
+    # construction — AQE converts the join to broadcast when it fits
+    # and hash-partitions both sides when it doesn't
+    ranked = base.join(cum, "n_chars").select(
         "doc_id",
         "source",
         "n_chars",
@@ -414,7 +418,9 @@ def quality_pctl(docs: DataFrame, two_pass: bool = False) -> DataFrame:
         rn = F.row_number().over(
             Window.partitionBy("source", "score").orderBy("doc_id")
         )
-        ranked = scored.join(F.broadcast(cum), ["source", "score"]).select(
+        # O(sources × 1001) boundary relation: usually broadcast-sized,
+        # but sources are unbounded — let AQE pick the join strategy
+        ranked = scored.join(cum, ["source", "score"]).select(
             "doc_id",
             "source",
             "score",

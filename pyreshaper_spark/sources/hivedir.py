@@ -198,6 +198,14 @@ class HiveDirCatalog:
         stats_cols: tuple[str, ...] = (),
         options: dict | None = None,
     ) -> int:
+        """Idempotent append keyed on ``key`` (the IcebergLite
+        streaming-sink contract). Known weaker guarantee than the
+        reference binding: the data promote and the key record are two
+        steps, so a crash BETWEEN them lets a replayed epoch append
+        twice — IcebergLite commits data+key in one atomic snapshot.
+        Acceptable for the single-writer availableNow jobs this engine
+        runs; bind IcebergLite where exactly-once must survive
+        mid-commit crashes."""
         meta = self._read_meta(name)
         if key in meta["once_keys"]:
             return meta["version"]
@@ -248,6 +256,13 @@ class HiveDirCatalog:
     ) -> int:
         """Dynamic partition overwrite: replace exactly the hive
         partition directories present in ``df``, keep the rest."""
+        if not keys:
+            # no partition dirs to key the replacement on — a keyless
+            # call would silently APPEND; the caller means overwrite()
+            raise ValueError(
+                "overwrite_partitions needs partition keys; use "
+                "overwrite() to replace the whole table"
+            )
         staging = self._write_staging(name, df, keys, None)
         data = self._data(name)
         # every first-level hive dir in staging replaces its twin
