@@ -72,3 +72,12 @@ def test_no_decimal_or_nested_in_oracle_outputs():
     assert not offenders, (
         f"driver-unhashable types reach oracle outputs: {offenders}"
     )
+
+
+def test_every_oracle_has_a_query_face():
+    """Dangling oracle keys (an oracle_sql entry with no queries()
+    twin) would be dead, unverified SQL — the driver only compares
+    pairs. (The reverse direction — queries without oracles — is the
+    documented rows-only class and allowed.)"""
+    qs, os_ = set(ent.queries()), set(ent.oracle_sql())
+    assert not (os_ - qs), f"oracles without faces: {sorted(os_ - qs)}"

@@ -159,6 +159,9 @@ def main() -> int:
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs, os_ = ent.queries(), ent.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"WARNING: unknown query name(s) skipped: {sorted(unknown)}")
     names = [n for n in qs if not only or n in only]
     jobs = max(1, int(os.environ.get("ORACLE_CHECK_JOBS", "4")))
     failures = 0
