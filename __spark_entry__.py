@@ -615,7 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # boundary logic), so the calendar queries spread event times ×40
     # (~9 months) around EPOCH0, crossing many Monday/month-1st
     # boundaries; the oracle applies the identical affine map.
-    def _q_calendar(unit: str):
+    def _q_calendar(unit: str, spread: int = 40):
         def _q(spark: SparkSession, sf_dir: str) -> DataFrame:
             from pyreshaper_spark.config import EPOCH0
             from pyreshaper_spark.operators.rollup import (
@@ -626,7 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             seq = _seq(spark, sf_dir).withColumn(
                 "event_s",
                 F.lit(EPOCH0)
-                + (F.col("event_s") - F.lit(EPOCH0)) * F.lit(40),
+                + (F.col("event_s") - F.lit(EPOCH0)) * F.lit(spread),
             )
             return _norm_tier(calendar_cascade(rollup_tier0(seq, 86400), unit))
 
@@ -634,6 +634,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tier_1w"] = _q_calendar("week")
     q["tier_1mo"] = _q_calendar("month")
+    # quarter/year tiers: ×40 (~9 months) crosses quarter boundaries;
+    # years need a wider spread (×200 ≈ 4.5 years) to cross Jan-1sts
+    q["tier_1q"] = _q_calendar("quarter")
+    q["tier_1y"] = _q_calendar("year", spread=200)
 
     # -- as-of join across tiers + grouped top-k ----------------------
     def _q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3299,6 +3303,17 @@ def oracle_sql() -> dict[str, str]:
         "FROM sequences", "FROM seqspread"
     )
     o["tier_1mo"] = _CAL_CTE + calendar_rollup_sql("month").replace(
+        "FROM sequences", "FROM seqspread"
+    )
+    o["tier_1q"] = _CAL_CTE + calendar_rollup_sql("quarter").replace(
+        "FROM sequences", "FROM seqspread"
+    )
+    _CAL_CTE_200 = (
+        f"WITH {seq_cte('base')},\n"
+        "seqspread AS (SELECT doc_id, source, n_tok, "
+        f"{_E0} + (event_s - {_E0}) * 200 AS event_s FROM sequences)\n"
+    )
+    o["tier_1y"] = _CAL_CTE_200 + calendar_rollup_sql("year").replace(
         "FROM sequences", "FROM seqspread"
     )
     # realtime calendar merge ≡ plain calendar rollup of ALL spread rows
