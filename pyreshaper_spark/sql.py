@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 from pyreshaper_spark.config import RunConfig
-from pyreshaper_spark.sources.catalog import get_catalog
+from pyreshaper_spark.sources.catalog import TableCatalog, get_catalog
 
 
 def register_views(
@@ -116,7 +116,7 @@ def read_rollup(
 
 def read_tier(
     spark: SparkSession,
-    cat: IcebergLite,
+    cat: TableCatalog,
     table: str,
     sources: list[str] | None = None,
     t_min: int | None = None,
@@ -153,10 +153,20 @@ def read_tier(
                 return False
             return True
 
-    df = cat.read(
-        spark, table, snapshot_id=snapshot_id,
-        partition_filter=pf, stats_filter=sf, allow_empty=True,
-    )
+    # Manifest pruning needs a snapshot log. On a manifest-less
+    # binding (hivedir) skip the planning-time filters — they are pure
+    # optimizations here, because the SAME predicates are re-applied
+    # row-level below (and Spark still prunes hive partition dirs from
+    # the .filter); a pinned-snapshot read still gates loudly.
+    if "snapshots" in cat.capabilities():
+        df = cat.read(
+            spark, table, snapshot_id=snapshot_id,
+            partition_filter=pf, stats_filter=sf, allow_empty=True,
+        )
+    else:
+        df = cat.read(
+            spark, table, snapshot_id=snapshot_id, allow_empty=True
+        )
     if sources is not None:
         df = df.filter(F.col("source").isin(list(sources)))
     if t_min is not None:

@@ -319,3 +319,35 @@ def test_streaming_ingest_through_hivedir(spark, tmp_path):
         )
     assert results["iceberg"] == results["hivedir"]
     assert len(results["hivedir"]) > 0
+
+
+def test_read_rollup_degrades_gracefully_on_hivedir(spark, tmp_path):
+    """Tier-routed dashboard reads work on the manifest-less binding:
+    the planning-time manifest pruning is skipped (the predicates are
+    re-applied row-level), so read_rollup with source/time pruning
+    returns the same rows under both catalogs."""
+    from pyreshaper_spark.config import RunConfig, TierSpec
+    from pyreshaper_spark.fixtures import sequences_df
+    from pyreshaper_spark.plans.pipeline import run_pipeline
+    from pyreshaper_spark.sql import read_rollup
+
+    seq_path = str(tmp_path / "sequences")
+    sequences_df(spark, "/root/testdata/sf0.001").write.parquet(seq_path)
+    tiers = (TierSpec("10m", 600), TierSpec("1h", 3600))
+    results = {}
+    for label, root in (
+        ("iceberg", str(tmp_path / "wh_i")),
+        ("hivedir", f"hivedir://{tmp_path / 'wh_h'}"),
+    ):
+        cfg = RunConfig(
+            input_path=seq_path, output_path=root, tiers=tiers,
+            nsalt=4, num_series_partitions=4,
+        )
+        run_pipeline(spark, cfg, str(tmp_path / f"ck_{label}.json"))
+        df = read_rollup(spark, cfg, 3600, sources=["src0", "src1"])
+        results[label] = sorted(
+            tuple(r)
+            for r in df.select("source", "bucket_s", "cnt").collect()
+        )
+    assert results["iceberg"] == results["hivedir"]
+    assert len(results["hivedir"]) > 0
