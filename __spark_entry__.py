@@ -500,15 +500,14 @@ _EVER_RED: tuple[str, ...] = ()
 #: through r4; the oracle now has 4 dup groups with real mass).
 _CHANGED_R5 = ("dedup_exact",)
 
-#: Rows-only sketch faces (no SQL oracle by design — t-digest /
-#: Datasketches / HLL / BPE outputs are engine-specific; pytest holds
-#: the accuracy bound). They sort LAST within the never-sampled class:
-#: the board's value-hash check adds nothing over the rows-only check
-#: they already get.
-_NO_ORACLE = frozenset({
-    "bpe_segment", "tier_1h_ndv_sketch",
-    "tier_1h_pct_approx", "tier_1h_ndv_approx",
-})
+#: NEVER-SAMPLED rows-only sketch faces (no SQL oracle by design —
+#: Datasketches HLL cascade / BPE segmentation outputs are
+#: engine-specific; pytest holds the accuracy bound). They sort LAST
+#: within the never-sampled class: the board's value-hash check adds
+#: nothing over the rows-only check they already get. (The other two
+#: rows-only faces, tier_1h_pct_approx/tier_1h_ndv_approx, were
+#: r4-board-sampled and take the previously-verified class instead.)
+_NO_ORACLE = frozenset({"bpe_segment", "tier_1h_ndv_sketch"})
 
 #: Query faces whose operators carry decimal(38,0) sums internally
 #: (exact integer math — overflow-safe at 100 TB) but whose OUTPUT
@@ -3199,9 +3198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # refcounted (concurrent sweeps run faces from a thread pool: the
     # LAST face out restores the value captured by the FIRST one in,
     # so overlapping enters can't restore "2" as the session default)
-    import threading
-
-    _ls_lock = threading.Lock()
+    _ls_lock = _threading.Lock()
     _ls_state = {"depth": 0, "old": None}
 
     def _lowstate(f):

@@ -150,7 +150,13 @@ def main(argv: list[str] | None = None) -> dict:
     # fails here with one clear error, never deep inside the op)
     _OP_CAPS = {
         "delete": {"mutation"}, "restate": {"mutation"},
-        "refresh": {"cdc", "mutation"}, "mor-delete": {"mutation"},
+        # refresh consumes CDC from the INPUT catalog, which
+        # refresh_from_changes gates itself on cat_in; the output-side
+        # binding-time hint is mutation only
+        "refresh": {"mutation"},
+        # mor-delete also reads the recorded schema (table_schema_json
+        # lives in the maintenance group) to cast the key column
+        "mor-delete": {"mutation", "maintenance"},
         "compact": {"maintenance"}, "expire": {"maintenance"},
         "remove-orphans": {"maintenance"}, "tag": {"refs"},
         "publish": {"refs"}, "create-branch": {"refs"},

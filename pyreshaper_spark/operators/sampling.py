@@ -308,21 +308,23 @@ def doc_len_deciles(docs: DataFrame, two_pass: bool = False) -> DataFrame:
         )
 
     hist = base.groupBy("n_chars").agg(F.count("*").alias("_cnt"))
-    # running sum over DISTINCT lengths only — the single-partition
-    # window here is O(boundary set), never O(corpus)
+    # running sum + grand total over DISTINCT lengths only — both
+    # windows here are O(boundary set), never O(corpus). The grand
+    # total rides the same tiny relation as a column, so N never needs
+    # a driver-side count(): the whole path stays one lazy plan with
+    # ONE corpus scan (the scale path must not pay an extra full scan
+    # just to lift N into a Python literal).
+    running = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    whole = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     cum = hist.select(
         "n_chars",
-        (
-            F.sum("_cnt").over(
-                Window.orderBy("n_chars").rowsBetween(
-                    Window.unboundedPreceding, Window.currentRow
-                )
-            )
-            - F.col("_cnt")
-        ).alias("_cum_below"),
+        (F.sum("_cnt").over(running) - F.col("_cnt")).alias("_cum_below"),
+        F.sum("_cnt").over(whole).alias("_n"),
     )
-    n_total = base.count()
-    q, rem = divmod(n_total, 10)
     rn = F.row_number().over(
         Window.partitionBy("n_chars").orderBy("doc_id")
     )
@@ -335,13 +337,18 @@ def doc_len_deciles(docs: DataFrame, two_pass: bool = False) -> DataFrame:
         "source",
         "n_chars",
         (F.col("_cum_below") + rn - 1).alias("_r0"),  # 0-based rank
+        F.col("_n"),
     )
-    # bucket sizes: rem buckets of (q+1), then 10-rem of q. Integer
+    # bucket sizes: rem buckets of (q+1), then 10-rem of q — Spark's
+    # ntile contract — derived per row from the _n column. Integer
     # `div`, never float `/` + floor — exact past 2^53 ranks.
-    head = rem * (q + 1)
-    decile = F.when(
-        F.lit(head) > F.col("_r0"), F.expr(f"_r0 div {q + 1}")
-    ).otherwise(F.expr(f"{rem} + (_r0 - {head}) div {max(q, 1)}"))
+    decile = F.expr(
+        "CASE WHEN _r0 < (_n % 10) * (_n div 10 + 1)"
+        "     THEN _r0 div (_n div 10 + 1)"
+        "     ELSE (_n % 10)"
+        "          + (_r0 - (_n % 10) * (_n div 10 + 1))"
+        "            div greatest(_n div 10, 1) END"
+    )
     return ranked.select(
         "doc_id",
         "source",
