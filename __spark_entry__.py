@@ -3685,15 +3685,21 @@ FROM tier t JOIN meta m USING (source)
     from pyreshaper_spark.functions.xhash import h32_sql as _h32e
 
     _mark = f"({_h32e('CAST(doc_id AS VARCHAR)')} % 20)"
-    o["dedup_exact"] = f"""
-WITH documents AS (
+    # CTE named documents_inj, NOT documents: shadowing the base view
+    # would need a schema-qualified FROM (main.documents), which breaks
+    # if the harness registers the tables as TEMP views instead.
+    o["dedup_exact"] = (
+        f"""
+WITH documents_inj AS (
   SELECT * REPLACE (
     CASE WHEN {_mark} < 4
          THEN 'duplicated boilerplate payload #' || CAST({_mark} AS VARCHAR)
          ELSE text END AS text)
-  FROM main.documents
+  FROM documents
 )
-{dedup.EXACT_DUP_SQL}"""
+"""
+        + dedup.EXACT_DUP_SQL.replace("FROM documents", "FROM documents_inj")
+    )
     o["dedup_minhash_lsh"] = dedup.minhash_lsh_sql()
     o["minhash_topk"] = (
         f"WITH pairs AS ({dedup.minhash_lsh_sql(0, 1)})\n"
